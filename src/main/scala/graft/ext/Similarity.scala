@@ -1,0 +1,138 @@
+package graft.ext
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]` column).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus; O(Q·N) dot products, a per-query top-k via
+  *    window. The per-query row_number shuffle is keyed on query_id, whose
+  *    cardinality is Q — fine while Q ≪ cluster cores × thousands.
+  *  - [[lshBucketedTopK]]: the scale path — sign-random-projection (SRP)
+  *    signatures bucket the corpus; candidates share ≥1 band with the query
+  *    and only those are re-ranked exactly. Corpus signatures are a narrow
+  *    projection; the join is bucket-keyed, so cost tracks bucket occupancy
+  *    rather than N·Q.
+  *
+  * All float math is widened to double before folding so results are
+  * bit-stable and oracle-comparable; cosine is computed as a left fold over
+  * the array (deterministic summation order).
+  */
+object Similarity {
+
+  /** Elementwise-fold dot product of two double arrays (left-to-right,
+    * deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
+    * nearest corpus vectors by cosine. Ranking uses the 6-dp-rounded cosine
+    * with vec_id tiebreak so ordering is deterministic across engines. */
+  def bruteForceTopK(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val emb = t.embeddings.select(
+      col("vec_id"),
+      toDouble(col("embedding")).as("vec"))
+    val withNorm = emb.select(col("vec_id"), col("vec"), l2Norm(col("vec")).as("norm"))
+    val queries = withNorm
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val scored = withNorm
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 folded into [-0.5, 0.5). */
+  private def planeComponent(plane: Int, d: Column): Column =
+    (pmod(xxhash64(lit(plane), d), lit(1000L)).cast("double") / 1000.0) - 0.5
+
+  /** SRP signature: `nPlanes` sign bits of dot(vec, hyperplane_j), packed
+    * into a long. Narrow projection, no shuffle. */
+  def srpSignature(vec: Column, nPlanes: Int = 16): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => x * planeComponent(j, d)),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via SRP-LSH: band the 16-bit signature into 4×4-bit bands;
+    * candidates share any band value; exact cosine re-rank of candidates.
+    * Recall < 1 by construction — the contract is approximate. */
+  def lshBucketedTopK(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val bands = 4
+    val bandBits = 4
+    val emb = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("vec"), l2Norm(col("vec")).as("norm"),
+        srpSignature(col("vec")).as("sig"))
+    val banded = emb.select(
+      col("vec_id"),
+      col("vec"),
+      col("norm"),
+      posexplode(
+        array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val q2 = banded
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("band_id"), col("bucket"),
+        col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val candidates = banded
+      .join(q2, Seq("band_id", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("vec_id"), col("vec"), col("norm"))
+      .distinct()
+    val scored = candidates.select(
+      col("query_id"),
+      col("vec_id"),
+      round(dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Per-label embedding statistics (norms, means) — the sanity-report shape
+    * over vector columns. */
+  def embeddingStats(t: Tables): DataFrame =
+    t.embeddings
+      .select(
+        col("label"),
+        l2Norm(toDouble(col("embedding"))).as("norm"),
+        element_at(col("embedding"), 1).cast("double").as("first_dim"),
+        size(col("embedding")).as("dim"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        graft.functions.ExactAgg.davg(col("norm")).as("avg_norm"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        graft.functions.ExactAgg.davg(col("first_dim")).as("avg_first_dim"),
+        max(col("dim")).as("dim"))
+      .orderBy(col("label"))
+}

@@ -1,0 +1,99 @@
+package graft.ext
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID, and
+  * document fingerprinting. All are narrow per-row transformations built
+  * from codegen'd built-ins (no UDFs) — they scan, compute, and emit with
+  * zero shuffles, so they scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; trim first so leading/trailing space doesn't
+    * produce empty tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Token counting + quality scoring (length / distinct-token ratio /
+    * stopword ratio), the heuristics a pretraining cleanliness filter
+    * applies per document. */
+  def textStats(t: Tables): DataFrame = {
+    val tks = tokens(col("text"))
+    t.documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).as("n_chars"),
+        size(tks).as("n_tokens"),
+        size(array_distinct(tks)).as("n_distinct_tokens"),
+        round(length(col("text")).cast("double") / size(tks), 4).as("avg_token_len"),
+        size(filter(tks, tk => tk.isin(stopwords.map(lit(_)): _*))).as("n_stopwords"))
+      .withColumn(
+        "distinct_ratio",
+        round(col("n_distinct_tokens").cast("double") / col("n_tokens"), 6))
+      .withColumn(
+        "stopword_ratio",
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 6))
+      .withColumn(
+        "quality_score",
+        round(
+          least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+            col("distinct_ratio") * lit(0.4) +
+            least(col("stopword_ratio") * lit(5.0), lit(1.0)) * lit(0.2),
+          6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by marker-token counting (n-gram heuristic): count
+    * occurrences of per-language marker words, argmax with a fixed priority
+    * order for ties. Deterministic and SQL-expressible, so it is
+    * oracle-checkable; a production version would swap in a larger marker
+    * table (broadcast dimension) without changing the shape. */
+  def langId(t: Tables): DataFrame = {
+    // occurrences of ` marker ` in the padded text — length-difference trick
+    // keeps it exact and engine-portable (no regex dialect differences)
+    def occ(marker: String): Column = {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val needle = s" $marker "
+      ((length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length)
+        .cast("int")
+    }
+    t.documents
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        occ("the").as("score_en"),
+        occ("table").as("score_fr"),
+        occ("data").as("score_es"))
+      .withColumn(
+        "predicted_lang",
+        when(col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+          .when(col("score_fr") >= col("score_es"), "fr")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint: rolling polynomial hash over the token stream,
+    * mod 1e9+7. Engine-portable arithmetic (no xxhash64) so the DuckDB
+    * oracle can replay it with list_reduce: each token contributes
+    * `ascii(first_char) * 31 + length(token)`, folded left as
+    * `acc * 131 + contrib (mod p)`. */
+  def fingerprint(t: Tables): DataFrame = {
+    val p = 1000000007L
+    val tks = tokens(col("text"))
+    t.documents
+      .select(
+        col("doc_id"),
+        aggregate(
+          tks,
+          lit(0L),
+          (acc, tk) => pmod(acc * lit(131L) + (ascii(tk) * lit(31L) + length(tk)), lit(p)))
+          .as("fingerprint"),
+        size(tks).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+}

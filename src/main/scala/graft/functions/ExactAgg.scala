@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Order-independent aggregate kernels for oracle-stable results.
+  *
+  * Plain `sum`/`avg`/`stddev`/`corr` over doubles are summation-order
+  * dependent: Spark and an oracle engine partition the data differently, so
+  * results differ in the last ulps, and with cents-valued money data the
+  * true quotients frequently sit exactly on decimal rounding midpoints —
+  * `round(x, n)` then flips either way and golden comparisons fail.
+  *
+  * Fix: accumulate in DECIMAL (exact, associative — order-independent),
+  * cast the exact sum to double, and derive avg/stddev/corr from the exact
+  * moments with a fixed scalar formula. Any engine that mirrors the same
+  * formula over the same exact sums reproduces our doubles bit-for-bit.
+  *
+  * At 100 TB this also removes a correctness footgun: partial aggregation
+  * and AQE re-partitioning reorder summation freely; decimal accumulation
+  * makes results stable across retries, speculative tasks, and cluster
+  * layout changes.
+  */
+object ExactAgg {
+
+  private val D6 = "decimal(18,6)"
+
+  /** Exact decimal sum (kept as decimal — for window-frame reuse). */
+  def dsumDec(c: Column): Column = sum(c.cast(D6))
+
+  /** Exact sum of a double column, returned as double. */
+  def dsum(c: Column): Column = dsumDec(c).cast("double")
+
+  /** The operand scaled to integer cents (exact for 2-dp money data). Kept
+    * at scale 0 so product sums convert decimal→double in a single
+    * correctly-rounded step: non-zero scales make engines divide by 10^s
+    * separately (double rounding), which diverges above ~2^53, and DuckDB's
+    * int128→double is itself only correctly rounded below ~2^64 — cents²
+    * sums stay under 2^63 up to ~500M rows per group at our magnitudes. */
+  private def cents(c: Column): Column = (c * lit(100)).cast("decimal(18,0)")
+
+  /** Exact sum of a product of two double columns, via integer-cents
+    * accumulation; result in original units. */
+  def dsumProd(x: Column, y: Column): Column =
+    sum(cents(x) * cents(y)).cast("double") / lit(10000.0)
+
+  /** sum(x * (1 - y)) — the revenue kernel, cents-exact. */
+  def dsumRevenue(price: Column, discount: Column): Column =
+    sum(cents(price) * cents(lit(1) - discount)).cast("double") / lit(10000.0)
+
+  /** Exact average: exact sum / row count (single double division). */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Sample stddev from exact moments: sqrt((Q - S*S/n) / (n - 1)),
+    * NULL for n <= 1 (matches stddev_samp semantics). */
+  def dstd(c: Column): Column = {
+    val n = count(lit(1)).cast("double")
+    val s = dsum(c)
+    val q = dsumProd(c, c)
+    when(count(lit(1)) > 1, sqrt((q - s * s / n) / (n - lit(1.0))))
+  }
+
+  /** Pearson correlation from exact moments:
+    * (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx*Sx) * (n*Syy - Sy*Sy)). */
+  def dcorr(x: Column, y: Column): Column = {
+    val n   = count(lit(1)).cast("double")
+    val sx  = dsum(x)
+    val sy  = dsum(y)
+    val sxy = dsumProd(x, y)
+    val sxx = dsumProd(x, x)
+    val syy = dsumProd(y, y)
+    (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+  }
+
+  /** The DuckDB-SQL mirrors of the kernels above (string builders used by
+    * SparkEntry.oracleSql — keeping both sides adjacent in code). */
+  object Sql {
+    def dsum(x: String): String =
+      s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+    // DECIMAL(30,0) operands force DuckDB's multiply into int128; narrower
+    // operands overflow its int64 fast path. Cents-scale-0 accumulation
+    // mirrors the Scala kernel (see above).
+    def dsumProd(x: String, y: String): String =
+      s"(CAST(sum(CAST(($x) * 100 AS DECIMAL(30,0)) * CAST(($y) * 100 AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)"
+    def dsumRevenue(p: String, d: String): String =
+      s"(CAST(sum(CAST(($p) * 100 AS DECIMAL(30,0)) * CAST((1 - ($d)) * 100 AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)"
+    def davg(x: String): String = s"(${dsum(x)} / count(*))"
+    def dstd(x: String): String =
+      s"(CASE WHEN count(*) > 1 THEN sqrt((${dsumProd(x, x)} - ${dsum(x)} * ${dsum(x)} / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) END)"
+    def dcorr(x: String, y: String): String =
+      s"((CAST(count(*) AS DOUBLE) * ${dsumProd(x, y)} - ${dsum(x)} * ${dsum(y)}) / sqrt((CAST(count(*) AS DOUBLE) * ${dsumProd(x, x)} - ${dsum(x)} * ${dsum(x)}) * (CAST(count(*) AS DOUBLE) * ${dsumProd(y, y)} - ${dsum(y)} * ${dsum(y)})))"
+  }
+}

@@ -1,0 +1,362 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.functions.ExactAgg._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytics operator shapes from the reference's derived-table builders
+  * (`comprehensive_analytics.py`, `ml_feature_engineering.py`), re-expressed
+  * over the testdata star schema with the idiomatic Column DSL (no SQL
+  * strings). Each function is a pure `Tables => DataFrame`.
+  *
+  * Money/measure aggregates use the order-independent decimal kernels from
+  * [[graft.functions.ExactAgg]] so results are bit-stable across engines and
+  * cluster layouts (see its scaladoc). Scale notes per shape are inline; the
+  * common posture: hash-aggregates with map-side partials, broadcast hints
+  * on dimension joins, one shuffle per window partition key, deterministic
+  * output ordering.
+  */
+object Analytics {
+
+  /** A1: full grouped aggregate battery — COUNT/SUM/AVG/MAX/MIN/STDDEV
+    * (reference `comprehensive_analytics.py:186-200`,
+    * `ml_feature_engineering.py:506-511`). Single shuffle on the two
+    * low-cardinality group keys; partial aggregation makes the shuffle tiny
+    * regardless of input size. */
+  def aggStats(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("sum_revenue"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        dstd(col("l_extendedprice")).as("stddev_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A2: COUNT(DISTINCT) per group (reference
+    * `comprehensive_analytics.py:194,478`). Exact distinct = expand+two-phase
+    * agg in Spark; at 100 TB this becomes `approx_count_distinct` (HLL) —
+    * see [[approxDistinct]] for the scale path. */
+  def countDistinctByPriority(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("distinct_customers"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A2 at scale: HLL sketch distinct (not oracle-comparable; rows-only). */
+  def approxDistinct(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"))
+      .orderBy(col("o_orderpriority"))
+
+  /** A3: conditional aggregation — AVG(CASE…), SUM(CASE…), COUNT(CASE…)
+    * (reference `comprehensive_analytics.py:258`,
+    * `location_to_iceberg.py:104-105`, `serving/database.py:60`). */
+  def conditionalAgg(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        davg(when(col("o_totalprice") > 1000, col("o_totalprice")).otherwise(lit(0.0)))
+          .as("avg_large_price"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).cast("long")
+          .as("urgent_count"),
+        count(when(month(col("o_orderdate")).between(6, 8), lit(1))).as("summer_count"),
+        (davg(when(col("o_totalprice") > 0, col("o_totalprice")).otherwise(lit(0.0))) / 100.0)
+          .as("avg_price_pct"))
+      .orderBy(col("o_orderstatus"))
+
+  /** A4: time-bucketed aggregation by `date_trunc('hour', ts)` (reference
+    * `comprehensive_analytics.py:336-343`, `serving/database.py:88-99`).
+    * Output keyed by a formatted string so parquet/DuckDB timestamp
+    * physical types cannot diverge in the oracle compare. */
+  def hourlySeries(t: Tables): DataFrame =
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        davg(col("value")).as("avg_value"),
+        countDistinct(col("user_id")).as("distinct_users"))
+      .select(
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("n_events"),
+        col("sum_value"),
+        col("avg_value"),
+        col("distinct_users"))
+      .orderBy(col("hour_ts"))
+
+  /** A5: multi-level aggregate (agg of agg) — hourly counts rolled up to
+    * per-day AVG/MAX (reference `comprehensive_analytics.py:273-281`).
+    * Two chained hash aggregates; the second input is already tiny. */
+  def multiLevelAgg(t: Tables): DataFrame =
+    t.events
+      .groupBy(to_date(col("ts")).as("day"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("hourly_events"))
+      .groupBy(col("day"))
+      .agg(
+        davg(col("hourly_events")).as("avg_events_per_hour"),
+        max(col("hourly_events")).as("max_events_per_hour"),
+        count(lit(1)).as("active_hours"))
+      .orderBy(col("day"))
+
+  /** A6: Pearson correlation per group (reference
+    * `ml_feature_engineering.py:532-534`), from exact decimal moments. */
+  def corrByFlag(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dcorr(col("l_quantity"), col("l_extendedprice")).as("qty_price_corr"),
+        dcorr(col("l_discount"), col("l_tax")).as("disc_tax_corr"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** A7: collect_set, emitted as a sorted joined string so set ordering is
+    * deterministic across engines (reference `weather_to_iceberg.py:115`). */
+  def collectSetByUser(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("event_types"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  /** A10: global no-group aggregate — the dashboard-stats shape (reference
+    * `serving/database.py:243-252`, `ml_feature_engineering.py:503-513`). */
+  def globalStats(t: Tables): DataFrame =
+    t.lineitem.agg(
+      count(lit(1)).as("total_rows"),
+      countDistinct(col("l_partkey")).as("distinct_parts"),
+      countDistinct(col("l_orderkey")).as("distinct_orders"),
+      davg(col("l_extendedprice")).as("avg_price"),
+      dsumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
+      to_date(min(col("l_shipdate"))).as("first_ship_date"),
+      to_date(max(col("l_shipdate"))).as("last_ship_date"))
+
+  // ─── Joins ────────────────────────────────────────────────────────────
+
+  /** J4/J11 + P7: fact → dimension chain with broadcast hints, left joins,
+    * then a null-reject predicate that makes the join effectively inner
+    * (reference `comprehensive_analytics.py:313,316`). The 25-row nation /
+    * 5-row region dims are the zones-dimension analog: always broadcast —
+    * no shuffle of the big side at any scale. */
+  def customerByRegion(t: Tables): DataFrame =
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"), "left")
+      .filter(col("n_nationkey").isNotNull) // P7 null-reject → inner semantics
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        davg(col("c_acctbal")).as("avg_balance"),
+        dsum(col("c_acctbal")).as("sum_balance"),
+        countDistinct(col("n_name")).as("n_nations"))
+      .orderBy(col("r_name"))
+
+  /** J3: two independent aggregates of the same fact joined on a multi-key —
+    * the pickup-metrics ⟕ dropoff-metrics shape (reference
+    * `comprehensive_analytics.py:311-312`). Both sides pre-aggregate before
+    * the join, so the join input is already reduced; Catalyst plans SMJ on
+    * the 3-key or broadcasts the smaller aggregate under AQE. */
+  def pickupDropoffJoin(t: Tables): DataFrame = {
+    val fact = t.lineitem.select(
+      col("l_partkey"),
+      year(col("l_shipdate")).as("year"),
+      month(col("l_shipdate")).as("month"),
+      col("l_quantity"),
+      col("l_extendedprice"),
+      col("l_returnflag"))
+    val pickups = fact
+      .groupBy(col("l_partkey"), col("year"), col("month"))
+      .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("qty_ship"))
+    val dropoffs = fact
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_partkey"), col("year"), col("month"))
+      .agg(count(lit(1)).as("n_return"), dsum(col("l_extendedprice")).as("price_return"))
+    pickups
+      .join(dropoffs, Seq("l_partkey", "year", "month"), "left")
+      .select(
+        col("l_partkey"),
+        col("year"),
+        col("month"),
+        col("n_ship"),
+        col("qty_ship"),
+        coalesce(col("n_return"), lit(0L)).as("n_return"),
+        coalesce(col("price_return"), lit(0.0)).as("price_return"))
+      .orderBy(col("l_partkey"), col("year"), col("month"))
+  }
+
+  /** J10: join on an expression — events joined to their own hourly stats on
+    * `(user_id, date_trunc('hour', ts))` (reference
+    * `ml_feature_engineering.py:480-481`). */
+  def joinOnExpr(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(col("user_id").as("h_user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("events_in_hour"), dsum(col("value")).as("value_in_hour"))
+    t.events
+      .join(
+        hourly,
+        col("user_id") === col("h_user_id") &&
+          date_trunc("hour", col("ts")) === col("hour_ts"),
+        "left")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("events_in_hour"),
+        col("value_in_hour"))
+      .orderBy(col("event_id"))
+  }
+
+  /** J9: fact joined to its own history aggregate (the route-history shape,
+    * reference `ml_feature_engineering.py:478-479`). */
+  def selfAggJoin(t: Tables): DataFrame = {
+    val hist = t.orders
+      .groupBy(col("o_custkey").as("h_custkey"))
+      .agg(
+        davg(col("o_totalprice")).as("cust_avg_price"),
+        count(lit(1)).as("cust_orders"))
+    t.orders
+      .join(hist, col("o_custkey") === col("h_custkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice").as("total_price"),
+        col("cust_avg_price"),
+        col("cust_orders"),
+        (col("o_totalprice") / col("cust_avg_price")).as("price_vs_cust_avg"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J8: the same fact joined to two dimensions via different FKs (the
+    * pickup-zone/dropoff-zone double-dimension shape, reference
+    * `ml_feature_engineering.py:475-476`), both broadcast. */
+  def doubleDimJoin(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"), "left")
+      .filter(col("p_partkey").isNotNull && col("s_suppkey").isNotNull)
+      .groupBy(col("p_brand"), col("s_name"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("p_brand"), col("s_name"))
+
+  // ─── Window functions ─────────────────────────────────────────────────
+
+  /** Demand series: events per (user, hour) — shared input of the window
+    * shapes below (the zone-hour demand grid of
+    * `comprehensive_analytics.py:336-343`). Revenue is kept as an exact
+    * decimal so window-frame sums over it stay order-independent.
+    * (user_id, hour_ts) is unique post-aggregation, so window ordering
+    * needs no extra tiebreaker. */
+  private def demandSeries(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("demand"), dsumDec(col("value")).as("revenue_dec"))
+
+  /** W1: LAG(demand, k) k ∈ {1,2,3} over (partition user, order hour)
+    * (reference `comprehensive_analytics.py:372-385`). One shuffle on
+    * user_id, one sort per partition — at scale the partition key must be
+    * the high-cardinality entity (zone/user), never a constant. */
+  def windowLag(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_ts"))
+    demandSeries(t)
+      .select(
+        col("user_id"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("demand"),
+        lag(col("demand"), 1).over(w).as("demand_lag_1"),
+        lag(col("demand"), 2).over(w).as("demand_lag_2"),
+        lag(col("demand"), 3).over(w).as("demand_lag_3"))
+      .orderBy(col("user_id"), col("hour_ts"))
+  }
+
+  /** W2/W3: rolling AVG and STDDEV over `ROWS BETWEEN 6 PRECEDING AND 1
+    * PRECEDING` — excludes the current row like the reference's 168/720
+    * frames (`comprehensive_analytics.py:388-398`,
+    * `ml_feature_engineering.py:268-284`). Rolling stats derive from exact
+    * frame moments (integer / decimal window sums) so segment-tree vs
+    * recompute window strategies cannot change the result. */
+  def windowRolling(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_ts")).rowsBetween(-6, -1)
+    val n = count(lit(1)).over(w).cast("double")
+    val s = sum(col("demand")).over(w).cast("double")
+    val q = sum(col("demand") * col("demand")).over(w).cast("double")
+    demandSeries(t)
+      .select(
+        col("user_id"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("demand"),
+        (sum(col("demand")).over(w).cast("double") / count(lit(1)).over(w))
+          .as("rolling_avg_demand"),
+        when(count(lit(1)).over(w) > 1, sqrt((q - s * s / n) / (n - lit(1.0))))
+          .as("rolling_stddev_demand"),
+        (sum(col("revenue_dec")).over(w).cast("double") / count(lit(1)).over(w))
+          .as("rolling_avg_revenue"))
+      .orderBy(col("user_id"), col("hour_ts"))
+  }
+
+  /** W4: NTILE(10) over an aggregate ordering — the popularity-decile shape
+    * (reference `ml_feature_engineering.py:203-210`). Deterministic
+    * tiebreaker (user_id) per SURVEY §7 hard part 4. The global-order window
+    * funnels all rows through one partition — acceptable only because the
+    * input is post-aggregation (one row per entity). */
+  def ntileDecile(t: Tables): DataFrame = {
+    val perUser = t.events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total_events"), davg(col("value")).as("avg_value"))
+    perUser
+      .select(
+        col("user_id"),
+        col("total_events"),
+        col("avg_value"),
+        ntile(10).over(Window.orderBy(col("total_events"), col("user_id"))).as("popularity_decile"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W5: window over aggregate in the same projection — the surge-factor
+    * baseline AVG(COUNT(*)) OVER (PARTITION BY zone) (reference
+    * `ml_feature_engineering.py:418-421`), decomposed agg-then-window. */
+  def windowOverAgg(t: Tables): DataFrame = {
+    val perUserHour = t.events
+      .groupBy(col("user_id"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id"))
+    val baseline = sum(col("n_events")).over(w).cast("double") / count(lit(1)).over(w)
+    perUserHour
+      .select(
+        col("user_id"),
+        col("hour_of_day"),
+        col("n_events"),
+        baseline.as("user_baseline"),
+        (col("n_events") / baseline).as("surge_factor"))
+      .orderBy(col("user_id"), col("hour_of_day"))
+  }
+
+  /** W7: peak-hour-per-group via row_number()==1 (reference
+    * `serving/database.py:257-266`) with deterministic tiebreak. */
+  def peakHour(t: Tables): DataFrame = {
+    val counts = t.events
+      .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val w = Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("hour_of_day"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("event_type"))
+  }
+}
