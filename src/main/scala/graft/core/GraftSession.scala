@@ -24,6 +24,8 @@ object GraftSession {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
 
   /** Session for tests: small core count, derby metastore in a temp dir. */
   def local(cores: Int = 4): SparkSession =

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lakehouse write paths (SURVEY §2.1 S7–S10), bound to managed parquet
+  * catalog tables since no Iceberg/Delta jars ship locally (SURVEY §7
+  * "local constraints"). Semantics preserved:
+  *
+  *  - S7 append — `writeTo(t).append()` in the reference becomes
+  *    `insertInto` (positional, mode append);
+  *  - S8 delete-then-append refresh — the reference's two-transaction
+  *    `DELETE FROM t WHERE window` + append becomes ONE atomic dynamic
+  *    partition overwrite: only the partitions present in the incoming
+  *    DataFrame are replaced. This is the 100 TB-correct form: idempotent
+  *    re-runs, no torn state between delete and append, and the overwrite
+  *    set is pruned to the refresh window's partitions;
+  *  - S9 truncate-reload — full-dimension replace;
+  *  - S10 CTAS — partitioned CREATE TABLE AS SELECT (replace via drop:
+  *    plain Spark catalogs lack CREATE OR REPLACE TABLE).
+  *
+  * Storage posture mirrors the reference: parquet + zstd
+  * (`nyc_taxi_to_iceberg.py:67-70`), explicit partition columns replacing
+  * Iceberg's hidden transforms.
+  */
+object TableIO {
+
+  /** Create the table (parquet+zstd, partitioned) if absent. Idempotent. */
+  def ensureTable(
+      spark: SparkSession,
+      table: String,
+      like: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      val writer = like.limit(0).write
+        .format("parquet")
+        .option("compression", "zstd")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .saveAsTable(table)
+    }
+  }
+
+  /** S7: append rows (positional schema match, like writeTo().append()). */
+  def append(spark: SparkSession, table: String, df: DataFrame): Unit =
+    df.write.mode("append").insertInto(table)
+
+  /** S8: atomic window refresh — dynamic partition overwrite replaces
+    * exactly the partitions present in `df`, leaving the rest untouched. */
+  def refreshPartitions(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite").insertInto(table)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** S9: full truncate + reload (dimension refresh,
+    * `location_to_iceberg.py:90-95`). */
+  def truncateReload(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val writer = df.write.format("parquet").option("compression", "zstd")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .saveAsTable(table)
+  }
+
+  /** S10: CTAS with partitioning (`nyc_taxi_to_iceberg.py:164-184`). */
+  def ctas(
+      spark: SparkSession,
+      table: String,
+      select: DataFrame,
+      partitionCols: Seq[String]): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val view = s"graft_ctas_src_${table.replaceAll("[^A-Za-z0-9_]", "_")}"
+    select.createOrReplaceTempView(view)
+    val partClause =
+      if (partitionCols.nonEmpty) s"PARTITIONED BY (${partitionCols.mkString(", ")})" else ""
+    spark.sql(
+      s"""CREATE TABLE $table
+         |USING parquet
+         |OPTIONS ('compression' 'zstd')
+         |$partClause
+         |AS SELECT * FROM $view""".stripMargin)
+    spark.catalog.dropTempView(view)
+  }
+}
