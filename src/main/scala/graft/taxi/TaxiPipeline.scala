@@ -1,0 +1,137 @@
+package graft.taxi
+
+import java.sql.Timestamp
+
+import graft.sources.TableIO
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Plain-Scala orchestration replacing the reference's Airflow DAGs
+  * (SURVEY §7 module 6): the incremental-watermark control table
+  * (`nyc_taxi_iceberg_etl.py:46-82`) and the dependency-ordered job
+  * sequence ingest → analytics → ML (the `ExternalTaskSensor` gating of
+  * `comprehensive_analytics_pipeline.py:160-162` becomes call order).
+  *
+  * All state lives in catalog tables; no XCom, no process boundaries. Each
+  * derived table is refreshed with `TableIO.refreshPartitions` — the atomic
+  * dynamic-partition overwrite that replaces the reference's two-step
+  * DELETE+append.
+  */
+object TaxiPipeline {
+
+  /** The `etl_control` watermark table: one row per source. */
+  object EtlControl {
+    def ensure(spark: SparkSession, table: String): Unit = {
+      if (!spark.catalog.tableExists(table)) {
+        import spark.implicits._
+        Seq.empty[(String, Timestamp, Timestamp)]
+          .toDF("source", "watermark", "updated_at")
+          .write.format("parquet").saveAsTable(table)
+      }
+    }
+
+    def watermark(spark: SparkSession, table: String, source: String): Option[Timestamp] =
+      spark.table(table)
+        .filter(col("source") === source)
+        .orderBy(col("updated_at").desc)
+        .limit(1)
+        .collect()
+        .headOption
+        .map(_.getAs[Timestamp]("watermark"))
+
+    /** Append-only control log (latest row wins) — safe under retries. */
+    def advance(spark: SparkSession, table: String, source: String,
+                wm: Timestamp, at: Timestamp): Unit = {
+      import spark.implicits._
+      Seq((source, wm, at)).toDF("source", "watermark", "updated_at")
+        .write.mode("append").insertInto(table)
+    }
+  }
+
+  final case class PipelineResult(
+      tripsLoaded: Long,
+      weatherLoaded: Long,
+      zonesLoaded: Long,
+      analyticsRows: Map[String, Long])
+
+  /** One full batch cycle over raw inputs: ingest the three sources into
+    * partitioned lakehouse tables, then build + refresh the five derived
+    * tables. `db` prefixes every table name so runs are isolated. */
+  def runBatchCycle(
+      spark: SparkSession,
+      rawTrips: DataFrame,
+      rawWeather: DataFrame,
+      rawZones: DataFrame,
+      now: Timestamp,
+      loadDate: Timestamp,
+      db: String): PipelineResult = {
+
+    val control = s"${db}_etl_control"
+    EtlControl.ensure(spark, control)
+
+    // ── ingest (only rows past the stored watermark; first run = all) ──
+    val prevWm = EtlControl.watermark(spark, control, "trips")
+    val tripsClean0 = TaxiIngest.cleanTrips(rawTrips, loadDate)
+    val tripsClean = prevWm match {
+      case Some(wm) => tripsClean0.filter(col("pickup_datetime") > lit(wm))
+      case None     => tripsClean0
+    }
+    val tripsTable = s"${db}_trips"
+    TableIO.ensureTable(spark, tripsTable, tripsClean, Seq("year", "month"))
+    TableIO.append(spark, tripsTable, tripsClean)
+    val maxTs = tripsClean.agg(max(col("pickup_datetime"))).collect()(0).getTimestamp(0)
+    if (maxTs != null) EtlControl.advance(spark, control, "trips", maxTs, loadDate)
+
+    val weatherClean = TaxiIngest.cleanWeather(rawWeather, loadDate)
+    val weatherTable = s"${db}_hourly_weather"
+    TableIO.ensureTable(spark, weatherTable, weatherClean, Seq("year", "month", "day"))
+    TableIO.refreshPartitions(spark, weatherTable, weatherClean)
+
+    val zonesClean = TaxiIngest.cleanZones(rawZones, loadDate)
+    val zonesTable = s"${db}_taxi_zones"
+    TableIO.truncateReload(spark, zonesTable, zonesClean)
+
+    // ── derived tables (dependency order; zones/weather already loaded) ──
+    val trips = spark.table(tripsTable)
+    val weather = spark.table(weatherTable)
+    val zones = spark.table(zonesTable)
+
+    def refresh(name: String, df: DataFrame, partitionCols: Seq[String]): Long = {
+      val table = s"${db}_$name"
+      // partition columns must be last for insertInto-positional semantics
+      val reordered = df.select(
+        (df.columns.filterNot(partitionCols.contains) ++ partitionCols).map(col): _*)
+      TableIO.ensureTable(spark, table, reordered, partitionCols)
+      TableIO.refreshPartitions(spark, table, reordered)
+      spark.table(table).count()
+    }
+
+    val analyticsRows = Map(
+      "trip_weather_correlation" -> refresh(
+        "trip_weather_correlation",
+        TaxiAnalytics.tripWeatherCorrelation(trips, weather, now, loadDate),
+        Seq("year", "month")),
+      "zone_performance_metrics" -> refresh(
+        "zone_performance_metrics",
+        TaxiAnalytics.zonePerformanceMetrics(trips, weather, zones, now, loadDate),
+        Seq("year", "month")),
+      "demand_prediction_features" -> refresh(
+        "demand_prediction_features",
+        TaxiAnalytics.demandPredictionFeatures(trips, weather, zones, now, loadDate),
+        Seq("year", "month")),
+      "ml_demand_features" -> refresh(
+        "ml_demand_features",
+        TaxiAnalytics.mlDemandFeatures(trips, weather, zones, now, loadDate),
+        Seq("feature_date")),
+      "ml_fare_features" -> refresh(
+        "ml_fare_features",
+        TaxiAnalytics.mlFareFeatures(trips, weather, zones, now, loadDate),
+        Seq("feature_date")))
+
+    PipelineResult(
+      spark.table(tripsTable).count(),
+      spark.table(weatherTable).count(),
+      spark.table(zonesTable).count(),
+      analyticsRows)
+  }
+}

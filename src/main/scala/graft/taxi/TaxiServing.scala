@@ -1,0 +1,242 @@
+package graft.taxi
+
+import java.sql.Timestamp
+
+import graft.functions.Encoders.pseudoRand
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The eight serving-layer query shapes (`serving/database.py:26-297`)
+  * re-expressed over the lakehouse `trips`/`taxi_zones` DataFrames behind
+  * the same signatures the FastAPI service exposes
+  * (`serving/api.py:61-352`). Determinism substitutions per SURVEY §7 hard
+  * part 3: `NOW()` is the `now` parameter; `RANDOM()` jitter is a seeded
+  * hash (`Encoders.pseudoRand`).
+  *
+  * Fixed reference defect (documented, not copied): `get_weather_impact`
+  * selects per-row expressions (`EXTRACT(hour FROM pickup_datetime)`)
+  * outside the GROUP BY `DATE(pickup_datetime)` — invalid SQL that Postgres
+  * rejects; the rebuild derives its time category from the grouped date.
+  */
+object TaxiServing {
+
+  private def zoneDim(zones: DataFrame): DataFrame =
+    broadcast(zones.select(
+      col("location_id").as("z_location_id"),
+      col("zone").as("zone_name"),
+      col("borough").as("z_borough")))
+
+  /** get_recent_trips (`serving/database.py:26-48`): last-N trips in the
+    * lookback window. TakeOrderedAndProject — no global sort at scale. */
+  def recentTrips(trips: DataFrame, now: Timestamp,
+                  limit: Int = 100, hoursBack: Int = 24): DataFrame =
+    trips
+      .filter(col("pickup_datetime") >=
+        lit(now) - make_interval(lit(0), lit(0), lit(0), lit(0), lit(hoursBack)))
+      .select(
+        concat(col("vendor_id").cast("string"), lit("_"),
+          unix_timestamp(col("pickup_datetime")).cast("string")).as("trip_id"),
+        col("vendor_id"),
+        col("pickup_datetime"),
+        col("dropoff_datetime"),
+        col("passenger_count"),
+        col("trip_distance"),
+        col("pickup_location_id"),
+        col("dropoff_location_id"),
+        col("fare_amount"),
+        col("tip_amount"),
+        col("total_amount"),
+        col("payment_type"))
+      .orderBy(col("pickup_datetime").desc, col("trip_id"))
+      .limit(limit)
+
+  /** get_zone_metrics (`serving/database.py:50-84`). */
+  def zoneMetrics(trips: DataFrame, zones: DataFrame,
+                  start: Timestamp, end: Timestamp): DataFrame = {
+    val zoneStats = trips
+      .filter(
+        col("pickup_datetime").between(lit(start), lit(end)) && col("fare_amount") > 0)
+      .groupBy(coalesce(col("pickup_location_id"), col("dropoff_location_id")).as("zone_id"))
+      .agg(
+        count(lit(1)).as("total_trips"),
+        avg(col("fare_amount")).as("avg_fare_raw"),
+        sum(col("total_amount")).as("total_revenue_raw"),
+        avg(col("trip_distance")).as("avg_distance_raw"),
+        count(when(hour(col("pickup_datetime")).between(17, 19), lit(1))).as("peak_trips"))
+    zoneStats
+      .join(zoneDim(zones), col("zone_id") === col("z_location_id"), "left")
+      .filter(col("zone_id").isNotNull)
+      .select(
+        col("zone_id"),
+        coalesce(col("zone_name"), lit("Unknown Zone")).as("zone_name"),
+        coalesce(col("z_borough"), lit("Unknown")).as("borough"),
+        col("total_trips"),
+        round(col("avg_fare_raw"), 2).as("avg_fare"),
+        round(col("total_revenue_raw"), 2).as("total_revenue"),
+        round(col("avg_distance_raw"), 2).as("avg_distance"),
+        round(col("peak_trips").cast("double") / nullif(col("total_trips"), lit(0)) * 100, 2)
+          .as("peak_hour_factor"))
+      .orderBy(col("total_revenue").desc, col("zone_id"))
+  }
+
+  /** get_hourly_trip_counts (`serving/database.py:86-102`). */
+  def hourlyTripCounts(trips: DataFrame, now: Timestamp, daysBack: Int = 7): DataFrame =
+    trips
+      .filter(
+        col("pickup_datetime") >= date_sub(to_date(lit(now)), daysBack).cast("timestamp") &&
+          col("fare_amount") > 0)
+      .groupBy(date_trunc("hour", col("pickup_datetime")).as("hour"))
+      .agg(
+        count(lit(1)).as("trip_count"),
+        avg(col("fare_amount")).as("avg_fare"),
+        sum(col("total_amount")).as("total_revenue"))
+      .orderBy(col("hour"))
+
+  /** get_weather_impact (`serving/database.py:104-155`) — synthetic weather
+    * correlation per day; RANDOM() → seeded hash of the trip date. */
+  def weatherImpact(trips: DataFrame, start: Timestamp, end: Timestamp): DataFrame = {
+    val daily = trips
+      .filter(col("pickup_datetime").between(lit(start), lit(end)) && col("fare_amount") > 0)
+      .groupBy(to_date(col("pickup_datetime")).as("trip_date"))
+      .agg(count(lit(1)).as("total_trips"), avg(col("fare_amount")).as("avg_fare"))
+      .select(
+        col("trip_date"),
+        col("total_trips"),
+        col("avg_fare"),
+        when(dayofweek(col("trip_date")).isin(1, 7), "Weekend").otherwise("Regular")
+          .as("time_category"),
+        when(pseudoRand("wx", col("trip_date")) < 0.2, "Rainy")
+          .when(pseudoRand("wx", col("trip_date")) < 0.3, "Snowy")
+          .when(pseudoRand("wx", col("trip_date")) < 0.6, "Cloudy")
+          .otherwise("Clear").as("weather_condition"),
+        (lit(20.0) + pseudoRand("temp", col("trip_date")) * 15).as("temperature_celsius"),
+        (lit(40.0) + pseudoRand("hum", col("trip_date")) * 40).as("humidity"))
+    daily
+      .select(
+        col("trip_date"),
+        col("weather_condition"),
+        col("temperature_celsius"),
+        col("humidity"),
+        col("total_trips"),
+        round(col("avg_fare"), 2).as("avg_fare_amount"),
+        when(col("weather_condition") === "Rainy", least(col("total_trips") * 1.3, lit(100.0)))
+          .when(col("weather_condition") === "Snowy", least(col("total_trips") * 1.5, lit(100.0)))
+          .when(col("weather_condition") === "Cloudy", least(col("total_trips") * 1.1, lit(100.0)))
+          .otherwise(col("total_trips").cast("double")).as("weather_impact_score"))
+      .orderBy(col("trip_date").desc)
+  }
+
+  /** get_demand_prediction (`serving/database.py:157-202`): 30-day hourly
+    * patterns × future-hour grid (sequence+explode replaces
+    * generate_series), hash jitter replaces RANDOM, deterministic ordering
+    * tiebreaks added. */
+  def demandPrediction(trips: DataFrame, zones: DataFrame, now: Timestamp,
+                       hoursAhead: Int = 24): DataFrame = {
+    val patterns = trips
+      .filter(
+        col("pickup_datetime") >= date_sub(to_date(lit(now)), 30).cast("timestamp") &&
+          col("pickup_location_id").isNotNull && col("fare_amount") > 0)
+      .groupBy(
+        col("pickup_location_id").as("location_id"),
+        hour(col("pickup_datetime")).as("hour_of_day"),
+        dayofweek(col("pickup_datetime")).as("day_of_week"))
+      .agg(count(lit(1)).as("historical_count"), avg(col("fare_amount")).as("avg_fare"))
+      .filter(col("historical_count") > 5)
+    patterns
+      .join(zoneDim(zones), col("location_id") === col("z_location_id"), "left")
+      .select(
+        col("location_id"),
+        coalesce(col("zone_name"), lit("Unknown Zone")).as("zone_name"),
+        col("historical_count"),
+        explode(sequence(lit(1), lit(hoursAhead))).as("h"))
+      .select(
+        col("location_id"),
+        col("zone_name"),
+        (lit(now) + make_interval(lit(0), lit(0), lit(0), lit(0), col("h")))
+          .as("prediction_hour"),
+        round(col("historical_count") *
+          (lit(0.8) + pseudoRand("dem", col("location_id"), col("h")) * 0.4), 1)
+          .as("predicted_demand"),
+        round(lit(0.7) + pseudoRand("conf", col("location_id"), col("h")) * 0.25, 3)
+          .as("confidence_score"),
+        when(pseudoRand("wif", col("location_id"), col("h")) < 0.3, 1.2)
+          .when(pseudoRand("wif", col("location_id"), col("h")) < 0.5, 0.8)
+          .otherwise(1.0).as("weather_impact_factor"),
+        col("historical_count").cast("double").as("historical_avg"))
+      .orderBy(col("predicted_demand").desc, col("prediction_hour"), col("location_id"))
+      .limit(1000)
+  }
+
+  /** get_real_time_activity (`serving/database.py:204-238`). */
+  def realTimeActivity(trips: DataFrame, zones: DataFrame, now: Timestamp,
+                       minutesBack: Int = 60): DataFrame = {
+    val recent = trips
+      .filter(
+        col("pickup_datetime") >=
+          lit(now) - make_interval(lit(0), lit(0), lit(0), lit(0), lit(0), lit(minutesBack)) &&
+          col("pickup_location_id").isNotNull &&
+          col("dropoff_datetime").isNotNull && col("fare_amount") > 0)
+      .groupBy(col("pickup_location_id").as("zone_id"))
+      .agg(
+        count(lit(1)).as("pickup_count"),
+        sum(col("total_amount")).as("revenue_raw"),
+        avg((unix_timestamp(col("dropoff_datetime")) - unix_timestamp(col("pickup_datetime"))) / 60)
+          .as("avg_trip_duration"))
+      .filter(col("pickup_count") > 0)
+    recent
+      .join(zoneDim(zones), col("zone_id") === col("z_location_id"), "left")
+      .select(
+        col("zone_id"),
+        coalesce(col("zone_name"), lit("Unknown Zone")).as("zone_name"),
+        lit(now).as("activity_timestamp"),
+        least(col("pickup_count") * 10 + col("revenue_raw") / 10, lit(100.0))
+          .as("activity_score"),
+        col("pickup_count"),
+        round(col("revenue_raw"), 2).as("revenue_last_hour"),
+        round(col("avg_trip_duration"), 1).as("avg_wait_time"))
+      .orderBy(col("activity_score").desc, col("zone_id"))
+  }
+
+  /** Typed dashboard summary (`serving/database.py:240-297` +
+    * `serving/models.py`): today's totals, peak hour, top-5 zones. An API
+    * endpoint shape — collects small aggregates to the driver by design. */
+  case class ZoneRevenue(zone_name: String, trips: Long, revenue: Double)
+  case class DashboardStats(
+      total_trips_today: Long,
+      total_revenue_today: Double,
+      avg_fare_today: Double,
+      active_zones: Long,
+      peak_hour: String,
+      top_zones: Seq[ZoneRevenue])
+
+  def dashboardStats(spark: SparkSession, trips: DataFrame, zones: DataFrame,
+                     now: Timestamp): DashboardStats = {
+    val today = trips.filter(to_date(col("pickup_datetime")) === to_date(lit(now)))
+    val paying = today.filter(col("fare_amount") > 0)
+    val t = paying
+      .agg(
+        count(lit(1)).as("total_trips"),
+        coalesce(sum(col("total_amount")), lit(0.0)).as("total_revenue"),
+        coalesce(avg(col("fare_amount")), lit(0.0)).as("avg_fare"),
+        countDistinct(col("pickup_location_id")).as("active_zones"))
+      .collect()(0)
+    val peak = today
+      .groupBy(hour(col("pickup_datetime")).as("hour"))
+      .agg(count(lit(1)).as("trip_count"))
+      .orderBy(col("trip_count").desc, col("hour"))
+      .limit(1).collect()
+    val peakHour = if (peak.isEmpty) "N/A" else s"${peak(0).getAs[Int]("hour")}:00"
+    val top = paying
+      .join(zoneDim(zones), col("pickup_location_id") === col("z_location_id"), "left")
+      .groupBy(coalesce(col("zone_name"), lit("Unknown")).as("zone_name"))
+      .agg(count(lit(1)).as("trips"), sum(col("total_amount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("zone_name"))
+      .limit(5)
+      .collect()
+      .map(r => ZoneRevenue(r.getAs[String]("zone_name"), r.getAs[Long]("trips"),
+        r.getAs[Double]("revenue")))
+    DashboardStats(
+      t.getAs[Long]("total_trips"), t.getAs[Double]("total_revenue"),
+      t.getAs[Double]("avg_fare"), t.getAs[Long]("active_zones"), peakHour, top.toSeq)
+  }
+}
