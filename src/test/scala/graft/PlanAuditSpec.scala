@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.Skew
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the scale properties the builder prompt demands —
+  * filter/column pushdown into the parquet scan, broadcast joins on
+  * dimensions, TakeOrderedAndProject for top-k, partial aggregation — are
+  * asserted on `.explain` output so a regression that silently de-optimizes
+  * a plan fails CI, not a cluster run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  /** Full formatted explain — toString truncates PushedFilters. */
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q02 ingest: quality filters reach the parquet scan (PushedFilters)") {
+    val p = formatted("q02_ingest_clean")
+    assert(p.contains("PushedFilters:"), "no pushed filters section")
+    assert(p.contains("IsNotNull(l_shipdate)") && p.contains("GreaterThan(l_quantity,0.0)"),
+      s"quality predicates not pushed:\n${p.take(2000)}")
+  }
+
+  test("column pruning: a 2-column aggregate reads only needed columns") {
+    val df = sf().lineitem.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    val p = df.queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q11 dimension chain: both dims broadcast, no shuffle of the fact side") {
+    val p = plan("q11_join_dim_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "dimension join not broadcast")
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+  }
+
+  test("q15 double-dimension join broadcasts both sides") {
+    val p = plan("q15_double_dim_join")
+    assert(p.split("BroadcastHashJoin").length >= 3, "expected 2 broadcast joins")
+  }
+
+  test("q21/q22 top-k plan as TakeOrderedAndProject, not global sort") {
+    assert(plan("q21_recent").contains("TakeOrderedAndProject"))
+    assert(plan("q22_topk_revenue").contains("TakeOrderedAndProject"))
+  }
+
+  test("q01 aggregate has map-side partial aggregation") {
+    val p = plan("q01_agg_stats")
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+    assert(p.split("HashAggregate").length >= 3, "no partial+final aggregate pair")
+  }
+
+  test("whole-stage codegen covers the ingest pipeline (post-AQE plan)") {
+    val df = SparkEntry.queries("q02_ingest_clean")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages render as "*(n)" markers in simple mode
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined,
+      s"hot path fell out of codegen:\n${p.take(1500)}")
+  }
+
+  test("salted aggregation matches plain groupBy counts") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => (if (i % 10 < 8) 1 else i % 100, i)).toDF("k", "v")
+    val plain = df.groupBy(col("k")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, Seq(col("k")), salts = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+}
