@@ -36,21 +36,27 @@ object Similarity {
 
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
     * nearest corpus vectors by cosine. Ranking uses the 6-dp-rounded cosine
-    * with vec_id tiebreak so ordering is deterministic across engines. */
+    * with vec_id tiebreak so ordering is deterministic across engines.
+    *
+    * The cosine kernel is the native codegen'd
+    * [[graft.functions.VectorExpressions.CosineSimilarity]] expression —
+    * one fused loop per pair instead of three HOF passes; same fold order,
+    * so results remain bit-identical to the composable form (and to the
+    * DuckDB oracle). */
   def bruteForceTopK(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    val emb = t.embeddings.select(
-      col("vec_id"),
-      toDouble(col("embedding")).as("vec"))
-    val withNorm = emb.select(col("vec_id"), col("vec"), l2Norm(col("vec")).as("norm"))
-    val queries = withNorm
+    graft.functions.VectorExpressions.register(t.spark)
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val queries = emb
       .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val scored = withNorm
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val scored = emb
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(
         col("query_id"),
         col("vec_id"),
-        round(dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")), 6).as("cosine"))
+        round(
+          graft.functions.VectorExpressions.cosineSim(col("qemb"), col("embedding")),
+          6).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -80,16 +86,15 @@ object Similarity {
     * candidates share any band value; exact cosine re-rank of candidates.
     * Recall < 1 by construction — the contract is approximate. */
   def lshBucketedTopK(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val bands = 4
     val bandBits = 4
     val emb = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-      .select(col("vec_id"), col("vec"), l2Norm(col("vec")).as("norm"),
-        srpSignature(col("vec")).as("sig"))
+      .select(col("vec_id"), col("vec"), srpSignature(col("vec")).as("sig"))
     val banded = emb.select(
       col("vec_id"),
       col("vec"),
-      col("norm"),
       posexplode(
         array((0 until bands).map(b =>
           shiftrightunsigned(col("sig"), b * bandBits)
@@ -100,16 +105,17 @@ object Similarity {
       .filter(col("vec_id") < nQueries)
       .select(
         col("band_id"), col("bucket"),
-        col("vec_id").as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+        col("vec_id").as("query_id"), col("vec").as("qvec"))
     val candidates = banded
       .join(q2, Seq("band_id", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("qnorm"), col("vec_id"), col("vec"), col("norm"))
+      .select(col("query_id"), col("qvec"), col("vec_id"), col("vec"))
       .distinct()
     val scored = candidates.select(
       col("query_id"),
       col("vec_id"),
-      round(dot(col("qvec"), col("vec")) / (col("qnorm") * col("norm")), 6).as("cosine"))
+      round(graft.functions.VectorExpressions.cosineSim(col("qvec"), col("vec")), 6)
+        .as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored
       .withColumn("rank", row_number().over(w))

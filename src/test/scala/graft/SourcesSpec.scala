@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Sources
+import graft.taxi.TaxiData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Source/sink bindings: JSON batch scan with explicit schema (S2), and
+  * the checkpointed file-source → file-sink streaming path (S5/S11/ST5)
+  * including restart-resume from the checkpoint. */
+class SourcesSpec extends SparkSpec {
+
+  test("readJson parses an array-of-records drop with the declared schema (S2)") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "taxi_data_1.json")
+    Files.writeString(f.toPath,
+      """[{"vendor_id": 2, "pickup_datetime": "2025-10-23T04:43:37", "passenger_count": 4,
+        |  "trip_distance": 15.1, "fare_amount": 26.85, "total_amount": 35.39},
+        | {"vendor_id": 1, "pickup_datetime": "2025-10-23T05:00:00", "passenger_count": 1,
+        |  "trip_distance": 2.0, "fare_amount": 7.5, "total_amount": 9.0}]""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vendor_id INT, pickup_datetime TIMESTAMP, passenger_count INT, " +
+        "trip_distance DOUBLE, fare_amount DOUBLE, total_amount DOUBLE")
+    val df = Sources.readJson(spark, f.getAbsolutePath, schema)
+    assert(df.count() == 2)
+    assert(df.schema.fieldNames.contains("pickup_datetime"))
+    assert(df.agg(sum(col("fare_amount"))).head.getDouble(0) == 34.35)
+  }
+
+  test("file-source stream → checkpointed parquet sink, resume after restart (S5/S11/ST5)") {
+    val base = Files.createTempDirectory("graft_stream").toFile.getAbsolutePath
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckDir = s"$base/ck"
+    new java.io.File(inDir).mkdirs()
+
+    val trips = graft.taxi.TaxiIngest.cleanTrips(
+      TaxiData.rawTrips(spark, 300, days = 2),
+      java.sql.Timestamp.valueOf("2025-10-24 12:00:00"))
+    val schema = trips.schema
+    trips.limit(100).write.mode("append").parquet(inDir)
+
+    // stateless projection stream (the S13-style raw hop); file sinks are
+    // append-only, so aggregations would need a watermark — covered in
+    // StreamingSpec
+    def startRawQuery() = Sources.parquetSink(
+      Sources.streamFromTableDir(spark, inDir, schema)
+        .select(col("pickup_location_id"), col("total_amount"))
+        .writeStream,
+      outDir, ckDir, triggerMs = 100)
+
+    val q1 = startRawQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    val count1 = spark.read.parquet(outDir).count()
+    assert(count1 == 100, s"first batch wrote $count1")
+
+    // new file arrives while the query is DOWN; restart must resume from
+    // the checkpoint and process only the new file
+    trips.limit(150).write.mode("append").parquet(inDir)
+    val q2 = startRawQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val count2 = spark.read.parquet(outDir).count()
+    assert(count2 == 250, s"after resume expected 250 rows, got $count2 (dupes or loss)")
+  }
+}
