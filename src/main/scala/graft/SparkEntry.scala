@@ -76,7 +76,9 @@ object SparkEntry {
     "q36_ngram_jaccard" -> q(Dedup.ngramJaccardSample),
     "q37_ann_bruteforce" -> q(t => Similarity.bruteForceTopK(t)),
     "q38_ann_lsh" -> q(t => Similarity.lshBucketedTopK(t)),
-    "q39_embedding_stats" -> q(Similarity.embeddingStats))
+    "q39_embedding_stats" -> q(Similarity.embeddingStats),
+    "q41_embedding_near_dups" -> q(t => Dedup.embeddingNearDups(t)),
+    "q42_token_counts" -> q(TextAnalysis.tokenCounts))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -443,5 +445,17 @@ object SparkEntry {
          | min(norm) AS min_norm, max(norm) AS max_norm,
          | ${O.davg("first_dim")} AS avg_first_dim,
          | max(dim) AS dim
-         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q42_token_counts" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS tks
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tks) AS INTEGER) AS n_tokens,
+        | CAST(len(list_distinct(tks)) AS INTEGER) AS n_distinct_tokens,
+        | CAST(len(list_filter(tks, tk -> regexp_full_match(tk, '[a-z]+'))) AS INTEGER)
+        |   AS n_alpha_tokens,
+        | CAST(len(list_filter(tks, tk -> regexp_full_match(tk, '[0-9]+'))) AS INTEGER)
+        |   AS n_digit_tokens
+        |FROM base ORDER BY doc_id""".stripMargin)
 }

@@ -163,6 +163,49 @@ object Dedup {
         shiftrightunsigned(col("simhash"), 48).as("band_hi16"))
       .orderBy(col("doc_id"))
 
+  /** Embedding-cosine near-duplicate pairs: SRP-LSH buckets over the WHOLE
+    * corpus (not a query subset), self-join on (band, bucket), exact cosine
+    * re-rank via the native [[graft.functions.VectorExpressions]] kernel,
+    * keep pairs ≥ `minCosine`. The LSH candidate set keeps the pair count
+    * near-linear in corpus size; recall < 1 by construction (approximate
+    * dedup contract, like MinHash). */
+  def embeddingNearDups(t: Tables, minCosine: Double = 0.3): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val bands = 4
+    val bandBits = 4
+    val emb = t.embeddings
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
+      .select(col("vec_id"), col("vec"), Similarity.srpSignature(col("vec")).as("sig"))
+    val banded = emb
+      .select(
+        col("vec_id"),
+        col("vec"),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+    val pairs = banded
+      .as("l")
+      .join(
+        banded.as("r"),
+        col("l.band_id") === col("r.band_id") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("vec_a"),
+        col("r.vec_id").as("vec_b"),
+        col("l.vec").as("va"),
+        col("r.vec").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+    pairs
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        round(graft.functions.VectorExpressions.cosineSim(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** n-gram Jaccard similarity over a deterministic candidate sample:
     * consecutive doc_id pairs (a fixed, oracle-expressible pairing that
     * exercises the set-similarity kernel; production candidates come from

@@ -77,6 +77,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-ish tokenization: alpha runs, digit runs, and single punctuation
+    * marks as separate tokens (the shape of a byte-pair pre-tokenizer's
+    * word-split stage; RE2/Java-portable character classes so the DuckDB
+    * oracle can replay it). */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(bpeishPattern), lit(0))
+
+  /** Token-count surface over the BPE-ish tokenizer: token/distinct/alpha/
+    * digit counts per document. */
+  def tokenCounts(t: Tables): DataFrame = {
+    val tks = bpeishTokens(col("text"))
+    t.documents
+      .select(
+        col("doc_id"),
+        size(tks).as("n_tokens"),
+        size(array_distinct(tks)).as("n_distinct_tokens"),
+        size(filter(tks, tk => tk.rlike("^[a-z]+$"))).as("n_alpha_tokens"),
+        size(filter(tks, tk => tk.rlike("^[0-9]+$"))).as("n_digit_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprint: rolling polynomial hash over the token stream,
     * mod 1e9+7. Engine-portable arithmetic (no xxhash64) so the DuckDB
     * oracle can replay it with list_reduce: each token contributes

@@ -47,15 +47,28 @@ object ExactAgg {
     * products up to ~1e14 would overflow a long sum past ~90k rows). */
   private def centsLong(c: Column): Column = round(c * lit(100), 0).cast("long")
 
+  /** Order-independent sum of NON-NEGATIVE long products without decimal
+    * per-row cost: split each product p into hi = p >> 26 and lo = p & (2^26
+    * - 1) and sum both as plain longs (fully codegen'd; overflow-safe to
+    * ~500M rows/group at our magnitudes), then recombine per GROUP as a
+    * fixed double expression. The recombine rounds (≥2^53), but from exact
+    * long inputs with identical operations — so it is deterministic and
+    * engine-portable, which is the guarantee that matters (see class doc).
+    * Caller contract: products must be >= 0 (shift/mask split breaks on
+    * negatives) — true for all kernels below (prices, quantities,
+    * squares). */
+  private def splitProdSum(p: Column): Column =
+    sum(shiftrightunsigned(p, 26)).cast("double") * lit(67108864.0) +
+      sum(p.bitwiseAND(lit(67108863L))).cast("double")
+
   /** Exact sum of a product of two double columns, via integer-cents
     * accumulation; result in original units. */
   def dsumProd(x: Column, y: Column): Column =
-    sum((centsLong(x) * centsLong(y)).cast("decimal(28,0)")).cast("double") / lit(10000.0)
+    splitProdSum(centsLong(x) * centsLong(y)) / lit(10000.0)
 
   /** sum(x * (1 - y)) — the revenue kernel, cents-exact. */
   def dsumRevenue(price: Column, discount: Column): Column =
-    sum((centsLong(price) * centsLong(lit(1) - discount)).cast("decimal(28,0)"))
-      .cast("double") / lit(10000.0)
+    splitProdSum(centsLong(price) * centsLong(lit(1) - discount)) / lit(10000.0)
 
   /** Exact average: exact sum / row count (single double division). */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
@@ -86,13 +99,18 @@ object ExactAgg {
   object Sql {
     def dsum(x: String): String =
       s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
-    // DECIMAL(30,0) operands force DuckDB's multiply into int128; narrower
-    // operands overflow its int64 fast path. Cents-scale-0 accumulation
-    // mirrors the Scala kernel (see above).
+    // Mirrors the hi/lo split-sum kernel (see splitProdSum above): the
+    // cents product as BIGINT, shifted/masked, both parts long-summed and
+    // recombined in double. CAST(round(v*100, 0) AS BIGINT) matches Spark's
+    // round-then-truncate cents conversion.
+    private def prod(x: String, y: String): String =
+      s"(CAST(round(($x) * 100, 0) AS BIGINT) * CAST(round(($y) * 100, 0) AS BIGINT))"
+    private def splitProdSum(p: String): String =
+      s"(CAST(sum($p >> 26) AS DOUBLE) * 67108864.0 + CAST(sum($p & 67108863) AS DOUBLE))"
     def dsumProd(x: String, y: String): String =
-      s"(CAST(sum(CAST(($x) * 100 AS DECIMAL(30,0)) * CAST(($y) * 100 AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)"
+      s"(${splitProdSum(prod(x, y))} / 10000.0)"
     def dsumRevenue(p: String, d: String): String =
-      s"(CAST(sum(CAST(($p) * 100 AS DECIMAL(30,0)) * CAST((1 - ($d)) * 100 AS DECIMAL(30,0))) AS DOUBLE) / 10000.0)"
+      s"(${splitProdSum(prod(p, s"1 - ($d)"))} / 10000.0)"
     def davg(x: String): String = s"(${dsum(x)} / count(*))"
     def dstd(x: String): String =
       s"(CASE WHEN count(*) > 1 THEN sqrt((${dsumProd(x, x)} - ${dsum(x)} * ${dsum(x)} / CAST(count(*) AS DOUBLE)) / (CAST(count(*) AS DOUBLE) - 1.0)) END)"

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.Tables
+import graft.ext.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Dedup operators against planted duplicates: exact copies, near-dup
+  * texts, and embedding near-neighbors must be found; unrelated documents
+  * must not pair. */
+class DedupSpec extends SparkSpec {
+
+  /** Build a documents+embeddings fixture dir with planted dups. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_dedup").toFile.getAbsolutePath
+    val real = sf().documents.select("doc_id", "text", "lang", "source", "n_chars")
+      .limit(60).collect()
+    val texts = real.map(r => (r.getLong(0), r.getString(1)))
+    val planted = texts.toSeq ++ Seq(
+      (1000L, texts(0)._2),                                  // exact copy of doc 0
+      (1001L, texts(1)._2.replaceFirst("\\w+", "zzz")),     // near-dup of doc 1
+      (1002L, "totally different tiny doc"))
+    planted.map { case (id, t) => (id, t, "en", "synthetic", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    // embeddings: 30 random + a planted near-neighbor of vec 0
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 30).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f), i % 3))
+    val near = (1000L, vecs(0)._2.map(v => v + 0.001f), 0)
+    (vecs :+ near).toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$base/embeddings.parquet")
+    base
+  }
+
+  private def t: Tables = Tables(spark, dir)
+
+  test("exact dedup groups the planted copy under the original") {
+    val out = Dedup.exact(t).collect()
+    val dupGroup = out.find(_.getAs[Long]("n_copies") > 1)
+    assert(dupGroup.isDefined, "planted exact copy not grouped")
+    assert(dupGroup.get.getAs[Long]("canonical_doc_id") == 0L)
+    assert(out.count(_.getAs[Long]("n_copies") > 1) == 1)
+  }
+
+  test("minhash finds the near-dup pair and not the unrelated doc") {
+    val pairs = Dedup.minhashDupPairs(t, minJaccard = 0.5).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 1001L),
+      s"near-dup (1, 1001) not found; got ${pairs.take(5).mkString(",")}")
+    assert(pairs.exists(r => r.getAs[Long]("doc_b") == 1000L)) // exact copy too
+    assert(!pairs.exists(r =>
+      r.getAs[Long]("doc_a") == 1002L || r.getAs[Long]("doc_b") == 1002L))
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val fp = Dedup.simhashFingerprints(t).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(0L), fp(1000L)) == 0)   // exact copy: identical
+    assert(hamming(fp(1L), fp(1001L)) <= 12)  // near-dup: close
+    assert(hamming(fp(0L), fp(1002L)) > 12)   // unrelated: far
+  }
+
+  test("embedding near-dups surface the planted neighbor at high cosine") {
+    val pairs = Dedup.embeddingNearDups(t, minCosine = 0.9).collect()
+    assert(pairs.exists(r =>
+      r.getAs[Long]("vec_a") == 0L && r.getAs[Long]("vec_b") == 1000L &&
+        r.getAs[Double]("cosine") > 0.99),
+      s"planted neighbor not found: ${pairs.mkString(",")}")
+  }
+
+  test("bpe-ish tokenizer splits digits and punctuation") {
+    import spark.implicits._
+    val toks = Seq(("abc de-f 42x", 1)).toDF("text", "x")
+      .select(TextAnalysis.bpeishTokens(col("text")).as("t"))
+      .as[Seq[String]].collect()(0)
+    assert(toks == Seq("abc", "de", "-", "f", "42", "x"))
+  }
+}
