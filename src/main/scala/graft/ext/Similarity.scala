@@ -101,6 +101,7 @@ object Similarity {
             .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
+      .localCheckpoint() // signatures computed once for both join sides
     val q2 = banded
       .filter(col("vec_id") < nQueries)
       .select(

@@ -71,6 +71,16 @@ class DedupSpec extends SparkSpec {
       s"planted neighbor not found: ${pairs.mkString(",")}")
   }
 
+  test("native MinHashSignature matches the composable HOF form exactly") {
+    val docs = sf().documents.limit(80)
+    graft.functions.MinHashExpression.register(spark)
+    val both = docs.select(
+      graft.functions.MinHashExpression.minhashSig(
+        TextAnalysis.tokens(col("text"))).as("native"),
+      Dedup.minhashSignature(col("text")).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+  }
+
   test("bpe-ish tokenizer splits digits and punctuation") {
     import spark.implicits._
     val toks = Seq(("abc de-f 42x", 1)).toDF("text", "x")
