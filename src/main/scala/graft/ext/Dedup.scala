@@ -149,7 +149,7 @@ object Dedup {
     * `shiftleft`/`shiftright` wrappers only accept literal shift amounts,
     * while the lambda-bound bit index is a column. Expects a string array
     * column named `tks`. */
-  private val simhashSql: String =
+  private[graft] val simhashSql: String =
     """aggregate(
       |  zip_with(
       |    aggregate(tks, array_repeat(0, 64),
@@ -162,17 +162,21 @@ object Dedup {
       |  0L, (acc, x) -> acc | x)""".stripMargin
 
   /** Per-document SimHash fingerprints (hex) with a 16-bit band prefix used
-    * for near-dup bucketing. */
-  def simhashFingerprints(t: Tables): DataFrame =
+    * for near-dup bucketing. Native compiled kernel; [[simhashSql]] is the
+    * composable reference form (equality asserted in tests). */
+  def simhashFingerprints(t: Tables): DataFrame = {
+    graft.functions.SimHashExpression.register(t.spark)
     t.documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tks"))
-      .select(col("doc_id"), expr(simhashSql).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHashExpression.simhash(col("tks")).as("simhash"))
       .select(
         col("doc_id"),
         col("simhash"),
         lower(hex(col("simhash"))).as("simhash_hex"),
         shiftrightunsigned(col("simhash"), 48).as("band_hi16"))
       .orderBy(col("doc_id"))
+  }
 
   /** Embedding-cosine near-duplicate pairs: SRP-LSH buckets over the WHOLE
     * corpus (not a query subset), self-join on (band, bucket), exact cosine

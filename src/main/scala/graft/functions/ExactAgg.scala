@@ -28,8 +28,18 @@ object ExactAgg {
   /** Exact decimal sum (kept as decimal — for window-frame reuse). */
   def dsumDec(c: Column): Column = sum(c.cast(D6))
 
-  /** Exact sum of a double column, returned as double. */
-  def dsum(c: Column): Column = dsumDec(c).cast("double")
+  /** Exact sum of a double column, returned as double.
+    *
+    * Fast path: micro-units (1e-6) as primitive longs, hi/lo split-summed
+    * (see [[splitProdSum]]; `>>` is arithmetic and `&` two's-complement in
+    * both Spark and DuckDB, so the split identity holds for negatives too
+    * — verified empirically). Rounds each value at 6 dp exactly like the
+    * decimal(18,6) cast it replaces; |values| must stay below ~9e12. */
+  def dsum(c: Column): Column = {
+    val p = round(c * lit(1000000), 0).cast("long")
+    (sum(shiftright(p, 26)).cast("double") * lit(67108864.0) +
+      sum(p.bitwiseAND(lit(67108863L))).cast("double")) / lit(1000000.0)
+  }
 
   /** The operand scaled to integer cents (exact for 2-dp money data). Kept
     * at scale 0 so product sums convert decimal→double in a single
@@ -98,7 +108,8 @@ object ExactAgg {
     * SparkEntry.oracleSql — keeping both sides adjacent in code). */
   object Sql {
     def dsum(x: String): String =
-      s"CAST(sum(CAST($x AS DECIMAL(18,6))) AS DOUBLE)"
+      s"((CAST(sum(CAST(round(($x) * 1000000, 0) AS BIGINT) >> 26) AS DOUBLE) * 67108864.0" +
+        s" + CAST(sum(CAST(round(($x) * 1000000, 0) AS BIGINT) & 67108863) AS DOUBLE)) / 1000000.0)"
     // Mirrors the hi/lo split-sum kernel (see splitProdSum above): the
     // cents product as BIGINT, shifted/masked, both parts long-summed and
     // recombined in double. CAST(round(v*100, 0) AS BIGINT) matches Spark's

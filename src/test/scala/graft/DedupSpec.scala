@@ -81,6 +81,16 @@ class DedupSpec extends SparkSpec {
     assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
   }
 
+  test("native SimHash matches the composable HOF form exactly") {
+    graft.functions.SimHashExpression.register(spark)
+    val both = sf().documents.limit(80)
+      .select(TextAnalysis.tokens(col("text")).as("tks"))
+      .select(
+        graft.functions.SimHashExpression.simhash(col("tks")).as("native"),
+        expr(Dedup.simhashSql).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+  }
+
   test("bpe-ish tokenizer splits digits and punctuation") {
     import spark.implicits._
     val toks = Seq(("abc de-f 42x", 1)).toDF("text", "x")
