@@ -78,6 +78,7 @@ object SparkEntry {
     "q38_ann_lsh" -> q(t => Similarity.lshBucketedTopK(t)),
     "q39_embedding_stats" -> q(Similarity.embeddingStats),
     "q41_embedding_near_dups" -> q(t => Dedup.embeddingNearDups(t)),
+    "q43_ann_ivf" -> q(t => Similarity.ivfTopK(t)),
     "q42_token_counts" -> q(TextAnalysis.tokenCounts))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -124,6 +124,58 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style ANN: a coarse quantizer (deterministic centroid sample)
+    * partitions the corpus into inverted lists; queries probe only the
+    * `nProbe` nearest lists and re-rank exactly.
+    *
+    * Index build = one narrow pass: corpus × broadcast(centroids) scored
+    * with the native cosine kernel, argmax per vector via window. At scale
+    * the assignment is written out partitioned BY centroid_id, so a probe
+    * reads nProbe/nCentroids of the data — the IVF contract. Centroids here
+    * are an id-strided sample (k-means iterations would refine them; the
+    * plumbing — assignment, probing, re-rank — is identical and is what
+    * this operator demonstrates). */
+  def ivfTopK(t: Tables, nQueries: Int = 8, k: Int = 5,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val cos = graft.functions.VectorExpressions.cosineSim _
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    // deterministic coverage sample: every (n/c)-th vector by dense rank
+    val n = emb.count()
+    val stride = math.max(1L, n / nCentroids)
+    val cents = broadcast(
+      emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .limit(nCentroids)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
+    def nearestLists(src: DataFrame, idCol: String, vecCol: String, lists: Int) = {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(cos(col(vecCol), col("cvec")).desc, col("centroid_id"))
+      src.crossJoin(cents)
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= lists)
+        .drop("crank", "cvec")
+    }
+    val assigned = nearestLists(emb, "vec_id", "embedding", 1)
+      .localCheckpoint() // the persisted inverted-list table at scale
+    val probes = nearestLists(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb")),
+      "query_id", "qemb", nProbe)
+    val candidates = probes
+      .join(assigned, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qemb"), col("vec_id"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    candidates
+      .select(col("query_id"), col("vec_id"),
+        round(cos(col("qemb"), col("embedding")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label embedding statistics (norms, means) — the sanity-report shape
     * over vector columns. */
   def embeddingStats(t: Tables): DataFrame =

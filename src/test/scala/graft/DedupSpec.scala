@@ -81,6 +81,23 @@ class DedupSpec extends SparkSpec {
     assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
   }
 
+  test("IVF ANN finds the planted embedding neighbor") {
+    val out = graft.ext.Similarity.ivfTopK(t, nQueries = 2, k = 3).collect()
+    assert(out.count(_.getAs[Long]("query_id") == 0L) == 3)
+    // vec 1000 is a planted near-copy of vec 0: identical coarse list,
+    // so IVF must rank it first for query 0
+    val top = out.filter(_.getAs[Long]("query_id") == 0L).minBy(_.getAs[Int]("rank"))
+    assert(top.getAs[Long]("vec_id") == 1000L && top.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("extensions-built session has graft functions in SQL without register") {
+    val s2 = graft.core.GraftSession.builder("local[2]", 2)
+      .withExtensions(new graft.core.GraftExtensions).getOrCreate()
+    val r = s2.sql(
+      "SELECT graft_cosine_similarity(array(1.0D,2.0D), array(2.0D,4.0D)) c").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+
   test("native SimHash matches the composable HOF form exactly") {
     graft.functions.SimHashExpression.register(spark)
     val both = sf().documents.limit(80)
