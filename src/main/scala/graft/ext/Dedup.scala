@@ -125,9 +125,16 @@ object Dedup {
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-    val docs = t.documents.select(
-      col("doc_id"),
-      array_distinct(shingles(col("text"))).as("sh")).localCheckpoint()
+    // shingle sets only for docs that appear in candidate pairs — the
+    // verify side would otherwise run the (interpreted-HOF) shingle
+    // builder over the whole corpus for a handful of pairs
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val docs = t.documents
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .localCheckpoint()
     candidates
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))
       .join(docs.as("db"), col("doc_b") === col("db.doc_id"))
