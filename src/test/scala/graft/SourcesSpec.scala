@@ -64,4 +64,52 @@ class SourcesSpec extends SparkSpec {
     val count2 = spark.read.parquet(outDir).count()
     assert(count2 == 250, s"after resume expected 250 rows, got $count2 (dupes or loss)")
   }
+
+  test("full streaming cascade over file sinks: CDC parse -> windowed agg -> scoring (ST6)") {
+    val base = Files.createTempDirectory("graft_cascade").toFile.getAbsolutePath
+    val inDir = s"$base/in"; val agg1 = s"$base/agg"; val act = s"$base/activity"
+    import spark.implicits._
+
+    def env(id: Long, zone: Int, ts: String): (String, java.sql.Timestamp) = {
+      val after = s"""{\\"id\\": $id, \\"vendor_id\\": 1, \\"pickup_location_id\\": $zone, """ +
+        s"""\\"trip_distance\\": 2.0, \\"fare_amount\\": 10.0, \\"total_amount\\": 12.0}"""
+      (s"""{"op": "c", "ts_ms": 1, "after": "$after", """ +
+        s""""source": {"db": "d", "table": "t", "ts_ms": 1}}""",
+        java.sql.Timestamp.valueOf(ts))
+    }
+
+    // stage 1: raw envelope files -> parse -> watermarked window agg -> parquet
+    Seq(env(1, 5, "2024-01-01 10:00:30"), env(2, 5, "2024-01-01 10:01:00"))
+      .toDF("value", "kafka_timestamp").write.mode("append").parquet(inDir)
+    val stage1 = Sources.streamFromTableDir(spark, inDir,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "value STRING, kafka_timestamp TIMESTAMP"))
+      .transform(graft.streaming.Cdc.parseTrips)
+      .transform(graft.streaming.TripAggregations.aggregate)
+    val q1 = Sources.parquetSink(stage1.writeStream, agg1, s"$base/ck1", triggerMs = 100)
+    q1.processAllAvailable()
+    // advance the watermark so the 10:00 window closes
+    Seq(env(9, 6, "2024-01-01 10:30:00")).toDF("value", "kafka_timestamp")
+      .write.mode("append").parquet(inDir)
+    q1.processAllAvailable()
+    Seq(env(10, 6, "2024-01-01 10:31:00")).toDF("value", "kafka_timestamp")
+      .write.mode("append").parquet(inDir)
+    q1.processAllAvailable()
+    q1.stop()
+    val windows = spark.read.parquet(agg1)
+    assert(windows.count() >= 1, "stage 1 emitted no closed windows")
+
+    // stage 2: stream-read stage 1's sink (the reference's second hop),
+    // stateless scoring, its own checkpointed sink
+    val q2 = Sources.parquetSink(
+      Sources.streamFromTableDir(spark, agg1, windows.schema)
+        .transform(graft.streaming.ZoneActivity.score)
+        .writeStream, act, s"$base/ck2", triggerMs = 100)
+    q2.processAllAvailable()
+    q2.stop()
+    val activity = spark.read.parquet(act)
+    assert(activity.count() == windows.count())
+    val z5 = activity.filter(org.apache.spark.sql.functions.col("zone_id") === 5).collect()
+    assert(z5.length == 1 && z5.head.getAs[Long]("pickup_count") == 2)
+  }
 }
