@@ -44,7 +44,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     // rejects ([PARQUET_TYPE_ILLEGAL]); read the physical int64 nanos and
     // floor-divide to microseconds (same truncation DuckDB applies when
-    // formatting ns timestamps at µs precision).
+    // formatting ns timestamps at µs precision). NOTE: the legacy flag is
+    // session-wide and deliberately left set — any later nanos-typed scan in
+    // this session reads as long, which is this engine's contract for nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events")
   }

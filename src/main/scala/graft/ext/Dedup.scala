@@ -46,11 +46,9 @@ object Dedup {
 
   // k=32 permutations h_j(x) = (a_j * x32 + b_j) mod p over 32-bit folded
   // xxhash64 values; a_j < 2^29 keeps a*x in 61 bits (no overflow).
+  // Constants shared with the native expression — single source of truth.
   private val prime = 4294967311L // smallest prime > 2^32
-  private val perms: Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(32)((rnd.nextInt((1 << 29) - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-  }
+  private val perms: Seq[(Long, Long)] = graft.functions.MinHashExpression.permPairs
 
   /** MinHash signature (array of 32 longs) of the shingle set. Narrow,
     * codegen'd column expression — no shuffle, no UDF.

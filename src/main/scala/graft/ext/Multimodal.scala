@@ -98,10 +98,13 @@ object Multimodal {
     media.map { r =>
       if (r.kind != "video") r
       else {
-        val kept = r.payload.grouped(math.max(1, r.payload.length / math.max(1, r.n_frames)))
+        val chunks = r.payload
+          .grouped(math.max(1, r.payload.length / math.max(1, r.n_frames)))
           .zipWithIndex.collect { case (frame, idx) if idx % everyK == 0 => frame }
-          .flatten.toArray
-        r.copy(payload = kept, n_frames = (r.n_frames + everyK - 1) / everyK)
+          .toArray
+        // n_frames reports the chunks actually kept (chunking may not divide
+        // the payload evenly, so deriving it from the old count drifts)
+        r.copy(payload = chunks.flatten, n_frames = chunks.length)
       }
     }
   }

@@ -111,7 +111,7 @@ object Similarity {
       .join(q2, Seq("band_id", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qvec"), col("vec_id"), col("vec"))
-      .distinct()
+      .dropDuplicates("query_id", "vec_id") // keying dedupe on two longs, not the vectors
     val scored = candidates.select(
       col("query_id"),
       col("vec_id"),
@@ -145,6 +145,7 @@ object Similarity {
     val stride = math.max(1L, n / nCentroids)
     val cents = broadcast(
       emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")) // bare limit() is partition-order dependent
         .limit(nCentroids)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
     def nearestLists(src: DataFrame, idCol: String, vecCol: String, lists: Int) = {

@@ -54,8 +54,10 @@ object TextAnalysis {
     * oracle-checkable; a production version would swap in a larger marker
     * table (broadcast dimension) without changing the shape. */
   def langId(t: Tables): DataFrame = {
-    // occurrences of ` marker ` in the padded text — length-difference trick
-    // keeps it exact and engine-portable (no regex dialect differences)
+    // non-overlapping occurrences of ` marker ` in the padded text via the
+    // length-difference trick (engine-portable, no regex dialects). Adjacent
+    // repeats share their delimiting space and count once — the oracle
+    // mirrors the same expression, so both sides agree
     def occ(marker: String): Column = {
       val padded = concat(lit(" "), col("text"), lit(" "))
       val needle = s" $marker "

@@ -41,14 +41,6 @@ object ExactAgg {
       sum(p.bitwiseAND(lit(67108863L))).cast("double")) / lit(1000000.0)
   }
 
-  /** The operand scaled to integer cents (exact for 2-dp money data). Kept
-    * at scale 0 so product sums convert decimal→double in a single
-    * correctly-rounded step: non-zero scales make engines divide by 10^s
-    * separately (double rounding), which diverges above ~2^53, and DuckDB's
-    * int128→double is itself only correctly rounded below ~2^64 — cents²
-    * sums stay under 2^63 up to ~500M rows per group at our magnitudes. */
-  private def cents(c: Column): Column = (c * lit(100)).cast("decimal(18,0)")
-
   /** Integer cents as a primitive long: round-half-up then truncating cast
     * (a bare double→long cast truncates toward zero, which would knock
     * cents values sitting just below the integer down by one). The per-row

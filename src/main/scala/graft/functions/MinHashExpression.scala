@@ -88,13 +88,16 @@ object MinHashExpression {
 
   private val fnName = "graft_minhash_sig"
 
-  /** Same seeded permutation constants as the composable form. */
-  private val perms: (Array[Long], Array[Long]) = {
+  /** The single source of truth for the permutation constants — shared with
+    * the composable form in graft.ext.Dedup so the native/HOF parity
+    * contract cannot drift. */
+  val permPairs: Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    val pairs = Seq.fill(32)(
-      (rnd.nextInt((1 << 29) - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+    Seq.fill(32)((rnd.nextInt((1 << 29) - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
+
+  private val perms: (Array[Long], Array[Long]) =
+    (permPairs.map(_._1).toArray, permPairs.map(_._2).toArray)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -39,9 +39,19 @@ object TableIO {
     }
   }
 
-  /** S7: append rows (positional schema match, like writeTo().append()). */
+  /** Align `df`'s columns BY NAME with the table's schema. `insertInto`
+    * resolves positionally, and `saveAsTable` moves partition columns to
+    * the END of the stored schema — so a frame whose partition columns sit
+    * mid-schema would silently land values in the wrong columns (year=10,
+    * month=24 style corruption). Name alignment kills the whole class. */
+  private def alignToTable(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** S7: append rows (by-name column alignment, like writeTo().append()). */
   def append(spark: SparkSession, table: String, df: DataFrame): Unit =
-    df.write.mode("append").insertInto(table)
+    alignToTable(spark, table, df).write.mode("append").insertInto(table)
 
   /** S8: atomic window refresh — dynamic partition overwrite replaces
     * exactly the partitions present in `df`, leaving the rest untouched. */
@@ -49,7 +59,7 @@ object TableIO {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")
-    try df.write.mode("overwrite").insertInto(table)
+    try alignToTable(spark, table, df).write.mode("overwrite").insertInto(table)
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)

@@ -42,7 +42,11 @@ class MultimodalSpec extends SparkSpec {
       val orig = before(r.media_id)
       if (r.kind == "video") {
         assert(r.payload.length <= orig.payload.length)
-        assert(r.n_frames == (orig.n_frames + 1) / 2)
+        // n_frames must equal the number of chunks actually kept
+        val frameSize = math.max(1, orig.payload.length / math.max(1, orig.n_frames))
+        val chunks = (orig.payload.length + frameSize - 1) / frameSize
+        val kept = (chunks + 1) / 2 // every 2nd chunk starting at 0
+        assert(r.n_frames == kept, s"n_frames ${r.n_frames} != kept $kept")
       } else assert(r.payload.sameElements(orig.payload))
     }
   }

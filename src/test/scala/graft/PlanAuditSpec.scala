@@ -68,6 +68,16 @@ class PlanAuditSpec extends SparkSpec {
       s"hot path fell out of codegen:\n${p.take(1500)}")
   }
 
+  test("salted aggregation works with derived-expression keys") {
+    import spark.implicits._
+    val df = Seq(("2024-01-01 10:05:00", 1), ("2024-01-01 10:40:00", 2),
+      ("2024-01-01 11:05:00", 3))
+      .toDF("ts_s", "v").select(col("ts_s").cast("timestamp").as("ts"), col("v"))
+    val out = Skew.saltedCount(df, Seq(date_trunc("hour", col("ts"))), salts = 4)
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    assert(out == Map("2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L))
+  }
+
   test("salted aggregation matches plain groupBy counts") {
     import spark.implicits._
     val df = (1 to 10000).map(i => (if (i % 10 < 8) 1 else i % 100, i)).toDF("k", "v")

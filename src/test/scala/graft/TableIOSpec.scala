@@ -21,6 +21,19 @@ class TableIOSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("append aligns by name when partition cols sit mid-schema (corruption regression)") {
+    val t = freshName("t_align")
+    // partition columns in the MIDDLE of the frame: saveAsTable stores them
+    // last, so positional insertInto would write day into year etc.
+    val df = Seq((1, 2025, 10, 24, "x")).toDF("id", "year", "month", "day", "v")
+    TableIO.ensureTable(spark, t, df, Seq("year", "month"))
+    TableIO.append(spark, t, df)
+    val row = spark.table(t).collect()(0)
+    assert(row.getAs[Int]("year") == 2025 && row.getAs[Int]("month") == 10 &&
+      row.getAs[Int]("day") == 24 && row.getAs[String]("v") == "x")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("refreshPartitions overwrites only incoming partitions (S8)") {
     val t = freshName("t_refresh")
     val initial = Seq(

@@ -16,6 +16,12 @@ class TaxiPipelineSpec extends SparkSpec {
 
     val r1 = TaxiPipeline.runBatchCycle(spark, raw, weather, zones, now, loadDate, db)
     assert(r1.tripsLoaded > 0 && r1.weatherLoaded > 0 && r1.zonesLoaded == 16)
+    // column integrity through the partition-reordering write path
+    import org.apache.spark.sql.functions.{col, year => yearOf}
+    assert(spark.table(s"${db}_trips")
+      .filter(col("year") =!= yearOf(col("pickup_datetime"))).count() == 0,
+      "trips year column corrupted by positional insert")
+    assert(spark.table(s"${db}_trips").filter(col("day") > 31).count() == 0)
     assert(r1.analyticsRows.size == 5)
     r1.analyticsRows.foreach { case (t, n) => assert(n > 0, s"$t is empty") }
 

@@ -41,6 +41,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("ragged arrays yield NULL, matching the HOF zip_with null-pad semantics") {
+    VectorExpressions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val native = df.select(VectorExpressions.cosineSim(col("a"), col("b"))).collect()(0)
+    assert(native.isNullAt(0))
+    val hof = df.select(
+      (Similarity.dot(Similarity.toDouble(col("a")), Similarity.toDouble(col("b"))) /
+        (sqrt(Similarity.dot(Similarity.toDouble(col("a")), Similarity.toDouble(col("a")))) *
+          sqrt(Similarity.dot(Similarity.toDouble(col("b")), Similarity.toDouble(col("b"))))))
+        .as("c")).collect()(0)
+    assert(hof.isNullAt(0)) // parity: both forms agree on ragged input
+  }
+
   test("expression survives codegen with two instances in one projection") {
     VectorExpressions.register(spark)
     import spark.implicits._
