@@ -79,6 +79,12 @@ object TableIO {
       .saveAsTable(table)
   }
 
+  /** Collect table-level statistics after a write so the cost-based
+    * optimizer sees row counts/sizes — at scale this is what makes broadcast
+    * decisions and join reordering correct for catalog tables. */
+  def analyze(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+
   /** S10: CTAS with partitioning (`nyc_taxi_to_iceberg.py:164-184`). */
   def ctas(
       spark: SparkSession,

@@ -33,6 +33,23 @@ import org.apache.spark.sql.functions._
   */
 object TripAggregations {
 
+  /** Stream-static enrichment: parsed CDC trips joined to the (broadcast)
+    * zones dimension before aggregation — the standard realtime-enrichment
+    * shape the reference lacks (its activity feed emits bare zone ids).
+    * Stream-static joins are stateless: each micro-batch joins against the
+    * current static table snapshot, no state store involved. */
+  def enrichWithZones(trips: DataFrame, zones: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    trips.join(
+      broadcast(zones.select(
+        col("location_id").as("z_location_id"),
+        col("zone").as("zone_name"),
+        col("borough"))),
+      trips("pickup_location_id") === col("z_location_id"),
+      "left")
+      .drop("z_location_id")
+  }
+
   /** Watermarked 5-minute tumbling window aggregation per pickup zone.
     * Output schema mirrors `realtime.trip_aggregations`
     * (`realtime_cdc_processor.py:42-57`, FIXTURES.md §7). */

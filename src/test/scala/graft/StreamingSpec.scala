@@ -106,6 +106,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins the zones dimension per micro-batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val zones = graft.taxi.TaxiIngest.cleanZones(
+      graft.taxi.TaxiData.rawZones(spark),
+      java.sql.Timestamp.valueOf("2025-10-24 12:00:00"))
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, java.sql.Timestamp)]
+    val q = in.toDF().toDF("value", "kafka_timestamp")
+      .transform(graft.streaming.Cdc.parseTrips)
+      .transform(t => graft.streaming.TripAggregations.enrichWithZones(t, zones))
+      .writeStream.outputMode("append").format("memory").queryName("enriched").start()
+    try {
+      in.addData(
+        (envelope("c", 1, 132, 10.0, 12.0), ts(0)),   // JFK
+        (envelope("c", 2, 999, 10.0, 12.0), ts(1)))   // unknown zone
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+      assert(rows.length == 2)
+      val jfk = rows.find(_.getAs[Long]("id") == 1L).get
+      assert(jfk.getAs[String]("zone_name") == "JFK Airport" &&
+        jfk.getAs[String]("borough") == "Queens")
+      assert(rows.find(_.getAs[Long]("id") == 2L).get
+        .isNullAt(rows.head.fieldIndex("zone_name"))) // left join keeps unknowns
+    } finally q.stop()
+  }
+
   test("cascade stage 2: ZoneActivity scoring over closed windows") {
     import spark.implicits._
     val aggs = Seq(

@@ -64,6 +64,17 @@ class TableIOSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("analyze records table statistics for the CBO") {
+    val t = freshName("t_stats")
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    TableIO.truncateReload(spark, t, df)
+    TableIO.analyze(spark, t)
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Statistics").exists(_.contains("3 rows")), s"stats missing: $desc")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("ctas creates a partitioned table from a query (S10)") {
     val t = freshName("t_ctas")
     val summary = sf().lineitem
