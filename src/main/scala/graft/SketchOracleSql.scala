@@ -1,0 +1,214 @@
+package graft
+
+import graft.functions.{KmvSketch, MinHashExpression, PortableHash}
+
+/** DuckDB oracle SQL for the sketch / LSH / ANN queries.
+  *
+  * Round 1 left these as rows-only checks ("no_oracle") because their
+  * hashing was xxhash64 — Spark-only. Round 2 switches the *query surface*
+  * to the portable-arithmetic hashes of [[graft.functions.PortableHash]]
+  * (the xxhash64 kernels remain the production default inside the library),
+  * which makes every stage — shingle hash, permutation minima, band
+  * buckets, SimHash bit votes, SRP hyperplanes, KMV bottom-k — exactly
+  * replayable by DuckDB, so the driver's hash gate covers them.
+  *
+  * Constants are interpolated from the SAME Scala objects the Spark
+  * expressions use (permutation pairs, moduli, multipliers) — one source of
+  * truth, the SQL cannot drift from the engine.
+  */
+object SketchOracleSql {
+
+  // ── shared fragments ──────────────────────────────────────────────────
+
+  /** tokens + word-3-shingles of `documents.text` (mirrors
+    * graft.ext.Dedup.shingles / TextAnalysis.tokens). */
+  private val shingleCte =
+    """tk AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tks) < 3 THEN [array_to_string(tks, ' ')]
+      |         ELSE list_transform(range(1, len(tks) - 1),
+      |                i -> array_to_string(tks[i:i+2], ' ')) END AS shingles
+      |  FROM tk)""".stripMargin
+
+  /** The 32 (a, b) permutation literals — same source as the native
+    * expression. */
+  private val permsLiteral: String =
+    MinHashExpression.permPairs.map { case (a, b) => s"[$a, $b]" }.mkString("[", ", ", "]")
+
+  /** signature CTE: portable shingle hash → 32 permutation minima
+    * (mirrors MinHashSignature eval in portable mode). */
+  private val sigCte =
+    s"""hs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(shingles, s -> ${PortableHash.hash32Sql("s")}) AS hvals
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform($permsLiteral,
+       |      p -> list_min(list_transform(hvals, h -> (p[1] * h + p[2]) % 4294967311))) AS sig
+       |  FROM hs)""".stripMargin
+
+  /** embeddings as double vectors + portable SRP signature (mirrors
+    * graft.ext.Similarity.srpSignature: 16 hyperplanes, components
+    * `((j*2^20 + d + 1) * 2654435761 mod (2^31-1)) / (2^31-1) - 0.5`). */
+  private val srpCte =
+    """emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |planes AS (
+      |  SELECT j, list_transform(range(0, 64),
+      |    d -> (((j * 1048576 + d + 1) * 2654435761) % 2147483647) / 2147483647.0 - 0.5) AS plane
+      |  FROM range(0, 16) t(j)),
+      |sigs AS (
+      |  SELECT vec_id,
+      |    sum(CASE WHEN list_dot_product(vec, plane) > 0
+      |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+      |  FROM emb CROSS JOIN planes GROUP BY vec_id)""".stripMargin
+
+  /** Exact cosine between two vec columns, 6-dp rounded — the q37-proven
+    * mirror of the native CosineSimilarity kernel. */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  // ── per-query oracle SQL ──────────────────────────────────────────────
+
+  /** q33: per-document portable MinHash signature summary. */
+  val minhashSignatures: String =
+    s"""WITH $shingleCte,
+       |$sigCte
+       |SELECT doc_id,
+       | ${PortableHash.foldLongsSql("sig")} AS sig_hash,
+       | sig[1] AS minhash_0,
+       | sig[32] AS minhash_31
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  /** q34: LSH banding (8 bands × 4 rows, portable band fold) → candidate
+    * pairs → exact shingle-set Jaccard ≥ 0.2. */
+  val minhashDupPairs: String =
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |bands AS (
+       |  SELECT doc_id, b AS band_id,
+       |    ${PortableHash.foldLongsSql("list_prepend(CAST(b AS BIGINT), sig[b*4+1 : b*4+4])")} AS bucket
+       |  FROM sig CROSS JOIN range(0, 8) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+       |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+       |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q35: portable SimHash fingerprints (62-bit two-lane token hash; bit b
+    * of the fingerprint set iff strictly more than half the tokens have bit
+    * b set — mirrors the ±1 vote sum being > 0). */
+  val simhash: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks FROM documents),
+       |th AS (
+       |  SELECT doc_id, list_transform(tks, tkn -> ${PortableHash.hash62Sql("tkn")}) AS hvals
+       |  FROM tk),
+       |fp AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(0, 64), b ->
+       |        CASE WHEN 2 * len(list_filter(hvals, hv -> ((hv >> b) & 1) = 1)) > len(hvals)
+       |             THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+       |      (acc, x) -> acc | x) AS simhash
+       |  FROM th)
+       |SELECT doc_id, simhash, lower(hex(simhash)) AS simhash_hex,
+       | simhash >> 48 AS band_hi16
+       |FROM fp ORDER BY doc_id""".stripMargin
+
+  /** q38: SRP-LSH bucketed ANN — 4 bands × 4 bits, candidates share a band
+    * with a query (vec_id < 8), exact-cosine re-rank, top 5. */
+  val annLsh: String =
+    s"""WITH $srpCte,
+       |banded AS (
+       |  SELECT vec_id, b AS band_id, (sig >> (b * 4)) & 15 AS bucket
+       |  FROM sigs CROSS JOIN range(0, 4) t(b)),
+       |q AS (SELECT band_id, bucket, vec_id AS query_id FROM banded WHERE vec_id < 8),
+       |cand AS (
+       |  SELECT DISTINCT query_id, c.vec_id
+       |  FROM banded c JOIN q USING (band_id, bucket) WHERE c.vec_id <> query_id),
+       |scored AS (
+       |  SELECT query_id, cand.vec_id, ${cosSql("qv.vec", "cv.vec")} AS cosine
+       |  FROM cand JOIN emb qv ON qv.vec_id = query_id
+       |            JOIN emb cv ON cv.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q41: embedding near-dup pairs — 2 bands × 8 bits over the whole
+    * corpus, exact cosine ≥ 0.3. */
+  val embeddingNearDups: String =
+    s"""WITH $srpCte,
+       |banded AS (
+       |  SELECT vec_id, b AS band_id, (sig >> (b * 8)) & 255 AS bucket
+       |  FROM sigs CROSS JOIN range(0, 2) t(b)),
+       |pairs AS (
+       |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+       |  FROM banded l JOIN banded r
+       |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT vec_a, vec_b, cosine FROM (
+       |  SELECT vec_a, vec_b, ${cosSql("a.vec", "b.vec")} AS cosine
+       |  FROM pairs JOIN emb a ON vec_a = a.vec_id JOIN emb b ON vec_b = b.vec_id)
+       |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q43: IVF — id-strided coarse centroids (n/16 stride, first 16 by
+    * vec_id), nearest-centroid assignment, 4-list probes for queries
+    * (vec_id < 8), exact re-rank top 5. Assignment/probe ranking uses the
+    * 6-dp-rounded cosine with centroid_id tiebreak, like the engine. */
+  val annIvf: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, vec AS cvec FROM emb
+       |  WHERE vec_id % greatest(1, (SELECT count(*) FROM emb) // 16) = 0
+       |  ORDER BY vec_id LIMIT 16),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.vec", "c.cvec")} DESC, c.centroid_id) AS rn
+       |    FROM emb e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.vec", "c.cvec")} DESC, c.centroid_id) AS rn
+       |    FROM emb e CROSS JOIN cents c WHERE e.vec_id < 8)
+       |  WHERE rn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT query_id, a.vec_id
+       |  FROM probes JOIN assign a USING (centroid_id)
+       |  WHERE a.vec_id <> query_id),
+       |scored AS (
+       |  SELECT query_id, cand.vec_id, ${cosSql("qv.vec", "cv.vec")} AS cosine
+       |  FROM cand JOIN emb qv ON qv.vec_id = query_id
+       |            JOIN emb cv ON cv.vec_id = cand.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q40: KMV bottom-k distinct sketch per order priority (k = 256). */
+  val kmvDistinct: String =
+    s"""WITH hashed AS (
+       |  SELECT o_orderpriority, ${KmvSketch.hash31Sql("o_custkey")} AS hv
+       |  FROM orders)
+       |SELECT o_orderpriority, count(*) AS n_orders,
+       | ${KmvSketch.estimateSql("hv", 256)} AS approx_customers
+       |FROM hashed GROUP BY 1 ORDER BY 1""".stripMargin
+}

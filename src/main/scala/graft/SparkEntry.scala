@@ -43,7 +43,7 @@ object SparkEntry {
     "q08_corr" -> q(Analytics.corrByFlag),
     "q09_collect_set" -> q(Analytics.collectSetByUser),
     "q10_global_stats" -> q(Analytics.globalStats),
-    "q40_approx_distinct" -> q(Analytics.approxDistinct),
+    "q40_approx_distinct" -> q(t => Analytics.kmvDistinct(t)),
     // ── joins (J3, J4, J8, J9, J10, J11, P7) ──
     "q11_join_dim_broadcast" -> q(Analytics.customerByRegion),
     "q12_join_multikey" -> q(Analytics.pickupDropoffJoin),
@@ -70,9 +70,10 @@ object SparkEntry {
     "q30_text_stats" -> q(TextAnalysis.textStats),
     "q31_lang_id" -> q(TextAnalysis.langId),
     "q32_fingerprint" -> q(TextAnalysis.fingerprint),
-    "q33_minhash_signatures" -> q(Dedup.minhashSignatures),
-    "q34_minhash_dup_pairs" -> q(t => Dedup.minhashDupPairs(t, minJaccard = 0.2)),
-    "q35_simhash" -> q(Dedup.simhashFingerprints),
+    "q33_minhash_signatures" -> q(t => Dedup.minhashSignatures(t, portable = true)),
+    "q34_minhash_dup_pairs" -> q(t =>
+      Dedup.minhashDupPairs(t, minJaccard = 0.2, portable = true)),
+    "q35_simhash" -> q(t => Dedup.simhashFingerprints(t, portable = true)),
     "q36_ngram_jaccard" -> q(Dedup.ngramJaccardSample),
     "q37_ann_bruteforce" -> q(t => Similarity.bruteForceTopK(t)),
     "q38_ann_lsh" -> q(t => Similarity.lshBucketedTopK(t)),
@@ -82,9 +83,17 @@ object SparkEntry {
     "q42_token_counts" -> q(TextAnalysis.tokenCounts))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (xxhash64 sketches, HLL, SRP-LSH) → driver records rows-only. */
+    * the same parquet tables. Round 2: the sketch/LSH/ANN family runs in
+    * portable-arithmetic mode (see [[SketchOracleSql]]) so EVERY query has
+    * an oracle entry — nothing is rows-only anymore. */
   def oracleSql: Map[String, String] = Map(
+    "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
+    "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
+    "q35_simhash" -> SketchOracleSql.simhash,
+    "q38_ann_lsh" -> SketchOracleSql.annLsh,
+    "q40_approx_distinct" -> SketchOracleSql.kmvDistinct,
+    "q41_embedding_near_dups" -> SketchOracleSql.embeddingNearDups,
+    "q43_ann_ivf" -> SketchOracleSql.annIvf,
     "q01_agg_stats" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          | ${O.dsum("l_quantity")} AS sum_qty,

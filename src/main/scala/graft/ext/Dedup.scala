@@ -74,36 +74,49 @@ object Dedup {
 
   /** Native-expression signature path (same values as [[minhashSignature]],
     * asserted in tests; ~10× faster — see
-    * [[graft.functions.MinHashExpression]]). */
-  private def nativeSig(t: Tables): Column = {
+    * [[graft.functions.MinHashExpression]]). `portable = true` swaps the
+    * shingle hash for [[graft.functions.PortableHash]] so the DuckDB oracle
+    * can replay the signatures (permutation arithmetic unchanged). */
+  private def nativeSig(t: Tables, portable: Boolean = false): Column = {
     graft.functions.MinHashExpression.register(t.spark)
-    graft.functions.MinHashExpression.minhashSig(TextAnalysis.tokens(col("text")))
+    graft.functions.MinHashExpression.minhashSig(TextAnalysis.tokens(col("text")), portable)
   }
+
+  /** Portable fold of a long array into one 30-bit value — engine-portable
+    * stand-in for xxhash64 over the signature (same shape as
+    * [[graft.functions.PortableHash.foldLongsSql]]). */
+  private def foldLongs(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => pmod(acc * lit(131L) + x, lit(1000000007L)))
 
   /** Per-document MinHash signature summary: always non-empty, used as the
     * verifiable surface of the MinHash path (signatures are deterministic). */
-  def minhashSignatures(t: Tables): DataFrame =
+  def minhashSignatures(t: Tables, portable: Boolean = false): DataFrame =
     t.documents
-      .select(col("doc_id"), nativeSig(t).as("sig"))
+      .select(col("doc_id"), nativeSig(t, portable).as("sig"))
       .select(
         col("doc_id"),
-        xxhash64(concat_ws(",", col("sig"))).as("sig_hash"),
+        (if (portable) foldLongs(col("sig"))
+         else xxhash64(concat_ws(",", col("sig")))).as("sig_hash"),
         element_at(col("sig"), 1).as("minhash_0"),
         element_at(col("sig"), 32).as("minhash_31"))
       .orderBy(col("doc_id"))
 
   /** LSH banding: 8 bands × 4 rows. Emits (band_id, bucket, doc_id) — the
-    * only thing that ever shuffles in the MinHash plan. */
-  def lshBuckets(t: Tables, bands: Int = 8): DataFrame = {
+    * only thing that ever shuffles in the MinHash plan. Portable mode folds
+    * the band slice with engine-portable arithmetic (band_id enters the
+    * fold seed so equal slices in different bands stay distinct). */
+  def lshBuckets(t: Tables, bands: Int = 8, portable: Boolean = false): DataFrame = {
     val rows = 32 / bands
     t.documents
-      .select(col("doc_id"), nativeSig(t).as("sig"))
+      .select(col("doc_id"), nativeSig(t, portable).as("sig"))
       .select(
         col("doc_id"),
         posexplode(
           transform(
             sequence(lit(0), lit(bands - 1)),
-            b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+            b =>
+              if (portable) foldLongs(concat(array(b.cast("long")), slice(col("sig"), b * rows + 1, lit(rows))))
+              else xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
       .select(col("band_id"), col("bucket"), col("doc_id"))
@@ -112,11 +125,12 @@ object Dedup {
   /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
     * Self-join on (band, bucket) yields candidates; token-shingle Jaccard
     * rejects false positives. `minJaccard` is the acceptance threshold. */
-  def minhashDupPairs(t: Tables, minJaccard: Double = 0.5): DataFrame = {
+  def minhashDupPairs(t: Tables, minJaccard: Double = 0.5,
+                      portable: Boolean = false): DataFrame = {
     // materialize buckets once: the self-join would otherwise recompute the
     // signature expression on both sides (at scale this is a persisted
     // signatures table; localCheckpoint is the single-job analog)
-    val b = lshBuckets(t).localCheckpoint()
+    val b = lshBuckets(t, portable = portable).localCheckpoint()
     val candidates = b
       .as("l")
       .join(b.as("r"), Seq("band_id", "bucket"))
@@ -169,12 +183,12 @@ object Dedup {
   /** Per-document SimHash fingerprints (hex) with a 16-bit band prefix used
     * for near-dup bucketing. Native compiled kernel; [[simhashSql]] is the
     * composable reference form (equality asserted in tests). */
-  def simhashFingerprints(t: Tables): DataFrame = {
+  def simhashFingerprints(t: Tables, portable: Boolean = false): DataFrame = {
     graft.functions.SimHashExpression.register(t.spark)
     t.documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tks"))
       .select(col("doc_id"),
-        graft.functions.SimHashExpression.simhash(col("tks")).as("simhash"))
+        graft.functions.SimHashExpression.simhash(col("tks"), portable).as("simhash"))
       .select(
         col("doc_id"),
         col("simhash"),

@@ -65,9 +65,16 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-0.5, 0.5). */
+    * multiplicative hashing of the (plane, dim) index into [-0.5, 0.5).
+    * Engine-portable arithmetic (`((plane * 2^20 + d + 1) * 2654435761) mod
+    * (2^31-1)`, all below 2^56) so the DuckDB oracle regenerates identical
+    * hyperplanes; the Knuth multiplier gives a well-scrambled Weyl-like
+    * sequence — adequate SRP planes, and one definition for both engines.
+    * The 2^20 plane stride keeps (plane, dim) pairs collision-free up to
+    * million-dimensional vectors. */
   private def planeComponent(plane: Int, d: Column): Column =
-    (pmod(xxhash64(lit(plane), d), lit(1000L)).cast("double") / 1000.0) - 0.5
+    pmod((d + lit(plane.toLong * 1048576L + 1L)).cast("long") * lit(2654435761L),
+      lit(2147483647L)).cast("double") / lit(2147483647.0) - lit(0.5)
 
   /** SRP signature: `nPlanes` sign bits of dot(vec, hyperplane_j), packed
     * into a long. Narrow projection, no shuffle. */
@@ -135,30 +142,48 @@ object Similarity {
     * are an id-strided sample (k-means iterations would refine them; the
     * plumbing — assignment, probing, re-rank — is identical and is what
     * this operator demonstrates). */
-  def ivfTopK(t: Tables, nQueries: Int = 8, k: Int = 5,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    graft.functions.VectorExpressions.register(t.spark)
+  /** Assign each of `src` to its `lists` nearest centroids by 6-dp-rounded
+    * cosine (centroid_id tiebreak — deterministic and engine-portable). */
+  private def nearestLists(cents: DataFrame, src: DataFrame,
+                           idCol: String, vecCol: String, lists: Int): DataFrame = {
     val cos = graft.functions.VectorExpressions.cosineSim _
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(round(cos(col(vecCol), col("cvec")), 6).desc, col("centroid_id"))
+    src.crossJoin(cents)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= lists)
+      .drop("crank", "cvec")
+  }
+
+  /** IVF index build: pick `nCentroids` coarse centroids (deterministic
+    * id-strided coverage sample) and assign every corpus vector to its
+    * nearest centroid. Returns (centroids, inverted-list assignment).
+    *
+    * This is the INDEX-BUILD boundary: the one driver-side `count()` (to
+    * size the centroid stride) and the assignment pass belong here; at
+    * scale the assignment is written out partitioned BY centroid_id and the
+    * serve path ([[ivfTopK]]'s probe side) never re-derives it. */
+  def ivfBuildIndex(t: Tables, nCentroids: Int = 16): (DataFrame, DataFrame) = {
+    graft.functions.VectorExpressions.register(t.spark)
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    // deterministic coverage sample: every (n/c)-th vector by dense rank
-    val n = emb.count()
+    val n = emb.count() // index-build-time only — never on the probe path
     val stride = math.max(1L, n / nCentroids)
     val cents = broadcast(
       emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .orderBy(col("vec_id")) // bare limit() is partition-order dependent
         .limit(nCentroids)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
-    def nearestLists(src: DataFrame, idCol: String, vecCol: String, lists: Int) = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(cos(col(vecCol), col("cvec")).desc, col("centroid_id"))
-      src.crossJoin(cents)
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= lists)
-        .drop("crank", "cvec")
-    }
-    val assigned = nearestLists(emb, "vec_id", "embedding", 1)
+    val assigned = nearestLists(cents, emb, "vec_id", "embedding", 1)
       .localCheckpoint() // the persisted inverted-list table at scale
-    val probes = nearestLists(
+    (cents, assigned)
+  }
+
+  def ivfTopK(t: Tables, nQueries: Int = 8, k: Int = 5,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (cents, assigned) = ivfBuildIndex(t, nCentroids)
+    val cos = graft.functions.VectorExpressions.cosineSim _
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val probes = nearestLists(cents,
       emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("query_id"), col("embedding").as("qemb")),
       "query_id", "qemb", nProbe)

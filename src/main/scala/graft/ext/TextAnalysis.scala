@@ -89,8 +89,29 @@ object TextAnalysis {
     regexp_extract_all(lower(text), lit(bpeishPattern), lit(0))
 
   /** Token-count surface over the BPE-ish tokenizer: token/distinct/alpha/
-    * digit counts per document. */
+    * digit counts per document, via the single-pass native
+    * [[graft.functions.TokenCounts]] expression (the composable
+    * regexp+HOF form below is kept as the semantic reference; parity is
+    * asserted in TextAnalysisSpec). */
   def tokenCounts(t: Tables): DataFrame = {
+    graft.functions.TokenCountsExpression.register(t.spark)
+    t.documents
+      .select(
+        col("doc_id"),
+        graft.functions.TokenCountsExpression.tokenCounts(col("text")).as("tc"))
+      .select(
+        col("doc_id"),
+        col("tc.n_tokens").as("n_tokens"),
+        col("tc.n_distinct_tokens").as("n_distinct_tokens"),
+        col("tc.n_alpha_tokens").as("n_alpha_tokens"),
+        col("tc.n_digit_tokens").as("n_digit_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composable reference form of [[tokenCounts]] — regexp tokenize +
+    * HOF counting. Semantically identical (spec-asserted); interpreted HOFs
+    * + per-token regexes make it ~10× slower, so it is not the query path. */
+  private[graft] def tokenCountsHof(t: Tables): DataFrame = {
     val tks = bpeishTokens(col("text"))
     t.documents
       .select(

@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SQL `xxhash64` default — signatures match the composable form exactly)
   * and all 32 permutation minima update in primitive long arithmetic.
   */
-case class MinHashSignature(child: Expression, k: Int, a: Array[Long], b: Array[Long])
+case class MinHashSignature(child: Expression, k: Int, a: Array[Long], b: Array[Long],
+                            portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   private val prime = 4294967311L // smallest prime > 2^32
@@ -44,8 +45,14 @@ case class MinHashSignature(child: Expression, k: Int, a: Array[Long], b: Array[
     val sb = new java.lang.StringBuilder(64)
 
     def updateFromShingle(s: UTF8String): Unit = {
-      val h64 = XxHash64Function.hash(s, StringType, 42L)
-      val h = ((h64 % mod32) + mod32) % mod32
+      // portable mode swaps xxhash64 for the oracle-replayable polynomial
+      // hash (see PortableHash) — permutation arithmetic is unchanged
+      val h =
+        if (portable) PortableHash.hash32(s)
+        else {
+          val h64 = XxHash64Function.hash(s, StringType, 42L)
+          ((h64 % mod32) + mod32) % mod32
+        }
       var j = 0
       while (j < nPerm) {
         val v = (a(j) * h + b(j)) % prime
@@ -87,6 +94,7 @@ case class MinHashSignature(child: Expression, k: Int, a: Array[Long], b: Array[
 object MinHashExpression {
 
   private val fnName = "graft_minhash_sig"
+  private val fnNamePortable = "graft_minhash_sig_portable"
 
   /** The single source of truth for the permutation constants — shared with
     * the composable form in graft.ext.Dedup so the native/HOF parity
@@ -99,12 +107,20 @@ object MinHashExpression {
   private val perms: (Array[Long], Array[Long]) =
     (permPairs.map(_._1).toArray, permPairs.map(_._2).toArray)
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName,
       exprs => MinHashSignature(exprs.head, 3, perms._1, perms._2),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnNamePortable,
+      exprs => MinHashSignature(exprs.head, 3, perms._1, perms._2, portable = true),
+      "scala_udf")
+  }
 
-  /** MinHash signature (array of 32 longs) of a token-array column. */
-  def minhashSig(tokens: Column): Column = call_function(fnName, tokens)
+  /** MinHash signature (array of 32 longs) of a token-array column.
+    * `portable = true` hashes shingles with [[PortableHash.hash32]] instead
+    * of xxhash64, making signatures replayable by the DuckDB oracle. */
+  def minhashSig(tokens: Column, portable: Boolean = false): Column =
+    call_function(if (portable) fnNamePortable else fnName, tokens)
 }

@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   * interpreted expression tree 64× per token). Values are bit-identical to
   * the HOF form (same xxhash64 seed 42), asserted in tests.
   */
-case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash(child: Expression, portable: Boolean = false)
+    extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -31,7 +32,11 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      // portable mode: 62-bit oracle-replayable hash (bits 62..63 are zero
+      // by construction — those fingerprint bits come out 0 in both engines)
+      val h =
+        if (portable) PortableHash.hash62(tokens.getUTF8String(i))
+        else XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
       var b = 0
       while (b < 64) {
         if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -53,10 +58,15 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
 
 object SimHashExpression {
   private val fnName = "graft_simhash"
+  private val fnNamePortable = "graft_simhash_portable"
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => SimHash(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fnNamePortable, exprs => SimHash(exprs.head, portable = true), "scala_udf")
+  }
 
-  def simhash(tokens: Column): Column = call_function(fnName, tokens)
+  def simhash(tokens: Column, portable: Boolean = false): Column =
+    call_function(if (portable) fnNamePortable else fnName, tokens)
 }

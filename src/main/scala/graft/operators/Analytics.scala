@@ -53,12 +53,28 @@ object Analytics {
         dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderpriority"))
 
-  /** A2 at scale: HLL sketch distinct (not oracle-comparable; rows-only). */
-  def approxDistinct(t: Tables): DataFrame =
+  /** A2 at scale: HLL sketch distinct (implementation-defined sketch — not
+    * oracle-comparable; kept as the built-in path and bounded against the
+    * exact counts in SketchContractSpec). */
+  def approxDistinct(t: Tables, rsd: Double = 0.05): DataFrame =
     t.orders
       .groupBy(col("o_orderpriority"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"))
+      .agg(approx_count_distinct(col("o_custkey"), rsd).as("approx_customers"))
       .orderBy(col("o_orderpriority"))
+
+  /** A2 at scale, oracle-checkable: KMV bottom-k distinct sketch over a
+    * portable hash — deterministic, mergeable, layout-independent, and
+    * replayable by any SQL engine (see [[graft.functions.KmvSketch]]). */
+  def kmvDistinct(t: Tables, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch
+    t.orders
+      .select(col("o_orderpriority"), KmvSketch.hash31(col("o_custkey")).as("h"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        KmvSketch.kmvDistinct(col("h"), k).as("approx_customers"))
+      .orderBy(col("o_orderpriority"))
+  }
 
   /** A3: conditional aggregation — AVG(CASE…), SUM(CASE…), COUNT(CASE…)
     * (reference `comprehensive_analytics.py:258`,

@@ -1,0 +1,169 @@
+package graft
+
+import graft.ext.{Dedup, TextAnalysis}
+import graft.functions.{KmvSketch, PortableHash}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The portable-arithmetic sketch layer: polynomial hashes, portable
+  * MinHash/SimHash modes, the KMV distinct sketch, and the native
+  * TokenCounts expression. These are the pieces that make the sketch/ANN
+  * queries oracle-checkable — the invariants here are (a) the portable
+  * values match an independent reimplementation, (b) results are
+  * layout/order independent, (c) native fast paths equal composable
+  * reference forms. */
+class SketchPortableSpec extends SparkSpec {
+
+  // independent reimplementation of the polynomial fold (plain Scala, no
+  // shared code with PortableHash)
+  private def poly(s: String, base: Long, mod: Long): Long =
+    s.foldLeft(0L)((acc, c) => (acc * base + c.toLong) % mod)
+
+  test("hash32 matches cross-engine-validated vectors") {
+    // 'ab' -> 12805 was validated against DuckDB's
+    // list_reduce(string_split(...)) replay during development
+    assert(PortableHash.hash32(UTF8String.fromString("ab")) == 12805L)
+    assert(PortableHash.hash32(UTF8String.fromString("")) == 0L)
+    for (s <- Seq("the quick brown fox", "a", "data table 42!"))
+      assert(PortableHash.hash32(UTF8String.fromString(s)) == poly(s, 131L, 1000000007L))
+  }
+
+  test("hash62 packs two independent 31-bit lanes, bits 62..63 clear") {
+    for (s <- Seq("token", "x", "12 34", "")) {
+      val h = PortableHash.hash62(UTF8String.fromString(s))
+      assert(h >= 0L && (h >>> 62) == 0L)
+      assert((h >>> 31) == poly(s, 131L, 2147483647L))
+      assert((h & 0x7FFFFFFFL) == poly(s, 137L, 2147483629L))
+    }
+  }
+
+  test("portable MinHash signature matches an independent reimplementation") {
+    import graft.functions.MinHashExpression
+    val text = "one two three four five one two"
+    val tokens = text.split("\\s+").toSeq
+    val shingles = tokens.sliding(3).map(_.mkString(" ")).toSeq
+    val expected = MinHashExpression.permPairs.map { case (a, b) =>
+      shingles.map { s =>
+        val h = poly(s, 131L, 1000000007L)
+        (a * h + b) % 4294967311L
+      }.min
+    }
+    import spark.implicits._
+    MinHashExpression.register(spark)
+    val got = Seq(text).toDF("text")
+      .select(MinHashExpression.minhashSig(
+        TextAnalysis.tokens(col("text")), portable = true).as("sig"))
+      .as[Seq[Long]].collect()(0)
+    assert(got == expected)
+  }
+
+  test("portable SimHash matches an independent reimplementation") {
+    import graft.functions.SimHashExpression
+    val text = "alpha beta gamma alpha delta"
+    val tokens = text.split("\\s+").toSeq
+    val votes = new Array[Int](64)
+    tokens.foreach { tk =>
+      val h = (poly(tk, 131L, 2147483647L) << 31) | poly(tk, 137L, 2147483629L)
+      for (b <- 0 until 64)
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+    }
+    val expected = (0 until 64).map(b => if (votes(b) > 0) 1L << b else 0L).reduce(_ | _)
+    import spark.implicits._
+    SimHashExpression.register(spark)
+    val got = Seq(text).toDF("text")
+      .select(SimHashExpression.simhash(
+        TextAnalysis.tokens(col("text")), portable = true).as("fp"))
+      .as[Long].collect()(0)
+    assert(got == expected)
+  }
+
+  test("portable minhashDupPairs finds the same near-dups as the xx64 path") {
+    // the hash changes bucket values, not the verified-Jaccard semantics:
+    // both modes must agree on the final accepted pairs for real near-dups
+    val t = sf("sf0.001")
+    val px = Dedup.minhashDupPairs(t, minJaccard = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pp = Dedup.minhashDupPairs(t, minJaccard = 0.2, portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH recall differs per hash; require substantial overlap, identical
+    // Jaccard values on the intersection is implied by the shared verifier
+    assert((px intersect pp).size >= (px.size * 7) / 10,
+      s"xx64=${px.size} portable=${pp.size} common=${(px intersect pp).size}")
+  }
+
+  test("TokenCounts native expression equals the composable HOF form") {
+    val t = sf("sf0.001")
+    val native = TextAnalysis.tokenCounts(t)
+    val hof = TextAnalysis.tokenCountsHof(t)
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+  }
+
+  test("TokenCounts handles edge cases like the regex tokenizer") {
+    import spark.implicits._
+    graft.functions.TokenCountsExpression.register(spark)
+    val rows = Seq(
+      "",                     // empty
+      "   ",                  // spaces only
+      "ABC-12x!  7",          // mixed case, punct, digit runs
+      "a\tb\nc",              // tab/newline are single-char tokens
+      "aa aa AA 11 11 ..")    // dup tokens across case fold
+      .toDF("text")
+    val native = rows.select(
+      graft.functions.TokenCountsExpression.tokenCounts(col("text")).as("tc"))
+      .select("tc.*").collect().map(_.toSeq)
+    val tks = TextAnalysis.bpeishTokens(col("text"))
+    val hof = rows.select(
+      size(tks).as("n_tokens"),
+      size(array_distinct(tks)).as("n_distinct_tokens"),
+      size(filter(tks, tk => tk.rlike("^[a-z]+$"))).as("n_alpha_tokens"),
+      size(filter(tks, tk => tk.rlike("^[0-9]+$"))).as("n_digit_tokens"))
+      .collect().map(_.toSeq)
+    assert(native.toSeq == hof.toSeq)
+  }
+
+  test("KMV is exact below k and layout-independent") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => i % 40).toDF("x") // 40 distinct values
+    def est(d: org.apache.spark.sql.DataFrame) = d
+      .select(KmvSketch.hash31(col("x")).as("h"))
+      .agg(KmvSketch.kmvDistinct(col("h"), k = 256))
+      .collect()(0).getDouble(0)
+    assert(est(df) == 40.0) // below k: exact count of distinct hashes
+    assert(est(df.repartition(7)) == 40.0) // partition layout irrelevant
+  }
+
+  test("KMV estimate within theoretical error of exact distinct (k=256)") {
+    val t = sf("sf0.001")
+    val exact = t.orders.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val kmv = t.orders
+      .select(KmvSketch.hash31(col("o_custkey")).as("h"))
+      .agg(KmvSketch.kmvDistinct(col("h"), 256)).collect()(0).getDouble(0)
+    val relErr = math.abs(kmv - exact) / exact.toDouble
+    assert(relErr < 4.0 / math.sqrt(256.0), s"exact=$exact kmv=$kmv relErr=$relErr")
+  }
+
+  test("KMV estimate is stable under repartition at scale > k") {
+    val t = sf("sf0.001")
+    def run(parts: Int) = t.orders.repartition(parts)
+      .select(col("o_orderpriority"), KmvSketch.hash31(col("o_custkey")).as("h"))
+      .groupBy("o_orderpriority")
+      .agg(KmvSketch.kmvDistinct(col("h"), 64).as("e"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(run(2) == run(13)) // merge path must be order/layout independent
+  }
+
+  test("HLL sketch-vs-exact contract: within 5x rsd on every group") {
+    // the built-in HLL path (kept alongside the oracle-checkable KMV) must
+    // track the exact distinct counts of q04 within its error contract
+    val t = sf("sf0.001")
+    val exact = graft.operators.Analytics.countDistinctByPriority(t)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("distinct_customers")).toMap
+    val rsd = 0.05
+    val approx = graft.operators.Analytics.approxDistinct(t, rsd)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("approx_customers")).toMap
+    exact.foreach { case (g, e) =>
+      val a = approx(g)
+      assert(math.abs(a - e).toDouble / e <= 5 * rsd, s"group=$g exact=$e hll=$a")
+    }
+  }
+}
