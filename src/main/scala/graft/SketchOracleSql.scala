@@ -50,21 +50,23 @@ object SketchOracleSql {
        |      p -> list_min(list_transform(hvals, h -> (p[1] * h + p[2]) % 4294967311))) AS sig
        |  FROM hs)""".stripMargin
 
-  /** embeddings as double vectors + portable SRP signature (mirrors
-    * graft.ext.Similarity.srpSignature: 16 hyperplanes, components
-    * `((j*2^20 + d + 1) * 2654435761 mod (2^31-1)) / (2^31-1) - 0.5`). */
-  private val srpCte =
-    """emb AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-      |planes AS (
-      |  SELECT j, list_transform(range(0, 64),
-      |    d -> (((j * 1048576 + d + 1) * 2654435761) % 2147483647) / 2147483647.0 - 0.5) AS plane
-      |  FROM range(0, 16) t(j)),
-      |sigs AS (
-      |  SELECT vec_id,
-      |    sum(CASE WHEN list_dot_product(vec, plane) > 0
-      |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
-      |  FROM emb CROSS JOIN planes GROUP BY vec_id)""".stripMargin
+  /** embeddings as double vectors + SRP signature against the SAME literal
+    * projection matrix the engine holds (graft.ext.Similarity.srpPlanes,
+    * interpolated verbatim — Double.toString round-trips exactly). */
+  private val srpCte = {
+    val planeRows = graft.ext.Similarity.srpPlanes.zipWithIndex.map { case (p, j) =>
+      s"($j, [${p.mkString(", ")}])"
+    }.mkString(",\n    ")
+    s"""emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |planes(j, plane) AS (VALUES
+       |    $planeRows),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    sum(CASE WHEN list_dot_product(vec, plane) > 0
+       |             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+       |  FROM emb CROSS JOIN planes GROUP BY vec_id)""".stripMargin
+  }
 
   /** Exact cosine between two vec columns, 6-dp rounded — the q37-proven
     * mirror of the native CosineSimilarity kernel. */

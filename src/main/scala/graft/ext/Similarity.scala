@@ -64,24 +64,31 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * multiplicative hashing of the (plane, dim) index into [-0.5, 0.5).
-    * Engine-portable arithmetic (`((plane * 2^20 + d + 1) * 2654435761) mod
-    * (2^31-1)`, all below 2^56) so the DuckDB oracle regenerates identical
-    * hyperplanes; the Knuth multiplier gives a well-scrambled Weyl-like
-    * sequence — adequate SRP planes, and one definition for both engines.
-    * The 2^20 plane stride keeps (plane, dim) pairs collision-free up to
-    * million-dimensional vectors. */
-  private def planeComponent(plane: Int, d: Column): Column =
-    pmod((d + lit(plane.toLong * 1048576L + 1L)).cast("long") * lit(2654435761L),
-      lit(2147483647L)).cast("double") / lit(2147483647.0) - lit(0.5)
+  /** The SRP projection matrix: 16 hyperplanes × 64 dims of uniform
+    * [-0.5, 0.5) components from a seeded PRNG, fixed at build time — the
+    * broadcast-the-projection-matrix pattern a production ANN index uses.
+    * Stored as plan literals on the Spark side and interpolated verbatim
+    * into the DuckDB oracle SQL ([[graft.SketchOracleSql]]), so both
+    * engines project against the identical matrix. (An earlier arithmetic
+    * per-(plane,dim) formula was engine-portable too, but any LINEAR index
+    * hash makes each plane an arithmetic progression and the planes
+    * mutually correlated — measurably worse LSH recall. Real random
+    * literals have no such structure.) */
+  private[graft] val srpPlanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(4242)
+    Array.fill(16, 64)(rnd.nextDouble() - 0.5)
+  }
 
   /** SRP signature: `nPlanes` sign bits of dot(vec, hyperplane_j), packed
-    * into a long. Narrow projection, no shuffle. */
+    * into a long. Narrow projection, no shuffle. Supports vectors up to the
+    * stored matrix dimensionality (64 — the corpus dim; regenerate the
+    * matrix to widen). */
   def srpSignature(vec: Column, nPlanes: Int = 16): Column = {
     val bits = (0 until nPlanes).map { j =>
+      val plane = array(srpPlanes(j).map(lit(_)).toIndexedSeq: _*)
       val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) => x * planeComponent(j, d)),
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x * element_at(plane, d + 1)),
         lit(0.0),
         (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
@@ -178,15 +185,49 @@ object Similarity {
     (cents, assigned)
   }
 
-  def ivfTopK(t: Tables, nQueries: Int = 8, k: Int = 5,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (cents, assigned) = ivfBuildIndex(t, nCentroids)
+  /** Refine the strided seed with `iters` Lloyd iterations: assign every
+    * vector to its nearest centroid, recompute each centroid as the
+    * per-dimension mean of its members, repeat. Means accumulate through
+    * [[graft.functions.ExactAgg.davg]] (decimal fixed-point), so refined
+    * centroids are bit-deterministic under any partition layout — the same
+    * posture ExactAgg gives aggregates. Empty clusters keep their previous
+    * centroid. All of this is INDEX-BUILD cost (iters extra passes); the
+    * probe path is unchanged. */
+  def ivfBuildIndexRefined(t: Tables, nCentroids: Int = 16,
+                           iters: Int = 2): (DataFrame, DataFrame) = {
+    val emb = t.embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
+      .localCheckpoint() // iterated over; avoid re-reading parquet per pass
+    var (cents, assigned) = ivfBuildIndex(t, nCentroids)
+    cents = cents.select(col("centroid_id"), toDouble(col("cvec")).as("cvec"))
+    for (_ <- 1 to iters) {
+      val members = nearestLists(broadcast(cents), emb, "vec_id", "embedding", 1)
+      // per-dimension decimal mean; array re-assembled in dimension order
+      // via struct sort (collect_list alone is arrival-ordered)
+      val means = members
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(graft.functions.ExactAgg.davg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("newvec"))
+      cents = broadcast(
+        cents.as("c").join(means.as("n"), Seq("centroid_id"), "left")
+          .select(col("centroid_id"),
+            coalesce(col("n.newvec"), col("c.cvec")).as("cvec")))
+        .localCheckpoint() // cut the iterated lineage
+    }
+    val finalAssigned = nearestLists(broadcast(cents), emb, "vec_id", "embedding", 1)
+      .localCheckpoint() // the persisted inverted-list table at scale
+    (cents, finalAssigned)
+  }
+
+  /** Probe a prebuilt IVF index: route each query to its `nProbe` nearest
+    * lists, exact-cosine re-rank the candidates, top k. */
+  def ivfProbe(cents: DataFrame, assigned: DataFrame, queries: DataFrame,
+               k: Int = 5, nProbe: Int = 4): DataFrame = {
     val cos = graft.functions.VectorExpressions.cosineSim _
-    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
-    val probes = nearestLists(cents,
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qemb")),
-      "query_id", "qemb", nProbe)
+    val probes = nearestLists(cents, queries, "query_id", "qemb", nProbe)
     val candidates = probes
       .join(assigned, Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -200,6 +241,23 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def queryVectors(t: Tables, nQueries: Int): DataFrame =
+    t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+
+  def ivfTopK(t: Tables, nQueries: Int = 8, k: Int = 5,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (cents, assigned) = ivfBuildIndex(t, nCentroids)
+    ivfProbe(cents, assigned, queryVectors(t, nQueries), k, nProbe)
+  }
+
+  /** [[ivfTopK]] over the Lloyd-refined index. */
+  def ivfTopKRefined(t: Tables, nQueries: Int = 8, k: Int = 5,
+                     nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val (cents, assigned) = ivfBuildIndexRefined(t, nCentroids, iters)
+    ivfProbe(cents, assigned, queryVectors(t, nQueries), k, nProbe)
   }
 
   /** Per-label embedding statistics (norms, means) — the sanity-report shape

@@ -43,19 +43,52 @@ object TableIO {
     * resolves positionally, and `saveAsTable` moves partition columns to
     * the END of the stored schema — so a frame whose partition columns sit
     * mid-schema would silently land values in the wrong columns (year=10,
-    * month=24 style corruption). Name alignment kills the whole class. */
+    * month=24 style corruption). Name alignment kills the whole class.
+    *
+    * Schema evolution (the reference writes with `merge-schema=true`,
+    * `nyc_taxi_to_iceberg.py:142`): columns the table has but `df` lacks
+    * are null-filled at the table's type; compatible type differences are
+    * cast to the table side. Column ADDITION is handled by [[append]]
+    * before alignment. */
   private def alignToTable(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    df.select(spark.table(table).columns.map(col).toIndexedSeq: _*)
+    import org.apache.spark.sql.functions.{col, lit}
+    val dfCols = df.columns.map(c => c.toLowerCase -> c).toMap
+    df.select(spark.table(table).schema.map { f =>
+      dfCols.get(f.name.toLowerCase) match {
+        case Some(c) => col(c).cast(f.dataType).as(f.name)
+        case None    => lit(null).cast(f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
   }
 
-  /** S7: append rows (by-name column alignment, like writeTo().append()). */
-  def append(spark: SparkSession, table: String, df: DataFrame): Unit =
+  /** Evolve the table's DDL for columns present in `df` but absent from the
+    * table (`ALTER TABLE … ADD COLUMNS`) — parquet reads the new column as
+    * NULL for pre-evolution files, which is exactly the Iceberg
+    * merge-schema read semantics the reference relies on. (Type WIDENING of
+    * an existing column is not supported by plain parquet catalog tables —
+    * Iceberg-only; callers get a cast to the existing table type instead.) */
+  private def evolveForNewColumns(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    val existing = spark.table(table).columns.map(_.toLowerCase).toSet
+    val added = df.schema.filterNot(f => existing.contains(f.name.toLowerCase))
+    if (added.nonEmpty) {
+      val ddl = added.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($ddl)")
+    }
+  }
+
+  /** S7: append rows with merge-schema semantics (by-name alignment; new
+    * `df` columns evolve the table DDL, columns missing from `df` are
+    * null-filled) — like the reference's `writeTo(t).append()` with
+    * `merge-schema=true`. */
+  def append(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    evolveForNewColumns(spark, table, df)
     alignToTable(spark, table, df).write.mode("append").insertInto(table)
+  }
 
   /** S8: atomic window refresh — dynamic partition overwrite replaces
     * exactly the partitions present in `df`, leaving the rest untouched. */
   def refreshPartitions(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    evolveForNewColumns(spark, table, df) // merge-schema on refresh too
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "dynamic")

@@ -48,11 +48,24 @@ object TaxiPipeline {
     }
   }
 
+  /** Rows WRITTEN by this cycle (not table totals): counts come from
+    * `observe()` metrics attached to each write's plan, so reporting costs
+    * zero extra jobs — the reference's post-write `SELECT count(*)` rescans
+    * (4 full scans per cycle) are the thing SURVEY §7 hard part 6 says not
+    * to copy. */
   final case class PipelineResult(
       tripsLoaded: Long,
       weatherLoaded: Long,
       zonesLoaded: Long,
       analyticsRows: Map[String, Long])
+
+  /** Attach a row-count observation to `df`, run `write`, return the count
+    * observed on the rows that flowed into the write. */
+  private def observedWrite(name: String, df: DataFrame)(write: DataFrame => Unit): Long = {
+    val obs = new org.apache.spark.sql.Observation(s"graft_${name}_${System.nanoTime()}")
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
 
   /** One full batch cycle over raw inputs: ingest the three sources into
     * partitioned lakehouse tables, then build + refresh the five derived
@@ -78,18 +91,26 @@ object TaxiPipeline {
     }
     val tripsTable = s"${db}_trips"
     TableIO.ensureTable(spark, tripsTable, tripsClean, Seq("year", "month"))
-    TableIO.append(spark, tripsTable, tripsClean)
-    val maxTs = tripsClean.agg(max(col("pickup_datetime"))).collect()(0).getTimestamp(0)
+    // one pass: the write's plan also observes the batch row count AND the
+    // new watermark — no separate agg job over the incoming batch
+    val tripsObs = new org.apache.spark.sql.Observation(s"graft_trips_${System.nanoTime()}")
+    TableIO.append(spark, tripsTable,
+      tripsClean.observe(tripsObs,
+        count(lit(1)).as("rows"), max(col("pickup_datetime")).as("wm")))
+    val tripsLoaded = tripsObs.get("rows").asInstanceOf[Long]
+    val maxTs = tripsObs.get("wm").asInstanceOf[Timestamp]
     if (maxTs != null) EtlControl.advance(spark, control, "trips", maxTs, loadDate)
 
     val weatherClean = TaxiIngest.cleanWeather(rawWeather, loadDate)
     val weatherTable = s"${db}_hourly_weather"
     TableIO.ensureTable(spark, weatherTable, weatherClean, Seq("year", "month", "day"))
-    TableIO.refreshPartitions(spark, weatherTable, weatherClean)
+    val weatherLoaded = observedWrite("weather", weatherClean)(
+      TableIO.refreshPartitions(spark, weatherTable, _))
 
     val zonesClean = TaxiIngest.cleanZones(rawZones, loadDate)
     val zonesTable = s"${db}_taxi_zones"
-    TableIO.truncateReload(spark, zonesTable, zonesClean)
+    val zonesLoaded = observedWrite("zones", zonesClean)(
+      TableIO.truncateReload(spark, zonesTable, _))
 
     // ── derived tables (dependency order; zones/weather already loaded) ──
     val trips = spark.table(tripsTable)
@@ -102,8 +123,7 @@ object TaxiPipeline {
       val reordered = df.select(
         (df.columns.filterNot(partitionCols.contains) ++ partitionCols).map(col): _*)
       TableIO.ensureTable(spark, table, reordered, partitionCols)
-      TableIO.refreshPartitions(spark, table, reordered)
-      spark.table(table).count()
+      observedWrite(name, reordered)(TableIO.refreshPartitions(spark, table, _))
     }
 
     val analyticsRows = Map(
@@ -128,10 +148,6 @@ object TaxiPipeline {
         TaxiAnalytics.mlFareFeatures(trips, weather, zones, now, loadDate),
         Seq("feature_date")))
 
-    PipelineResult(
-      spark.table(tripsTable).count(),
-      spark.table(weatherTable).count(),
-      spark.table(zonesTable).count(),
-      analyticsRows)
+    PipelineResult(tripsLoaded, weatherLoaded, zonesLoaded, analyticsRows)
   }
 }

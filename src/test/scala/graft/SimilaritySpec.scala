@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.Similarity
+
+/** ANN quality contracts: the approximate paths are graded against the
+  * brute-force exact truth — LSH/IVF recall is a measured property, not an
+  * assumption, and Lloyd refinement must not make the quantizer worse. */
+class SimilaritySpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+
+  private def recall(approx: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+    (approx intersect truth).size.toDouble / truth.size
+
+  test("IVF recall@5: Lloyd-refined centroids >= unrefined strided seed") {
+    // 40 queries: at 8 queries the two indexes differ by ±1 pair (noise)
+    val t = sf("sf0.001")
+    val truth = pairs(Similarity.bruteForceTopK(t, nQueries = 40, k = 5))
+    val base = recall(pairs(Similarity.ivfTopK(t, 40, 5, nCentroids = 16, nProbe = 2)), truth)
+    val refined = recall(
+      pairs(Similarity.ivfTopKRefined(t, 40, 5, nCentroids = 16, nProbe = 2, iters = 2)), truth)
+    assert(refined >= base, s"refined=$refined < unrefined=$base")
+    assert(refined > 0.3, s"refined recall degenerate: $refined")
+  }
+
+  test("Lloyd iterations improve the quantizer objective (mean member cosine)") {
+    import org.apache.spark.sql.functions._
+    val t = sf("sf0.001")
+    graft.functions.VectorExpressions.register(spark)
+    val cos = graft.functions.VectorExpressions.cosineSim _
+    def objective(cents: org.apache.spark.sql.DataFrame,
+                  assigned: org.apache.spark.sql.DataFrame): Double =
+      assigned.join(cents, Seq("centroid_id"))
+        .agg(avg(cos(col("embedding"), col("cvec"))))
+        .collect()(0).getDouble(0)
+    val (c0, a0) = Similarity.ivfBuildIndex(t, 16)
+    val (c1, a1) = Similarity.ivfBuildIndexRefined(t, 16, iters = 2)
+    val (o0, o1) = (objective(c0, a0), objective(c1, a1))
+    assert(o1 > o0, s"refined objective $o1 not better than seed $o0")
+  }
+
+  test("refined centroids are deterministic across partition layouts") {
+    val t = sf("sf0.001")
+    def run() = Similarity.ivfBuildIndexRefined(t, nCentroids = 8, iters = 1)
+      ._1.collect().map(r =>
+        r.getAs[Long]("centroid_id") -> r.getSeq[Double](1).toVector).toMap
+    val a = run()
+    val b = run()
+    assert(a == b) // decimal-mean accumulation: layout/retry independent
+  }
+
+  test("SRP-LSH recall@5 is usable at 16 planes / 4 bands") {
+    val t = sf("sf0.001")
+    val truth = pairs(Similarity.bruteForceTopK(t, nQueries = 8, k = 5))
+    val lsh = recall(pairs(Similarity.lshBucketedTopK(t, 8, 5)), truth)
+    assert(lsh > 0.3, s"LSH recall degenerate: $lsh")
+  }
+}

@@ -54,6 +54,38 @@ class TableIOSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("append evolves the table for a new column; old rows read null (merge-schema)") {
+    val t = freshName("t_evolve")
+    val v1 = Seq((1, "a", 2024, 1)).toDF("id", "v", "year", "month")
+    TableIO.ensureTable(spark, t, v1, Seq("year", "month"))
+    TableIO.append(spark, t, v1)
+    // second batch carries an ADDED column (like a source adding a field)
+    val v2 = Seq((2, "b", 9.5, 2024, 2)).toDF("id", "v", "score", "year", "month")
+    TableIO.append(spark, t, v2)
+    val rows = spark.table(t).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("id") == 1 && rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(1).getAs[Int]("id") == 2 && rows(1).getAs[Double]("score") == 9.5 &&
+      rows(1).getAs[String]("v") == "b" && rows(1).getAs[Int]("month") == 2)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("append null-fills columns missing from the incoming frame (merge-schema)") {
+    val t = freshName("t_missing")
+    val full = Seq((1, "a", 10L, 2024, 1)).toDF("id", "v", "extra", "year", "month")
+    TableIO.ensureTable(spark, t, full, Seq("year", "month"))
+    TableIO.append(spark, t, full)
+    // narrower producer: no `extra` column, int where table has long is cast
+    val narrow = Seq((2, "b", 2024, 2)).toDF("id", "v", "year", "month")
+    TableIO.append(spark, t, narrow)
+    val rows = spark.table(t).orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("extra") == 10L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("extra")) &&
+      rows(1).getAs[String]("v") == "b" && rows(1).getAs[Int]("month") == 2)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("truncateReload replaces the whole table (S9)") {
     val t = freshName("t_dim")
     val v1 = Seq((1, "x")).toDF("id", "v")

@@ -26,9 +26,12 @@ class TaxiPipelineSpec extends SparkSpec {
     r1.analyticsRows.foreach { case (t, n) => assert(n > 0, s"$t is empty") }
 
     // second cycle over the SAME raw input: watermark blocks duplicates,
-    // derived-table refresh stays idempotent
+    // derived-table refresh stays idempotent. Counts are rows WRITTEN per
+    // cycle (observe() metrics), so a fully-filtered re-ingest writes 0.
     val r2 = TaxiPipeline.runBatchCycle(spark, raw, weather, zones, now, loadDate, db)
-    assert(r2.tripsLoaded == r1.tripsLoaded, "watermark failed: trips re-ingested")
+    assert(r2.tripsLoaded == 0, s"watermark failed: ${r2.tripsLoaded} trips re-ingested")
+    assert(spark.table(s"${db}_trips").count() == r1.tripsLoaded,
+      "table total changed despite watermark")
     assert(r2.analyticsRows == r1.analyticsRows, "derived refresh not idempotent")
 
     (Seq("trips", "hourly_weather", "taxi_zones", "etl_control") ++
