@@ -118,6 +118,30 @@ object TableIO {
   def analyze(spark: SparkSession, table: String): Unit =
     spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
 
+  /** Persist `df` bucketed (and optionally sorted) on the join/agg key.
+    *
+    * Bucketing is THE shuffle eliminator for repeated big-to-big joins: two
+    * tables bucketed identically on the join key are read pre-partitioned,
+    * so a SortMergeJoin between them plans with NO Exchange on either side
+    * (asserted in PlanAuditSpec) — at 100 TB that converts every fact⋈fact
+    * query from a full-data shuffle into a per-bucket zip. Aggregations on
+    * the bucket key skip their Exchange the same way. The cost is paid once
+    * at write: `nBuckets` output files per write task; pick nBuckets so one
+    * bucket of the LARGER table fits an executor's memory. */
+  def saveBucketed(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      bucketCols: Seq[String],
+      nBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.format("parquet").option("compression", "zstd")
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S10: CTAS with partitioning (`nyc_taxi_to_iceberg.py:164-184`). */
   def ctas(
       spark: SparkSession,

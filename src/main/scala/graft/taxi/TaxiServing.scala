@@ -3,7 +3,8 @@ package graft.taxi
 import java.sql.Timestamp
 
 import graft.functions.Encoders.pseudoRand
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.taxi.ServingModels._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The eight serving-layer query shapes (`serving/database.py:26-297`)
@@ -195,6 +196,49 @@ object TaxiServing {
         round(col("revenue_raw"), 2).as("revenue_last_hour"),
         round(col("avg_trip_duration"), 1).as("avg_wait_time"))
       .orderBy(col("activity_score").desc, col("zone_id"))
+  }
+
+  // ── typed surface ──────────────────────────────────────────────────────
+  // Dataset[T] views of the serving shapes (ServingModels mirrors the
+  // reference's pydantic response models). `.as[T]` compiles the row →
+  // case-class mapping through the same Catalyst plan — no extra pass; it
+  // adds schema enforcement at the API boundary (a renamed/retyped column
+  // fails analysis here, not in a consumer).
+
+  def recentTripsTyped(trips: DataFrame, now: Timestamp,
+                       limit: Int = 100, hoursBack: Int = 24): Dataset[TripRecord] = {
+    import trips.sparkSession.implicits._
+    recentTrips(trips, now, limit, hoursBack).as[TripRecord]
+  }
+
+  def zoneMetricsTyped(trips: DataFrame, zones: DataFrame,
+                       start: Timestamp, end: Timestamp): Dataset[ZoneMetricsRecord] = {
+    import trips.sparkSession.implicits._
+    zoneMetrics(trips, zones, start, end).as[ZoneMetricsRecord]
+  }
+
+  def hourlyTripCountsTyped(trips: DataFrame, now: Timestamp,
+                            daysBack: Int = 7): Dataset[HourlyTripCountRecord] = {
+    import trips.sparkSession.implicits._
+    hourlyTripCounts(trips, now, daysBack).as[HourlyTripCountRecord]
+  }
+
+  def weatherImpactTyped(trips: DataFrame, start: Timestamp,
+                         end: Timestamp): Dataset[WeatherImpactRecord] = {
+    import trips.sparkSession.implicits._
+    weatherImpact(trips, start, end).as[WeatherImpactRecord]
+  }
+
+  def demandPredictionTyped(trips: DataFrame, zones: DataFrame, now: Timestamp,
+                            hoursAhead: Int = 24): Dataset[DemandPredictionRecord] = {
+    import trips.sparkSession.implicits._
+    demandPrediction(trips, zones, now, hoursAhead).as[DemandPredictionRecord]
+  }
+
+  def realTimeActivityTyped(trips: DataFrame, zones: DataFrame, now: Timestamp,
+                            minutesBack: Int = 60): Dataset[RealTimeActivityRecord] = {
+    import trips.sparkSession.implicits._
+    realTimeActivity(trips, zones, now, minutesBack).as[RealTimeActivityRecord]
   }
 
   /** Typed dashboard summary (`serving/database.py:240-297` +

@@ -87,4 +87,53 @@ class PlanAuditSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("bucketed co-located join plans with no Exchange on either side") {
+    import graft.sources.TableIO
+    val tO = s"b_orders_${System.nanoTime()}"
+    val tL = s"b_lineitem_${System.nanoTime()}"
+    TableIO.saveBucketed(spark, tO,
+      sf().orders.select(col("o_orderkey"), col("o_totalprice")),
+      Seq("o_orderkey"), nBuckets = 8, sortCols = Seq("o_orderkey"))
+    TableIO.saveBucketed(spark, tL,
+      sf().lineitem.select(col("l_orderkey"), col("l_quantity")),
+      Seq("l_orderkey"), nBuckets = 8, sortCols = Seq("l_orderkey"))
+    // force the big-join shape: no broadcast, so only bucketing can save
+    // the shuffle (at real scale neither side broadcasts anyway)
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1")
+    try {
+      val j = spark.table(tO)
+        .join(spark.table(tL), col("o_orderkey") === col("l_orderkey"))
+      j.collect() // finalize the adaptive plan
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n${p.take(1200)}")
+      assert(!p.contains("Exchange"),
+        s"bucketed join still shuffles:\n${p.take(2000)}")
+      // and the co-located join returns the same rows as the plain one
+      val plain = sf().orders.join(
+        sf().lineitem, col("o_orderkey") === col("l_orderkey")).count()
+      assert(j.count() == plain)
+    } finally {
+      spark.conf.set(bcast, prev)
+      spark.sql(s"DROP TABLE IF EXISTS $tO")
+      spark.sql(s"DROP TABLE IF EXISTS $tL")
+    }
+  }
+
+  test("aggregation on the bucket key skips its Exchange") {
+    import graft.sources.TableIO
+    val tO = s"b_agg_${System.nanoTime()}"
+    TableIO.saveBucketed(spark, tO,
+      sf().orders.select(col("o_orderkey"), col("o_totalprice")),
+      Seq("o_orderkey"), nBuckets = 8)
+    try {
+      val agg = spark.table(tO).groupBy(col("o_orderkey"))
+        .agg(sum(col("o_totalprice")))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed agg still shuffles:\n${p.take(2000)}")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tO")
+  }
 }

@@ -120,4 +120,32 @@ class TaxiSpec extends SparkSpec {
     assert(a.forall(r => r.getAs[Double]("weather_impact_score") <= 100.0 ||
       r.getAs[Long]("total_trips") > 100))
   }
+
+  test("serving: every shape round-trips through its typed Dataset record") {
+    val start = java.sql.Timestamp.valueOf("2025-10-17 00:00:00")
+    // each .as[T] must survive analysis (schema enforcement) AND produce
+    // case-class rows whose values match the DataFrame form
+    val rt = TaxiServing.recentTripsTyped(trips, now, limit = 20).collect()
+    assert(rt.nonEmpty && rt.forall(_.trip_id.nonEmpty))
+    assert(rt.head.pickup_datetime != null && rt.head.fare_amount.forall(_ > 0))
+
+    val zm = TaxiServing.zoneMetricsTyped(trips, zones, start, now).collect()
+    assert(zm.nonEmpty && zm.forall(z => z.total_trips > 0 && z.borough.nonEmpty))
+    val zmDf = TaxiServing.zoneMetrics(trips, zones, start, now).collect()
+    assert(zm.map(_.total_revenue).toSeq == zmDf.map(_.getAs[Double]("total_revenue")).toSeq)
+
+    val hc = TaxiServing.hourlyTripCountsTyped(trips, now).collect()
+    assert(hc.nonEmpty && hc.forall(_.trip_count > 0))
+
+    val wi = TaxiServing.weatherImpactTyped(trips, start, now).collect()
+    assert(wi.nonEmpty && wi.forall(w => Set("Rainy", "Snowy", "Cloudy", "Clear")
+      .contains(w.weather_condition)))
+
+    val dp = TaxiServing.demandPredictionTyped(trips, zones, now, hoursAhead = 6).collect()
+    assert(dp.nonEmpty && dp.forall(d => d.confidence_score >= 0.7 && d.predicted_demand >= 0))
+
+    val ra = TaxiServing.realTimeActivityTyped(trips, zones, now, minutesBack = 24 * 60)
+      .collect()
+    assert(ra.nonEmpty && ra.forall(r => r.activity_score <= 100.0 && r.pickup_count > 0))
+  }
 }
