@@ -36,6 +36,22 @@ object PortableHash {
   val BaseB = 137L
 
   private def fold(s: UTF8String, base: Long, mod: Long): Long = {
+    // ASCII fast path: UTF-8 bytes ARE the code points, so fold the byte
+    // buffer directly — no String allocation per value (these folds run
+    // once per shingle/token across the corpus)
+    val n = s.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return foldUnicode(s, base, mod) // non-ASCII: general path
+      acc = (acc * base + b) % mod
+      i += 1
+    }
+    acc
+  }
+
+  private def foldUnicode(s: UTF8String, base: Long, mod: Long): Long = {
     val str = s.toString
     var acc = 0L
     var i = 0

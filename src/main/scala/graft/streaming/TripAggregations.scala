@@ -50,6 +50,41 @@ object TripAggregations {
       .drop("z_location_id")
   }
 
+  /** Stream-STREAM join: the trips stream joined to a live weather
+    * observation stream on the shared event-time hour (window-equality
+    * join). Both sides carry watermarks, so Spark bounds the join state:
+    * a buffered row is dropped once the other side's watermark passes its
+    * window — state is O(rows per active hour), not unbounded. This is the
+    * shape the reference cannot express (its CDC consumer only ever sees
+    * one topic); a realtime demand-vs-weather feed needs it.
+    *
+    * Inner join: rows emit as soon as both sides arrive. (A left-outer
+    * variant emits null-padded trips only after the weather watermark
+    * closes the hour — same plan shape, deferred emission.) */
+  def joinTripWeatherStreams(trips: DataFrame, weather: DataFrame): DataFrame = {
+    // each side keeps exactly ONE event-time column: the hour window
+    // derived from its watermarked timestamp (carrying both the raw
+    // timestamp and its window through the join would be two event-time
+    // columns on one stream, which Spark rejects)
+    val t = trips
+      .withWatermark("kafka_timestamp", "10 minutes")
+      .select(
+        window(col("kafka_timestamp"), "1 hour").as("hour_window"),
+        col("id"), col("pickup_location_id"),
+        col("fare_amount"), col("total_amount"))
+    val w = weather
+      .withWatermark("observed_at", "2 hours")
+      .select(
+        window(col("observed_at"), "1 hour").as("hour_window"),
+        col("condition"),
+        col("temperature_celsius"))
+    t.join(w, Seq("hour_window"))
+      .select(
+        col("hour_window.start").as("hour_start"),
+        col("id"), col("pickup_location_id"), col("fare_amount"),
+        col("total_amount"), col("condition"), col("temperature_celsius"))
+  }
+
   /** Watermarked 5-minute tumbling window aggregation per pickup zone.
     * Output schema mirrors `realtime.trip_aggregations`
     * (`realtime_cdc_processor.py:42-57`, FIXTURES.md §7). */

@@ -54,6 +54,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("is_deleted")).count() == 1)
   }
 
+  test("stream-stream join: trips meet weather on the shared event-time hour") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val trips = MemoryStream[(Long, Int, Double, Double, Timestamp)]
+    val weather = MemoryStream[(Timestamp, String, Double)]
+    val joined = graft.streaming.TripAggregations.joinTripWeatherStreams(
+      trips.toDF().toDF(
+        "id", "pickup_location_id", "fare_amount", "total_amount", "kafka_timestamp"),
+      weather.toDF().toDF("observed_at", "condition", "temperature_celsius"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      // two trips and one observation in the 10:00 hour: both match
+      trips.addData((1L, 10, 10.0, 12.0, ts(5)), (2L, 11, 9.0, 11.0, ts(20)))
+      weather.addData((ts(0), "Rainy", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj").collect()
+      assert(out.length == 2, s"got ${out.length} rows")
+      assert(out.forall(_.getAs[String]("condition") == "Rainy"))
+      // a trip in the NEXT hour stays buffered until its weather arrives
+      trips.addData((3L, 10, 8.0, 9.0, Timestamp.valueOf("2024-01-01 11:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("ssj").count() == 2, "trip joined without weather")
+      weather.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "Clear", 9.0))
+      q.processAllAvailable()
+      val out2 = spark.table("ssj").collect()
+      assert(out2.length == 3)
+      assert(out2.find(_.getAs[Long]("id") == 3L).get
+        .getAs[String]("condition") == "Clear")
+    } finally q.stop()
+  }
+
   test("watermarked 5-min tumbling window closes in append mode; late data dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
