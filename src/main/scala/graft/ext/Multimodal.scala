@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * over typed Datasets (the JVM analog of `mapInPandas`: one iterator per
   * partition, vectorizable batch shape, no driver round-trips).
   *
-  * The actual codec decode is STUBBED (no image/audio libraries in this
-  * container): [[MediaCodec.decodeStub]] produces deterministic fake
-  * pixels/samples derived from the payload bytes. Everything around it —
-  * schemas, partitioning, batch iteration, output shapes — is real and
-  * tested, so swapping in a real codec changes one function.
+  * Decode is REAL for the uncompressed formats that need no codec library:
+  * PPM/P6 images, RIFF/WAVE 16-bit PCM audio, and video as a concatenated
+  * stream of P6 frames. Compressed codecs (JPEG/MP3/H.264) would need
+  * external libraries this container doesn't ship, so unrecognized payloads
+  * fall back to [[MediaCodec.decodeOpaque]] — a clearly-marked byte-level
+  * fallback at the codec boundary; swapping in a real compressed codec
+  * changes that one function.
   *
   * Scale notes: payloads never pass through a shuffle here — all steps are
   * narrow (mapPartitions over the scan). For real pipelines the table is
@@ -36,39 +38,192 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      byte_histogram: Array[Long], // 16 bins
-      mean_byte: Double,
-      decoded_checksum: Long)     // checksum over the (stub-)decoded signal
+      signal_len: Int,             // decoded samples/subpixels, not payload bytes
+      byte_histogram: Array[Long], // 16 bins over the normalized 0..255 signal
+      mean_byte: Double,           // mean of the normalized signal
+      decoded_checksum: Long)      // checksum over the decoded signal
 
-  /** Deterministic synthetic media table — the fixture generator. */
-  def sampleMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
-    import spark.implicits._
-    spark.range(n).map { i =>
-      val kind = Seq("image", "audio", "video")((i % 3).toInt)
-      val len = 64 + (i * 37 % 192).toInt
-      val payload = Array.tabulate[Byte](len)(j => ((i * 131 + j * 7) % 256).toByte)
-      MediaRow(i, kind, payload,
-        width = 16 + (i % 16).toInt, height = 16 + (i % 9).toInt,
-        sample_rate = 8000, n_frames = 1 + (i % 30).toInt)
+  /** The codec boundary. PPM (P6), WAV (PCM16 mono) and concatenated-P6
+    * "video" are decoded for real in pure JVM code; anything else (i.e. a
+    * compressed codec, which needs libraries this image doesn't have) falls
+    * back to [[decodeOpaque]].
+    *
+    * All decoders are total: a corrupt payload degrades to the opaque
+    * fallback instead of failing the task — at 100 TB a handful of bad rows
+    * must not kill a stage.
+    */
+  object MediaCodec {
+
+    /** Binary PPM (P6): "P6\n<w> <h>\n255\n" + w*h*3 RGB bytes. */
+    def encodePpm(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, s"rgb length ${rgb.length} != $width*$height*3")
+      val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(rgb, 0, out, header.length, rgb.length)
+      out
+    }
+
+    /** Parse one P6 frame starting at `offset`. Returns
+      * (width, height, rgb, bytesConsumed) or None on malformed input.
+      * Handles arbitrary whitespace and `#` comment lines in the header.
+      */
+    def decodePpmAt(payload: Array[Byte], offset: Int): Option[(Int, Int, Array[Byte], Int)] = {
+      var pos = offset
+      def skipSpaceAndComments(): Unit = {
+        var going = true
+        while (going && pos < payload.length) {
+          val c = payload(pos)
+          if (c == '#') { while (pos < payload.length && payload(pos) != '\n') pos += 1 }
+          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+          else going = false
+        }
+      }
+      def readInt(): Option[Int] = {
+        skipSpaceAndComments()
+        var v = 0; var any = false
+        while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
+          v = v * 10 + (payload(pos) - '0'); any = true; pos += 1
+        }
+        if (any) Some(v) else None
+      }
+      if (pos + 2 > payload.length || payload(pos) != 'P' || payload(pos + 1) != '6') return None
+      pos += 2
+      for {
+        w <- readInt(); h <- readInt(); maxval <- readInt()
+        if maxval == 255 && w > 0 && h > 0
+        // exactly one whitespace byte separates the header from the raster
+        _ <- if (pos < payload.length) { pos += 1; Some(()) } else None
+        n = w * h * 3
+        if pos + n <= payload.length
+      } yield {
+        val rgb = java.util.Arrays.copyOfRange(payload, pos, pos + n)
+        (w, h, rgb, pos + n - offset)
+      }
+    }
+
+    def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      decodePpmAt(payload, 0).map { case (w, h, rgb, _) => (w, h, rgb) }
+
+    /** Video-as-P6-stream: back-to-back P6 frames (all same dimensions). */
+    def decodePpmStream(payload: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+      val frames = Seq.newBuilder[(Int, Int, Array[Byte])]
+      var pos = 0
+      var ok = true
+      while (ok && pos < payload.length) {
+        decodePpmAt(payload, pos) match {
+          case Some((w, h, rgb, consumed)) => frames += ((w, h, rgb)); pos += consumed
+          case None => ok = false
+        }
+      }
+      if (ok) frames.result() else Seq.empty
+    }
+
+    def encodePpmStream(frames: Seq[(Int, Int, Array[Byte])]): Array[Byte] =
+      frames.iterator.flatMap { case (w, h, rgb) => encodePpm(w, h, rgb) }.toArray
+
+    /** RIFF/WAVE, PCM, 16-bit mono, little-endian. */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1)                 // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)                // block align, bits/sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+
+    /** Walks RIFF chunks (not fixed offsets — extra chunks are legal). */
+    def decodeWav(payload: Array[Byte]): Option[(Int, Array[Short])] = {
+      if (payload.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag4(at: Int): String =
+        new String(payload, at, 4, "US-ASCII")
+      if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+      var pos = 12
+      var sampleRate = -1
+      var bitsPerSample = -1
+      var data: Array[Short] = null
+      while (pos + 8 <= payload.length) {
+        val id = tag4(pos)
+        val size = bb.getInt(pos + 4)
+        if (size < 0 || pos + 8 + size > payload.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            val audioFormat = bb.getShort(pos + 8)
+            if (audioFormat != 1) return None // only uncompressed PCM here
+            sampleRate = bb.getInt(pos + 12)
+            bitsPerSample = bb.getShort(pos + 22)
+          case "data" =>
+            if (bitsPerSample != 16) return None // fmt must precede data
+            val n = size / 2
+            val out = new Array[Short](n)
+            var i = 0
+            while (i < n) { out(i) = bb.getShort(pos + 8 + i * 2); i += 1 }
+            data = out
+          case _ => // skip unknown chunks (LIST, fact, ...)
+        }
+        pos += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (sampleRate > 0 && data != null) Some((sampleRate, data)) else None
+    }
+
+    /** Fallback for payloads no shipped decoder understands (compressed
+      * codecs). Byte-level signal; deterministic; replace with a real codec
+      * when libraries are available. */
+    def decodeOpaque(payload: Array[Byte]): Array[Int] =
+      payload.map(b => b & 0xff)
+
+    /** Decode to a normalized 0..255 signal: image subpixels as-is, audio
+      * samples shifted from [-32768,32767], video frames concatenated. */
+    def decode(kind: String, payload: Array[Byte]): Array[Int] = kind match {
+      case "image" =>
+        decodePpm(payload).map(_._3.map(b => b & 0xff)).getOrElse(decodeOpaque(payload))
+      case "audio" =>
+        decodeWav(payload).map(_._2.map(s => (s + 32768) >> 8)).getOrElse(decodeOpaque(payload))
+      case "video" =>
+        val frames = decodePpmStream(payload)
+        if (frames.nonEmpty) frames.iterator.flatMap(_._3.iterator.map(b => b & 0xff)).toArray
+        else decodeOpaque(payload)
+      case _ => decodeOpaque(payload)
     }
   }
 
-  /** ??? in spirit — the codec boundary. Deterministic fake "decode":
-    * expands payload bytes into an unsigned-int signal. A real build
-    * replaces this body with an actual image/audio decoder; signature and
-    * call sites stay fixed. */
-  object MediaCodec {
-    def decodeStub(payload: Array[Byte]): Array[Int] =
-      payload.map(b => b & 0xff)
+  /** Deterministic synthetic media table with REAL payloads: P6 images,
+    * PCM16 WAV audio, P6-stream video — the fixture generator. */
+  def sampleMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      (i % 3).toInt match {
+        case 0 => // image
+          val w = 8 + (i % 9).toInt; val h = 6 + (i % 7).toInt
+          val rgb = Array.tabulate[Byte](w * h * 3)(j => ((i * 131 + j * 7) % 256).toByte)
+          MediaRow(i, "image", MediaCodec.encodePpm(w, h, rgb), w, h, 0, 1)
+        case 1 => // audio
+          val nSamp = 64 + (i % 128).toInt
+          val samples = Array.tabulate[Short](nSamp)(j => ((i * 37 + j * 613) % 24001 - 12000).toShort)
+          MediaRow(i, "audio", MediaCodec.encodeWav(8000, samples), 0, 0, 8000, 1)
+        case _ => // video
+          val w = 6 + (i % 5).toInt; val h = 4 + (i % 4).toInt
+          val frames = 2 + (i % 6).toInt
+          val payload = MediaCodec.encodePpmStream((0 until frames).map { f =>
+            (w, h, Array.tabulate[Byte](w * h * 3)(j => ((i * 131 + f * 17 + j * 7) % 256).toByte))
+          })
+          MediaRow(i, "video", payload, w, h, 0, frames)
+      }
+    }
   }
 
   /** Partition-local feature extraction (the mapInPandas analog):
-    * histogram + mean + checksum over the decoded signal. */
+    * real decode, then histogram + mean + checksum over the signal. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val signal = MediaCodec.decodeStub(r.payload)
+        val signal = MediaCodec.decode(r.kind, r.payload)
         val hist = new Array[Long](16)
         var sum = 0L
         var checksum = 1L
@@ -77,34 +232,70 @@ object Multimodal {
           sum += v
           checksum = (checksum * 31 + v) % 1000000007L
         }
-        MediaFeatures(r.media_id, r.kind, r.payload.length, hist,
+        MediaFeatures(r.media_id, r.kind, r.payload.length, signal.length, hist,
           if (signal.isEmpty) 0.0 else sum.toDouble / signal.length, checksum)
       }
     }
   }
 
-  /** "Resize" plumbing: byte-range truncation standing in for a pixel
-    * resample — the real version decodes, resamples, re-encodes. Narrow. */
-  def resizePayload(media: Dataset[MediaRow], maxBytes: Int): Dataset[MediaRow] = {
+  /** Real image resize: decode, nearest-neighbor resample to targetW×targetH,
+    * re-encode. Applies per frame for video; audio passes through (see
+    * [[downsampleAudio]]). Narrow — no shuffle. */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map(r => r.copy(payload = r.payload.take(maxBytes)))
+    def resample(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+      Array.tabulate[Byte](targetW * targetH * 3) { j =>
+        val px = j / 3; val ch = j % 3
+        val x = (px % targetW) * w / targetW
+        val y = (px / targetW) * h / targetH
+        rgb((y * w + x) * 3 + ch)
+      }
+    media.map { r =>
+      r.kind match {
+        case "image" =>
+          MediaCodec.decodePpm(r.payload).fold(r) { case (w, h, rgb) =>
+            r.copy(payload = MediaCodec.encodePpm(targetW, targetH, resample(w, h, rgb)),
+              width = targetW, height = targetH)
+          }
+        case "video" =>
+          val frames = MediaCodec.decodePpmStream(r.payload)
+          if (frames.isEmpty) r
+          else r.copy(
+            payload = MediaCodec.encodePpmStream(frames.map { case (w, h, rgb) =>
+              (targetW, targetH, resample(w, h, rgb)) }),
+            width = targetW, height = targetH)
+        case _ => r
+      }
+    }
   }
 
-  /** Frame sampling for video rows: stride-slice the decoded signal into
-    * every k-th "frame" (fixed frame stride stands in for codec frame
-    * boundaries). Non-video rows pass through unchanged. */
+  /** Real audio downsample: decode WAV, keep every `factor`-th sample,
+    * re-encode at sampleRate/factor. Non-audio rows pass through. */
+  def downsampleAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1)
+    media.map { r =>
+      if (r.kind != "audio") r
+      else MediaCodec.decodeWav(r.payload).fold(r) { case (rate, samples) =>
+        val kept = Array.tabulate[Short]((samples.length + factor - 1) / factor)(j => samples(j * factor))
+        r.copy(payload = MediaCodec.encodeWav(rate / factor, kept), sample_rate = rate / factor)
+      }
+    }
+  }
+
+  /** Real frame sampling for video rows: decode the P6 stream, keep every
+    * k-th frame, re-encode. Non-video rows pass through unchanged. */
   def sampleFrames(media: Dataset[MediaRow], everyK: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { r =>
       if (r.kind != "video") r
       else {
-        val chunks = r.payload
-          .grouped(math.max(1, r.payload.length / math.max(1, r.n_frames)))
-          .zipWithIndex.collect { case (frame, idx) if idx % everyK == 0 => frame }
-          .toArray
-        // n_frames reports the chunks actually kept (chunking may not divide
-        // the payload evenly, so deriving it from the old count drifts)
-        r.copy(payload = chunks.flatten, n_frames = chunks.length)
+        val frames = MediaCodec.decodePpmStream(r.payload)
+        if (frames.isEmpty) r
+        else {
+          val kept = frames.zipWithIndex.collect { case (f, idx) if idx % everyK == 0 => f }
+          r.copy(payload = MediaCodec.encodePpmStream(kept), n_frames = kept.length)
+        }
       }
     }
   }
