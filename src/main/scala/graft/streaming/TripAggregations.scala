@@ -58,10 +58,22 @@ object TripAggregations {
     * shape the reference cannot express (its CDC consumer only ever sees
     * one topic); a realtime demand-vs-weather feed needs it.
     *
-    * Inner join: rows emit as soon as both sides arrive. (A left-outer
-    * variant emits null-padded trips only after the weather watermark
-    * closes the hour — same plan shape, deferred emission.) */
-  def joinTripWeatherStreams(trips: DataFrame, weather: DataFrame): DataFrame = {
+    * Inner join: rows emit as soon as both sides arrive. The left-outer
+    * variant ([[joinTripWeatherStreamsOuter]]) emits null-padded trips only
+    * once the global watermark passes the hour — same plan shape, deferred
+    * emission for the unmatched side. */
+  def joinTripWeatherStreams(trips: DataFrame, weather: DataFrame): DataFrame =
+    joinOnEventHour(trips, weather, "inner")
+
+  /** Left-outer window-equality stream-stream join: every trip eventually
+    * emits — matched rows as soon as the observation arrives, unmatched
+    * rows null-padded once the watermark closes their hour and the buffered
+    * trip is evicted from the state store. Use when downstream must account
+    * for every trip even during weather-feed outages. */
+  def joinTripWeatherStreamsOuter(trips: DataFrame, weather: DataFrame): DataFrame =
+    joinOnEventHour(trips, weather, "left_outer")
+
+  private def joinOnEventHour(trips: DataFrame, weather: DataFrame, joinType: String): DataFrame = {
     // each side keeps exactly ONE event-time column: the hour window
     // derived from its watermarked timestamp (carrying both the raw
     // timestamp and its window through the join would be two event-time
@@ -78,7 +90,7 @@ object TripAggregations {
         window(col("observed_at"), "1 hour").as("hour_window"),
         col("condition"),
         col("temperature_celsius"))
-    t.join(w, Seq("hour_window"))
+    t.join(w, Seq("hour_window"), joinType)
       .select(
         col("hour_window.start").as("hour_start"),
         col("id"), col("pickup_location_id"), col("fare_amount"),

@@ -86,6 +86,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join: unmatched trips null-pad after watermark close") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val trips = MemoryStream[(Long, Int, Double, Double, Timestamp)]
+    val weather = MemoryStream[(Timestamp, String, Double)]
+    val joined = graft.streaming.TripAggregations.joinTripWeatherStreamsOuter(
+      trips.toDF().toDF(
+        "id", "pickup_location_id", "fare_amount", "total_amount", "kafka_timestamp"),
+      weather.toDF().toDF("observed_at", "condition", "temperature_celsius"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    try {
+      // trip 1 in the 10:00 hour has NO weather; trip 2 in the 11:00 hour
+      // matches its observation and emits immediately
+      trips.addData(
+        (1L, 10, 10.0, 12.0, ts(5)),
+        (2L, 11, 9.0, 11.0, Timestamp.valueOf("2024-01-01 11:05:00")))
+      weather.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "Clear", 9.0))
+      q.processAllAvailable()
+      val matched = spark.table("ssj_outer").collect()
+      assert(matched.length == 1 && matched.head.getAs[Long]("id") == 2L)
+
+      // push both watermarks past 11:00 (global watermark = min of sides:
+      // trips 14:30-10m, weather 13:30-2h = 11:30) — the buffered trip 1
+      // evicts and null-pads on the following batch
+      trips.addData((90L, 1, 1.0, 1.0, Timestamp.valueOf("2024-01-01 14:30:00")))
+      weather.addData((Timestamp.valueOf("2024-01-01 13:30:00"), "Snow", -1.0))
+      q.processAllAvailable()
+      trips.addData((91L, 1, 1.0, 1.0, Timestamp.valueOf("2024-01-01 14:40:00")))
+      q.processAllAvailable()
+
+      val out = spark.table("ssj_outer").collect()
+      val padded = out.find(_.getAs[Long]("id") == 1L)
+      assert(padded.isDefined, s"trip 1 never emitted; got ids ${out.map(_.getAs[Long]("id")).toSeq}")
+      assert(padded.get.isNullAt(padded.get.fieldIndex("condition")))
+      assert(out.find(_.getAs[Long]("id") == 2L).get.getAs[String]("condition") == "Clear")
+    } finally q.stop()
+  }
+
   test("watermarked 5-min tumbling window closes in append mode; late data dropped") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
