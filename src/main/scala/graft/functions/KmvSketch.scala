@@ -1,8 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** KMV (k-minimum-values) distinct-count sketch.
   *
@@ -98,7 +104,118 @@ object KmvSketch {
   }
 
   /** KMV distinct-estimate aggregate column over a pre-hashed long column
-    * (apply [[hash31]] first). */
+    * (apply [[hash31]] first). Aggregator-via-udaf form — kept as the
+    * readable reference implementation and parity check for
+    * [[kmvDistinctNative]]. */
   def kmvDistinct(hashed: Column, k: Int = 256): Column =
     udaf(new KmvAgg(k), Encoders.scalaLong).apply(hashed)
+
+  /** Mutable bottom-k buffer for the native aggregate: a sorted distinct
+    * prefix of the k smallest hashes, updated in place (no per-row
+    * allocation, unlike the immutable Aggregator buffer above). */
+  final class KmvBuffer(val k: Int) {
+    val hashes = new Array[Long](k)
+    var n = 0
+
+    def insert(h: Long): Unit = {
+      val pos = java.util.Arrays.binarySearch(hashes, 0, n, h)
+      if (pos < 0) {
+        val ins = -pos - 1
+        if (n < k) {
+          System.arraycopy(hashes, ins, hashes, ins + 1, n - ins)
+          hashes(ins) = h
+          n += 1
+        } else if (ins < k) { // new minimum: insert, drop current max
+          System.arraycopy(hashes, ins, hashes, ins + 1, k - ins - 1)
+          hashes(ins) = h
+        }
+      }
+    }
+
+    def estimate: Double =
+      if (n < k) n.toDouble else (k - 1).toDouble * M / hashes(k - 1)
+  }
+
+  /** Catalyst-native KMV aggregate ([[TypedImperativeAggregate]]): the
+    * buffer lives as an opaque object during partial aggregation and is
+    * serialized ONLY at shuffle boundaries (4 + 8·n bytes). The
+    * Aggregator-via-udaf path above routes every merge through its
+    * ExpressionEncoder, deserializing/reserializing the array each time —
+    * this form cuts that overhead on wide groupings, where each of
+    * thousands of groups carries its own sketch. Estimator and input
+    * contract (pre-[[hash31]]ed column) are identical, so the DuckDB
+    * oracle SQL ([[estimateSql]]) replays both forms bit-for-bit. */
+  case class KmvDistinctNative(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_distinct expects a pre-hashed bigint/int column, got ${other.catalogString}")
+    }
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_kmv_distinct"
+
+    override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+    override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+      val v = child.eval(input)
+      if (v != null) buffer.insert(v.asInstanceOf[Number].longValue())
+      buffer
+    }
+
+    override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+      var i = 0
+      while (i < other.n) { buffer.insert(other.hashes(i)); i += 1 }
+      buffer
+    }
+
+    override def eval(buffer: KmvBuffer): Any = buffer.estimate
+
+    override def serialize(buffer: KmvBuffer): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.n)
+      bb.putInt(buffer.n)
+      var i = 0
+      while (i < buffer.n) { bb.putLong(buffer.hashes(i)); i += 1 }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val out = new KmvBuffer(k)
+      out.n = bb.getInt()
+      var i = 0
+      while (i < out.n) { out.hashes(i) = bb.getLong(); i += 1 }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctNative =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinctNative =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  private val nativeFnName = "graft_kmv_distinct"
+
+  /** Registers the native aggregate; k rides as an optional second literal
+    * argument (default 256). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      nativeFnName,
+      exprs => KmvDistinctNative(
+        exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(256)),
+      "scala_udf")
+
+  /** Native KMV distinct-estimate over a pre-hashed long column. Call
+    * [[register]] on the session first. */
+  def kmvDistinctNative(hashed: Column, k: Int = 256): Column =
+    call_function(nativeFnName, hashed, lit(k))
 }

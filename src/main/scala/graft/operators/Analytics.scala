@@ -64,15 +64,19 @@ object Analytics {
 
   /** A2 at scale, oracle-checkable: KMV bottom-k distinct sketch over a
     * portable hash — deterministic, mergeable, layout-independent, and
-    * replayable by any SQL engine (see [[graft.functions.KmvSketch]]). */
+    * replayable by any SQL engine (see [[graft.functions.KmvSketch]]).
+    * Runs on the Catalyst-native [[graft.functions.KmvSketch.KmvDistinctNative]]
+    * aggregate (buffer serialized only at shuffle boundaries); the udaf
+    * twin is parity-tested in SketchPortableSpec. */
   def kmvDistinct(t: Tables, k: Int = 256): DataFrame = {
     import graft.functions.KmvSketch
+    KmvSketch.register(t.spark)
     t.orders
       .select(col("o_orderpriority"), KmvSketch.hash31(col("o_custkey")).as("h"))
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
-        KmvSketch.kmvDistinct(col("h"), k).as("approx_customers"))
+        KmvSketch.kmvDistinctNative(col("h"), k).as("approx_customers"))
       .orderBy(col("o_orderpriority"))
   }
 

@@ -152,6 +152,28 @@ class SketchPortableSpec extends SparkSpec {
     assert(run(2) == run(13)) // merge path must be order/layout independent
   }
 
+  test("native KmvDistinctNative matches the udaf Aggregator bit-for-bit") {
+    val t = sf("sf0.001")
+    graft.functions.KmvSketch.register(spark)
+    def both(parts: Int) = {
+      def base = t.orders.repartition(parts)
+        .select(col("o_orderpriority"), KmvSketch.hash31(col("o_custkey")).as("h"))
+        .groupBy("o_orderpriority")
+      val u = base.agg(KmvSketch.kmvDistinct(col("h"), 64).as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val n = base.agg(KmvSketch.kmvDistinctNative(col("h"), 64).as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      (u, n)
+    }
+    val (u2, n2) = both(2)
+    val (u13, n13) = both(13)
+    // same estimate from both implementations, under either layout —
+    // exercises update, shuffle serialize/deserialize, and merge
+    assert(u2 == n2)
+    assert(u13 == n13)
+    assert(n2 == n13)
+  }
+
   test("HLL sketch-vs-exact contract: within 5x rsd on every group") {
     // the built-in HLL path (kept alongside the oracle-checkable KMV) must
     // track the exact distinct counts of q04 within its error contract
