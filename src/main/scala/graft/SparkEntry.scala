@@ -50,6 +50,7 @@ object SparkEntry {
     "q13_join_expr" -> q(Analytics.joinOnExpr),
     "q14_self_agg_join" -> q(Analytics.selfAggJoin),
     "q15_double_dim_join" -> q(Analytics.doubleDimJoin),
+    "q44_join_bucketed" -> q(t => operators.Bucketed.orderLineRollup(t)),
     // ── window functions (W1-W5, W7) ──
     "q16_window_lag" -> q(Analytics.windowLag),
     "q17_window_rolling" -> q(Analytics.windowRolling),
@@ -237,6 +238,13 @@ object SparkEntry {
          |LEFT JOIN supplier ON l_suppkey = s_suppkey
          |WHERE p_partkey IS NOT NULL AND s_suppkey IS NOT NULL
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q44_join_bucketed" ->
+      s"""SELECT o_orderkey AS order_id, CAST(o_orderdate AS DATE) AS order_date,
+         | o_totalprice AS total_price, count(*) AS n_lines,
+         | ${O.dsum("l_quantity")} AS sum_qty,
+         | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY 1, 2, 3 ORDER BY order_id""".stripMargin,
     "q16_window_lag" ->
       """WITH demand AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS demand

@@ -106,10 +106,23 @@ object TableIO {
       table: String,
       df: DataFrame,
       partitionCols: Seq[String] = Nil): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    dropTableAndLocation(spark, table)
     val writer = df.write.format("parquet").option("compression", "zstd")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .saveAsTable(table)
+  }
+
+  /** Drop the table AND its warehouse location. A metastore is per-session
+    * but the warehouse directory persists — after a process restart, `DROP
+    * TABLE IF EXISTS` is a no-op in the fresh metastore while the old data
+    * directory still exists on disk, and managed-table CTAS then fails with
+    * LOCATION_ALREADY_EXISTS. Replace-style writers must clear both. */
+  private def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
   }
 
   /** Collect table-level statistics after a write so the cost-based
@@ -135,7 +148,7 @@ object TableIO {
       bucketCols: Seq[String],
       nBuckets: Int,
       sortCols: Seq[String] = Nil): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    dropTableAndLocation(spark, table)
     val w = df.write.format("parquet").option("compression", "zstd")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
@@ -148,7 +161,7 @@ object TableIO {
       table: String,
       select: DataFrame,
       partitionCols: Seq[String]): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    dropTableAndLocation(spark, table)
     val view = s"graft_ctas_src_${table.replaceAll("[^A-Za-z0-9_]", "_")}"
     select.createOrReplaceTempView(view)
     val partClause =

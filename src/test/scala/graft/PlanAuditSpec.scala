@@ -122,6 +122,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q44 bucketed rollup core plans join AND agg with zero hash shuffles") {
+    // force the big-join shape: no broadcast, so only bucketing can save
+    // the shuffle (at 100 TB neither fact side broadcasts anyway)
+    val bcast = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(bcast)
+    spark.conf.set(bcast, "-1")
+    try {
+      val df = graft.operators.Bucketed.rollupUnsorted(sf())
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n${p.take(1200)}")
+      assert(!p.contains("Exchange"),
+        s"bucketed rollup still shuffles:\n${p.take(2000)}")
+      // and the layout choice is invisible in the answer
+      val plain = sf().orders
+        .join(sf().lineitem, col("o_orderkey") === col("l_orderkey")).count()
+      assert(df.agg(sum(col("n_lines"))).collect()(0).getLong(0) == plain)
+    } finally spark.conf.set(bcast, prev)
+  }
+
   test("aggregation on the bucket key skips its Exchange") {
     import graft.sources.TableIO
     val tO = s"b_agg_${System.nanoTime()}"
