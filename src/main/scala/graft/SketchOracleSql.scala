@@ -85,10 +85,11 @@ object SketchOracleSql {
        | sig[32] AS minhash_31
        |FROM sig ORDER BY doc_id""".stripMargin
 
-  /** q34: LSH banding (8 bands × 4 rows, portable band fold) → candidate
-    * pairs → exact shingle-set Jaccard ≥ 0.2. */
-  val minhashDupPairs: String =
-    s"""WITH $shingleCte,
+  /** Shared CTE chain ending in `dup_pairs`: LSH banding (8 bands × 4 rows,
+    * portable band fold) → candidate pairs → exact shingle-set Jaccard
+    * ≥ 0.2. Used by q34 (the pair list itself) and q45 (clusters over it). */
+  private val dupPairsCtes: String =
+    s"""$shingleCte,
        |$sigCte,
        |bands AS (
        |  SELECT doc_id, b AS band_id,
@@ -98,13 +99,40 @@ object SketchOracleSql {
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r
        |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b,
-       |    round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-       |      / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
-       |  FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
-       |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh),
+       |dup_pairs AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT doc_a, doc_b,
+       |      round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+       |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
+       |  WHERE jaccard >= 0.2)""".stripMargin
+
+  /** q34: the near-dup pair list. */
+  val minhashDupPairs: String =
+    s"""WITH $dupPairsCtes
+       |SELECT doc_a, doc_b, jaccard FROM dup_pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q45: connected components over the near-dup pairs — every document
+    * labeled with the smallest doc_id reachable through the (undirected)
+    * dup relation, plus cluster size. The recursive CTE computes full
+    * reachability and takes the min label, which is exactly the fixpoint
+    * the engine's min-label propagation converges to. */
+  val dupClusters: String =
+    s"""WITH RECURSIVE $dupPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM dup_pairs),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size
+       |FROM labels l JOIN sizes s USING (cluster_id)
+       |ORDER BY l.doc_id""".stripMargin
 
   /** q35: portable SimHash fingerprints (62-bit two-lane token hash; bit b
     * of the fingerprint set iff strictly more than half the tokens have bit

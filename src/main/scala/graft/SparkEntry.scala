@@ -76,6 +76,7 @@ object SparkEntry {
       Dedup.minhashDupPairs(t, minJaccard = 0.2, portable = true)),
     "q35_simhash" -> q(t => Dedup.simhashFingerprints(t, portable = true)),
     "q36_ngram_jaccard" -> q(Dedup.ngramJaccardSample),
+    "q45_dup_clusters" -> q(t => Dedup.dupClusters(t, minJaccard = 0.2, portable = true)),
     "q37_ann_bruteforce" -> q(t => Similarity.bruteForceTopK(t)),
     "q38_ann_lsh" -> q(t => Similarity.lshBucketedTopK(t)),
     "q39_embedding_stats" -> q(Similarity.embeddingStats),
@@ -94,6 +95,7 @@ object SparkEntry {
     "q38_ann_lsh" -> SketchOracleSql.annLsh,
     "q40_approx_distinct" -> SketchOracleSql.kmvDistinct,
     "q41_embedding_near_dups" -> SketchOracleSql.embeddingNearDups,
+    "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
     "q01_agg_stats" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

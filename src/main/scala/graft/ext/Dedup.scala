@@ -244,6 +244,68 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Connected components by iterative min-label propagation: every node's
+    * label converges to the smallest node id reachable from it. Each round
+    * is one shuffle (edges ⋈ labels, grouped on the destination); rounds
+    * needed = component diameter. Near-dup clusters have tiny diameters (a
+    * dup of a dup of a dup), so this converges in a handful of rounds; for
+    * adversarial diameters (long chains) the upgrade path is alternating
+    * large-star/small-star (Kiveris et al., SoCC'14), which converges in
+    * O(log n) rounds over the same edge representation.
+    *
+    * The per-round driver action is the convergence check only (a count —
+    * the same pattern as Pregel supersteps); labels are localCheckpoint'd
+    * each round to truncate the growing lineage, which at cluster scale is
+    * a persisted-table checkpoint between iterations.
+    *
+    * `nodes` = one column `id`; `edges` = (`src`, `dst`), treated as
+    * undirected. Output: (id, component) with component = min reachable id. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val undirected = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // reused every round
+    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = undirected
+        .join(labels, undirected("src") === labels("id"))
+        .groupBy(col("dst"))
+        .agg(min(col("component")).as("nbr_min"))
+      val next = labels.as("p")
+        .join(neighborMin, col("p.id") === neighborMin("dst"), "left")
+        .select(col("p.id").as("id"),
+          least(col("p.component"), coalesce(col("nbr_min"), col("p.component")))
+            .as("component"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.component") =!= col("p.component"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Transitive closure of the near-dup relation: clusters over the
+    * [[minhashDupPairs]] edge set. A dedup pipeline needs this step — pair
+    * lists alone under-delete (A~B and B~C must collapse to ONE canonical
+    * doc even when A~C was never emitted as a pair). Every document gets
+    * the smallest doc_id of its cluster as `cluster_id` (the canonical
+    * representative) plus the cluster size; singletons keep their own id. */
+  def dupClusters(t: Tables, minJaccard: Double = 0.2,
+                  portable: Boolean = false): DataFrame = {
+    val pairs = minhashDupPairs(t, minJaccard, portable)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = connectedComponents(
+      t.documents.select(col("doc_id").as("id")), pairs)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** n-gram Jaccard similarity over a deterministic candidate sample:
     * consecutive doc_id pairs (a fixed, oracle-expressible pairing that
     * exercises the set-similarity kernel; production candidates come from

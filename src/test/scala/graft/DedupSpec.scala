@@ -115,4 +115,37 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].collect()(0)
     assert(toks == Seq("abc", "de", "-", "f", "42", "x"))
   }
+
+  test("connectedComponents: chain collapses transitively, isolates stay put") {
+    import spark.implicits._
+    // 0-1-2-3 chain (diameter 3, forces multiple propagation rounds),
+    // 10-11 pair, 20 isolated
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("dupClusters: transitive closure of the pair list, consistent sizes") {
+    val clusters = Dedup.dupClusters(t, minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = clusters.map(c => c._1 -> c._2).toMap
+    // every document labeled exactly once, label never exceeds own id
+    assert(clusters.length == t.documents.count())
+    assert(clusters.forall { case (id, cl, _) => cl <= id })
+    // every emitted near-dup pair lands in one cluster
+    val pairs = Dedup.minhashDupPairs(t, minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(byId(a) == byId(b), s"pair ($a,$b) split") }
+    // the planted exact copy (doc 1000) merged with its source: its cluster
+    // holds at least two documents and is canonicalized below 1000
+    val c1000 = clusters.find(_._1 == 1000L).get
+    assert(c1000._2 < 1000L && c1000._3 >= 2L)
+    // sizes agree with the labeling
+    val sizeOf = clusters.groupBy(_._2).map { case (cl, rows) => cl -> rows.length }
+    clusters.foreach { case (_, cl, sz) => assert(sz == sizeOf(cl)) }
+  }
 }
