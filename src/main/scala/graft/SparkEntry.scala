@@ -51,6 +51,8 @@ object SparkEntry {
     "q14_self_agg_join" -> q(Analytics.selfAggJoin),
     "q15_double_dim_join" -> q(Analytics.doubleDimJoin),
     "q44_join_bucketed" -> q(t => operators.Bucketed.orderLineRollup(t)),
+    "q46_asof_join" -> q(operators.TemporalJoins.purchaseAttribution),
+    "q47_range_join" -> q(t => operators.TemporalJoins.eventPairsWithin(t)),
     // ── window functions (W1-W5, W7) ──
     "q16_window_lag" -> q(Analytics.windowLag),
     "q17_window_rolling" -> q(Analytics.windowRolling),
@@ -247,6 +249,31 @@ object SparkEntry {
          | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY 1, 2, 3 ORDER BY order_id""".stripMargin,
+    "q46_asof_join" ->
+      """WITH views AS (
+        |  SELECT user_id, ts, max(event_id) AS view_event_id,
+        |   max_by(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        | strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        | round(p.value, 2) AS value,
+        | v.view_event_id,
+        | round(v.view_value, 2) AS view_value,
+        | CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS view_gap_us
+        |FROM purchases p ASOF LEFT JOIN views v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q47_range_join" ->
+      """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        | CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND b.ts >= a.ts
+        | AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        | AND a.event_id <> b.event_id
+        |ORDER BY a.user_id, event_a, event_b""".stripMargin,
     "q16_window_lag" ->
       """WITH demand AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS demand
