@@ -34,7 +34,8 @@ object Dedup {
 
   /** Word k-shingles of the document (contiguous k-grams joined by a single
     * space); documents shorter than k tokens contribute their whole token
-    * string as one shingle. */
+    * string as one shingle. Composable reference form — hot paths use the
+    * native twin [[graft.functions.WordShingles]] (parity asserted). */
   def shingles(text: Column, k: Int = 3): Column = {
     val tks = TextAnalysis.tokens(text)
     when(size(tks) < k, array(array_join(tks, " ")))
@@ -138,14 +139,18 @@ object Dedup {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
     // shingle sets only for docs that appear in candidate pairs — the
-    // verify side would otherwise run the (interpreted-HOF) shingle
-    // builder over the whole corpus for a handful of pairs
+    // verify side would otherwise build shingles over the whole corpus for
+    // a handful of pairs; the native WordShingles expression replaces the
+    // interpreted-HOF builder (same strings, asserted in tests)
+    graft.functions.ShingleExpression.register(t.spark)
     val candIds = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
     val docs = t.documents
       .join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), array_distinct(
+        graft.functions.ShingleExpression.wordShingles(
+          TextAnalysis.tokens(col("text")))).as("sh"))
       .localCheckpoint()
     candidates
       .join(docs.as("da"), col("doc_a") === col("da.doc_id"))

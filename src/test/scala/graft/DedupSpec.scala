@@ -116,6 +116,19 @@ class DedupSpec extends SparkSpec {
     assert(toks == Seq("abc", "de", "-", "f", "42", "x"))
   }
 
+  test("native WordShingles matches the composable HOF form exactly") {
+    import spark.implicits._
+    graft.functions.ShingleExpression.register(spark)
+    // real docs plus shorter-than-k edge cases
+    val extra = Seq("one", "two words", "a b c", "a b c d").toDF("text")
+    val docs = t.documents.select(col("text")).union(extra)
+    val both = docs.select(
+      Dedup.shingles(col("text")).as("hof"),
+      graft.functions.ShingleExpression.wordShingles(
+        TextAnalysis.tokens(col("text"))).as("native"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+  }
+
   test("connectedComponents: chain collapses transitively, isolates stay put") {
     import spark.implicits._
     // 0-1-2-3 chain (diameter 3, forces multiple propagation rounds),
