@@ -84,7 +84,10 @@ object SparkEntry {
     "q39_embedding_stats" -> q(Similarity.embeddingStats),
     "q41_embedding_near_dups" -> q(t => Dedup.embeddingNearDups(t)),
     "q43_ann_ivf" -> q(t => Similarity.ivfTopK(t)),
-    "q42_token_counts" -> q(TextAnalysis.tokenCounts))
+    "q42_token_counts" -> q(TextAnalysis.tokenCounts),
+    "q48_dataset_splits" -> q(graft.ext.Sampling.documentSplits),
+    "q49_sessionization" -> q(t => Analytics.userSessions(t)),
+    "q50_tfidf_topk" -> q(t => TextAnalysis.topTerms(t)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Round 2: the sketch/LSH/ANN family runs in
@@ -98,6 +101,47 @@ object SparkEntry {
     "q40_approx_distinct" -> SketchOracleSql.kmvDistinct,
     "q41_embedding_near_dups" -> SketchOracleSql.embeddingNearDups,
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
+    "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
+    "q49_sessionization" ->
+      s"""WITH ordered AS (
+         |  SELECT user_id, event_id, ts, value,
+         |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |flagged AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR ts - prev_ts > INTERVAL 30 MINUTE
+         |                 THEN 1 ELSE 0 END AS is_new
+         |  FROM ordered),
+         |islands AS (
+         |  SELECT *, sum(is_new) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM flagged)
+         |SELECT user_id,
+         | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         | strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         | count(*) AS n_events,
+         | ${O.dsum("value")} AS sum_value
+         |FROM islands GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_start""".stripMargin,
+    "q50_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |   CAST(tf AS DOUBLE) * n_docs / df AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+        | CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
     "q01_agg_stats" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline over the
@@ -141,5 +142,35 @@ object TextAnalysis {
           .as("fingerprint"),
         size(tks).as("n_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** TF-IDF top-k terms per document. Classic three-stage shape:
+    * explode tokens (narrow) → term frequency per (doc, term) (shuffle on
+    * the composite key) → document frequency per term from the tf frame
+    * (shuffle on term, rows already unique per (doc, term)) → score + per-
+    * doc top-k via window rank. Corpus size joins in as a broadcast 1-row
+    * aggregate, never a driver-side collect.
+    *
+    * Scoring uses the rational form `tf · N / df` instead of a log-idf:
+    * exact-integer inputs through one IEEE multiply+divide are bit-portable
+    * across engines, while `ln` is libm-dependent — same determinism
+    * doctrine as [[graft.functions.ExactAgg]]. Ranking ties break on the
+    * term itself. */
+  def topTerms(t: Tables, k: Int = 3): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = t.documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") * col("n_docs") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
   }
 }

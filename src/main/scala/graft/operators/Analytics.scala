@@ -80,6 +80,32 @@ object Analytics {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Sessionization via Spark's NATIVE session_window: per-user sessions
+    * that merge events closer than `gapMinutes` and close at last-event +
+    * gap. One shuffle on user_id; session merging happens inside the
+    * aggregation operator (Spark's SessionWindowStateStore does the same in
+    * streaming — the identical expression works under readStream with a
+    * watermark). The DuckDB oracle replays the semantics as gaps-and-islands
+    * SQL (lag + running sum of new-session flags), pinning the boundary
+    * rule (verified empirically): an event exactly `gap` after its
+    * predecessor still MERGES — only a strictly larger gap closes the
+    * session. */
+  def userSessions(t: Tables, gapMinutes: Int = 30): DataFrame =
+    t.events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("session_end"),
+        col("n_events"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** A3: conditional aggregation — AVG(CASE…), SUM(CASE…), COUNT(CASE…)
     * (reference `comprehensive_analytics.py:258`,
     * `location_to_iceberg.py:104-105`, `serving/database.py:60`). */
