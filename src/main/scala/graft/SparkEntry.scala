@@ -87,7 +87,11 @@ object SparkEntry {
     "q42_token_counts" -> q(TextAnalysis.tokenCounts),
     "q48_dataset_splits" -> q(graft.ext.Sampling.documentSplits),
     "q49_sessionization" -> q(t => Analytics.userSessions(t)),
-    "q50_tfidf_topk" -> q(t => TextAnalysis.topTerms(t)))
+    "q50_tfidf_topk" -> q(t => TextAnalysis.topTerms(t)),
+    "q51_percentiles" -> q(Analytics.pricePercentiles),
+    "q52_histogram" -> q(t => Analytics.priceHistogram(t)),
+    "q53_pivot" -> q(Analytics.eventTypePivot),
+    "q54_unpivot" -> q(Analytics.eventTypeUnpivot))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Round 2: the sketch/LSH/ANN family runs in
@@ -142,6 +146,29 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
         | CAST(rank AS INTEGER) AS rank
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q51_percentiles" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | quantile_disc(o_totalprice, 0.5) AS p50_price,
+        | quantile_disc(o_totalprice, 0.9) AS p90_price,
+        | quantile_disc(o_totalprice, 0.99) AS p99_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_histogram" ->
+      """SELECT o_orderpriority,
+        | CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bin,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q53_pivot" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS "view",
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q54_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n_events
+        |FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase', 'signup')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
     "q01_agg_stats" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

@@ -106,6 +106,63 @@ object Analytics {
         col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Exact discrete percentiles per group. `percentile_disc` SELECTS an
+    * actual element (no interpolation), so the result is bit-identical
+    * across engines by construction — interpolating forms (`percentile`,
+    * `quantile_cont`) compute `a + (b-a)·f` vs `a·(1-f) + b·f` differently
+    * and flake in the last ulp. The approximate twin for 100 TB serving is
+    * `approx_percentile` (t-digest), contract-tested against this exact
+    * form in SketchPortableSpec — the same exact/sketch pairing as
+    * q04/q40. */
+  def pricePercentiles(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_price"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_price"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("p99_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Fixed-width histogram of order value per group — the data-profiling
+    * shape (distribution drift checks before a training run). Bin edges are
+    * literals so the histogram is comparable across runs and engines; one
+    * shuffle on (group, bin), counts only. */
+  def priceHistogram(t: Tables, binWidth: Int = 50000, nBins: Int = 10): DataFrame =
+    t.orders
+      .select(
+        col("o_orderpriority"),
+        least(floor(col("o_totalprice") / binWidth), lit(nBins - 1)).cast("int").as("bin"))
+      .groupBy(col("o_orderpriority"), col("bin"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"), col("bin"))
+
+  /** Pivot: one row per user, one count column per event type. The value
+    * list is EXPLICIT — at scale an implicit pivot first runs a distinct
+    * scan to discover columns and caps at
+    * spark.sql.pivotMaxValues; pinning the list keeps the plan one
+    * aggregate and the schema stable for downstream consumers. */
+  def eventTypePivot(t: Tables): DataFrame =
+    t.events
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "purchase", "signup"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Unpivot (melt): the inverse reshaping — wide per-type counts back to
+    * long (user_id, event_type, n_events) rows, dropping absent
+    * combinations like the pre-pivot input. Narrow operator: each row
+    * expands to its non-null measures, no shuffle. */
+  def eventTypeUnpivot(t: Tables): DataFrame =
+    eventTypePivot(t)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("view"), col("click"), col("purchase"), col("signup")),
+        "event_type", "n_events")
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_id"), col("event_type"))
+
   /** A3: conditional aggregation — AVG(CASE…), SUM(CASE…), COUNT(CASE…)
     * (reference `comprehensive_analytics.py:258`,
     * `location_to_iceberg.py:104-105`, `serving/database.py:60`). */

@@ -174,6 +174,21 @@ class SketchPortableSpec extends SparkSpec {
     assert(n2 == n13)
   }
 
+  test("approx_percentile tracks exact percentile_disc within contract") {
+    // the sketch twin of q51 (same exact/approx pairing as q04/q40): the
+    // t-digest's rank error at accuracy 10000 must keep the value within
+    // 2% of the exact discrete percentile on this distribution
+    val t = sf("sf0.001")
+    val both = t.orders.groupBy(col("o_orderpriority")).agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("exact"),
+      expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"))
+      .collect()
+    both.foreach { r =>
+      val e = r.getAs[Double]("exact"); val a = r.getAs[Double]("approx")
+      assert(math.abs(a - e) / e < 0.02, s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+
   test("HLL sketch-vs-exact contract: within 5x rsd on every group") {
     // the built-in HLL path (kept alongside the oracle-checkable KMV) must
     // track the exact distinct counts of q04 within its error contract

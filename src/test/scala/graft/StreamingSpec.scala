@@ -177,6 +177,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session_window works under streaming: session closes via watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Int, Timestamp, Double)]
+    val q = in.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    try {
+      // two events 20min apart: one session (gap < 30min)
+      in.addData((1, ts(0), 1.0), (1, ts(20), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // still open
+      // an event far in the future pushes the watermark past the session
+      // end (10:50) and closes it on the following batch
+      in.addData((2, Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      in.addData((2, Timestamp.valueOf("2024-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").filter(col("user_id") === 1).collect()
+      assert(closed.length == 1)
+      assert(closed.head.getAs[Timestamp]("start") == ts(0))
+      assert(closed.head.getAs[Timestamp]("end") == ts(50)) // last event + 30min
+      assert(closed.head.getAs[Long]("n_events") == 2)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment joins the zones dimension per micro-batch") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
