@@ -9,13 +9,14 @@ import org.apache.spark.sql.functions._
   * over typed Datasets (the JVM analog of `mapInPandas`: one iterator per
   * partition, vectorizable batch shape, no driver round-trips).
   *
-  * Decode is REAL for the uncompressed formats that need no codec library:
-  * PPM/P6 images, RIFF/WAVE 16-bit PCM audio, and video as a concatenated
-  * stream of P6 frames. Compressed codecs (JPEG/MP3/H.264) would need
-  * external libraries this container doesn't ship, so unrecognized payloads
-  * fall back to [[MediaCodec.decodeOpaque]] — a clearly-marked byte-level
-  * fallback at the codec boundary; swapping in a real compressed codec
-  * changes that one function.
+  * Decode is REAL for every format the JVM can handle without external
+  * libraries: PPM/P6 images, PNG (zlib ships in the JDK — full chunk walk,
+  * IDAT inflate, None/Sub/Up/Average/Paeth unfiltering), RIFF/WAVE 16-bit
+  * PCM audio, and video as a concatenated stream of P6 frames. The
+  * remaining compressed codecs (JPEG/MP3/H.264) would need libraries this
+  * container doesn't ship, so unrecognized payloads fall back to
+  * [[MediaCodec.decodeOpaque]] — a clearly-marked byte-level fallback at
+  * the codec boundary; swapping in such a codec changes that one function.
   *
   * Scale notes: payloads never pass through a shuffle here — all steps are
   * narrow (mapPartitions over the scan). For real pipelines the table is
@@ -171,17 +172,149 @@ object Multimodal {
       if (sampleRate > 0 && data != null) Some((sampleRate, data)) else None
     }
 
-    /** Fallback for payloads no shipped decoder understands (compressed
-      * codecs). Byte-level signal; deterministic; replace with a real codec
-      * when libraries are available. */
+    // ── PNG (8-bit depth, non-interlaced, gray/RGB/gray+alpha/RGBA) ──────
+    // zlib ships in the JDK (java.util.zip), so PNG — a genuinely
+    // compressed format — decodes for real here: chunk walk, concatenated
+    // IDAT inflate, and per-row unfiltering (None/Sub/Up/Average/Paeth).
+
+    private val pngSignature =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def crc32(bytes: Array[Byte]*): Int = {
+      val c = new java.util.zip.CRC32
+      bytes.foreach(c.update)
+      c.getValue.toInt
+    }
+
+    /** Minimal RGB PNG writer: filter-0 rows, one IDAT, correct CRCs. */
+    def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3)
+      val raw = new Array[Byte](height * (1 + width * 3))
+      var y = 0
+      while (y < height) {
+        System.arraycopy(rgb, y * width * 3, raw, y * (1 + width * 3) + 1, width * 3)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      deflater.setInput(raw); deflater.finish()
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) buf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val idat = buf.toByteArray
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+        val t = tag.getBytes("US-ASCII")
+        java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(t).put(data).putInt(crc32(t, data)).array()
+      }
+      pngSignature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** PNG decode → (width, height, RGB triplets). Gray replicates to RGB,
+      * alpha drops — the uniform image-signal contract of this module. */
+    def decodePng(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload.length < 8 + 25 || !payload.take(8).sameElements(pngSignature)) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      var pos = 8
+      var w = 0; var h = 0; var colorType = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (!sawEnd && pos + 8 <= payload.length) {
+        val len = bb.getInt(pos)
+        if (len < 0 || pos + 12 + len > payload.length) return None
+        new String(payload, pos + 4, 4, "US-ASCII") match {
+          case "IHDR" if len == 13 =>
+            w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
+            val depth = payload(pos + 16); colorType = payload(pos + 17)
+            val interlace = payload(pos + 20)
+            if (depth != 8 || interlace != 0 ||
+              !Set(0, 2, 4, 6).contains(colorType & 0xff)) return None
+          case "IDAT" => idat.write(payload, pos + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => // ancillary chunk (tEXt, pHYs, ...): skip
+        }
+        pos += 12 + len
+      }
+      if (w <= 0 || h <= 0 || idat.size == 0) return None
+      val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+      val stride = w * bpp
+      val raw = new Array[Byte](h * (1 + stride))
+      val inflater = new java.util.zip.Inflater
+      inflater.setInput(idat.toByteArray)
+      try {
+        var off = 0
+        while (!inflater.finished() && off < raw.length) {
+          val n = inflater.inflate(raw, off, raw.length - off)
+          if (n == 0 && inflater.needsInput()) return None // truncated stream
+          off += n
+        }
+        if (off != raw.length) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inflater.end()
+      // unfilter in place into `img` (RFC 2083 §6): a = left, b = up, c = up-left
+      val img = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val filter = raw(y * (1 + stride)) & 0xff
+        val rowIn = y * (1 + stride) + 1
+        var x = 0
+        while (x < stride) {
+          val a = if (x >= bpp) img(y * stride + x - bpp) & 0xff else 0
+          val b = if (y > 0) img((y - 1) * stride + x) & 0xff else 0
+          val c = if (x >= bpp && y > 0) img((y - 1) * stride + x - bpp) & 0xff else 0
+          val v = raw(rowIn + x) & 0xff
+          val out = filter match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + b
+            case 3 => v + (a + b) / 2
+            case 4 => // Paeth predictor
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => return None
+          }
+          img(y * stride + x) = out.toByte
+          x += 1
+        }
+        y += 1
+      }
+      // normalize to RGB triplets
+      val rgb = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        colorType match {
+          case 0 => val g = img(i); rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+          case 4 => val g = img(i * 2); rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+          case 2 => System.arraycopy(img, i * 3, rgb, i * 3, 3)
+          case _ => System.arraycopy(img, i * 4, rgb, i * 3, 3)
+        }
+        i += 1
+      }
+      Some((w, h, rgb))
+    }
+
+    /** Fallback for payloads no shipped decoder understands (remaining
+      * compressed codecs: JPEG/MP3/H.264 need external libraries). Byte-
+      * level signal; deterministic. */
     def decodeOpaque(payload: Array[Byte]): Array[Int] =
       payload.map(b => b & 0xff)
+
+    /** Image decode across shipped formats: PNG (signature-detected) then
+      * PPM. */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      decodePng(payload).orElse(decodePpm(payload))
 
     /** Decode to a normalized 0..255 signal: image subpixels as-is, audio
       * samples shifted from [-32768,32767], video frames concatenated. */
     def decode(kind: String, payload: Array[Byte]): Array[Int] = kind match {
       case "image" =>
-        decodePpm(payload).map(_._3.map(b => b & 0xff)).getOrElse(decodeOpaque(payload))
+        decodeImage(payload).map(_._3.map(b => b & 0xff)).getOrElse(decodeOpaque(payload))
       case "audio" =>
         decodeWav(payload).map(_._2.map(s => (s + 32768) >> 8)).getOrElse(decodeOpaque(payload))
       case "video" =>
@@ -198,10 +331,13 @@ object Multimodal {
     import spark.implicits._
     spark.range(n).map { i =>
       (i % 3).toInt match {
-        case 0 => // image
+        case 0 => // image: alternate PPM / PNG payloads
           val w = 8 + (i % 9).toInt; val h = 6 + (i % 7).toInt
           val rgb = Array.tabulate[Byte](w * h * 3)(j => ((i * 131 + j * 7) % 256).toByte)
-          MediaRow(i, "image", MediaCodec.encodePpm(w, h, rgb), w, h, 0, 1)
+          val payload =
+            if ((i / 3) % 2 == 0) MediaCodec.encodePpm(w, h, rgb)
+            else MediaCodec.encodePng(w, h, rgb)
+          MediaRow(i, "image", payload, w, h, 0, 1)
         case 1 => // audio
           val nSamp = 64 + (i % 128).toInt
           val samples = Array.tabulate[Short](nSamp)(j => ((i * 37 + j * 613) % 24001 - 12000).toShort)
@@ -253,8 +389,13 @@ object Multimodal {
     media.map { r =>
       r.kind match {
         case "image" =>
-          MediaCodec.decodePpm(r.payload).fold(r) { case (w, h, rgb) =>
-            r.copy(payload = MediaCodec.encodePpm(targetW, targetH, resample(w, h, rgb)),
+          val isPng = MediaCodec.decodePng(r.payload).isDefined
+          MediaCodec.decodeImage(r.payload).fold(r) { case (w, h, rgb) =>
+            val resampled = resample(w, h, rgb)
+            r.copy(
+              payload =
+                if (isPng) MediaCodec.encodePng(targetW, targetH, resampled)
+                else MediaCodec.encodePpm(targetW, targetH, resampled),
               width = targetW, height = targetH)
           }
         case "video" =>

@@ -36,6 +36,90 @@ class MultimodalSpec extends SparkSpec {
     assert(rate2 == 8000 && back2.sameElements(samples))
   }
 
+  test("PNG round-trip through the JDK-zlib encoder/decoder") {
+    val rgb = Array.tabulate[Byte](7 * 5 * 3)(j => (j * 13 % 256).toByte)
+    val enc = MediaCodec.encodePng(7, 5, rgb)
+    assert(enc.take(4).sameElements(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+    val Some((w, h, back)) = MediaCodec.decodePng(enc)
+    assert(w == 7 && h == 5 && back.sameElements(rgb))
+    // PPM decoder must NOT claim it; the image dispatcher must
+    assert(MediaCodec.decodePpm(enc).isEmpty)
+    assert(MediaCodec.decodeImage(enc).isDefined)
+  }
+
+  test("PNG unfiltering handles Sub/Up/Average/Paeth rows") {
+    // craft a PNG whose rows use every non-trivial filter; CRCs are not
+    // validated by the decoder so the test builds chunks directly
+    val w = 4; val h = 4; val bpp = 3
+    val rgb = Array.tabulate[Byte](w * h * bpp)(j => ((j * 31 + 7) % 256).toByte)
+    def px(y: Int, x: Int): Int = if (x < 0 || y < 0) 0 else rgb(y * w * bpp + x) & 0xff
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val filters = Array(4, 1, 2, 3) // Paeth on y=0 exercises the b=c=0 edge
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      raw.write(filters(y))
+      for (x <- 0 until w * bpp) {
+        val v = px(y, x)
+        val pred = filters(y) match {
+          case 1 => px(y, x - bpp)
+          case 2 => px(y - 1, x)
+          case 3 => (px(y, x - bpp) + px(y - 1, x)) / 2
+          case 4 => paeth(px(y, x - bpp), px(y - 1, x), px(y - 1, x - bpp))
+        }
+        raw.write((v - pred) & 0xff)
+      }
+    }
+    val d = new java.util.zip.Deflater(); d.setInput(raw.toByteArray); d.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) idat.write(tmp, 0, d.deflate(tmp))
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tag.getBytes("US-ASCII")).put(data).putInt(0).array()
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val Some((dw, dh, back)) = MediaCodec.decodePng(png)
+    assert(dw == w && dh == h && back.sameElements(rgb))
+  }
+
+  test("PNG grayscale and RGBA normalize to RGB triplets") {
+    // build gray (colorType 0) and RGBA (colorType 6) images with filter-0
+    // rows through the same chunk assembly
+    def build(colorType: Int, bpp: Int, pix: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        raw.write(0)
+        raw.write(pix, y * w * bpp, w * bpp)
+      }
+      val d = new java.util.zip.Deflater(); d.setInput(raw.toByteArray); d.finish()
+      val idat = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!d.finished()) idat.write(tmp, 0, d.deflate(tmp))
+      def chunk(tag: String, data: Array[Byte]): Array[Byte] =
+        java.nio.ByteBuffer.allocate(12 + data.length)
+          .putInt(data.length).put(tag.getBytes("US-ASCII")).put(data).putInt(0).array()
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val gray = Array.tabulate[Byte](6)(j => (j * 40).toByte) // 3x2 gray
+    val Some((_, _, g)) = MediaCodec.decodePng(build(0, 1, gray, 3, 2))
+    assert(g.grouped(3).zip(gray.iterator).forall { case (t, v) => t.forall(_ == v) })
+    val rgba = Array.tabulate[Byte](2 * 2 * 4)(j => (j * 11).toByte)
+    val Some((_, _, c)) = MediaCodec.decodePng(build(6, 4, rgba, 2, 2))
+    val expected = (0 until 4).flatMap(i => rgba.slice(i * 4, i * 4 + 3)).toArray
+    assert(c.sameElements(expected))
+  }
+
   test("corrupt payloads fall back to the opaque decoder, never throw") {
     val junk = Array.tabulate[Byte](50)(j => (j * 3).toByte)
     assert(MediaCodec.decode("image", junk).sameElements(MediaCodec.decodeOpaque(junk)))
@@ -52,7 +136,7 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { r =>
       r.kind match {
         case "image" =>
-          val Some((w, h, rgb)) = MediaCodec.decodePpm(r.payload)
+          val Some((w, h, rgb)) = MediaCodec.decodeImage(r.payload)
           assert(w == r.width && h == r.height && rgb.length == w * h * 3)
         case "audio" =>
           val Some((rate, samples)) = MediaCodec.decodeWav(r.payload)
@@ -95,7 +179,7 @@ class MultimodalSpec extends SparkSpec {
     resized.foreach { r =>
       r.kind match {
         case "image" =>
-          val Some((w, h, rgb)) = MediaCodec.decodePpm(r.payload)
+          val Some((w, h, rgb)) = MediaCodec.decodeImage(r.payload)
           assert(w == 4 && h == 3 && rgb.length == 36 && r.width == 4 && r.height == 3)
         case "video" =>
           val frames = MediaCodec.decodePpmStream(r.payload)
