@@ -91,7 +91,22 @@ object SparkEntry {
     "q51_percentiles" -> q(Analytics.pricePercentiles),
     "q52_histogram" -> q(t => Analytics.priceHistogram(t)),
     "q53_pivot" -> q(Analytics.eventTypePivot),
-    "q54_unpivot" -> q(Analytics.eventTypeUnpivot))
+    "q54_unpivot" -> q(Analytics.eventTypeUnpivot),
+    "q55_bitmap_distinct" -> q(Ingest.dailySummaryBitmap))
+
+  private val dailySummarySql: String =
+    s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+       | CAST(month(l_shipdate) AS INTEGER) AS month,
+       | count(*) AS total_rows,
+       | ${O.dsum("l_quantity")} AS sum_quantity,
+       | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS total_revenue,
+       | ${O.davg("l_extendedprice")} AS avg_price,
+       | count(DISTINCT l_partkey) AS distinct_parts,
+       | count(DISTINCT l_orderkey) AS distinct_orders
+       |FROM lineitem
+       |WHERE l_shipdate IS NOT NULL AND l_quantity > 0
+       |  AND l_extendedprice > 0 AND l_linenumber BETWEEN 1 AND 7
+       |GROUP BY 1, 2 ORDER BY year DESC, month DESC""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Round 2: the sketch/LSH/ANN family runs in
@@ -194,19 +209,10 @@ object SparkEntry {
         |WHERE l_shipdate IS NOT NULL AND l_quantity > 0
         |  AND l_extendedprice > 0 AND l_linenumber BETWEEN 1 AND 7
         |ORDER BY order_id, line_number""".stripMargin,
-    "q03_daily_summary" ->
-      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
-         | CAST(month(l_shipdate) AS INTEGER) AS month,
-         | count(*) AS total_rows,
-         | ${O.dsum("l_quantity")} AS sum_quantity,
-         | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS total_revenue,
-         | ${O.davg("l_extendedprice")} AS avg_price,
-         | count(DISTINCT l_partkey) AS distinct_parts,
-         | count(DISTINCT l_orderkey) AS distinct_orders
-         |FROM lineitem
-         |WHERE l_shipdate IS NOT NULL AND l_quantity > 0
-         |  AND l_extendedprice > 0 AND l_linenumber BETWEEN 1 AND 7
-         |GROUP BY 1, 2 ORDER BY year DESC, month DESC""".stripMargin,
+    "q03_daily_summary" -> dailySummarySql,
+    // q55 is the one-pass bitmap-distinct twin of q03: identical semantics,
+    // identical oracle — only the Spark plan differs (no Expand)
+    "q55_bitmap_distinct" -> dailySummarySql,
     "q04_count_distinct" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          | count(DISTINCT o_custkey) AS distinct_customers,

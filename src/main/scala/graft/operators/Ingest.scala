@@ -64,4 +64,28 @@ object Ingest {
         countDistinct(col("order_id")).as("distinct_orders"))
       .orderBy(col("year").desc, col("month").desc)
   }
+
+  /** [[dailySummary]] with the SAME exact results in ONE pass: two or more
+    * `count(DISTINCT …)` in one aggregate make Spark plan an Expand that
+    * replicates every input row once per distinct column (the 3× row
+    * multiplication that dominates q03's cost); the Roaring-style
+    * [[graft.functions.BitmapDistinct]] aggregate keeps exact distinct
+    * counts mergeable, so the plan is a plain single-shuffle hash
+    * aggregate whose partials carry compressed bitmaps instead of
+    * replicated rows. Identical output — shares q03's oracle SQL. */
+  def dailySummaryBitmap(t: Tables): DataFrame = {
+    import graft.functions.{BitmapDistinct, ExactAgg}
+    import ExactAgg._
+    BitmapDistinct.register(t.spark)
+    cleanFact(t)
+      .groupBy(col("year"), col("month"))
+      .agg(
+        count(lit(1)).as("total_rows"),
+        dsum(col("quantity")).as("sum_quantity"),
+        dsumRevenue(col("extended_price"), col("discount")).as("total_revenue"),
+        davg(col("extended_price")).as("avg_price"),
+        BitmapDistinct.bitmapDistinct(col("part_id")).as("distinct_parts"),
+        BitmapDistinct.bitmapDistinct(col("order_id")).as("distinct_orders"))
+      .orderBy(col("year").desc, col("month").desc)
+  }
 }
