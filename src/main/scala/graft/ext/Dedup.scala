@@ -293,6 +293,82 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * converges in O(log n) rounds regardless of component DIAMETER, where
+    * [[connectedComponents]]' min-label propagation needs diameter rounds —
+    * the difference between 10 and 10,000 shuffles on an adversarial chain.
+    * Each round is two groupBy-join phases over the current edge set:
+    *
+    *  - large-star: every node's LARGER neighbors re-attach to the minimum
+    *    of its neighborhood (strictly decreases large edges);
+    *  - small-star: every node and its SMALLER neighbors re-attach to that
+    *    minimum (flattens the stars).
+    *
+    * At convergence every non-minimum node carries exactly one edge to its
+    * component minimum. Convergence is detected by an (count, checksum)
+    * fingerprint of the canonical edge set — at cluster scale that is two
+    * scalar aggregates per round, no set comparison.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges0: DataFrame, maxIters: Int = 30): DataFrame = {
+    var edges = edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("u") * 13 + col("v")), lit(0L)).as("s")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // LARGE-STAR over both directions: m(a) = min(Γ(a) ∪ {a});
+      // each larger neighbor b > a re-attaches as edge (m(a), b)
+      val dir = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mLarge = dir.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val afterLarge = dir.filter(col("b") > col("a"))
+        .join(mLarge, "a")
+        .filter(col("b") =!= col("m"))
+        .select(least(col("m"), col("b")).as("u"), greatest(col("m"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint()
+
+      // SMALL-STAR over the larger→smaller direction: for each a with
+      // smaller neighbors S, all of S ∪ {a} except the minimum re-attach
+      // to the minimum
+      val dirS = afterLarge.select(col("v").as("a"), col("u").as("b")) // b < a
+      val mSmall = dirS.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val reattached = dirS.join(mSmall, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("m").as("u"), col("b").as("v"))
+      val selfEdges = mSmall.select(col("m").as("u"), col("a").as("v"))
+      val next = reattached.union(selfEdges)
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+        .localCheckpoint()
+
+      val nextFp = fingerprint(next)
+      converged = nextFp == fp
+      fp = nextFp
+      edges = next
+      iter += 1
+    }
+
+    // at convergence edges are (componentMin, member) stars
+    nodes.as("n")
+      .join(edges, col("n.id") === col("v"), "left")
+      .select(col("n.id").as("id"), coalesce(col("u"), col("n.id")).as("component"))
+  }
+
   /** Transitive closure of the near-dup relation: clusters over the
     * [[minhashDupPairs]] edge set. A dedup pipeline needs this step — pair
     * lists alone under-delete (A~B and B~C must collapse to ONE canonical

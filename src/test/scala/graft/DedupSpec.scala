@@ -141,6 +141,34 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("large-star/small-star CC matches min-label propagation on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .toDF("src", "dst")
+      val star = Dedup.connectedComponentsStar(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prop = Dedup.connectedComponents(nodes, edges, maxIters = 250)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == prop, s"seed $seed diverged")
+    }
+  }
+
+  test("star CC collapses a diameter-300 chain within its O(log n) budget") {
+    import spark.implicits._
+    val n = 300L
+    val nodes = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    // maxIters = 30 ≪ diameter: only the star algorithm can finish this
+    val out = Dedup.connectedComponentsStar(nodes, chain, maxIters = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.forall(_._2 == 0L), out.filter(_._2 != 0L).take(5).mkString(","))
+  }
+
   test("dupClusters: transitive closure of the pair list, consistent sizes") {
     val clusters = Dedup.dupClusters(t, minJaccard = 0.2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
