@@ -260,6 +260,37 @@ object Similarity {
     ivfProbe(cents, assigned, queryVectors(t, nQueries), k, nProbe)
   }
 
+  /** Persist the IVF index as catalog tables: a small centroid table and
+    * the inverted-list assignment PARTITIONED BY centroid_id. This is the
+    * real serve-path contract: probing nProbe of nCentroids lists reads
+    * only those partitions' files — dynamic partition pruning turns the
+    * probe join into a file-skipping scan (asserted in SimilaritySpec),
+    * so serve cost tracks nProbe/nCentroids of the corpus, not the
+    * corpus. Build cost (count, Lloyd passes, the write) all lives here,
+    * once. */
+  def ivfWriteIndex(t: Tables, prefix: String,
+                    nCentroids: Int = 16, iters: Int = 2): Unit = {
+    val (cents, assigned) = ivfBuildIndexRefined(t, nCentroids, iters)
+    graft.sources.TableIO.truncateReload(
+      t.spark, s"${prefix}_centroids",
+      cents.select(col("centroid_id"), col("cvec")))
+    graft.sources.TableIO.truncateReload(
+      t.spark, s"${prefix}_lists",
+      assigned.select(col("vec_id"), col("embedding"), col("centroid_id")),
+      partitionCols = Seq("centroid_id"))
+  }
+
+  /** Serve-path top-k over a [[ivfWriteIndex]]-persisted index: no build
+    * work, no driver actions — route queries via the centroid table, join
+    * the probed lists (partition-pruned), exact re-rank. */
+  def ivfTopKServed(t: Tables, prefix: String, nQueries: Int = 8,
+                    k: Int = 5, nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val cents = broadcast(t.spark.table(s"${prefix}_centroids"))
+    val assigned = t.spark.table(s"${prefix}_lists")
+    ivfProbe(cents, assigned, queryVectors(t, nQueries), k, nProbe)
+  }
+
   /** Per-label embedding statistics (norms, means) — the sanity-report shape
     * over vector columns. */
   def embeddingStats(t: Tables): DataFrame =

@@ -56,4 +56,28 @@ class SimilaritySpec extends SparkSpec {
     val lsh = recall(pairs(Similarity.lshBucketedTopK(t, 8, 5)), truth)
     assert(lsh > 0.3, s"LSH recall degenerate: $lsh")
   }
+
+  test("persisted IVF index: served results match build-path; probes prune partitions") {
+    import org.apache.spark.sql.functions._
+    val t = sf("sf0.001")
+    val prefix = s"ivf_idx_${System.nanoTime()}"
+    try {
+      Similarity.ivfWriteIndex(t, prefix, nCentroids = 16, iters = 1)
+      // the lists table is partitioned by centroid_id
+      val parts = spark.sql(s"SHOW PARTITIONS ${prefix}_lists").count()
+      assert(parts > 1, s"expected partitioned lists table, got $parts partitions")
+      val served = Similarity.ivfTopKServed(t, prefix, nQueries = 8, k = 5, nProbe = 4)
+      val built = Similarity.ivfTopKRefined(t, 8, 5, nCentroids = 16, nProbe = 4, iters = 1)
+      assert(served.collect().map(_.toSeq).toSeq == built.collect().map(_.toSeq).toSeq)
+      // the serve-path scan of the lists table is partition-pruned: either
+      // statically or via a dynamic-pruning subquery on centroid_id
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning") ||
+        plan.contains("PartitionFilters: [isnotnull(centroid_id"),
+        s"probe scan not partition-pruned:\n${plan.take(3000)}")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_lists")
+    }
+  }
 }
