@@ -318,9 +318,16 @@ object Dedup {
       .localCheckpoint()
 
     def fingerprint(e: DataFrame): (Long, Long) = {
+      // order-independent set fingerprint over a hash of each edge — a
+      // plain linear checksum (sum of u*13+v) collides between edge sets
+      // like {(1,4),(2,3)} and {(1,3),(2,4)}, which would stop the loop on
+      // a non-star edge set. Per-edge hashes are folded to 40 bits so the
+      // ANSI-mode sum stays exact up to 2^23 edges (wrap past that would
+      // only weaken, not break, the convergence check — count still guards)
       val r = e.agg(
         count(lit(1)).as("n"),
-        coalesce(sum(col("u") * 13 + col("v")), lit(0L)).as("s")).collect()(0)
+        coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1L << 40))), lit(0L)).as("s"))
+        .collect()(0)
       (r.getLong(0), r.getLong(1))
     }
 
@@ -363,10 +370,14 @@ object Dedup {
       iter += 1
     }
 
-    // at convergence edges are (componentMin, member) stars
+    // at convergence edges are (componentMin, member) stars; the min-
+    // aggregate guarantees ONE row per node even if maxIters exhausted
+    // before a perfect fixpoint (a node then takes its smallest attachment)
     nodes.as("n")
       .join(edges, col("n.id") === col("v"), "left")
       .select(col("n.id").as("id"), coalesce(col("u"), col("n.id")).as("component"))
+      .groupBy(col("id"))
+      .agg(min(col("component")).as("component"))
   }
 
   /** Transitive closure of the near-dup relation: clusters over the

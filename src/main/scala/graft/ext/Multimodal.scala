@@ -95,8 +95,11 @@ object Multimodal {
         if maxval == 255 && w > 0 && h > 0
         // exactly one whitespace byte separates the header from the raster
         _ <- if (pos < payload.length) { pos += 1; Some(()) } else None
-        n = w * h * 3
-        if pos + n <= payload.length
+        // raster size computed in Long: a corrupt header declaring huge
+        // dimensions must degrade to None, not overflow Int and crash
+        nL = w.toLong * h * 3
+        if pos + nL <= payload.length
+        n = nL.toInt // safe: bounded by payload.length above
       } yield {
         val rgb = java.util.Arrays.copyOfRange(payload, pos, pos + n)
         (w, h, rgb, pos + n - offset)
@@ -155,7 +158,11 @@ object Multimodal {
         id match {
           case "fmt " if size >= 16 =>
             val audioFormat = bb.getShort(pos + 8)
-            if (audioFormat != 1) return None // only uncompressed PCM here
+            val numChannels = bb.getShort(pos + 10)
+            // contract is PCM 16-bit MONO: multi-channel data would decode
+            // as channel-interleaved "mono" (wrong sample count, broken
+            // downsampling), so it degrades to the opaque fallback instead
+            if (audioFormat != 1 || numChannels != 1) return None
             sampleRate = bb.getInt(pos + 12)
             bitsPerSample = bb.getShort(pos + 22)
           case "data" =>
@@ -242,6 +249,9 @@ object Multimodal {
       }
       if (w <= 0 || h <= 0 || idat.size == 0) return None
       val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+      // dimension sanity in Long: a corrupt IHDR declaring billions of
+      // pixels must return None, not wrap Int and throw on allocation
+      if (w.toLong * h > (1L << 26) || w.toLong * h * (bpp + 1) + h > Int.MaxValue) return None
       val stride = w * bpp
       val raw = new Array[Byte](h * (1 + stride))
       val inflater = new java.util.zip.Inflater
@@ -389,14 +399,16 @@ object Multimodal {
     media.map { r =>
       r.kind match {
         case "image" =>
-          val isPng = MediaCodec.decodePng(r.payload).isDefined
-          MediaCodec.decodeImage(r.payload).fold(r) { case (w, h, rgb) =>
-            val resampled = resample(w, h, rgb)
-            r.copy(
-              payload =
-                if (isPng) MediaCodec.encodePng(targetW, targetH, resampled)
-                else MediaCodec.encodePpm(targetW, targetH, resampled),
-              width = targetW, height = targetH)
+          // decode ONCE, remembering which format claimed the payload
+          MediaCodec.decodePng(r.payload) match {
+            case Some((w, h, rgb)) =>
+              r.copy(payload = MediaCodec.encodePng(targetW, targetH, resample(w, h, rgb)),
+                width = targetW, height = targetH)
+            case None =>
+              MediaCodec.decodePpm(r.payload).fold(r) { case (w, h, rgb) =>
+                r.copy(payload = MediaCodec.encodePpm(targetW, targetH, resample(w, h, rgb)),
+                  width = targetW, height = targetH)
+              }
           }
         case "video" =>
           val frames = MediaCodec.decodePpmStream(r.payload)

@@ -170,16 +170,24 @@ object Similarity {
     * size the centroid stride) and the assignment pass belong here; at
     * scale the assignment is written out partitioned BY centroid_id and the
     * serve path ([[ivfTopK]]'s probe side) never re-derives it. */
-  def ivfBuildIndex(t: Tables, nCentroids: Int = 16): (DataFrame, DataFrame) = {
+  /** The strided coverage-sample seed centroids (deterministic). Split out
+    * of [[ivfBuildIndex]] so the refined build can seed WITHOUT paying a
+    * full-corpus assignment pass it would immediately recompute. */
+  private def ivfSeedCentroids(t: Tables, nCentroids: Int): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val n = emb.count() // index-build-time only — never on the probe path
     val stride = math.max(1L, n / nCentroids)
-    val cents = broadcast(
+    broadcast(
       emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .orderBy(col("vec_id")) // bare limit() is partition-order dependent
         .limit(nCentroids)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec")))
+  }
+
+  def ivfBuildIndex(t: Tables, nCentroids: Int = 16): (DataFrame, DataFrame) = {
+    val cents = ivfSeedCentroids(t, nCentroids)
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
     val assigned = nearestLists(cents, emb, "vec_id", "embedding", 1)
       .localCheckpoint() // the persisted inverted-list table at scale
     (cents, assigned)
@@ -198,8 +206,10 @@ object Similarity {
     val emb = t.embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("embedding"))
       .localCheckpoint() // iterated over; avoid re-reading parquet per pass
-    var (cents, assigned) = ivfBuildIndex(t, nCentroids)
-    cents = cents.select(col("centroid_id"), toDouble(col("cvec")).as("cvec"))
+    // seed WITHOUT ivfBuildIndex: its full-corpus assignment would be
+    // discarded and recomputed by the first Lloyd pass anyway
+    var cents = ivfSeedCentroids(t, nCentroids)
+      .select(col("centroid_id"), toDouble(col("cvec")).as("cvec"))
     for (_ <- 1 to iters) {
       val members = nearestLists(broadcast(cents), emb, "vec_id", "embedding", 1)
       // per-dimension decimal mean; array re-assembled in dimension order

@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 
-/** EXACT distinct counting over non-negative int-keyed columns via a
-  * Roaring-style compressed bitmap (Chambi et al., "Better bitmap
+/** EXACT distinct counting over non-negative integral key columns (full
+  * long range) via a Roaring-style compressed bitmap (Chambi et al., "Better bitmap
   * performance with Roaring bitmaps", 2016) — array containers below 4096
   * values per 64K-key block, dense 8 KiB bitmap containers above.
   *
@@ -80,15 +80,17 @@ object BitmapDistinct {
       }
   }
 
-  /** Aggregate buffer: high-16-bits → container. */
+  /** Aggregate buffer: high-48-bits → container, so the full non-negative
+    * long key space is supported (TPC-H orderkeys pass 2^31 well before
+    * 100 TB; a 2^31 cap would fail exactly at the scale this aggregate is
+    * for). */
   final class BitmapBuffer {
     private[functions] val containers =
-      new java.util.TreeMap[Integer, Container]()
+      new java.util.TreeMap[java.lang.Long, Container]()
 
     def add(v: Long): Unit = {
-      require(v >= 0 && v <= Int.MaxValue,
-        s"bitmap_distinct requires keys in [0, 2^31): got $v")
-      val high = (v >>> 16).toInt
+      require(v >= 0, s"bitmap_distinct requires non-negative keys: got $v")
+      val high = v >>> 16
       var c = containers.get(high)
       if (c == null) { c = new Container; containers.put(high, c) }
       c.add((v & 0xffff).toInt)
@@ -142,12 +144,12 @@ object BitmapDistinct {
     override def serialize(buffer: BitmapBuffer): Array[Byte] = {
       var size = 4
       buffer.containers.forEach { (_, c) =>
-        size += 4 + 1 + (if (c.dense) 8192 else 4 + 2 * c.n)
+        size += 8 + 1 + (if (c.dense) 8192 else 4 + 2 * c.n)
       }
       val bb = java.nio.ByteBuffer.allocate(size)
       bb.putInt(buffer.containers.size)
       buffer.containers.forEach { (high, c) =>
-        bb.putInt(high)
+        bb.putLong(high)
         if (c.dense) {
           bb.put(1.toByte)
           var w = 0
@@ -167,7 +169,7 @@ object BitmapDistinct {
       val nContainers = bb.getInt()
       var k = 0
       while (k < nContainers) {
-        val high = bb.getInt()
+        val high = bb.getLong()
         val c = new Container
         if (bb.get() == 1.toByte) {
           c.words = new Array[Long](1024)

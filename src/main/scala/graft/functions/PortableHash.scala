@@ -75,17 +75,25 @@ object PortableHash {
   def hash62(s: UTF8String): Long =
     (fold(s, BaseA, PA) << 31) | fold(s, BaseB, PB)
 
+  /** Code points of a string as a BIGINT list, matching the Scala fold on
+    * EMPTY strings too: DuckDB's `string_split('', '')` yields `['']` and
+    * `unicode('')` is -1, which would hash '' to -1 where the Scala fold
+    * over zero characters returns the seed 0 — the filter drops that
+    * phantom element (and nothing else: real characters are never ''). */
+  private def codePoints(expr: String): String =
+    s"list_transform(list_filter(string_split($expr, ''), c -> c <> ''), c -> CAST(unicode(c) AS BIGINT))"
+
   /** DuckDB SQL replaying [[hash32]] over a string-valued SQL expression. */
   def hash32Sql(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
+       |  ${codePoints(expr)}),
        |  (acc, x) -> (acc * $BaseA + x) % $P32)""".stripMargin
 
   /** DuckDB SQL replaying [[hash62]]. */
   def hash62Sql(expr: String): String = {
     def lane(base: Long, mod: Long) =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))),
+         |  ${codePoints(expr)}),
          |  (acc, x) -> (acc * $base + x) % $mod)""".stripMargin
     s"((${lane(BaseA, PA)}) * 2147483648 + (${lane(BaseB, PB)}))"
   }

@@ -48,6 +48,16 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(!bitmap.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  test("keys beyond 2^31 (large-SF orderkeys) count exactly") {
+    BitmapDistinct.register(spark)
+    import spark.implicits._
+    val base = 5000000000L // > 2^31
+    val df = (0 until 10000).map(i => base + (i % 5000) * 7L).toDF("k")
+    val got = df.repartition(5)
+      .agg(BitmapDistinct.bitmapDistinct(col("k"))).collect()(0).getLong(0)
+    assert(got == 5000L)
+  }
+
   test("negative keys are rejected loudly, not silently wrapped") {
     BitmapDistinct.register(spark)
     import spark.implicits._
