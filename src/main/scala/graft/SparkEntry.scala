@@ -92,7 +92,8 @@ object SparkEntry {
     "q52_histogram" -> q(t => Analytics.priceHistogram(t)),
     "q53_pivot" -> q(Analytics.eventTypePivot),
     "q54_unpivot" -> q(Analytics.eventTypeUnpivot),
-    "q55_bitmap_distinct" -> q(Ingest.dailySummaryBitmap))
+    "q55_bitmap_distinct" -> q(Ingest.dailySummaryBitmap),
+    "q56_data_mix" -> q(graft.ext.Sampling.documentMix))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -121,6 +122,7 @@ object SparkEntry {
     "q41_embedding_near_dups" -> SketchOracleSql.embeddingNearDups,
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
+    "q56_data_mix" -> graft.ext.Sampling.documentMixSql,
     "q49_sessionization" ->
       s"""WITH ordered AS (
          |  SELECT user_id, event_id, ts, value,

@@ -68,6 +68,40 @@ object Sampling {
   def deterministicSample(df: DataFrame, id: Column, pct: Int): DataFrame =
     df.filter(hashBucket(id) < pct)
 
+  /** Data mixing: per-stratum deterministic sampling rates — the primitive
+    * behind training-mix weights ("keep 80% of English, 30% of French").
+    * Same anti-leak hash assignment as [[splitColumn]], so a row's fate is
+    * fixed forever regardless of corpus growth or layout; the stratum only
+    * chooses WHICH percentage applies. The rate lookup compiles to a CASE
+    * ladder and the whole mix is a scan-level filter — no shuffle, no
+    * sampling state. */
+  def mixByStratum(df: DataFrame, stratum: Column, id: Column,
+                   ratesPct: Seq[(String, Int)], defaultPct: Int): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+      when(stratum === lit(k), lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(id) < rate)
+  }
+
+  /** q56: the documents corpus mixed at per-language rates. */
+  def documentMix(t: Tables): DataFrame =
+    mixByStratum(t.documents, col("lang"), col("doc_id"),
+      Seq("en" -> 80, "fr" -> 30, "es" -> 50), defaultPct = 10)
+      .select(col("doc_id"), col("lang"), hashBucket(col("doc_id")).as("bucket"))
+      .orderBy(col("doc_id"))
+
+  /** The DuckDB mirror of [[documentMix]]. */
+  val documentMixSql: String = {
+    val b = s"(${splitHashSql("doc_id")}) % 100"
+    s"""SELECT doc_id, lang, $b AS bucket
+       |FROM documents
+       |WHERE $b < (CASE WHEN lang = 'en' THEN 80
+       |                 WHEN lang = 'fr' THEN 30
+       |                 WHEN lang = 'es' THEN 50
+       |                 ELSE 10 END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q48: per-document split assignment + per-(lang, split) counts — both
     * the row-level assignment and the stratification summary a pipeline
     * records next to a dataset release. */

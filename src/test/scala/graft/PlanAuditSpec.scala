@@ -142,6 +142,26 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set(bcast, prev)
   }
 
+  test("q46 as-of join: union + one window, zero join operators") {
+    val df = graft.operators.TemporalJoins.purchaseAttribution(sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the as-of compiles to a running-last window over the unioned sides —
+    // no join operator of any kind, hence no range-explosion risk
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"as-of should not plan a join:\n${p.take(2000)}")
+  }
+
+  test("q47 banded range join plans an equi-join, never a nested loop") {
+    val df = graft.operators.TemporalJoins.eventPairsWithin(sf(), 600)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"range join degenerated to a nested loop:\n${p.take(2000)}")
+  }
+
   test("aggregation on the bucket key skips its Exchange") {
     import graft.sources.TableIO
     val tO = s"b_agg_${System.nanoTime()}"

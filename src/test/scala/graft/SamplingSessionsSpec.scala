@@ -40,6 +40,23 @@ class SamplingSessionsSpec extends SparkSpec {
     assert(math.abs(kb.size / 1000.0 - 0.10) < 0.04)
   }
 
+  test("mixByStratum applies per-stratum rates; kept sets nest by rate") {
+    val docs = sf().documents
+    def keptIds(rates: Seq[(String, Int)]) =
+      Sampling.mixByStratum(docs, col("lang"), col("doc_id"), rates, 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val half = keptIds(Seq("en" -> 50))
+    val most = keptIds(Seq("en" -> 90))
+    // raising a stratum's rate only ADDS rows — lower-rate selections are
+    // strict subsets (the property that makes mixes reproducible/resumable)
+    assert(half.subsetOf(most))
+    assert(half.nonEmpty && half.size < most.size)
+    // non-listed strata use the default (0 here): nothing but 'en' kept
+    val langs = Sampling.mixByStratum(docs, col("lang"), col("doc_id"), Seq("en" -> 50), 0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"))
+  }
+
   test("session_window semantics: merge under gap, split at exactly the gap") {
     import spark.implicits._
     // handcrafted events fixture (ts as int64 nanos, the testdata contract)
