@@ -93,7 +93,8 @@ object SparkEntry {
     "q53_pivot" -> q(Analytics.eventTypePivot),
     "q54_unpivot" -> q(Analytics.eventTypeUnpivot),
     "q55_bitmap_distinct" -> q(Ingest.dailySummaryBitmap),
-    "q56_data_mix" -> q(graft.ext.Sampling.documentMix))
+    "q56_data_mix" -> q(graft.ext.Sampling.documentMix),
+    "q57_rollup" -> q(Analytics.monthlyRollup))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -123,6 +124,19 @@ object SparkEntry {
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
     "q56_data_mix" -> graft.ext.Sampling.documentMixSql,
+    "q57_rollup" ->
+      s"""WITH base AS (
+         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+         |   CAST(month(l_shipdate) AS INTEGER) AS month,
+         |   l_quantity, l_extendedprice, l_discount
+         |  FROM lineitem)
+         |SELECT year, month,
+         | CAST(GROUPING(year, month) AS INTEGER) AS gid,
+         | count(*) AS n_rows,
+         | ${O.dsum("l_quantity")} AS sum_qty,
+         | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM base GROUP BY ROLLUP (year, month)
+         |ORDER BY gid, year ASC NULLS FIRST, month ASC NULLS FIRST""".stripMargin,
     "q49_sessionization" ->
       s"""WITH ordered AS (
          |  SELECT user_id, event_id, ts, value,

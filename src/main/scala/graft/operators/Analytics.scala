@@ -106,6 +106,26 @@ object Analytics {
         col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Hierarchical totals via ROLLUP: (year, month) leaves, per-year
+    * subtotals, and a grand total in ONE aggregate — Spark plans a single
+    * Expand (one replica per grouping set) with map-side partials, versus
+    * three scans + union for the manual form. `grouping_id` labels the
+    * level (bit = column aggregated away), letting consumers split leaves
+    * from subtotals without null-guessing. */
+  def monthlyRollup(t: Tables): DataFrame =
+    t.lineitem
+      .select(
+        year(col("l_shipdate")).as("year"),
+        month(col("l_shipdate")).as("month"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .rollup(col("year"), col("month"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("gid"), col("year").asc_nulls_first, col("month").asc_nulls_first)
+
   /** Exact discrete percentiles per group. `percentile_disc` SELECTS an
     * actual element (no interpolation), so the result is bit-identical
     * across engines by construction — interpolating forms (`percentile`,
