@@ -30,6 +30,33 @@ class StatefulDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in dropDuplicatesWithinWatermark twin: dups within the window swallowed") {
+    // the custom flatMapGroupsWithState dedup above carries a replay
+    // counter; when only suppression is needed, Spark's built-in
+    // watermark-bounded dedup is the zero-code alternative — state evicts
+    // once the watermark passes, the bounded-state property our custom
+    // retentionMs timeout provides
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val in = MemoryStream[(String, Timestamp)]
+    val q = in.toDF().toDF("key", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("key")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wm_dedup").start()
+    try {
+      in.addData(("a", ts(0)), ("a", ts(1)), ("b", ts(2)))
+      q.processAllAvailable()
+      in.addData(("a", ts(3))) // still within the watermark window: swallowed
+      q.processAllAvailable()
+      val keys = spark.table("wm_dedup").select("key").as[String].collect().sorted
+      assert(keys.sameElements(Array("a", "b")), keys.mkString(","))
+    } finally q.stop()
+  }
+
   test("batch twin keeps first-by-ts per key") {
     import spark.implicits._
     val df = Seq(("a", "v1", 1L), ("a", "v2", 2L), ("b", "x", 5L))
