@@ -77,7 +77,10 @@ object Sampling {
     * sampling state. */
   def mixByStratum(df: DataFrame, stratum: Column, id: Column,
                    ratesPct: Seq[(String, Int)], defaultPct: Int): DataFrame = {
-    val rate = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (k, pct)) =>
+    // foldRight so the FIRST matching entry wins, like the CASE ladder a
+    // SQL mirror writes top-down (foldLeft would silently reverse
+    // precedence for duplicate/overridden keys)
+    val rate = ratesPct.foldRight(lit(defaultPct): Column) { case ((k, pct), acc) =>
       when(stratum === lit(k), lit(pct)).otherwise(acc)
     }
     df.filter(hashBucket(id) < rate)
