@@ -86,19 +86,30 @@ object SketchOracleSql {
        |FROM sig ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain ending in `dup_pairs`: LSH banding (8 bands × 4 rows,
-    * portable band fold) → candidate pairs → exact shingle-set Jaccard
-    * ≥ 0.2. Used by q34 (the pair list itself) and q45 (clusters over it). */
-  private val dupPairsCtes: String =
+    * portable band fold) → bucket-cap salting (mirrors
+    * [[graft.ext.Dedup.saltedBuckets]]: buckets over the cap split into
+    * ⌈n/cap⌉ splitHash-salted sub-buckets; buckets at/under the cap get
+    * nSalts = 1 ⇒ salt 0, identical to unsalted) → candidate pairs →
+    * exact shingle-set Jaccard ≥ 0.2. Used by q34 (the pair list itself)
+    * and q45 (clusters over it). */
+  private val dupPairsCtes: String = {
+    val cap = graft.ext.Dedup.DefaultBucketCap
     s"""$shingleCte,
        |$sigCte,
        |bands AS (
        |  SELECT doc_id, b AS band_id,
        |    ${PortableHash.foldLongsSql("list_prepend(CAST(b AS BIGINT), sig[b*4+1 : b*4+4])")} AS bucket
        |  FROM sig CROSS JOIN range(0, 8) t(b)),
+       |bsz AS (SELECT band_id, bucket, count(*) AS bucket_n FROM bands GROUP BY 1, 2),
+       |salted AS (
+       |  SELECT doc_id, band_id, bucket,
+       |    (${graft.ext.Sampling.splitHashSql("doc_id")}) % ((bucket_n + ${cap - 1}) // $cap) AS salt
+       |  FROM bands JOIN bsz USING (band_id, bucket)),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+       |  FROM salted l JOIN salted r
+       |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.salt = r.salt
+       |   AND l.doc_id < r.doc_id),
        |sets AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh),
        |dup_pairs AS (
        |  SELECT doc_a, doc_b, jaccard FROM (
@@ -107,6 +118,7 @@ object SketchOracleSql {
        |        / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
        |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
        |  WHERE jaccard >= 0.2)""".stripMargin
+  }
 
   /** q34: the near-dup pair list. */
   val minhashDupPairs: String =
@@ -178,20 +190,29 @@ object SketchOracleSql {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q41: embedding near-dup pairs — 2 bands × 8 bits over the whole
-    * corpus, exact cosine ≥ 0.3. */
-  val embeddingNearDups: String =
+    * corpus, bucket-cap salting (mirror of
+    * [[graft.ext.Dedup.saltedBuckets]]), exact cosine ≥ 0.3. */
+  val embeddingNearDups: String = {
+    val cap = graft.ext.Dedup.DefaultBucketCap
     s"""WITH $srpCte,
        |banded AS (
        |  SELECT vec_id, b AS band_id, (sig >> (b * 8)) & 255 AS bucket
        |  FROM sigs CROSS JOIN range(0, 2) t(b)),
+       |bsz AS (SELECT band_id, bucket, count(*) AS bucket_n FROM banded GROUP BY 1, 2),
+       |salted AS (
+       |  SELECT vec_id, band_id, bucket,
+       |    (${graft.ext.Sampling.splitHashSql("vec_id")}) % ((bucket_n + ${cap - 1}) // $cap) AS salt
+       |  FROM banded JOIN bsz USING (band_id, bucket)),
        |pairs AS (
        |  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
-       |  FROM banded l JOIN banded r
-       |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |  FROM salted l JOIN salted r
+       |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.salt = r.salt
+       |   AND l.vec_id < r.vec_id)
        |SELECT vec_a, vec_b, cosine FROM (
        |  SELECT vec_a, vec_b, ${cosSql("a.vec", "b.vec")} AS cosine
        |  FROM pairs JOIN emb a ON vec_a = a.vec_id JOIN emb b ON vec_b = b.vec_id)
        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+  }
 
   /** q43: IVF — id-strided coarse centroids (n/16 stride, first 16 by
     * vec_id), nearest-centroid assignment, 4-list probes for queries

@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   *    signature hash is shuffled, and candidate pairs come from a self-join
   *    on (band, bucket) — the classic shingle→minhash→band→bucket-join plan
   *    whose cost is O(docs·bands) shuffle rows rather than O(docs²) pairs.
-  *    Oversized buckets (degenerate content) would be salted/capped at
-  *    100 TB; the cap constant is exposed;
+  *    Oversized buckets (degenerate content — web boilerplate, empty docs)
+  *    are split by deterministic salting ([[saltedBuckets]], cap
+  *    [[DefaultBucketCap]]): a bucket of n > cap members becomes
+  *    ⌈n/cap⌉ salted sub-buckets, bounding per-bucket join work at
+  *    O(n·cap) pairs instead of O(n²). Buckets at or under the cap get a
+  *    single salt value, so non-degenerate corpora are byte-identical to
+  *    the unsalted plan. The salt hash is the portable non-linear
+  *    [[Sampling.splitHash]], so the DuckDB oracle replays capping exactly;
   *  - SimHash is a single narrow projection producing a 64-bit fingerprint;
   *    near-dup candidates are found by banding the fingerprint bytes.
   * All hashing is xxhash64-based (codegen'd), deterministic across runs.
@@ -123,18 +129,58 @@ object Dedup {
       .select(col("band_id"), col("bucket"), col("doc_id"))
   }
 
+  /** Max members per (band, bucket) before deterministic salting splits the
+    * bucket. 64 keeps the worst-case per-bucket pair count at
+    * `⌈n/64⌉ · C(64,2) ≈ 32·n` — linear in bucket size — while leaving
+    * every non-degenerate bucket (web corpora bucket sizes are almost
+    * always single digits) untouched. */
+  val DefaultBucketCap = 64
+
+  /** Split oversized buckets into `⌈n/cap⌉` deterministic salted
+    * sub-buckets. `keys` are the bucket-identity columns; `id` is the
+    * per-row column the salt is hashed from. Buckets with ≤ cap members get
+    * nSalts = 1, i.e. salt 0 for every member — identical join behavior to
+    * the unsalted plan. The salt hash is [[Sampling.splitHash]]
+    * (non-linear: sequential ids — exactly what degenerate near-identical
+    * docs carry — spread uniformly; a linear hash strides). Cost: one
+    * aggregate + one join on the bucket keys, the same key the candidate
+    * self-join shuffles on anyway.
+    *
+    * Capping trades recall inside degenerate buckets (pairs across salt
+    * boundaries are not emitted) for bounded work — the standard web-scale
+    * dedup contract: a 10M-copy boilerplate bucket yields O(cap·n) candidate
+    * pairs, not O(n²). An `observe` metric (`lsh_bucket_cap_<id>`) reports
+    * rows in oversized buckets and the max bucket size per run. */
+  def saltedBuckets(b: DataFrame, keys: Seq[String], id: String,
+                    cap: Int = DefaultBucketCap): DataFrame = {
+    val sizes = b.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+    b.join(sizes, keys)
+      .withColumn("n_salts", expr(s"(bucket_n + ${cap - 1}) div $cap"))
+      .withColumn("salt", pmod(Sampling.splitHash(col(id)), col("n_salts")))
+      .observe(s"lsh_bucket_cap_$id",
+        sum(when(col("bucket_n") > cap, lit(1L)).otherwise(lit(0L)))
+          .as("rows_in_oversized_buckets"),
+        max(col("bucket_n")).as("max_bucket_size"))
+      .drop("bucket_n", "n_salts")
+  }
+
   /** MinHash+LSH near-dup candidate pairs with exact Jaccard verification.
-    * Self-join on (band, bucket) yields candidates; token-shingle Jaccard
-    * rejects false positives. `minJaccard` is the acceptance threshold. */
+    * Self-join on (band, bucket, salt) yields candidates; token-shingle
+    * Jaccard rejects false positives. `minJaccard` is the acceptance
+    * threshold; `cap` bounds degenerate buckets via [[saltedBuckets]]. */
   def minhashDupPairs(t: Tables, minJaccard: Double = 0.5,
-                      portable: Boolean = false): DataFrame = {
+                      portable: Boolean = false,
+                      cap: Int = DefaultBucketCap): DataFrame = {
     // materialize buckets once: the self-join would otherwise recompute the
     // signature expression on both sides (at scale this is a persisted
     // signatures table; localCheckpoint is the single-job analog)
-    val b = lshBuckets(t, portable = portable).localCheckpoint()
+    val b = saltedBuckets(
+      lshBuckets(t, portable = portable).localCheckpoint(),
+      Seq("band_id", "bucket"), "doc_id", cap)
     val candidates = b
       .as("l")
-      .join(b.as("r"), Seq("band_id", "bucket"))
+      .join(b.as("r"), Seq("band_id", "bucket", "salt"))
       .filter(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
@@ -208,7 +254,8 @@ object Dedup {
     * keep pairs ≥ `minCosine`. The LSH candidate set keeps the pair count
     * near-linear in corpus size; recall < 1 by construction (approximate
     * dedup contract, like MinHash). */
-  def embeddingNearDups(t: Tables, minCosine: Double = 0.3): DataFrame = {
+  def embeddingNearDups(t: Tables, minCosine: Double = 0.3,
+                        cap: Int = DefaultBucketCap): DataFrame = {
     graft.functions.VectorExpressions.register(t.spark)
     // 2 bands x 8 bits: near-identical vectors still share all bands, while
     // 256-way buckets keep random-pair collisions (and the candidate-pair
@@ -218,21 +265,24 @@ object Dedup {
     val emb = t.embeddings
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("vec"))
       .select(col("vec_id"), col("vec"), Similarity.srpSignature(col("vec")).as("sig"))
-    val banded = emb
-      .select(
-        col("vec_id"),
-        col("vec"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("sig"), b * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
-      .withColumnRenamed("pos", "band_id")
-      .withColumnRenamed("col", "bucket")
-      .localCheckpoint() // SRP signatures computed once for both join sides
+    val banded = saltedBuckets(
+      emb
+        .select(
+          col("vec_id"),
+          col("vec"),
+          posexplode(array((0 until bands).map(b =>
+            shiftrightunsigned(col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "bucket")
+        .localCheckpoint(), // SRP signatures computed once for both join sides
+      Seq("band_id", "bucket"), "vec_id", cap)
     val pairs = banded
       .as("l")
       .join(
         banded.as("r"),
         col("l.band_id") === col("r.band_id") && col("l.bucket") === col("r.bucket") &&
+          col("l.salt") === col("r.salt") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(
         col("l.vec_id").as("vec_a"),

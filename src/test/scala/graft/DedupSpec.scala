@@ -169,6 +169,39 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._2 == 0L), out.filter(_._2 != 0L).take(5).mkString(","))
   }
 
+  test("saltedBuckets: under-cap buckets untouched, oversized split evenly") {
+    import spark.implicits._
+    // one degenerate bucket of 1000 members and one normal bucket of 50
+    val b = ((0L until 1000L).map(i => (0, 7L, i)) ++
+      (0L until 50L).map(i => (1, 7L, i)))
+      .toDF("band_id", "bucket", "doc_id")
+    val out = Dedup.saltedBuckets(b, Seq("band_id", "bucket"), "doc_id", cap = 64)
+      .collect()
+    // bucket at/under the cap: every member gets salt 0 (plan unchanged)
+    assert(out.filter(_.getInt(0) == 1).forall(_.getAs[Long]("salt") == 0L))
+    // oversized bucket: ceil(1000/64) = 16 salts, roughly even occupancy
+    val salts = out.filter(_.getInt(0) == 0)
+      .groupBy(_.getAs[Long]("salt")).view.mapValues(_.length).toMap
+    assert(salts.size == 16, s"expected 16 salts, got ${salts.size}")
+    assert(salts.values.max <= 96, s"skewed salt occupancy: $salts")
+  }
+
+  test("bucket cap bounds candidate pairs on a 1000-identical-doc corpus") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_degen").toFile.getAbsolutePath
+    val text = "the same boilerplate text repeated across the entire corpus shard"
+    (0L until 1000L).map(i => (i, text, "en", "synthetic", text.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val td = Tables(spark, base)
+    val nPairs = Dedup.minhashDupPairs(td, minJaccard = 0.5).count()
+    // identical docs share every band bucket: uncapped, the self-join
+    // emits C(1000,2) = 499,500 pairs; the cap bounds it at
+    // Σ_s C(n_s, 2) ≈ n·cap/2 (bounded-work, reduced-recall contract)
+    assert(nPairs > 0)
+    assert(nPairs < 64000L, s"cap failed to bound pairs: $nPairs")
+  }
+
   test("dupClusters: transitive closure of the pair list, consistent sizes") {
     val clusters = Dedup.dupClusters(t, minJaccard = 0.2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
