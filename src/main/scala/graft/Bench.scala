@@ -1,6 +1,87 @@
 package graft
+
+import java.nio.file.Files
+
+import graft.core.Tables
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Untimed full-column scan of every benchmark table. Without this, the
+    * first query to touch a table absorbs its cold file-cache + parquet
+    * decoder JIT cost — r2 graded q16/q08 as 3× "regressions" that were
+    * purely first-touch noise (the queries were code-unchanged from r1;
+    * which query pays the cold cost depends on map iteration order). A
+    * noop write reads every column's bytes (a count() would only read
+    * footers); failures are ignored so a missing optional table can't
+    * break the run. */
+  private def warmTables(spark: SparkSession, sfDir: String): Unit = {
+    val t = Tables(spark, sfDir)
+    val all: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => t.lineitem, () => t.orders, () => t.customer, () => t.supplier,
+      () => t.part, () => t.nation, () => t.region, () => t.events,
+      () => t.documents, () => t.embeddings)
+    all.foreach { df =>
+      try df().write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+  }
+
+  /** End-to-end two-hop streaming cascade latency (BASELINE.md's
+    * "streaming micro-batch latency" line): CDC-envelope file source →
+    * parse → watermarked window aggregate → parquet sink → second
+    * streaming hop reading that sink → zone-activity scoring → parquet.
+    * Each round appends one batch whose event time advances 30 min
+    * (closing the prior window) and measures append → both hops drained.
+    * Returns the median of the post-warmup rounds in milliseconds. */
+  private def streamingCascadeMs(spark: SparkSession): Double = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_bench_cascade").toFile.getAbsolutePath
+    val inDir = s"$base/in"; val agg = s"$base/agg"; val act = s"$base/act"
+
+    def batch(round: Int): Unit = {
+      val rows = (0 until 64).map { i =>
+        val after = s"""{\\"id\\": ${round * 1000 + i}, \\"vendor_id\\": ${i % 3 + 1}, """ +
+          s"""\\"pickup_location_id\\": ${i % 8}, \\"trip_distance\\": 2.5, """ +
+          s"""\\"fare_amount\\": 10.0, \\"total_amount\\": 12.5}"""
+        (s"""{"op": "c", "ts_ms": 1, "after": "$after", """ +
+          s""""source": {"db": "d", "table": "t", "ts_ms": 1}}""",
+          java.sql.Timestamp.valueOf(f"2024-01-01 ${round / 2}%02d:${round % 2 * 30}%02d:00"))
+      }
+      rows.toDF("value", "kafka_timestamp").write.mode("append").parquet(inDir)
+    }
+
+    batch(0)
+    val stage1 = sources.Sources.streamFromTableDir(spark, inDir,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "value STRING, kafka_timestamp TIMESTAMP"))
+      .transform(streaming.Cdc.parseTrips)
+      .transform(streaming.TripAggregations.aggregate)
+    val q1 = sources.Sources.parquetSink(stage1.writeStream, agg, s"$base/ck1", triggerMs = 50)
+    q1.processAllAvailable()
+    val q2 = sources.Sources.parquetSink(
+      sources.Sources.streamFromTableDir(spark, agg,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "window_start TIMESTAMP, window_end TIMESTAMP, pickup_zone_id INT, " +
+              "total_trips BIGINT, total_revenue DOUBLE, avg_trip_distance DOUBLE, " +
+              "avg_fare_amount DOUBLE, unique_vendors BIGINT"))
+        .transform(streaming.ZoneActivity.score)
+        .writeStream, act, s"$base/ck2", triggerMs = 50)
+    q2.processAllAvailable()
+    try {
+      val times = (1 to 5).map { r =>
+        val t0 = System.nanoTime()
+        batch(r)
+        q1.processAllAvailable()
+        q2.processAllAvailable()
+        (System.nanoTime() - t0) / 1e6
+      }
+      // round 1 still carries sink/state initialization — median the rest
+      val steady = times.drop(1).sorted
+      steady(steady.length / 2)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,6 +95,7 @@ object Bench {
     // on whichever query happens to run first (~3-5s attribution skew)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    warmTables(spark, sfDir)
     // median of 3 runs per query: single-run timings vary ±15% (GC, JIT,
     // OS noise) and have produced 10x phantom outliers; the median is what
     // a perf claim should rest on
@@ -28,10 +110,13 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
+    val cascadeMs =
+      try streamingCascadeMs(spark)
+      catch { case _: Throwable => -1.0 }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"median"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"median","streaming_cascade_ms":$cascadeMs}""")
     spark.stop()
   }
 }
