@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * over typed Datasets (the JVM analog of `mapInPandas`: one iterator per
   * partition, vectorizable batch shape, no driver round-trips).
   *
-  * Decode is REAL for every format the JVM can handle without external
-  * libraries: PPM/P6 images, PNG (zlib ships in the JDK — full chunk walk,
-  * IDAT inflate, None/Sub/Up/Average/Paeth unfiltering), RIFF/WAVE 16-bit
-  * PCM audio, and video as a concatenated stream of P6 frames. The
-  * remaining compressed codecs (JPEG/MP3/H.264) would need libraries this
-  * container doesn't ship, so unrecognized payloads fall back to
-  * [[MediaCodec.decodeOpaque]] — a clearly-marked byte-level fallback at
-  * the codec boundary; swapping in such a codec changes that one function.
+  * Decode is REAL for every format the JVM handles: PPM/P6 images, PNG
+  * (hand-rolled zero-dependency path — full chunk walk, IDAT inflate,
+  * None/Sub/Up/Average/Paeth unfiltering over java.util.zip), RIFF/WAVE
+  * 16-bit PCM audio, video as a concatenated stream of P6 frames, and —
+  * via `javax.imageio` (java.desktop ships with this JDK) — JPEG, BMP,
+  * GIF and the other ImageIO reader formats. Only codecs the JDK
+  * genuinely lacks (MP3, H.264) fall back to [[MediaCodec.decodeOpaque]]
+  * — a clearly-marked byte-level fallback at the codec boundary; swapping
+  * in such a codec changes that one function.
   *
   * Scale notes: payloads never pass through a shuffle here — all steps are
   * narrow (mapPartitions over the scan). For real pipelines the table is
@@ -44,10 +45,11 @@ object Multimodal {
       mean_byte: Double,           // mean of the normalized signal
       decoded_checksum: Long)      // checksum over the decoded signal
 
-  /** The codec boundary. PPM (P6), WAV (PCM16 mono) and concatenated-P6
-    * "video" are decoded for real in pure JVM code; anything else (i.e. a
-    * compressed codec, which needs libraries this image doesn't have) falls
-    * back to [[decodeOpaque]].
+  /** The codec boundary. PPM (P6), PNG, WAV (PCM16 mono) and
+    * concatenated-P6 "video" are decoded for real in pure JVM code; other
+    * image formats (JPEG, BMP, GIF, …) decode through `javax.imageio`.
+    * Only payloads no JDK decoder understands (MP3, H.264) fall back to
+    * [[decodeOpaque]].
     *
     * All decoders are total: a corrupt payload degrades to the opaque
     * fallback instead of failing the task — at 100 TB a handful of bad rows
@@ -309,16 +311,64 @@ object Multimodal {
       Some((w, h, rgb))
     }
 
-    /** Fallback for payloads no shipped decoder understands (remaining
-      * compressed codecs: JPEG/MP3/H.264 need external libraries). Byte-
-      * level signal; deterministic. */
+    /** Fallback for payloads no JDK decoder understands (codecs the JDK
+      * genuinely lacks: MP3, H.264). Byte-level signal; deterministic. */
     def decodeOpaque(payload: Array[Byte]): Array[Int] =
       payload.map(b => b & 0xff)
 
-    /** Image decode across shipped formats: PNG (signature-detected) then
-      * PPM. */
+    // ── javax.imageio (JPEG, BMP, GIF, and the other JDK reader formats) ─
+    // java.desktop ships with this JDK (ImageIO.getReaderFormatNames lists
+    // 16 formats including JPEG); no external library involved.
+
+    /** Decode any ImageIO-readable payload (JPEG/BMP/GIF/…); pixels
+      * normalized to RGB triplets like every other image decoder here.
+      * Total: unreadable or absurdly-sized payloads return None. */
+    def decodeImageIO(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
+          else {
+            val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk, not per-pixel
+            val rgb = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < px.length) {
+              val p = px(i)
+              rgb(i * 3) = ((p >> 16) & 0xff).toByte
+              rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+              rgb(i * 3 + 2) = (p & 0xff).toByte
+              i += 1
+            }
+            Some((w, h, rgb))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode RGB triplets with an ImageIO writer (`"jpeg"`, `"bmp"`,
+      * `"gif"`, `"png"`) — the fixture-side twin of [[decodeImageIO]]. */
+    def encodeImageIO(format: String, width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3)
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < width * height) {
+        img.setRGB(i % width, i / width,
+          ((rgb(i * 3) & 0xff) << 16) | ((rgb(i * 3 + 1) & 0xff) << 8) | (rgb(i * 3 + 2) & 0xff))
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, out)
+      out.toByteArray
+    }
+
+    /** Image decode: the zero-dependency hand-rolled paths first (PNG by
+      * signature, then PPM), then `javax.imageio` for everything else the
+      * JDK reads (JPEG/BMP/GIF, plus PNG variants outside the hand-rolled
+      * subset, e.g. 16-bit or interlaced). */
     def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
-      decodePng(payload).orElse(decodePpm(payload))
+      decodePng(payload).orElse(decodePpm(payload)).orElse(decodeImageIO(payload))
 
     /** Decode to a normalized 0..255 signal: image subpixels as-is, audio
       * samples shifted from [-32768,32767], video frames concatenated. */
@@ -405,9 +455,18 @@ object Multimodal {
               r.copy(payload = MediaCodec.encodePng(targetW, targetH, resample(w, h, rgb)),
                 width = targetW, height = targetH)
             case None =>
-              MediaCodec.decodePpm(r.payload).fold(r) { case (w, h, rgb) =>
-                r.copy(payload = MediaCodec.encodePpm(targetW, targetH, resample(w, h, rgb)),
-                  width = targetW, height = targetH)
+              MediaCodec.decodePpm(r.payload) match {
+                case Some((w, h, rgb)) =>
+                  r.copy(payload = MediaCodec.encodePpm(targetW, targetH, resample(w, h, rgb)),
+                    width = targetW, height = targetH)
+                case None =>
+                  // ImageIO formats (JPEG/BMP/GIF) re-encode as PNG: the
+                  // resized payload stays lossless and deterministic
+                  // regardless of the (lossy, encoder-dependent) input codec
+                  MediaCodec.decodeImageIO(r.payload).fold(r) { case (w, h, rgb) =>
+                    r.copy(payload = MediaCodec.encodePng(targetW, targetH, resample(w, h, rgb)),
+                      width = targetW, height = targetH)
+                  }
               }
           }
         case "video" =>
