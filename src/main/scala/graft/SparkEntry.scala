@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables
 import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.functions.ExactAgg.{Sql => O}
-import graft.operators.{Analytics, Ingest, Serving}
+import graft.operators.{Analytics, DictEncode, Ingest, Serving}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -97,7 +97,10 @@ object SparkEntry {
     "q54_unpivot" -> q(Analytics.eventTypeUnpivot),
     "q55_bitmap_distinct" -> q(Ingest.dailySummaryBitmap),
     "q56_data_mix" -> q(graft.ext.Sampling.documentMix),
-    "q57_rollup" -> q(Analytics.monthlyRollup))
+    "q57_rollup" -> q(Analytics.monthlyRollup),
+    "q58_demand_features" -> q(Analytics.demandFeatures),
+    "q59_zone_activity" -> q(Analytics.zoneActivityBatch),
+    "q60_dict_bitmap_distinct" -> q(DictEncode.distinctUsersByType))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -127,6 +130,56 @@ object SparkEntry {
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
     "q56_data_mix" -> graft.ext.Sampling.documentMixSql,
+    "q58_demand_features" ->
+      s"""WITH demand AS (
+         |  SELECT user_id % 25 AS location_id, date_trunc('hour', ts) AS hour_ts,
+         |   count(*) AS demand_count
+         |  FROM events GROUP BY 1, 2),
+         |weather AS (
+         |  SELECT date_trunc('hour', ts) AS hour_ts,
+         |   ${O.davg("value")} AS avg_value,
+         |   min(event_type) AS condition
+         |  FROM events GROUP BY 1),
+         |zones AS (
+         |  SELECT n_nationkey AS location_id, n_name AS zone_name,
+         |   n_regionkey AS zone_type
+         |  FROM nation)
+         |SELECT d.location_id,
+         | strftime(d.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         | CAST(hour(d.hour_ts) AS INTEGER) AS hour,
+         | CAST(isodow(d.hour_ts) AS INTEGER) AS iso_dow,
+         | isodow(d.hour_ts) >= 6 AS is_weekend,
+         | d.demand_count,
+         | lag(d.demand_count, 1) OVER win AS demand_1h_ago,
+         | lag(d.demand_count, 24) OVER win AS demand_24h_ago,
+         | CAST(sum(d.demand_count) OVER win7 AS DOUBLE) / count(*) OVER win7
+         |   AS rolling_avg_demand_7d,
+         | wt.avg_value,
+         | coalesce(wt.condition, 'unknown') AS condition,
+         | z.zone_name, z.zone_type,
+         | CASE WHEN wt.condition IN ('purchase', 'signup') THEN 1.3e0
+         |      WHEN wt.avg_value > 50 THEN 1.1e0 ELSE 1.0e0 END AS impact_factor
+         |FROM demand d LEFT JOIN weather wt USING (hour_ts)
+         |LEFT JOIN zones z USING (location_id)
+         |WINDOW win AS (PARTITION BY d.location_id ORDER BY d.hour_ts),
+         | win7 AS (PARTITION BY d.location_id ORDER BY d.hour_ts
+         |   ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING)
+         |ORDER BY 1, 2""".stripMargin,
+    "q59_zone_activity" ->
+      s"""SELECT user_id % 25 AS zone_id,
+         | strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS activity_timestamp,
+         | count(*) AS pickup_count,
+         | CAST(0 AS BIGINT) AS dropoff_count,
+         | ${O.dsum("value")} AS revenue_last_hour,
+         | ${O.davg("value")} AS avg_fare_last_hour,
+         | CAST(count(*) AS DOUBLE) * 0.4e0
+         |   + (${O.dsum("value")} / 100) * 0.4e0
+         |   + CAST(count(DISTINCT event_type) AS DOUBLE) * 0.2e0 AS activity_score
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q60_dict_bitmap_distinct" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(DISTINCT 'u' || CAST(user_id AS VARCHAR)) AS distinct_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q57_rollup" ->
       s"""WITH base AS (
          |  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,

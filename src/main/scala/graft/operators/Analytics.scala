@@ -467,6 +467,92 @@ object Analytics {
       .orderBy(col("user_id"), col("hour_of_day"))
   }
 
+  /** J6/J7 + W1/W2: the demand-prediction feature builder — hourly demand
+    * aggregate ⟕ hourly "weather" aggregate ⟕ zone dimension, with LAG and
+    * rolling-frame history features and a CASE impact factor (reference
+    * `comprehensive_analytics.py:335-424`, the `current_demand` /
+    * `weather_features` / `zone_reference` triple join), events-shaped so
+    * the whole shape sits under the DuckDB hash gate.
+    *
+    * Scale notes: both fact-side aggregates shuffle ONCE on their group
+    * keys with map-side partials; the dimension joins broadcast; the
+    * window features ride the demand aggregate's (location, hour)
+    * partitioning — one additional shuffle on location_id, shared by all
+    * four window columns. Rolling averages derive from exact integer frame
+    * sums (same doctrine as [[windowRolling]]). Day-of-week is ISO
+    * (`weekday()+1`, Mon=1) — portable, unlike Spark's Sunday-first
+    * `dayofweek`. */
+  def demandFeatures(t: Tables): DataFrame = {
+    val demand = t.events
+      .groupBy(
+        pmod(col("user_id"), lit(25)).as("location_id"),
+        date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("demand_count"))
+    val weather = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(
+        davg(col("value")).as("avg_value"),
+        min(col("event_type")).as("condition"))
+    val zones = t.nation.select(
+      col("n_nationkey").as("location_id"),
+      col("n_name").as("zone_name"),
+      col("n_regionkey").as("zone_type"))
+    val w = Window.partitionBy(col("location_id")).orderBy(col("hour_ts"))
+    val frame7d = w.rowsBetween(-168, -1)
+    val isoDow = weekday(col("hour_ts")) + 1
+    demand
+      .join(weather, Seq("hour_ts"), "left")
+      .join(broadcast(zones), Seq("location_id"), "left")
+      .select(
+        col("location_id"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        hour(col("hour_ts")).as("hour"),
+        isoDow.as("iso_dow"),
+        (isoDow >= 6).as("is_weekend"),
+        col("demand_count"),
+        lag(col("demand_count"), 1).over(w).as("demand_1h_ago"),
+        lag(col("demand_count"), 24).over(w).as("demand_24h_ago"),
+        (sum(col("demand_count")).over(frame7d).cast("double") /
+          count(lit(1)).over(frame7d)).as("rolling_avg_demand_7d"),
+        col("avg_value"),
+        coalesce(col("condition"), lit("unknown")).as("condition"),
+        col("zone_name"),
+        col("zone_type"),
+        when(col("condition").isin("purchase", "signup"), lit(1.3))
+          .when(col("avg_value") > 50, lit(1.1))
+          .otherwise(lit(1.0)).as("impact_factor"))
+      .orderBy(col("location_id"), col("hour_ts"))
+  }
+
+  /** A9 batch twin: the zone-activity score of the streaming cascade's
+    * second hop (reference `realtime_cdc_processor.py:206-227`), computed
+    * over events so the scoring arithmetic is DuckDB-hash-checked; the
+    * streaming form ([[graft.streaming.ZoneActivity.score]]) shares the
+    * formula. Single shuffle on the two group keys; the score is plain
+    * IEEE arithmetic over exact aggregate inputs — deterministic and
+    * engine-portable. */
+  def zoneActivityBatch(t: Tables): DataFrame =
+    t.events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        pmod(col("user_id"), lit(25)).as("zone_id"))
+      .agg(
+        count(lit(1)).as("pickup_count"),
+        dsum(col("value")).as("revenue_last_hour"),
+        davg(col("value")).as("avg_fare_last_hour"),
+        countDistinct(col("event_type")).as("unique_types"))
+      .select(
+        col("zone_id"),
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("activity_timestamp"),
+        col("pickup_count"),
+        lit(0L).as("dropoff_count"),
+        col("revenue_last_hour"),
+        col("avg_fare_last_hour"),
+        (col("pickup_count") * lit(0.4) +
+          col("revenue_last_hour") / lit(100) * lit(0.4) +
+          col("unique_types") * lit(0.2)).as("activity_score"))
+      .orderBy(col("zone_id"), col("activity_timestamp"))
+
   /** W7: peak-hour-per-group via row_number()==1 (reference
     * `serving/database.py:257-266`) with deterministic tiebreak. */
   def peakHour(t: Tables): DataFrame = {

@@ -48,6 +48,19 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(!bitmap.queryExecution.executedPlan.toString.contains("Expand"))
   }
 
+  test("dict-encoded bitmap counts distinct STRINGS exactly, no Expand") {
+    val t = sf()
+    val got = graft.operators.DictEncode.distinctUsersByType(t)
+    val exact = t.events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(concat(lit("u"), col("user_id"))).as("distinct_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = got.collect()
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("distinct_users")).toMap == exact)
+    // the final aggregate is a plain hash aggregate over bitmap partials
+    assert(!got.queryExecution.executedPlan.toString.contains("Expand"))
+  }
+
   test("keys beyond 2^31 (large-SF orderkeys) count exactly") {
     BitmapDistinct.register(spark)
     import spark.implicits._

@@ -176,4 +176,14 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"bucketed agg still shuffles:\n${p.take(2000)}")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tO")
   }
+
+  test("q58 triple join: zone dimension broadcasts; window features share one shuffle") {
+    val p = plan("q58_demand_features")
+    assert(p.contains("BroadcastHashJoin"), "zone dimension not broadcast")
+    // LAG(1)/LAG(24)/rolling frames all partition on location_id: they must
+    // plan as Window nodes over ONE exchange of the demand aggregate, not
+    // one exchange per window column
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 3, s"window features re-shuffle per column ($exchanges exchanges)")
+  }
 }
