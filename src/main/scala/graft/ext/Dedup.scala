@@ -435,12 +435,20 @@ object Dedup {
     * lists alone under-delete (A~B and B~C must collapse to ONE canonical
     * doc even when A~C was never emitted as a pair). Every document gets
     * the smallest doc_id of its cluster as `cluster_id` (the canonical
-    * representative) plus the cluster size; singletons keep their own id. */
+    * representative) plus the cluster size; singletons keep their own id.
+    *
+    * Production closure is [[connectedComponentsStar]]: near-dup graphs are
+    * usually shallow (where min-label propagation is equally cheap), but
+    * the O(log n)-round star algorithm costs the same there AND removes the
+    * adversarial long-chain case entirely — no reason to keep diameter
+    * exposure on the default path. [[connectedComponents]] remains the
+    * semantic reference (equality asserted across random graphs in
+    * DedupSpec). */
   def dupClusters(t: Tables, minJaccard: Double = 0.2,
                   portable: Boolean = false): DataFrame = {
     val pairs = minhashDupPairs(t, minJaccard, portable)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val labels = connectedComponents(
+    val labels = connectedComponentsStar(
       t.documents.select(col("doc_id").as("id")), pairs)
     val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "component")
