@@ -22,7 +22,7 @@ object SketchOracleSql {
 
   /** tokens + word-3-shingles of `documents.text` (mirrors
     * graft.ext.Dedup.shingles / TextAnalysis.tokens). */
-  private val shingleCte =
+  private[graft] val shingleCte =
     """tk AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks FROM documents),
       |sh AS (
@@ -253,6 +253,35 @@ object SketchOracleSql {
        |  FROM scored)
        |SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q61: intra-document repetition ratio over word 3-shingles. */
+  val repetitionStats: String =
+    s"""WITH $shingleCte
+       |SELECT doc_id,
+       | CAST(len(shingles) AS INTEGER) AS n_shingles,
+       | CAST(len(list_distinct(shingles)) AS INTEGER) AS n_distinct_shingles,
+       | round(CAST(len(shingles) - len(list_distinct(shingles)) AS DOUBLE)
+       |   / len(shingles), 6) AS repetition_ratio
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** q62: benchmark decontamination — distinct-shingle overlap between each
+    * training document and the `doc_id % 20 = 0` benchmark subset. */
+  val decontamination: String =
+    s"""WITH $shingleCte,
+       |dsh AS (SELECT doc_id, list_distinct(shingles) AS shs FROM sh),
+       |bench AS (
+       |  SELECT DISTINCT s FROM dsh, UNNEST(shs) AS t(s) WHERE doc_id % 20 = 0),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_hits
+       |  FROM dsh, UNNEST(shs) AS t(s)
+       |  WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM bench)
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       | coalesce(h.n_hits, 0) AS n_contaminated_shingles,
+       | coalesce(h.n_hits, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN hits h USING (doc_id)
+       |WHERE d.doc_id % 20 <> 0
+       |ORDER BY d.doc_id""".stripMargin
 
   /** q40: KMV bottom-k distinct sketch per order priority (k = 256). */
   val kmvDistinct: String =

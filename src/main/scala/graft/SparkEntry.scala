@@ -100,7 +100,9 @@ object SparkEntry {
     "q57_rollup" -> q(Analytics.monthlyRollup),
     "q58_demand_features" -> q(Analytics.demandFeatures),
     "q59_zone_activity" -> q(Analytics.zoneActivityBatch),
-    "q60_dict_bitmap_distinct" -> q(DictEncode.distinctUsersByType))
+    "q60_dict_bitmap_distinct" -> q(DictEncode.distinctUsersByType),
+    "q61_repetition" -> q(TextAnalysis.repetitionStats),
+    "q62_decontamination" -> q(TextAnalysis.decontamination))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -129,6 +131,8 @@ object SparkEntry {
     "q41_embedding_near_dups" -> SketchOracleSql.embeddingNearDups,
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
+    "q61_repetition" -> SketchOracleSql.repetitionStats,
+    "q62_decontamination" -> SketchOracleSql.decontamination,
     "q56_data_mix" -> graft.ext.Sampling.documentMixSql,
     "q58_demand_features" ->
       s"""WITH demand AS (

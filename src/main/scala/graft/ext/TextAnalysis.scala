@@ -144,6 +144,63 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q61: intra-document repetition ratio — the fraction of word 3-shingles
+    * that are repeats of an earlier shingle in the same document. The
+    * standard pretraining quality signal for boilerplate/spam (the
+    * duplicate-n-gram family of filters in Gopher/RefinedWeb-style
+    * pipelines: Rae et al. 2021 §A1.1). Pure narrow projection over the
+    * native shingle kernel — zero shuffles, linear in input splits. */
+  def repetitionStats(t: Tables): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    val sh = graft.functions.ShingleExpression.wordShingles(tokens(col("text")))
+    t.documents
+      .select(
+        col("doc_id"),
+        size(sh).as("n_shingles"),
+        size(array_distinct(sh)).as("n_distinct_shingles"))
+      .withColumn(
+        "repetition_ratio",
+        round((col("n_shingles") - col("n_distinct_shingles")).cast("double") /
+          col("n_shingles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q62: benchmark decontamination — flag training documents sharing any
+    * word 3-shingle with a held-out benchmark set (here the deterministic
+    * `doc_id % 20 == 0` subset; in production, the eval suites). The
+    * n-gram-overlap contamination check every serious pretraining pipeline
+    * runs before release (GPT-3 §C / PaLM-style 13-gram variants are the
+    * same shape with a different k).
+    *
+    * Scale notes: documents never shuffle — only (doc_id, shingle) pairs
+    * do, already deduplicated per document. The benchmark side is a
+    * distinct-shingle set, usually small enough for AQE to broadcast; at
+    * 100 TB the join key would be xxhash64(shingle) (8-byte shuffle rows,
+    * collision-tolerant for a flagging pass), kept as the string here so
+    * the DuckDB oracle replays exactly. */
+  def decontamination(t: Tables): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    val docs = t.documents.select(
+      col("doc_id"),
+      array_distinct(
+        graft.functions.ShingleExpression.wordShingles(tokens(col("text")))).as("shs"))
+    val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(explode(col("shs")).as("s")).distinct()
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+    val hits = train
+      .select(col("doc_id"), explode(col("shs")).as("s"))
+      .join(bench, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits")) // rows unique per (doc, s) ⇒ distinct overlap
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_contaminated_shingles"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top-k terms per document. Classic three-stage shape:
     * explode tokens (narrow) → term frequency per (doc, term) (shuffle on
     * the composite key) → document frequency per term from the tf frame

@@ -75,4 +75,39 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(byRank.sameElements(byRank.sorted.reverse))
     }
   }
+
+  /** Synthetic documents dir for planted text-quality assertions. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_planted").toFile.getAbsolutePath
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // benchmark (id % 20 == 0)
+      (1L, "prefix words alpha beta gamma suffix"),  // contaminated: shares a shingle
+      (2L, "totally unrelated content right here"),  // clean
+      (3L, "a b c a b c a b c"))                     // repetitive
+      .map { case (id, t) => (id, t, "en", "synthetic", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    base
+  }
+
+  test("q61 repetition ratio: repeated trigrams high, unique text zero") {
+    val rows = graft.ext.TextAnalysis.repetitionStats(
+      graft.core.Tables(spark, plantedDir)).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("repetition_ratio")).toMap
+    // "a b c" ×3 → 7 shingles, 3 distinct → (7-3)/7
+    assert(math.abs(rows(3L) - 4.0 / 7) < 1e-6)
+    assert(rows(0L) == 0.0 && rows(2L) == 0.0)
+  }
+
+  test("q62 decontamination flags the benchmark-overlapping doc only") {
+    val rows = graft.ext.TextAnalysis.decontamination(
+      graft.core.Tables(spark, plantedDir)).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_contaminated_shingles"),
+        r.getAs[Boolean]("contaminated")))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L)) // benchmark doc excluded
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 && byId(1L)._2 == 1L) // "alpha beta gamma" only
+    assert(!byId(2L)._3 && !byId(3L)._3)
+  }
 }
