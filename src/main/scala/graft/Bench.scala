@@ -38,6 +38,12 @@ object Bench {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_bench_cascade").toFile.getAbsolutePath
     val inDir = s"$base/in"; val agg = s"$base/agg"; val act = s"$base/act"
+    // a micro-batch of hundreds of rows does not need 32 state-store
+    // partitions: per-partition state/commit overhead dominates latency.
+    // Sizing streaming shuffle partitions to the state volume (not the
+    // batch-analytics default) is the standard knob; it binds at query
+    // start, and the cascade runs after all timed batch queries
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def batch(round: Int): Unit = {
       val rows = (0 until 64).map { i =>

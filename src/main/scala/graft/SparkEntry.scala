@@ -102,7 +102,9 @@ object SparkEntry {
     "q59_zone_activity" -> q(Analytics.zoneActivityBatch),
     "q60_dict_bitmap_distinct" -> q(DictEncode.distinctUsersByType),
     "q61_repetition" -> q(TextAnalysis.repetitionStats),
-    "q62_decontamination" -> q(TextAnalysis.decontamination))
+    "q62_decontamination" -> q(TextAnalysis.decontamination),
+    "q63_pii_redact" -> q(TextAnalysis.piiRedact),
+    "q64_vocabulary" -> q(t => TextAnalysis.vocabulary(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -133,6 +135,34 @@ object SparkEntry {
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
     "q61_repetition" -> SketchOracleSql.repetitionStats,
     "q62_decontamination" -> SketchOracleSql.decontamination,
+    "q63_pii_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(text,
+        |   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS INTEGER) AS n_phones,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |     '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |   '\b[0-9]{6,}\b', '<NUM>', 'g') AS redacted,
+        | (len(regexp_extract_all(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0
+        |  OR len(regexp_extract_all(text,
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) > 0
+        |  OR regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{6,}\b', '<NUM>', 'g') <> text) AS was_redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q64_vocabulary" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n_occurrences,
+        | count(DISTINCT doc_id) AS n_docs
+        |FROM tk GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 100""".stripMargin,
     "q56_data_mix" -> graft.ext.Sampling.documentMixSql,
     "q58_demand_features" ->
       s"""WITH demand AS (

@@ -201,6 +201,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q63: PII redaction — mask email addresses, phone-shaped numbers, and
+    * long digit runs before a corpus ships to training. Patterns stay in
+    * the RE2 ∩ java.util.regex dialect intersection (character classes,
+    * bounded repetition, `\b`) so the DuckDB oracle replays them exactly;
+    * no lookarounds. Narrow projection — zero shuffles, and the redaction
+    * counts come from the SAME extract the replace uses, so count and
+    * output can't drift apart. */
+  def piiRedact(t: Tables): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val phoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+    val longNumRe = "\\b[0-9]{6,}\\b"
+    t.documents
+      .select(
+        col("doc_id"),
+        col("text"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          longNumRe, "<NUM>").as("redacted"))
+      .withColumn("was_redacted",
+        col("n_emails") > 0 || col("n_phones") > 0 || col("redacted") =!= col("text"))
+      .drop("text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q64: corpus vocabulary — top-k terms by total occurrences with
+    * document frequency, the released-artifact companion of a tokenizer
+    * build. Explode (narrow) → one shuffle on the term for both counts →
+    * TakeOrdered top-k (never a global sort). Tie-break on the term keeps
+    * the cut deterministic. */
+  def vocabulary(t: Tables, k: Int = 100): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("term"))
+      .limit(k)
+
   /** TF-IDF top-k terms per document. Classic three-stage shape:
     * explode tokens (narrow) → term frequency per (doc, term) (shuffle on
     * the composite key) → document frequency per term from the tf frame

@@ -100,6 +100,28 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows(0L) == 0.0 && rows(2L) == 0.0)
   }
 
+  test("q63 PII redaction masks emails, phones, and long digit runs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_pii").toFile.getAbsolutePath
+    Seq(
+      (0L, "contact bob.smith+x@example.org or call 555-867-5309 now"),
+      (1L, "account 12345678 ok but year 2024 and zip 90210 stay"),
+      (2L, "nothing sensitive here"))
+      .map { case (id, t) => (id, t, "en", "synthetic", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val rows = graft.ext.TextAnalysis.piiRedact(graft.core.Tables(spark, base))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[String]("redacted") ==
+      "contact <EMAIL> or call <PHONE> now")
+    assert(rows(0L).getAs[Int]("n_emails") == 1 && rows(0L).getAs[Int]("n_phones") == 1)
+    // 6+ digit runs masked; short numbers survive
+    assert(rows(1L).getAs[String]("redacted") ==
+      "account <NUM> ok but year 2024 and zip 90210 stay")
+    assert(rows(1L).getAs[Boolean]("was_redacted"))
+    assert(!rows(2L).getAs[Boolean]("was_redacted"))
+  }
+
   test("q62 decontamination flags the benchmark-overlapping doc only") {
     val rows = graft.ext.TextAnalysis.decontamination(
       graft.core.Tables(spark, plantedDir)).collect()
