@@ -172,12 +172,15 @@ object Dedup {
   def minhashDupPairs(t: Tables, minJaccard: Double = 0.5,
                       portable: Boolean = false,
                       cap: Int = DefaultBucketCap): DataFrame = {
-    // materialize buckets once: the self-join would otherwise recompute the
-    // signature expression on both sides (at scale this is a persisted
-    // signatures table; localCheckpoint is the single-job analog)
+    // materialize twice: the inner checkpoint stops the salting's size
+    // aggregate + join from recomputing the signature expression; the
+    // outer one stops the candidate self-join from recomputing the salting
+    // on both sides (at scale these are persisted signature/bucket tables;
+    // localCheckpoint is the single-job analog)
     val b = saltedBuckets(
       lshBuckets(t, portable = portable).localCheckpoint(),
       Seq("band_id", "bucket"), "doc_id", cap)
+      .localCheckpoint()
     val candidates = b
       .as("l")
       .join(b.as("r"), Seq("band_id", "bucket", "salt"))
@@ -277,6 +280,7 @@ object Dedup {
         .withColumnRenamed("col", "bucket")
         .localCheckpoint(), // SRP signatures computed once for both join sides
       Seq("band_id", "bucket"), "vec_id", cap)
+      .localCheckpoint() // and the salting itself computed once
     val pairs = banded
       .as("l")
       .join(

@@ -322,29 +322,44 @@ object Multimodal {
 
     /** Decode any ImageIO-readable payload (JPEG/BMP/GIF/…); pixels
       * normalized to RGB triplets like every other image decoder here.
-      * Total: unreadable or absurdly-sized payloads return None. */
-    def decodeImageIO(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      * Total: unreadable or absurdly-sized payloads return None — the
+      * dimension guard reads the HEADER ONLY (ImageReader.getWidth/Height)
+      * before any pixel allocation, so a few-KB decompression bomb
+      * declaring a 50000×50000 raster is rejected without ever allocating
+      * it (an after-the-fact check on `ImageIO.read`'s result would OOM
+      * the task first). */
+    def decodeImageIO(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      var iis: javax.imageio.stream.ImageInputStream = null
+      var reader: javax.imageio.ImageReader = null
       try {
-        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        if (img == null) None
+        iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        reader = readers.next()
+        reader.setInput(iis)
+        val w = reader.getWidth(0); val h = reader.getHeight(0) // header-only
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
         else {
-          val w = img.getWidth; val h = img.getHeight
-          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) None
-          else {
-            val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk, not per-pixel
-            val rgb = new Array[Byte](w * h * 3)
-            var i = 0
-            while (i < px.length) {
-              val p = px(i)
-              rgb(i * 3) = ((p >> 16) & 0xff).toByte
-              rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
-              rgb(i * 3 + 2) = (p & 0xff).toByte
-              i += 1
-            }
-            Some((w, h, rgb))
+          val img = reader.read(0)
+          val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk, not per-pixel
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            rgb(i * 3) = ((p >> 16) & 0xff).toByte
+            rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+            rgb(i * 3 + 2) = (p & 0xff).toByte
+            i += 1
           }
+          Some((w, h, rgb))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+      finally {
+        if (reader != null) reader.dispose()
+        if (iis != null) try iis.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
 
     /** Encode RGB triplets with an ImageIO writer (`"jpeg"`, `"bmp"`,
       * `"gif"`, `"png"`) — the fixture-side twin of [[decodeImageIO]]. */

@@ -548,9 +548,9 @@ object Analytics {
         lit(0L).as("dropoff_count"),
         col("revenue_last_hour"),
         col("avg_fare_last_hour"),
-        (col("pickup_count") * lit(0.4) +
-          col("revenue_last_hour") / lit(100) * lit(0.4) +
-          col("unique_types") * lit(0.2)).as("activity_score"))
+        graft.streaming.ZoneActivity.activityScore(
+          col("pickup_count"), col("revenue_last_hour"), col("unique_types"))
+          .as("activity_score"))
       .orderBy(col("zone_id"), col("activity_timestamp"))
 
   /** W7: peak-hour-per-group via row_number()==1 (reference

@@ -23,10 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object DictEncode {
 
-  /** One row per distinct `key` with a non-negative injective `dict_id`. */
+  /** One row per distinct `key` with a non-negative injective `dict_id`.
+    * The ids are MATERIALIZED (localCheckpoint — the single-job analog of
+    * the persisted dictionary) before anyone joins against them:
+    * `monotonically_increasing_id` is nondeterministic under stage retry,
+    * and an unmaterialized dictionary recomputed after a fetch failure
+    * could assign the same key two different ids mid-query — the silent
+    * overcount this module exists to prevent. */
   def dictionary(df: DataFrame, key: Column): DataFrame =
     df.select(key.as("dict_key")).distinct()
       .withColumn("dict_id", monotonically_increasing_id())
+      .localCheckpoint()
 
   /** q60: distinct STRING user keys per event type, exactly, in one
     * bitmap pass after dictionary encoding — the string-domain twin of
@@ -39,7 +46,11 @@ object DictEncode {
       col("event_type"),
       concat(lit("u"), col("user_id")).as("user_key"))
     val dict = dictionary(ev, col("user_key"))
-    ev.join(dict, col("user_key") === col("dict_key"))
+    // LEFT join: a NULL key must stay in n_events (count(*) semantics on
+    // both engines) while contributing nothing to the bitmap — an inner
+    // join would silently drop such rows from n_events only on the Spark
+    // side and break the oracle compare
+    ev.join(dict, col("user_key") === col("dict_key"), "left")
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -126,6 +126,16 @@ object TripAggregations {
 /** Stage 2 of the cascade — see [[TripAggregations]] scaladoc. */
 object ZoneActivity {
 
+  /** The activity-score formula (reference `realtime_cdc_processor.py:
+    * 213-216`), defined ONCE and shared by the streaming scorer below and
+    * the batch twin (`Analytics.zoneActivityBatch`, q59): the batch copy is
+    * what the DuckDB hash gate checks, so sharing the expression is what
+    * makes that check actually cover the streaming arithmetic. */
+  def activityScore(trips: org.apache.spark.sql.Column,
+                    revenue: org.apache.spark.sql.Column,
+                    uniques: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trips * 0.4 + revenue / 100.0 * 0.4 + uniques * 0.2
+
   /** Stateless re-projection + activity scoring of the windowed aggregates
     * (reference `realtime_cdc_processor.py:206-227`). Output schema mirrors
     * `realtime.zone_activity` (`:62-77`). */
@@ -138,7 +148,6 @@ object ZoneActivity {
       col("total_revenue").as("revenue_last_hour"),      // defect (c): window revenue relabeled
       col("avg_fare_amount").as("avg_fare_last_hour"),
       lit(null).cast("int").as("top_destination_zone"),  // defect (b) fixed
-      (col("total_trips") * 0.4 +
-        col("total_revenue") / 100.0 * 0.4 +
-        col("unique_vendors") * 0.2).as("activity_score")) // A9 post-agg scoring
+      activityScore(col("total_trips"), col("total_revenue"),
+        col("unique_vendors")).as("activity_score")) // A9 post-agg scoring
 }
