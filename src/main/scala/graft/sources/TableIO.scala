@@ -155,6 +155,32 @@ object TableIO {
       .saveAsTable(table)
   }
 
+  /** Persist `df` range-CLUSTERED on `clusterCols`: `repartitionByRange`
+    * gives each output file a disjoint key range and
+    * `sortWithinPartitions` orders rows inside it, so every parquet file
+    * (and row group) carries a tight, non-overlapping min/max footer
+    * range on the cluster key. Readers filtering on that key skip whole
+    * files from footer stats alone — the plain-parquet analog of
+    * Iceberg's sort orders / one-dimensional Z-ordering. Complementary to
+    * [[saveBucketed]]: bucketing kills join/agg shuffles on equality
+    * keys; clustering kills scan I/O for range predicates (dates, ids).
+    * `nFiles` sizes the range sampling AND the output file count — at
+    * 100 TB pick it so files land near the row-group-friendly 128 MB-1 GB
+    * band. Non-overlap is asserted value-level in TableIOSpec. */
+  def saveClustered(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      clusterCols: Seq[String],
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    dropTableAndLocation(spark, table)
+    df.repartitionByRange(nFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.format("parquet").option("compression", "zstd")
+      .saveAsTable(table)
+  }
+
   /** S10: CTAS with partitioning (`nyc_taxi_to_iceberg.py:164-184`). */
   def ctas(
       spark: SparkSession,

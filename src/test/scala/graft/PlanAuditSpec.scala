@@ -177,6 +177,18 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tO")
   }
 
+  test("q61/q63 quality ops shuffle nothing but the output sort") {
+    // repetition ratio and PII redaction are pure narrow projections: the
+    // only Exchange allowed is the rangepartitioning of the presentation
+    // ORDER BY — any hashpartitioning means a compute shuffle crept in
+    assert(!plan("q61_repetition").contains("Exchange hashpartitioning"))
+    assert(!plan("q63_pii_redact").contains("Exchange hashpartitioning"))
+  }
+
+  test("q64 vocabulary top-k plans TakeOrderedAndProject, not a global sort") {
+    assert(plan("q64_vocabulary").contains("TakeOrderedAndProject"))
+  }
+
   test("q58 triple join: zone dimension broadcasts; window features share one shuffle") {
     val p = plan("q58_demand_features")
     assert(p.contains("BroadcastHashJoin"), "zone dimension not broadcast")

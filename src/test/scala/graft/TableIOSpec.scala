@@ -120,4 +120,31 @@ class TableIOSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || !plan.contains("month = 1") || true)
     spark.sql(s"DROP TABLE $t")
   }
+
+  test("saveClustered writes files with disjoint cluster-key ranges (file skipping)") {
+    val t = "graft_clustered_fact"
+    val src = sf().lineitem.select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+    TableIO.saveClustered(spark, t, src, Seq("l_shipdate"), nFiles = 4)
+    try {
+      assert(spark.table(t).count() == src.count()) // nothing lost
+      // every parquet data file must cover a range of l_shipdate that does
+      // not overlap any other file's — the property footer-stats skipping
+      // rests on
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val files = new java.io.File(new java.net.URI(loc))
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 2, "expected multiple clustered files")
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("l_shipdate")), max(col("l_shipdate"))).collect()(0)
+        (r.get(0).toString, r.get(1).toString)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"overlapping cluster ranges: $hi > $lo2")
+        case _ =>
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
