@@ -104,7 +104,9 @@ object SparkEntry {
     "q61_repetition" -> q(TextAnalysis.repetitionStats),
     "q62_decontamination" -> q(TextAnalysis.decontamination),
     "q63_pii_redact" -> q(TextAnalysis.piiRedact),
-    "q64_vocabulary" -> q(t => TextAnalysis.vocabulary(t)))
+    "q64_vocabulary" -> q(t => TextAnalysis.vocabulary(t)),
+    "q65_cube" -> q(Analytics.flagStatusCube),
+    "q66_set_ops" -> q(Analytics.setOpsUsers))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -214,6 +216,31 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         | count(DISTINCT 'u' || CAST(user_id AS VARCHAR)) AS distinct_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q65_cube" ->
+      s"""WITH base AS (
+         |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice
+         |  FROM lineitem)
+         |SELECT l_returnflag, l_linestatus,
+         | CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+         | count(*) AS n_rows,
+         | ${O.dsum("l_quantity")} AS sum_qty,
+         | ${O.davg("l_extendedprice")} AS avg_price
+         |FROM base GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q66_set_ops" ->
+      """WITH clickers AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |purchasers AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |only_click AS (
+        |  SELECT user_id, 'click_only' AS segment FROM (
+        |    SELECT user_id FROM clickers EXCEPT SELECT user_id FROM purchasers)),
+        |both_types AS (
+        |  SELECT user_id, 'click_and_purchase' AS segment FROM (
+        |    SELECT user_id FROM clickers INTERSECT SELECT user_id FROM purchasers))
+        |SELECT user_id, segment FROM only_click
+        |UNION ALL SELECT user_id, segment FROM both_types
+        |ORDER BY segment, user_id""".stripMargin,
     "q57_rollup" ->
       s"""WITH base AS (
          |  SELECT CAST(year(l_shipdate) AS INTEGER) AS year,

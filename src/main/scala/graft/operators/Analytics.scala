@@ -126,6 +126,39 @@ object Analytics {
         dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("gid"), col("year").asc_nulls_first, col("month").asc_nulls_first)
 
+  /** A11's other half: CUBE — all 2ⁿ grouping sets (leaves, each
+    * single-column margin, grand total) in one aggregate. Same single-
+    * Expand plan shape as [[monthlyRollup]], one replica per grouping set
+    * with map-side partials; `grouping_id` labels the set. */
+  def flagStatusCube(t: Tables): DataFrame =
+    t.lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        davg(col("l_extendedprice")).as("avg_price"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** §2.7 set operations (unused by the reference; here for switch-over
+    * completeness): the user base that clicked but never purchased
+    * (EXCEPT/anti), and the one that did both (INTERSECT/semi). Both
+    * compile to joins the optimizer picks a strategy for — EXCEPT/
+    * INTERSECT DISTINCT are aggregate+join under the hood, so the shape
+    * scales like any keyed join. */
+  def setOpsUsers(t: Tables): DataFrame = {
+    val clickers = t.events.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+    val purchasers = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val only = clickers.except(purchasers).withColumn("segment", lit("click_only"))
+    val both = clickers.intersect(purchasers).withColumn("segment", lit("click_and_purchase"))
+    only.unionByName(both).orderBy(col("segment"), col("user_id"))
+  }
+
   /** Exact discrete percentiles per group. `percentile_disc` SELECTS an
     * actual element (no interpolation), so the result is bit-identical
     * across engines by construction — interpolating forms (`percentile`,
