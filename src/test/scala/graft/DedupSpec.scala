@@ -186,6 +186,33 @@ class DedupSpec extends SparkSpec {
     assert(salts.values.max <= 96, s"skewed salt occupancy: $salts")
   }
 
+  test("saltedBuckets invariants hold across random skewed bucket layouts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val cap = 16
+    for (trial <- 1 to 3) {
+      // skewed sizes: a few hot buckets, many small ones
+      val rows = (0 until 12).flatMap { b =>
+        val n = if (b < 2) 80 + rnd.nextInt(120) else 1 + rnd.nextInt(cap)
+        (0 until n).map(i => (b % 3, b.toLong, rnd.nextLong().abs))
+      }.distinct
+      val df = rows.toDF("band_id", "bucket", "doc_id")
+      val out = Dedup.saltedBuckets(df, Seq("band_id", "bucket"), "doc_id", cap)
+        .collect()
+      // no rows invented or lost, membership preserved
+      assert(out.length == rows.length, s"trial $trial row count")
+      assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet == rows.toSet)
+      // per bucket: salts live in [0, ceil(n/cap)); ≤-cap buckets all salt 0
+      out.groupBy(r => (r.getInt(0), r.getLong(1))).foreach { case (k, members) =>
+        val n = members.length
+        val nSalts = (n + cap - 1) / cap
+        val salts = members.map(_.getAs[Long]("salt"))
+        assert(salts.forall(s => s >= 0 && s < nSalts), s"trial $trial bucket $k")
+        if (n <= cap) assert(salts.forall(_ == 0L), s"trial $trial bucket $k salted early")
+      }
+    }
+  }
+
   test("bucket cap bounds candidate pairs on a 1000-identical-doc corpus") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_degen").toFile.getAbsolutePath

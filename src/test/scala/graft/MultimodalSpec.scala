@@ -120,6 +120,27 @@ class MultimodalSpec extends SparkSpec {
     assert(c.sameElements(expected))
   }
 
+  test("codec round-trip properties: random sizes and content (seeded)") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 40) {
+      // PNG + PPM + BMP: arbitrary dimensions incl. 1-pixel edges
+      val w = 1 + rnd.nextInt(40); val h = 1 + rnd.nextInt(30)
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      for ((enc, name) <- Seq(
+          (MediaCodec.encodePng(w, h, rgb), "png"),
+          (MediaCodec.encodePpm(w, h, rgb), "ppm"),
+          (MediaCodec.encodeImageIO("bmp", w, h, rgb), "bmp"))) {
+        val Some((dw, dh, back)) = MediaCodec.decodeImage(enc)
+        assert(dw == w && dh == h && back.sameElements(rgb), s"$name ${w}x$h")
+      }
+      // WAV PCM16: arbitrary lengths incl. zero samples
+      val n = rnd.nextInt(500)
+      val samples = Array.fill[Short](n)(rnd.nextInt(65536).toShort)
+      val Some((rate, sBack)) = MediaCodec.decodeWav(MediaCodec.encodeWav(44100, samples))
+      assert(rate == 44100 && sBack.sameElements(samples), s"wav n=$n")
+    }
+  }
+
   test("ImageIO path: JPEG is in this JDK; BMP round-trips bit-exact") {
     val fmts = javax.imageio.ImageIO.getReaderFormatNames.map(_.toLowerCase).toSet
     assert(fmts.contains("jpeg") && fmts.contains("bmp"))
