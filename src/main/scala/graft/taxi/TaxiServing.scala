@@ -283,4 +283,26 @@ object TaxiServing {
       t.getAs[Long]("total_trips"), t.getAs[Double]("total_revenue"),
       t.getAs[Double]("avg_fare"), t.getAs[Long]("active_zones"), peakHour, top.toSeq)
   }
+
+  /** export_trips (`serving/api.py:334-352`) — a STUB in the reference
+    * ("This would implement data export functionality"); implemented for
+    * real here: the date-windowed trip slice written DISTRIBUTED as CSV
+    * (with header) or JSON-lines, gzip-compressed (text sources don't
+    * support parquet's zstd codec). The window filter
+    * pushes into the scan, so export I/O is proportional to the window,
+    * not the table; output file count follows the input partitioning
+    * (repartition upstream to shape file sizes). Returns the row count
+    * from `observe` — no second scan to count what was written. */
+  def exportTrips(trips: DataFrame, start: Timestamp, end: Timestamp,
+                  format: String, outDir: String): Long = {
+    require(format == "csv" || format == "json", s"unsupported format: $format")
+    val obs = new org.apache.spark.sql.Observation(s"graft_export_${System.nanoTime()}")
+    val windowed = trips
+      .filter(col("pickup_datetime") >= lit(start) && col("pickup_datetime") < lit(end))
+      .observe(obs, count(lit(1)).as("n_rows"))
+    val writer = windowed.write.mode("overwrite").option("compression", "gzip")
+    if (format == "csv") writer.option("header", "true").csv(outDir)
+    else writer.json(outDir)
+    obs.get("n_rows").asInstanceOf[Long]
+  }
 }

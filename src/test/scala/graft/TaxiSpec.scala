@@ -148,4 +148,33 @@ class TaxiSpec extends SparkSpec {
       .collect()
     assert(ra.nonEmpty && ra.forall(r => r.activity_score <= 100.0 && r.pickup_count > 0))
   }
+
+  test("serving: exportTrips writes real CSV and JSON windows (reference stub)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_export").toFile.getAbsolutePath
+    val start = java.sql.Timestamp.valueOf("2025-10-20 00:00:00")
+    val end = java.sql.Timestamp.valueOf("2025-10-22 00:00:00")
+    val expected = trips.filter(
+      col("pickup_datetime") >= lit(start) && col("pickup_datetime") < lit(end)).count()
+    assert(expected > 0 && expected < trips.count(), "window must be a strict slice")
+
+    val nCsv = TaxiServing.exportTrips(trips, start, end, "csv", s"$base/csv")
+    val nJson = TaxiServing.exportTrips(trips, start, end, "json", s"$base/json")
+    assert(nCsv == expected && nJson == expected) // observe() count == window
+
+    val csvBack = spark.read.option("header", "true").csv(s"$base/csv")
+    assert(csvBack.count() == expected)
+    assert(csvBack.columns.toSet == trips.columns.toSet) // header carries schema
+    val jsonBack = spark.read.json(s"$base/json")
+    assert(jsonBack.count() == expected)
+    // a value survives the round trip (cents-exact across the text format)
+    def centsSum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(round(col("total_amount").cast("double") * 100, 0).cast("long")))
+        .collect()(0).getLong(0)
+    assert(centsSum(jsonBack) == centsSum(trips.filter(
+      col("pickup_datetime") >= lit(start) && col("pickup_datetime") < lit(end))))
+
+    intercept[IllegalArgumentException] {
+      TaxiServing.exportTrips(trips, start, end, "xml", s"$base/xml")
+    }
+  }
 }
