@@ -146,6 +146,25 @@ object SketchOracleSql {
        |FROM labels l JOIN sizes s USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  /** q68: canonical survivors of the dedup closure — one row per cluster
+    * representative (min doc_id), with how many near-dups it absorbed. */
+  val dedupedCorpus: String =
+    s"""WITH RECURSIVE $dupPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM dup_pairs),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT l.doc_id, s.cluster_size - 1 AS n_dropped
+       |FROM labels l JOIN sizes s USING (cluster_id)
+       |WHERE l.cluster_id = l.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+
   /** q35: portable SimHash fingerprints (62-bit two-lane token hash; bit b
     * of the fingerprint set iff strictly more than half the tokens have bit
     * b set — mirrors the ±1 vote sum being > 0). */

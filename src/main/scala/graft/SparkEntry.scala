@@ -106,7 +106,9 @@ object SparkEntry {
     "q63_pii_redact" -> q(TextAnalysis.piiRedact),
     "q64_vocabulary" -> q(t => TextAnalysis.vocabulary(t)),
     "q65_cube" -> q(Analytics.flagStatusCube),
-    "q66_set_ops" -> q(Analytics.setOpsUsers))
+    "q66_set_ops" -> q(Analytics.setOpsUsers),
+    "q67_data_card" -> q(graft.ext.Sampling.dataCard),
+    "q68_dedup_corpus" -> q(t => Dedup.dedupedCorpus(t, minJaccard = 0.2, portable = true)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -135,6 +137,8 @@ object SparkEntry {
     "q41_embedding_near_dups" -> SketchOracleSql.embeddingNearDups,
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
+    "q67_data_card" -> graft.ext.Sampling.dataCardSql,
+    "q68_dedup_corpus" -> SketchOracleSql.dedupedCorpus,
     "q61_repetition" -> SketchOracleSql.repetitionStats,
     "q62_decontamination" -> SketchOracleSql.decontamination,
     "q63_pii_redact" ->

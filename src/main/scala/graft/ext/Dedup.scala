@@ -460,6 +460,19 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q68: the deletion step a dedup pipeline actually ships — keep ONE
+    * canonical document per near-dup cluster (the minimum doc_id,
+    * [[dupClusters]]' representative), drop the rest. `n_dropped` records
+    * what the canonical row absorbed, the number every dedup report
+    * publishes. The filter is cluster_id == doc_id — no extra shuffle
+    * beyond the clustering itself. */
+  def dedupedCorpus(t: Tables, minJaccard: Double = 0.2,
+                    portable: Boolean = false): DataFrame =
+    dupClusters(t, minJaccard, portable)
+      .filter(col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("doc_id"))
+
   /** n-gram Jaccard similarity over a deterministic candidate sample:
     * consecutive doc_id pairs (a fixed, oracle-expressible pairing that
     * exercises the set-similarity kernel; production candidates come from

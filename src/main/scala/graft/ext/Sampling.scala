@@ -115,6 +115,42 @@ object Sampling {
         splitColumn(col("doc_id")).as("split"))
       .orderBy(col("doc_id"))
 
+  /** q67: the dataset release card — per (lang, split) document counts,
+    * token totals, and means; the stratification summary published next to
+    * a training-data release. One shuffle on the two tiny group keys;
+    * token counting stays narrow in the map side. */
+  def dataCard(t: Tables): DataFrame = {
+    val tks = TextAnalysis.tokens(col("text"))
+    t.documents
+      .select(col("lang"), splitColumn(col("doc_id")).as("split"),
+        size(tks).as("n_tokens"), col("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        round(sum(col("n_tokens").cast("long")).cast("double") / count(lit(1)), 4)
+          .as("avg_tokens"),
+        round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  /** The DuckDB mirror of [[dataCard]]. */
+  val dataCardSql: String = {
+    val b = s"(${splitHashSql("doc_id")}) % 100"
+    s"""WITH base AS (
+       |  SELECT lang,
+       |   CASE WHEN $b < 80 THEN 'train'
+       |        WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+       |   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |   n_chars
+       |  FROM documents)
+       |SELECT lang, split, count(*) AS n_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       | round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens,
+       | round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+       |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** The DuckDB mirror of [[documentSplits]]. */
   val documentSplitsSql: String = {
     val b = s"(${splitHashSql("doc_id")}) % 100"
