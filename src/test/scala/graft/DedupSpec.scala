@@ -229,6 +229,32 @@ class DedupSpec extends SparkSpec {
     assert(nPairs < 64000L, s"cap failed to bound pairs: $nPairs")
   }
 
+  test("bucket-cap observe() metric reports oversized buckets to listeners") {
+    import spark.implicits._
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val b = ((0L until 200L).map(i => (0, 7L, i)) ++ (0L until 10L).map(i => (1, 8L, i)))
+        .toDF("band_id", "bucket", "doc_id")
+      Dedup.saltedBuckets(b, Seq("band_id", "bucket"), "doc_id", cap = 64).collect()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!seen.containsKey("lsh_bucket_cap_doc_id") && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val m = seen.get("lsh_bucket_cap_doc_id")
+      assert(m != null, "cap metric not observed")
+      assert(m.getAs[Long]("rows_in_oversized_buckets") == 200L)
+      assert(m.getAs[Long]("max_bucket_size") == 200L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("dupClusters: transitive closure of the pair list, consistent sizes") {
     val clusters = Dedup.dupClusters(t, minJaccard = 0.2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
