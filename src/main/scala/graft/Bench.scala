@@ -42,7 +42,9 @@ object Bench {
     // partitions: per-partition state/commit overhead dominates latency.
     // Sizing streaming shuffle partitions to the state volume (not the
     // batch-analytics default) is the standard knob; it binds at query
-    // start, and the cascade runs after all timed batch queries
+    // start. Restored in the finally so anything timed after the cascade
+    // keeps the configured parallelism.
+    val savedShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 
     def batch(round: Int): Unit = {
@@ -57,24 +59,26 @@ object Bench {
       rows.toDF("value", "kafka_timestamp").write.mode("append").parquet(inDir)
     }
 
-    batch(0)
-    val stage1 = sources.Sources.streamFromTableDir(spark, inDir,
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "value STRING, kafka_timestamp TIMESTAMP"))
-      .transform(streaming.Cdc.parseTrips)
-      .transform(streaming.TripAggregations.aggregate)
-    val q1 = sources.Sources.parquetSink(stage1.writeStream, agg, s"$base/ck1", triggerMs = 50)
-    q1.processAllAvailable()
-    val q2 = sources.Sources.parquetSink(
-      sources.Sources.streamFromTableDir(spark, agg,
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "window_start TIMESTAMP, window_end TIMESTAMP, pickup_zone_id INT, " +
-              "total_trips BIGINT, total_revenue DOUBLE, avg_trip_distance DOUBLE, " +
-              "avg_fare_amount DOUBLE, unique_vendors BIGINT"))
-        .transform(streaming.ZoneActivity.score)
-        .writeStream, act, s"$base/ck2", triggerMs = 50)
-    q2.processAllAvailable()
+    var q1: org.apache.spark.sql.streaming.StreamingQuery = null
+    var q2: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      batch(0)
+      val stage1 = sources.Sources.streamFromTableDir(spark, inDir,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "value STRING, kafka_timestamp TIMESTAMP"))
+        .transform(streaming.Cdc.parseTrips)
+        .transform(streaming.TripAggregations.aggregate)
+      q1 = sources.Sources.parquetSink(stage1.writeStream, agg, s"$base/ck1", triggerMs = 50)
+      q1.processAllAvailable()
+      q2 = sources.Sources.parquetSink(
+        sources.Sources.streamFromTableDir(spark, agg,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "window_start TIMESTAMP, window_end TIMESTAMP, pickup_zone_id INT, " +
+                "total_trips BIGINT, total_revenue DOUBLE, avg_trip_distance DOUBLE, " +
+                "avg_fare_amount DOUBLE, unique_vendors BIGINT"))
+          .transform(streaming.ZoneActivity.score)
+          .writeStream, act, s"$base/ck2", triggerMs = 50)
+      q2.processAllAvailable()
       val times = (1 to 5).map { r =>
         val t0 = System.nanoTime()
         batch(r)
@@ -85,7 +89,11 @@ object Bench {
       // round 1 still carries sink/state initialization — median the rest
       val steady = times.drop(1).sorted
       steady(steady.length / 2)
-    } finally { q1.stop(); q2.stop() }
+    } finally {
+      if (q1 != null) q1.stop()
+      if (q2 != null) q2.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", savedShufflePartitions)
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -22,7 +22,7 @@ object SketchOracleSql {
 
   /** tokens + word-3-shingles of `documents.text` (mirrors
     * graft.ext.Dedup.shingles / TextAnalysis.tokens). */
-  private[graft] val shingleCte =
+  private val shingleCte =
     """tk AS (
       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks FROM documents),
       |sh AS (
@@ -279,8 +279,9 @@ object SketchOracleSql {
        |SELECT doc_id,
        | CAST(len(shingles) AS INTEGER) AS n_shingles,
        | CAST(len(list_distinct(shingles)) AS INTEGER) AS n_distinct_shingles,
-       | round(CAST(len(shingles) - len(list_distinct(shingles)) AS DOUBLE)
-       |   / len(shingles), 6) AS repetition_ratio
+       | CASE WHEN len(shingles) = 0 THEN 0.0e0
+       |   ELSE round(CAST(len(shingles) - len(list_distinct(shingles)) AS DOUBLE)
+       |     / len(shingles), 6) END AS repetition_ratio
        |FROM sh ORDER BY doc_id""".stripMargin
 
   /** q62: benchmark decontamination — distinct-shingle overlap between each

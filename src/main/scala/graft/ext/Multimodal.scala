@@ -374,7 +374,11 @@ object Multimodal {
         i += 1
       }
       val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, format, out)
+      // write() returns false (writing nothing) when no writer exists for
+      // the format — an empty payload here would read downstream as a
+      // corrupt input instead of a caller error
+      require(javax.imageio.ImageIO.write(img, format, out),
+        s"no ImageIO writer for format '$format'")
       out.toByteArray
     }
 

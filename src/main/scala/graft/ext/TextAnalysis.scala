@@ -160,8 +160,14 @@ object TextAnalysis {
         size(array_distinct(sh)).as("n_distinct_shingles"))
       .withColumn(
         "repetition_ratio",
-        round((col("n_shingles") - col("n_distinct_shingles")).cast("double") /
-          col("n_shingles"), 6))
+        // Guard the 0/0 case: Spark doubles give NaN there but DuckDB
+        // gives NULL, which would break bit-portability. Unreachable with
+        // the current tokenizer (split('') = [''] → the n<k branch emits
+        // one joined shingle, so n_shingles >= 1), but the ratio must not
+        // silently depend on that tokenizer detail.
+        when(col("n_shingles") === 0, lit(0.0)).otherwise(
+          round((col("n_shingles") - col("n_distinct_shingles")).cast("double") /
+            col("n_shingles"), 6)))
       .orderBy(col("doc_id"))
   }
 

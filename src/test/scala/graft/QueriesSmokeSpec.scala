@@ -84,7 +84,9 @@ class QueriesSmokeSpec extends SparkSpec {
       (0L, "alpha beta gamma delta epsilon zeta"),   // benchmark (id % 20 == 0)
       (1L, "prefix words alpha beta gamma suffix"),  // contaminated: shares a shingle
       (2L, "totally unrelated content right here"),  // clean
-      (3L, "a b c a b c a b c"))                     // repetitive
+      (3L, "a b c a b c a b c"),                     // repetitive
+      (4L, ""),                                      // degenerate: empty
+      (5L, "two words"))                             // degenerate: < k tokens
       .map { case (id, t) => (id, t, "en", "synthetic", t.length) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$base/documents.parquet")
@@ -98,6 +100,10 @@ class QueriesSmokeSpec extends SparkSpec {
     // "a b c" ×3 → 7 shingles, 3 distinct → (7-3)/7
     assert(math.abs(rows(3L) - 4.0 / 7) < 1e-6)
     assert(rows(0L) == 0.0 && rows(2L) == 0.0)
+    // degenerate docs (empty, < k tokens) must come out as a finite 0.0,
+    // never NaN/NULL — the 0/0 guard's contract
+    assert(rows(4L) == 0.0 && rows(5L) == 0.0)
+    assert(rows.values.forall(v => !v.isNaN))
   }
 
   test("q63 PII redaction masks emails, phones, and long digit runs") {
@@ -127,9 +133,10 @@ class QueriesSmokeSpec extends SparkSpec {
       graft.core.Tables(spark, plantedDir)).collect()
       .map(r => (r.getLong(0), r.getAs[Long]("n_contaminated_shingles"),
         r.getAs[Boolean]("contaminated")))
-    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L)) // benchmark doc excluded
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L)) // benchmark doc excluded
     val byId = rows.map(r => r._1 -> r).toMap
     assert(byId(1L)._3 && byId(1L)._2 == 1L) // "alpha beta gamma" only
     assert(!byId(2L)._3 && !byId(3L)._3)
+    assert(!byId(4L)._3 && !byId(5L)._3) // degenerate docs: clean, not errors
   }
 }
