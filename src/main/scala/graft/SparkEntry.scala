@@ -108,7 +108,10 @@ object SparkEntry {
     "q65_cube" -> q(Analytics.flagStatusCube),
     "q66_set_ops" -> q(Analytics.setOpsUsers),
     "q67_data_card" -> q(graft.ext.Sampling.dataCard),
-    "q68_dedup_corpus" -> q(t => Dedup.dedupedCorpus(t, minJaccard = 0.2, portable = true)))
+    "q68_dedup_corpus" -> q(t => Dedup.dedupedCorpus(t, minJaccard = 0.2, portable = true)),
+    "q69_sequence_packing" -> q(t => graft.ext.Sampling.packSequences(t)),
+    "q70_mixture_weights" -> q(graft.ext.Sampling.mixtureWeights),
+    "q71_quality_funnel" -> q(TextAnalysis.qualityFunnel))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -139,6 +142,9 @@ object SparkEntry {
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
     "q67_data_card" -> graft.ext.Sampling.dataCardSql,
     "q68_dedup_corpus" -> SketchOracleSql.dedupedCorpus,
+    "q69_sequence_packing" -> graft.ext.Sampling.packSequencesSql(),
+    "q70_mixture_weights" -> graft.ext.Sampling.mixtureWeightsSql,
+    "q71_quality_funnel" -> TextAnalysis.qualityFunnelSql,
     "q61_repetition" -> SketchOracleSql.repetitionStats,
     "q62_decontamination" -> SketchOracleSql.decontamination,
     "q63_pii_redact" ->

@@ -151,6 +151,96 @@ object Sampling {
        |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** q69: sequence packing — place every document in a stream of fixed-size
+    * training windows (concatenate-and-chunk, the GPT-style pretraining
+    * layout: documents are concatenated in a deterministic order and the
+    * stream is cut every `ctxTokens` tokens; a document may straddle a cut).
+    *
+    * Scale design: packing is embarrassingly parallel across deterministic
+    * hash groups — `pack_group = splitHash(doc_id) mod groups` — so the only
+    * shuffle is one hash partition, and the running-position window sorts
+    * WITHIN each group (no global sort, no single-partition window). At
+    * 100 TB `groups` scales with the cluster (each group is an independent
+    * token stream); the assignment stays a pure function of doc_id, so
+    * re-packing after corpus growth only perturbs the groups that changed.
+    * All arithmetic is integer, so the DuckDB oracle replays it exactly. */
+  def packSequences(t: Tables, ctxTokens: Int = 512, groups: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_group")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.documents
+      .select(
+        col("doc_id"),
+        pmod(splitHash(col("doc_id")), lit(groups.toLong)).as("pack_group"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("token_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_index", expr(s"token_start div $ctxTokens"))
+      .withColumn("offset_in_seq", pmod(col("token_start"), lit(ctxTokens.toLong)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB mirror of [[packSequences]]. */
+  def packSequencesSql(ctxTokens: Int = 512, groups: Int = 32): String = {
+    val h = splitHashSql("doc_id")
+    s"""WITH base AS (
+       |  SELECT doc_id, ($h) % $groups AS pack_group,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |pos AS (
+       |  SELECT *, COALESCE(CAST(sum(n_tokens) OVER (
+       |    PARTITION BY pack_group ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |    CAST(0 AS BIGINT)) AS token_start
+       |  FROM base)
+       |SELECT doc_id, pack_group, n_tokens, token_start,
+       | token_start // $ctxTokens AS seq_index,
+       | token_start % $ctxTokens AS offset_in_seq
+       |FROM pos ORDER BY doc_id""".stripMargin
+  }
+
+  /** q70: training-mixture weights — per-language corpus sizes and the
+    * temperature-scaled sampling rate `sqrt(tokens_i) / max_j sqrt(tokens_j)`
+    * (α = 0.5 temperature sampling, normalized so the largest stratum keeps
+    * rate 1.0 and everything else is UP-weighted relative to proportional
+    * sampling — the multilingual rebalancing rule of the mT5/XLM-R family).
+    *
+    * Normalizing by the MAX keeps the whole computation bit-portable: max
+    * over doubles is order-independent, where a sum of irrational sqrt
+    * terms would depend on partial-aggregation order. One shuffle to the
+    * per-language aggregate (a handful of rows at any corpus size); the
+    * global max is a window over that tiny aggregate. */
+  def mixtureWeights(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t.documents
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("sqrt_tokens", sqrt(col("total_tokens").cast("double")))
+      .withColumn(
+        "mix_rate",
+        round(col("sqrt_tokens") / max(col("sqrt_tokens")).over(Window.partitionBy()), 6))
+      .withColumn("target_docs",
+        round(col("n_docs") * col("mix_rate"), 0).cast("long"))
+      .drop("sqrt_tokens")
+      .orderBy(col("lang"))
+  }
+
+  /** The DuckDB mirror of [[mixtureWeights]]. */
+  val mixtureWeightsSql: String =
+    s"""WITH per AS (
+       |  SELECT lang, count(*) AS n_docs,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |      AS total_tokens
+       |  FROM documents GROUP BY 1)
+       |SELECT lang, n_docs, total_tokens,
+       | round(sqrt(CAST(total_tokens AS DOUBLE))
+       |   / max(sqrt(CAST(total_tokens AS DOUBLE))) OVER (), 6) AS mix_rate,
+       | CAST(round(n_docs * round(sqrt(CAST(total_tokens AS DOUBLE))
+       |   / max(sqrt(CAST(total_tokens AS DOUBLE))) OVER (), 6), 0) AS BIGINT)
+       |   AS target_docs
+       |FROM per ORDER BY lang""".stripMargin
+
   /** The DuckDB mirror of [[documentSplits]]. */
   val documentSplitsSql: String = {
     val b = s"(${splitHashSql("doc_id")}) % 100"

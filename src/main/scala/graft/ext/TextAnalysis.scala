@@ -279,4 +279,80 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"), col("rank"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /** q71: quality-filter funnel — the per-stage drop accounting a corpus
+    * cleaning pipeline publishes ("started with N, length filter kept X,
+    * …"). Stages apply in order; a document must survive every earlier
+    * stage to be counted at the next, so `n_kept` is monotonically
+    * non-increasing:
+    *
+    *   1. length: 10 ≤ n_tokens ≤ 100000 (truncation/empty-shell filter)
+    *   2. token_shape: mean token length in [2, 12] (mojibake / char-soup)
+    *   3. diversity: distinct-token ratio ≥ 0.3 (keyword-stuffing)
+    *   4. naturalness: ≥ 1 stopword (listing/boilerplate heuristic)
+    *
+    * Shape: one narrow projection computes all stage flags per row, one
+    * global aggregate produces the five funnel counters, `inline` unpivots
+    * them to the 4-row report — a full-corpus funnel costs exactly one
+    * pass + one 5-long reduce regardless of corpus size. Thresholds on
+    * exact-integer-derived doubles, so the DuckDB oracle replays the
+    * comparisons bit-for-bit. */
+  def qualityFunnel(t: Tables): DataFrame = {
+    val tks = tokens(col("text"))
+    val flagged = t.documents.select(
+      (size(tks) >= 10 && size(tks) <= 100000).cast("long").as("k1"),
+      (length(col("text")).cast("double") / size(tks) >= 2.0 &&
+        length(col("text")).cast("double") / size(tks) <= 12.0).cast("long").as("k2"),
+      (size(array_distinct(tks)).cast("double") / size(tks) >= 0.3).cast("long").as("k3"),
+      (size(filter(tks, tk => tk.isin(stopwords.map(lit(_)): _*))) >= 1)
+        .cast("long").as("k4"))
+    flagged
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(col("k1")).as("n1"),
+        sum(col("k1") * col("k2")).as("n2"),
+        sum(col("k1") * col("k2") * col("k3")).as("n3"),
+        sum(col("k1") * col("k2") * col("k3") * col("k4")).as("n4"))
+      .select(inline(array(
+        struct(lit(1).as("stage_id"), lit("length").as("stage"),
+          col("n0").as("n_in"), col("n1").as("n_kept")),
+        struct(lit(2).as("stage_id"), lit("token_shape").as("stage"),
+          col("n1").as("n_in"), col("n2").as("n_kept")),
+        struct(lit(3).as("stage_id"), lit("diversity").as("stage"),
+          col("n2").as("n_in"), col("n3").as("n_kept")),
+        struct(lit(4).as("stage_id"), lit("naturalness").as("stage"),
+          col("n3").as("n_in"), col("n4").as("n_kept")))))
+      .withColumn("n_dropped", col("n_in") - col("n_kept"))
+      .orderBy(col("stage_id"))
+  }
+
+  /** The DuckDB mirror of [[qualityFunnel]]. */
+  val qualityFunnelSql: String = {
+    val stop = stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH f AS (
+       |  SELECT
+       |    CASE WHEN len(tks) BETWEEN 10 AND 100000 THEN 1 ELSE 0 END AS k1,
+       |    CASE WHEN CAST(length(text) AS DOUBLE) / len(tks) >= 2.0e0
+       |          AND CAST(length(text) AS DOUBLE) / len(tks) <= 12.0e0
+       |         THEN 1 ELSE 0 END AS k2,
+       |    CASE WHEN CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks) >= 0.3e0
+       |         THEN 1 ELSE 0 END AS k3,
+       |    CASE WHEN len(list_filter(tks, tk -> list_contains($stop, tk))) >= 1
+       |         THEN 1 ELSE 0 END AS k4
+       |  FROM (SELECT text, string_split_regex(trim(text), '\\s+') AS tks
+       |        FROM documents)),
+       |c AS (
+       |  SELECT count(*) AS n0,
+       |         CAST(sum(k1) AS BIGINT) AS n1,
+       |         CAST(sum(k1*k2) AS BIGINT) AS n2,
+       |         CAST(sum(k1*k2*k3) AS BIGINT) AS n3,
+       |         CAST(sum(k1*k2*k3*k4) AS BIGINT) AS n4 FROM f)
+       |SELECT stage_id, stage, n_in, n_kept, n_in - n_kept AS n_dropped
+       |FROM (
+       |  SELECT 1 AS stage_id, 'length' AS stage, n0 AS n_in, n1 AS n_kept FROM c
+       |  UNION ALL SELECT 2, 'token_shape', n1, n2 FROM c
+       |  UNION ALL SELECT 3, 'diversity', n2, n3 FROM c
+       |  UNION ALL SELECT 4, 'naturalness', n3, n4 FROM c)
+       |ORDER BY stage_id""".stripMargin
+  }
 }

@@ -189,6 +189,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q64_vocabulary").contains("TakeOrderedAndProject"))
   }
 
+  test("q69 packing shuffles once on pack_group; q71 funnel is scan + one reduce") {
+    // sequence packing: the per-group running-position window is the ONE
+    // hash shuffle; a second would mean the window re-partitioned
+    val p69 = plan("q69_sequence_packing")
+    assert(p69.split("Exchange hashpartitioning").length - 1 == 1,
+      s"packing should shuffle exactly once:\n${p69.take(2000)}")
+    // the funnel is a narrow flag projection + a global aggregate — any
+    // hashpartitioning means a per-key shuffle crept into a global reduce
+    assert(!plan("q71_quality_funnel").contains("Exchange hashpartitioning"))
+  }
+
   test("q58 triple join: zone dimension broadcasts; window features share one shuffle") {
     val p = plan("q58_demand_features")
     assert(p.contains("BroadcastHashJoin"), "zone dimension not broadcast")

@@ -139,4 +139,51 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!byId(2L)._3 && !byId(3L)._3)
     assert(!byId(4L)._3 && !byId(5L)._3) // degenerate docs: clean, not errors
   }
+
+  test("q69 packing: positions tile each group's token stream exactly") {
+    val rows = SparkEntry.queries("q69_sequence_packing")(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("pack_group")).foreach { case (_, grp) =>
+      val ordered = grp.sortBy(_.getAs[Long]("doc_id"))
+      var expectedStart = 0L
+      ordered.foreach { r =>
+        assert(r.getAs[Long]("token_start") == expectedStart)
+        assert(r.getAs[Long]("seq_index") == expectedStart / 512)
+        assert(r.getAs[Long]("offset_in_seq") == expectedStart % 512)
+        expectedStart += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("q70 mixture weights: largest stratum keeps rate 1.0, others upweighted") {
+    val rows = SparkEntry.queries("q70_mixture_weights")(spark, dir).collect()
+    val rates = rows.map(_.getAs[Double]("mix_rate"))
+    assert(rates.forall(r => r > 0.0 && r <= 1.0))
+    assert(rates.count(_ == 1.0) >= 1) // the max stratum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target_docs") <= r.getAs[Long]("n_docs"))
+      // α=0.5 temperature: rate must exceed the proportional share for
+      // every non-max stratum (that is the whole point of the rebalance)
+      val tokens = r.getAs[Long]("total_tokens").toDouble
+      val maxTokens = rows.map(_.getAs[Long]("total_tokens")).max.toDouble
+      assert(r.getAs[Double]("mix_rate") >= tokens / maxTokens - 1e-6)
+    }
+  }
+
+  test("q71 funnel: stages chain and never increase") {
+    val rows = SparkEntry.queries("q71_quality_funnel")(spark, dir).collect()
+      .sortBy(_.getAs[Int]("stage_id"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("length", "token_shape", "diversity", "naturalness"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_in"))
+      assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("n_in") - r.getAs[Long]("n_kept"))
+    }
+    // each stage's intake is exactly the previous stage's survivors
+    rows.sliding(2).foreach { case Array(prev, next) =>
+      assert(next.getAs[Long]("n_in") == prev.getAs[Long]("n_kept"))
+    }
+    // stage 1 sees the whole corpus
+    val total = graft.core.Tables(spark, dir).documents.count()
+    assert(rows.head.getAs[Long]("n_in") == total)
+  }
 }
