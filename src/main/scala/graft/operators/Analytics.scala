@@ -289,15 +289,22 @@ object Analytics {
 
   /** A10: global no-group aggregate — the dashboard-stats shape (reference
     * `serving/database.py:243-252`, `ml_feature_engineering.py:503-513`). */
-  def globalStats(t: Tables): DataFrame =
+  def globalStats(t: Tables): DataFrame = {
+    // two count(DISTINCT) in one aggregate would plan an Expand that
+    // replicates every fact row 3× — the q03 pathology. The Roaring-style
+    // bitmap aggregate keeps both distinct counts exact in a single
+    // un-replicated pass (same promotion as Ingest.dailySummaryBitmap;
+    // equivalence to count(DISTINCT) pinned in BitmapDistinctSpec).
+    graft.functions.BitmapDistinct.register(t.spark)
     t.lineitem.agg(
       count(lit(1)).as("total_rows"),
-      countDistinct(col("l_partkey")).as("distinct_parts"),
-      countDistinct(col("l_orderkey")).as("distinct_orders"),
+      graft.functions.BitmapDistinct.bitmapDistinct(col("l_partkey")).as("distinct_parts"),
+      graft.functions.BitmapDistinct.bitmapDistinct(col("l_orderkey")).as("distinct_orders"),
       davg(col("l_extendedprice")).as("avg_price"),
       dsumRevenue(col("l_extendedprice"), col("l_discount")).as("total_revenue"),
       to_date(min(col("l_shipdate"))).as("first_ship_date"),
       to_date(max(col("l_shipdate"))).as("last_ship_date"))
+  }
 
   // ─── Joins ────────────────────────────────────────────────────────────
 

@@ -181,6 +181,64 @@ object TableIO {
       .saveAsTable(table)
   }
 
+  /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
+    * long columns: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i+1. Pure codegen'd bit arithmetic (`2·bits` shift/mask terms OR'd
+    * together), no UDF. */
+  def morton2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+              bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Persist `df` Z-ORDERED on two columns: each is min-max scaled to a
+    * `bits`-bit integer at write time (one tiny stats aggregate — the same
+    * kind of pre-pass `repartitionByRange`'s sampler already does), the
+    * scaled values are Morton-interleaved ([[morton2]]), and the data is
+    * range-partitioned + sorted on the interleaved value. Because the
+    * Z-curve alternates bits of both dimensions, every parquet file gets a
+    * tight min/max footer range on BOTH columns simultaneously — with
+    * `nFiles` files each dimension's per-file span shrinks ~√nFiles×,
+    * where [[saveClustered]] tightens only its leading column and leaves
+    * the second at full range. This is the plain-parquet analog of
+    * Delta/Iceberg Z-ordering, for the two-predicate scans (zone × hour,
+    * lang × length) a lakehouse serves. Per-file two-dim narrowing is
+    * asserted value-level in TableIOSpec. */
+  def saveZOrdered(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      nFiles: Int,
+      bits: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    dropTableAndLocation(spark, table)
+    val s = df.agg(
+      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    val (aMin, aMax, bMin, bMax) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
+    val top = (1L << bits) - 1
+    // floor of an exact double quotient: (x-min)·top stays below 2^53 for
+    // any 32-bit key domain, so the double division is exact before floor
+    def scaled(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
+      if (mx > mn)
+        org.apache.spark.sql.functions
+          .floor((c.cast("long") - lit(mn)) * lit(top) / lit((mx - mn).toDouble))
+      else lit(0L)
+    val z = morton2(scaled(col(colA), aMin, aMax), scaled(col(colB), bMin, bMax), bits)
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.format("parquet").option("compression", "zstd")
+      .saveAsTable(table)
+  }
+
   /** S10: CTAS with partitioning (`nyc_taxi_to_iceberg.py:164-184`). */
   def ctas(
       spark: SparkSession,

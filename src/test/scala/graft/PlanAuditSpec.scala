@@ -189,6 +189,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan("q64_vocabulary").contains("TakeOrderedAndProject"))
   }
 
+  test("q10 global stats avoid the multi-distinct Expand") {
+    // two count(DISTINCT) in one agg would replicate the fact 3× through
+    // an Expand; the bitmap aggregate keeps the plan a plain two-phase agg
+    assert(!plan("q10_global_stats").contains("Expand"))
+  }
+
   test("q69 packing shuffles once on pack_group; q71 funnel is scan + one reduce") {
     // sequence packing: the per-group running-position window is the ONE
     // hash shuffle; a second would mean the window re-partitioned

@@ -147,4 +147,37 @@ class TableIOSpec extends SparkSpec {
       }
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("saveZOrdered narrows per-file ranges on BOTH dimensions") {
+    val t = "graft_zorder_fact"
+    val src = sf().lineitem.select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    TableIO.saveZOrdered(spark, t, src, "l_partkey", "l_suppkey", nFiles = 16)
+    try {
+      assert(spark.table(t).count() == src.count()) // nothing lost
+      assert(!spark.table(t).columns.contains("__graft_z")) // helper col dropped
+      val glob = src.agg(
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).collect()(0)
+      val (paSpan, psSpan) =
+        (glob.getLong(1) - glob.getLong(0), glob.getLong(3) - glob.getLong(2))
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val files = new java.io.File(new java.net.URI(loc))
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length >= 8, "expected many z-ordered files")
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath).agg(
+          min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).collect()(0)
+        ((r.getLong(1) - r.getLong(0)).toDouble / paSpan,
+          (r.getLong(3) - r.getLong(2)).toDouble / psSpan)
+      }
+      // the Z-curve property: with 16 files BOTH dimensions' mean per-file
+      // span shrinks (≈ √16 = 4× each in the ideal uniform case); a 1-D
+      // range clustering would leave the second dimension at ~full span
+      val (meanA, meanS) = (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+      assert(meanA <= 0.5, s"l_partkey per-file span did not narrow: $meanA")
+      assert(meanS <= 0.5, s"l_suppkey per-file span did not narrow: $meanS")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
