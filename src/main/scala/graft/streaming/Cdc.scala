@@ -101,4 +101,85 @@ object Cdc {
         col("source_ts"),
         hour(col("source_ts")).as("source_hour"),
         col("kafka_timestamp"))
+
+  /** The MERGE half of the Kafka-Connect sink (S13's apply step): upsert a
+    * micro-batch of CDC rows into a keyed, date-partitioned parquet serving
+    * table — creates/updates replace the row with the same `id`, deletes
+    * remove it, latest source commit wins within the batch.
+    *
+    * Plain parquet has no row-level MERGE, so the apply is a
+    * PARTITION-SCOPED rewrite (the standard copy-on-write contract):
+    *
+    *  1. reduce the batch to its newest row per key (one window over the
+    *     micro-batch only — never the table);
+    *  2. the touched partitions are exactly the batch rows' `part_date`s
+    *     (delete envelopes carry the original row in `before`, so a
+    *     delete's partition is known without consulting the table; the
+    *     partition date is derived from `pickup_datetime`, immutable per
+    *     key — the usual CDC contract that the partition key is a creation
+    *     attribute);
+    *  3. read ONLY those partitions (partition-pruned scan), drop rows
+    *     whose key appears in the batch, union the batch's survivors;
+    *  4. dynamic-partition-overwrite the touched partitions
+    *     ([[graft.sources.TableIO.refreshPartitions]]).
+    *
+    * Cost per batch is O(bytes of touched partitions), not table size —
+    * at 100 TB CDC touches recent dates, so the rewrite set stays small
+    * and bounded. The rewrite is deterministic from (table, batch), so a
+    * foreachBatch retry overwrites the same partitions with the same
+    * bytes — idempotent, which is what makes foreachBatch's at-least-once
+    * delivery effectively exactly-once here. */
+  def applyCdcBatch(table: String, batch: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("source_ts").desc, col("kafka_timestamp").desc,
+        col("op")) // 'd' < 'u': a same-timestamp delete+update resolves to the delete
+    val latest = batch
+      .filter(col("id").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn("part_date", to_date(col("pickup_datetime")))
+      .localCheckpoint() // one materialization feeds keys, survivors, and partitions
+    val survivors = latest.filter(!col("is_deleted"))
+      .drop("op", "is_deleted", "source_hour", "kafka_timestamp")
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.TableIO.ensureTable(spark, table, survivors, Seq("part_date"))
+    }
+    val touched = latest.select(col("part_date")).distinct()
+    val existing = spark.table(table).join(broadcast(touched), Seq("part_date"), "left_semi")
+    // STAGE the merged rows before swapping: the merge reads the very files
+    // the overwrite will replace, so it must fully materialize first (the
+    // copy-on-write write-new-then-swap contract; at cluster scale this is
+    // a staging path, here localCheckpoint). Without it the overwrite can
+    // race its own input's file listing.
+    val merged = existing
+      .join(broadcast(latest.select(col("id"))), Seq("id"), "left_anti")
+      .unionByName(survivors.select(existing.columns.map(col): _*))
+      .localCheckpoint()
+    // dynamic partition overwrite only replaces partitions PRESENT in the
+    // written data — a partition whose last rows were all deleted would
+    // silently survive; drop those explicitly (partition-metadata op)
+    val emptied = touched
+      .join(merged.select(col("part_date")).distinct(), Seq("part_date"), "left_anti")
+      .collect()
+    emptied.foreach { r =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (part_date = '${r.getDate(0)}')")
+    }
+    graft.sources.TableIO.refreshPartitions(spark, table, merged)
+    spark.catalog.refreshTable(table)
+  }
+
+  /** Streaming upsert sink: [[unwrapForRawTable]] rows applied per
+    * micro-batch through [[applyCdcBatch]] via foreachBatch — the complete
+    * Kafka-Connect-sink replacement (capture + apply), checkpointed and
+    * restart-safe. */
+  def upsertSink(unwrapped: DataFrame, table: String, checkpoint: String,
+                 triggerMs: Long = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    unwrapped.writeStream
+      .foreachBatch((b: DataFrame, _: Long) => applyCdcBatch(table, b))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .start()
 }

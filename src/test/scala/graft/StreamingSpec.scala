@@ -248,4 +248,90 @@ class StreamingSpec extends SparkSpec {
     // 3*0.4 + 72/100*0.4 + 1*0.2 = 1.688
     assert(math.abs(scored.getAs[Double]("activity_score") - 1.688) < 1e-9)
   }
+
+  /** Envelope with an explicit pickup day + source commit ts — the fields
+    * the upsert apply keys its partitions and recency on. Deletes carry the
+    * payload in `before` (Debezium contract), creates/updates in `after`. */
+  private def upsertEnvelope(op: String, id: Long, fare: Double, srcTs: Long,
+                             day: Int): String = {
+    val payload =
+      s"""{\\"id\\": $id, \\"vendor_id\\": 1, \\"pickup_location_id\\": 10,
+         | \\"dropoff_location_id\\": 7, \\"trip_distance\\": 2.5,
+         | \\"pickup_datetime\\": \\"2024-01-0${day}T10:00:00\\",
+         | \\"fare_amount\\": $fare, \\"total_amount\\": ${fare + 2}}"""
+        .stripMargin.replaceAll("\n", "")
+    val (before, after) =
+      if (op == "d") (s""""$payload"""", "null") else ("null", s""""$payload"""")
+    s"""{"op": "$op", "ts_ms": $srcTs, "before": $before, "after": $after,
+       | "source": {"db": "taxi", "table": "trips", "ts_ms": $srcTs}}"""
+      .stripMargin.replaceAll("\n", "")
+  }
+
+  test("CDC upsert apply: latest-per-key wins, deletes remove, partitions merge") {
+    import spark.implicits._
+    val t = s"cdc_upsert_${System.nanoTime()}"
+    def unwrap(rows: Seq[(String, Timestamp)]) =
+      Cdc.unwrapForRawTable(rows.toDF("value", "kafka_timestamp"))
+    try {
+      // batch 1: creates on two days; id=1 also UPDATED within the batch —
+      // the newer source_ts must win
+      Cdc.applyCdcBatch(t, unwrap(Seq(
+        (upsertEnvelope("c", 1, 10.0, 1000, day = 1), ts(0)),
+        (upsertEnvelope("u", 1, 11.0, 2000, day = 1), ts(1)),
+        (upsertEnvelope("c", 2, 20.0, 1000, day = 1), ts(0)),
+        (upsertEnvelope("c", 3, 30.0, 1000, day = 2), ts(0)))))
+      val after1 = spark.table(t).collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[Double]("fare_amount")).toMap
+      assert(after1 == Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+
+      // batch 2: update id=2, delete id=3 (payload in `before` names its
+      // day-2 partition), create id=4 on a new day
+      Cdc.applyCdcBatch(t, unwrap(Seq(
+        (upsertEnvelope("u", 2, 25.0, 3000, day = 1), ts(2)),
+        (upsertEnvelope("d", 3, 30.0, 3000, day = 2), ts(2)),
+        (upsertEnvelope("c", 4, 40.0, 3000, day = 3), ts(2)))))
+      val after2 = spark.table(t).collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[Double]("fare_amount")).toMap
+      assert(after2 == Map(1L -> 11.0, 2L -> 25.0, 4L -> 40.0))
+      // untouched row 1 survived the day-1 rewrite; id=3's partition is empty
+      assert(spark.table(t).filter(col("part_date") === "2024-01-02").count() == 0)
+      // re-applying batch 2 is a no-op (foreachBatch retry idempotence)
+      Cdc.applyCdcBatch(t, unwrap(Seq(
+        (upsertEnvelope("u", 2, 25.0, 3000, day = 1), ts(2)),
+        (upsertEnvelope("d", 3, 30.0, 3000, day = 2), ts(2)),
+        (upsertEnvelope("c", 4, 40.0, 3000, day = 3), ts(2)))))
+      assert(spark.table(t).collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[Double]("fare_amount")).toMap == after2)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("CDC upsert sink applies micro-batches end-to-end (foreachBatch)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val t = s"cdc_sink_${System.nanoTime()}"
+    val ck = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toFile.getAbsolutePath
+    val input = MemoryStream[(String, Timestamp)]
+    val q = Cdc.upsertSink(
+      Cdc.unwrapForRawTable(input.toDF().toDF("value", "kafka_timestamp")),
+      t, ck, triggerMs = 50)
+    try {
+      input.addData(
+        (upsertEnvelope("c", 1, 10.0, 1000, day = 1), ts(0)),
+        (upsertEnvelope("c", 2, 20.0, 1000, day = 1), ts(0)))
+      q.processAllAvailable()
+      assert(spark.table(t).count() == 2)
+      input.addData(
+        (upsertEnvelope("u", 1, 15.0, 2000, day = 1), ts(1)),
+        (upsertEnvelope("d", 2, 20.0, 2000, day = 1), ts(1)))
+      q.processAllAvailable()
+      // foreachBatch runs in a CLONED session: its refreshTable cannot
+      // invalidate this session's cached file listing, so an external
+      // reader refreshes before reading a rewritten table (standard Spark
+      // cross-session contract for file-based tables)
+      spark.catalog.refreshTable(t)
+      val rows = spark.table(t).collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[Double]("fare_amount")).toMap
+      assert(rows == Map(1L -> 15.0))
+    } finally q.stop()
+  }
 }
