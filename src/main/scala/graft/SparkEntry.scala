@@ -111,7 +111,8 @@ object SparkEntry {
     "q68_dedup_corpus" -> q(t => Dedup.dedupedCorpus(t, minJaccard = 0.2, portable = true)),
     "q69_sequence_packing" -> q(t => graft.ext.Sampling.packSequences(t)),
     "q70_mixture_weights" -> q(graft.ext.Sampling.mixtureWeights),
-    "q71_quality_funnel" -> q(TextAnalysis.qualityFunnel))
+    "q71_quality_funnel" -> q(TextAnalysis.qualityFunnel),
+    "q72_chunking" -> q(t => TextAnalysis.chunkDocuments(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -145,6 +146,7 @@ object SparkEntry {
     "q69_sequence_packing" -> graft.ext.Sampling.packSequencesSql(),
     "q70_mixture_weights" -> graft.ext.Sampling.mixtureWeightsSql,
     "q71_quality_funnel" -> TextAnalysis.qualityFunnelSql,
+    "q72_chunking" -> TextAnalysis.chunkDocumentsSql(),
     "q61_repetition" -> SketchOracleSql.repetitionStats,
     "q62_decontamination" -> SketchOracleSql.decontamination,
     "q63_pii_redact" ->

@@ -280,6 +280,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** q72: document chunking — split each document into overlapping
+    * fixed-token windows (stride = chunk − overlap), the retrieval/RAG
+    * ingestion shape and the long-document complement of
+    * [[graft.ext.Sampling.packSequences]] (packing concatenates short
+    * docs; chunking splits long ones). Chunk starts are `0, stride,
+    * 2·stride, …` while they still expose at least one new token; the last
+    * chunk is allowed to be short. Pure narrow explode — zero shuffles,
+    * linear in input splits; chunk ids are deterministic (doc_id, index),
+    * so re-chunking a grown corpus never renumbers existing chunks. */
+  def chunkDocuments(t: Tables, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be smaller than the chunk")
+    val stride = chunkTokens - overlap
+    val tks = tokens(col("text"))
+    t.documents
+      .select(col("doc_id"), tks.as("tks"))
+      .select(col("doc_id"), col("tks"),
+        // number of chunks: ceil(max(n - overlap, 1) / stride)
+        greatest(
+          (size(col("tks")) - lit(overlap) + lit(stride - 1)).cast("long") / lit(stride),
+          lit(1L).cast("double")).cast("long").as("n_chunks"))
+      .select(col("doc_id"), col("tks"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumnRenamed("pos", "chunk_index")
+      .select(
+        col("doc_id"),
+        col("chunk_index").cast("long").as("chunk_index"),
+        (col("col") * stride).as("chunk_start"),
+        array_join(slice(col("tks"), (col("col") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("tks")) - col("col") * stride, lit(chunkTokens))
+          .cast("int").as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_index"))
+  }
+
+  /** The DuckDB mirror of [[chunkDocuments]]. */
+  def chunkDocumentsSql(chunkTokens: Int = 64, overlap: Int = 16): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, tks,
+       |    greatest((len(tks) - $overlap + ${stride - 1}) // $stride, 1) AS n_chunks
+       |  FROM tk),
+       |e AS (
+       |  SELECT doc_id, tks, CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_index
+       |  FROM n)
+       |SELECT doc_id, chunk_index,
+       | chunk_index * $stride AS chunk_start,
+       | array_to_string(tks[chunk_index * $stride + 1 : chunk_index * $stride + $chunkTokens], ' ')
+       |   AS chunk_text,
+       | CAST(least(len(tks) - chunk_index * $stride, $chunkTokens) AS INTEGER)
+       |   AS n_chunk_tokens
+       |FROM e ORDER BY doc_id, chunk_index""".stripMargin
+  }
+
   /** q71: quality-filter funnel — the per-stage drop accounting a corpus
     * cleaning pipeline publishes ("started with N, length filter kept X,
     * …"). Stages apply in order; a document must survive every earlier

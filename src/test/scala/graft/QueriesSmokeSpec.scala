@@ -140,6 +140,27 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(!byId(4L)._3 && !byId(5L)._3) // degenerate docs: clean, not errors
   }
 
+  test("q72 chunking: strides cover every token; overlap and tails are exact") {
+    val rows = SparkEntry.queries("q72_chunking")(spark, dir).collect()
+    val docs = graft.core.Tables(spark, dir).documents
+      .select(col("doc_id"), size(graft.ext.TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n")).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, chunks) =>
+      val ordered = chunks.sortBy(_.getAs[Long]("chunk_index"))
+      val n = docs(id)
+      // starts advance by the stride (64-16=48); the final chunk still
+      // exposes the last token; no chunk starts past the text
+      ordered.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Long]("chunk_start") == i.toLong * 48)
+        assert(c.getAs[Int]("n_chunk_tokens") == math.min(n - i * 48, 64))
+      }
+      val last = ordered.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Int]("n_chunk_tokens") == n)
+      // one chunk per stride that exposes a new token
+      assert(ordered.length == math.max(1, math.ceil((n - 16).toDouble / 48).toInt))
+    }
+  }
+
   test("q69 packing: positions tile each group's token stream exactly") {
     val rows = SparkEntry.queries("q69_sequence_packing")(spark, dir).collect()
     rows.groupBy(_.getAs[Long]("pack_group")).foreach { case (_, grp) =>

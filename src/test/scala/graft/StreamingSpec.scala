@@ -305,6 +305,46 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("CDC upsert apply matches an in-memory fold over random op sequences") {
+    import spark.implicits._
+    // model-based check: 120 random c/u/d ops over 12 keys × 3 days,
+    // applied in 6 micro-batches, must equal folding the ops in source_ts
+    // order into a Map (latest non-deleted row per key). Seeded — failures
+    // reproduce.
+    val rnd = new scala.util.Random(20260812)
+    val t = s"cdc_model_${System.nanoTime()}"
+    val ops = (1 to 120).map { i =>
+      val key = 1L + rnd.nextInt(12)
+      val day = 1 + rnd.nextInt(3)
+      val op = rnd.nextInt(5) match {
+        case 0 => "d"
+        case 1 => "c"
+        case _ => "u"
+      }
+      (op, key, 10.0 + rnd.nextInt(90), i.toLong * 1000, day)
+    }
+    // model: day is keyed per (key) FIRST assignment — the partition-
+    // immutability contract applyCdcBatch documents; pin each key's day
+    val dayOf = ops.groupBy(_._2).map { case (k, os) => k -> os.head._5 }
+    val pinned = ops.map { case (op, k, fare, ts0, _) => (op, k, fare, ts0, dayOf(k)) }
+    val model = pinned.sortBy(_._4).foldLeft(Map.empty[Long, Double]) {
+      case (m, ("d", k, _, _, _)) => m - k
+      case (m, (_, k, fare, _, _)) => m.updated(k, fare)
+    }
+    try {
+      pinned.grouped(20).foreach { batch =>
+        Cdc.applyCdcBatch(t, Cdc.unwrapForRawTable(
+          batch.map { case (op, k, fare, ts0, day) =>
+            (upsertEnvelope(op, k, fare, ts0, day), ts(0))
+          }.toDF("value", "kafka_timestamp")))
+      }
+      spark.catalog.refreshTable(t)
+      val actual = spark.table(t).collect().map(r =>
+        r.getAs[Long]("id") -> r.getAs[Double]("fare_amount")).toMap
+      assert(actual == model, s"diverged from model:\n got $actual\n exp $model")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CDC upsert sink applies micro-batches end-to-end (foreachBatch)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
