@@ -112,7 +112,8 @@ object SparkEntry {
     "q69_sequence_packing" -> q(t => graft.ext.Sampling.packSequences(t)),
     "q70_mixture_weights" -> q(graft.ext.Sampling.mixtureWeights),
     "q71_quality_funnel" -> q(TextAnalysis.qualityFunnel),
-    "q72_chunking" -> q(t => TextAnalysis.chunkDocuments(t)))
+    "q72_chunking" -> q(t => TextAnalysis.chunkDocuments(t)),
+    "q73_source_cap" -> q(t => graft.ext.Sampling.capPerSource(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -147,6 +148,7 @@ object SparkEntry {
     "q70_mixture_weights" -> graft.ext.Sampling.mixtureWeightsSql,
     "q71_quality_funnel" -> TextAnalysis.qualityFunnelSql,
     "q72_chunking" -> TextAnalysis.chunkDocumentsSql(),
+    "q73_source_cap" -> graft.ext.Sampling.capPerSourceSql(),
     "q61_repetition" -> SketchOracleSql.repetitionStats,
     "q62_decontamination" -> SketchOracleSql.decontamination,
     "q63_pii_redact" ->

@@ -241,6 +241,41 @@ object Sampling {
        |   AS target_docs
        |FROM per ORDER BY lang""".stripMargin
 
+  /** q73: per-source document cap — keep at most `cap` documents from any
+    * one source, chosen by deterministic hash order (no single domain may
+    * dominate the mix; the per-domain cap every web-corpus release
+    * applies). Hash-ordering the survivors makes the kept set a uniform,
+    * layout-independent sample of the stratum — first-N-by-doc_id would
+    * bias toward old crawls — and a row's fate changes only when its OWN
+    * stratum grows past the cap.
+    *
+    * One shuffle on `source` for the per-stratum rank. A pathologically
+    * hot stratum concentrates its rank computation on one partition; the
+    * cap output is equivalently a per-stratum bottom-`cap` by hash value,
+    * so the scale path two-phases it (per-partition bottom-cap, then
+    * merge) exactly like TakeOrdered — semantics identical, pinned here by
+    * the single-window form the oracle replays. */
+  def capPerSource(t: Tables, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(splitHash(col("doc_id")), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("source"), col("lang"))
+      .withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= cap)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB mirror of [[capPerSource]]. */
+  def capPerSourceSql(cap: Int = 20): String =
+    s"""WITH ranked AS (
+       |  SELECT doc_id, source, lang,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${splitHashSql("doc_id")}, doc_id) AS stratum_rank
+       |  FROM documents)
+       |SELECT doc_id, source, lang, CAST(stratum_rank AS INTEGER) AS stratum_rank
+       |FROM ranked WHERE stratum_rank <= $cap ORDER BY doc_id""".stripMargin
+
   /** The DuckDB mirror of [[documentSplits]]. */
   val documentSplitsSql: String = {
     val b = s"(${splitHashSql("doc_id")}) % 100"

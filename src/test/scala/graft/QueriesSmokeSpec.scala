@@ -161,6 +161,17 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q73 source cap: no stratum exceeds the cap; small strata intact") {
+    val perSource = graft.core.Tables(spark, dir).documents
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    val kept = SparkEntry.queries("q73_source_cap")(spark, dir).collect()
+      .groupBy(_.getAs[String]("source")).map { case (s, rs) => s -> rs.length.toLong }
+    perSource.foreach { case (s, n) =>
+      assert(kept.getOrElse(s, 0L) == math.min(n, 20L), s"source $s: $n docs")
+    }
+  }
+
   test("q69 packing: positions tile each group's token stream exactly") {
     val rows = SparkEntry.queries("q69_sequence_packing")(spark, dir).collect()
     rows.groupBy(_.getAs[Long]("pack_group")).foreach { case (_, grp) =>
