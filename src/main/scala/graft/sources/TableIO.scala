@@ -221,6 +221,12 @@ object TableIO {
     val s = df.agg(
       min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
+    if (s.isNullAt(0) || s.isNullAt(2)) {
+      // empty (or all-null-key) input: nothing to order — write as-is,
+      // like saveClustered would, instead of NPE-ing after the drop
+      df.write.format("parquet").option("compression", "zstd").saveAsTable(table)
+      return
+    }
     val (aMin, aMax, bMin, bMax) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
     val top = (1L << bits) - 1
     // floor of an exact double quotient: (x-min)·top stays below 2^53 for

@@ -132,21 +132,33 @@ object Cdc {
   def applyCdcBatch(table: String, batch: DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     val spark = batch.sparkSession
+    // timestamp ties (one transaction, same source commit millisecond)
+    // resolve by op semantics, not lexicographic order: the delete
+    // dominates (the key's final state in that commit), an update beats
+    // the create's initial values. Neither ASC nor DESC on the op string
+    // gives d > u > c, so the priority is explicit.
+    val opPriority = when(col("op") === "d", 3)
+      .when(col("op") === "u", 2).otherwise(1)
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("source_ts").desc, col("kafka_timestamp").desc,
-        col("op")) // 'd' < 'u': a same-timestamp delete+update resolves to the delete
+      .orderBy(col("source_ts").desc, col("kafka_timestamp").desc, opPriority.desc)
     val latest = batch
       .filter(col("id").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .withColumn("part_date", to_date(col("pickup_datetime")))
+      // part_date must never be null: a null would fall out of the
+      // null-unsafe partition joins below (silently losing the default
+      // partition's rows) and is undroppable by partition spec. Rows
+      // whose payload lacks the creation attribute partition by source
+      // commit date instead; the epoch sentinel is unreachable while the
+      // envelope carries source.ts_ms.
+      .withColumn("part_date",
+        coalesce(to_date(col("pickup_datetime")), to_date(col("source_ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))))
       .localCheckpoint() // one materialization feeds keys, survivors, and partitions
     val survivors = latest.filter(!col("is_deleted"))
       .drop("op", "is_deleted", "source_hour", "kafka_timestamp")
-    if (!spark.catalog.tableExists(table)) {
-      graft.sources.TableIO.ensureTable(spark, table, survivors, Seq("part_date"))
-    }
+    graft.sources.TableIO.ensureTable(spark, table, survivors, Seq("part_date"))
     val touched = latest.select(col("part_date")).distinct()
     val existing = spark.table(table).join(broadcast(touched), Seq("part_date"), "left_semi")
     // STAGE the merged rows before swapping: the merge reads the very files

@@ -295,6 +295,14 @@ class StreamingSpec extends SparkSpec {
       assert(after2 == Map(1L -> 11.0, 2L -> 25.0, 4L -> 40.0))
       // untouched row 1 survived the day-1 rewrite; id=3's partition is empty
       assert(spark.table(t).filter(col("part_date") === "2024-01-02").count() == 0)
+      // batch 3: same-source-timestamp create+delete for a NEW key (one
+      // transaction, same commit ms) — op semantics must resolve to the
+      // delete, not the lexicographically-first create
+      Cdc.applyCdcBatch(t, unwrap(Seq(
+        (upsertEnvelope("c", 9, 90.0, 5000, day = 1), ts(3)),
+        (upsertEnvelope("d", 9, 90.0, 5000, day = 1), ts(3)))))
+      assert(spark.table(t).filter(col("id") === 9).count() == 0,
+        "same-timestamp create+delete resurrected the row")
       // re-applying batch 2 is a no-op (foreachBatch retry idempotence)
       Cdc.applyCdcBatch(t, unwrap(Seq(
         (upsertEnvelope("u", 2, 25.0, 3000, day = 1), ts(2)),

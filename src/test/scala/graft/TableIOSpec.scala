@@ -180,4 +180,13 @@ class TableIOSpec extends SparkSpec {
       assert(meanS <= 0.5, s"l_suppkey per-file span did not narrow: $meanS")
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("saveZOrdered handles an empty input (no stats → plain write)") {
+    val t = freshName("t_zorder_empty")
+    val empty = sf().lineitem
+      .select(col("l_partkey"), col("l_suppkey")).filter(col("l_partkey") < 0)
+    TableIO.saveZOrdered(spark, t, empty, "l_partkey", "l_suppkey", nFiles = 4)
+    try assert(spark.table(t).count() == 0)
+    finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
