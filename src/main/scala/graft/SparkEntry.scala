@@ -113,7 +113,9 @@ object SparkEntry {
     "q70_mixture_weights" -> q(graft.ext.Sampling.mixtureWeights),
     "q71_quality_funnel" -> q(TextAnalysis.qualityFunnel),
     "q72_chunking" -> q(t => TextAnalysis.chunkDocuments(t)),
-    "q73_source_cap" -> q(t => graft.ext.Sampling.capPerSource(t)))
+    "q73_source_cap" -> q(t => graft.ext.Sampling.capPerSource(t)),
+    "q74_event_funnel" -> q(Analytics.eventFunnel),
+    "q75_cohort_retention" -> q(Analytics.cohortRetention))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -149,6 +151,55 @@ object SparkEntry {
     "q71_quality_funnel" -> TextAnalysis.qualityFunnelSql,
     "q72_chunking" -> TextAnalysis.chunkDocumentsSql(),
     "q73_source_cap" -> graft.ext.Sampling.capPerSourceSql(),
+    "q74_event_funnel" ->
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_view
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_click
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_purchase
+        |  FROM w2),
+        |per AS (
+        |  SELECT user_id, min(t_view) AS tv, min(t_click) AS tc,
+        |    min(t_purchase) AS tp
+        |  FROM w3 GROUP BY 1),
+        |c AS (SELECT count(tv) AS n1, count(tc) AS n2, count(tp) AS n3 FROM per)
+        |SELECT step_id, step, n_users,
+        | round(CAST(n_users AS DOUBLE) / n1, 6) AS conversion
+        |FROM (
+        |  SELECT 1 AS step_id, 'view' AS step, n1 AS n_users, n1 FROM c
+        |  UNION ALL SELECT 2, 'click_after_view', n2, n1 FROM c
+        |  UNION ALL SELECT 3, 'purchase_after_click', n3, n1 FROM c)
+        |ORDER BY step_id""".stripMargin,
+    "q75_cohort_retention" ->
+      """WITH firsts AS (
+        |  SELECT user_id, ts,
+        |    min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |  FROM events),
+        |cells AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+        |    CAST(date_trunc('week', ts) AS DATE) AS activity_week
+        |  FROM firsts),
+        |wk AS (
+        |  SELECT user_id, cohort_week,
+        |    date_diff('day', cohort_week, activity_week) // 7 AS week_n
+        |  FROM cells),
+        |sizes AS (
+        |  SELECT cohort_week, count(*) AS cohort_size
+        |  FROM wk WHERE week_n = 0 GROUP BY 1)
+        |SELECT w.cohort_week, CAST(w.week_n AS INTEGER) AS week_n,
+        | count(*) AS n_active, s.cohort_size,
+        | round(CAST(count(*) AS DOUBLE) / s.cohort_size, 6) AS retention_pct
+        |FROM wk w JOIN sizes s USING (cohort_week)
+        |GROUP BY 1, 2, s.cohort_size
+        |ORDER BY 1, 2""".stripMargin,
     "q61_repetition" -> SketchOracleSql.repetitionStats,
     "q62_decontamination" -> SketchOracleSql.decontamination,
     "q63_pii_redact" ->

@@ -143,6 +143,75 @@ object Analytics {
       .orderBy(col("gid"),
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** q74: ordered conversion funnel — users who viewed, then clicked AFTER
+    * their first view, then purchased AFTER that click (temporal order
+    * enforced, not mere step membership — the distinction every product
+    * funnel gets wrong when it counts steps independently).
+    *
+    * Shape: three whole-partition window minima over ONE hash exchange of
+    * user_id (unbounded frames need no sort), then a per-user reduce on
+    * the same partitioning and a global count rollup — the full-corpus
+    * funnel costs a single shuffle regardless of event volume. Counts are
+    * integers; the conversion ratio divides two exact longs, so the DuckDB
+    * oracle replays it bit-for-bit. */
+  def eventFunnel(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = t.events
+      .withColumn("t_view", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("tv"), min(col("t_click")).as("tc"),
+        min(col("t_purchase")).as("tp"))
+    perUser
+      .agg(count(col("tv")).as("n1"), count(col("tc")).as("n2"), count(col("tp")).as("n3"))
+      .select(inline(array(
+        struct(lit(1).as("step_id"), lit("view").as("step"), col("n1").as("n_users"),
+          round(col("n1").cast("double") / col("n1"), 6).as("conversion")),
+        struct(lit(2).as("step_id"), lit("click_after_view").as("step"), col("n2").as("n_users"),
+          round(col("n2").cast("double") / col("n1"), 6).as("conversion")),
+        struct(lit(3).as("step_id"), lit("purchase_after_click").as("step"), col("n3").as("n_users"),
+          round(col("n3").cast("double") / col("n1"), 6).as("conversion")))))
+      .orderBy(col("step_id"))
+  }
+
+  /** q75: weekly cohort retention — users grouped by the ISO week of their
+    * first event; for each (cohort, weeks-since) cell, how many distinct
+    * cohort members were active and what fraction of the cohort that is.
+    * The standard growth-analytics matrix.
+    *
+    * Shape: one window minimum per user (hash exchange on user_id), narrow
+    * week arithmetic, then a distinct-user count per (cohort, week) cell —
+    * rows entering that aggregate are already deduplicated per (user,
+    * cell), and cohort size joins back as a broadcast of the tiny cohort
+    * dimension. Dates and counts are exact on both engines. */
+  def cohortRetention(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val cells = t.events
+      .withColumn("first_ts", min(col("ts")).over(w))
+      .select(
+        col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"),
+        date_trunc("week", col("ts")).cast("date").as("activity_week"))
+      .distinct()
+      .withColumn("week_n",
+        (datediff(col("activity_week"), col("cohort_week")) / 7).cast("int"))
+    // cells are distinct per (user, cohort, activity week): plain counts
+    // ARE distinct-user counts, no distinct-aggregate rewrite needed
+    val cohortSizes = cells.filter(col("week_n") === 0)
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells
+      .groupBy(col("cohort_week"), col("week_n"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_n"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6).as("retention_pct"))
+      .orderBy(col("cohort_week"), col("week_n"))
+  }
+
   /** §2.7 set operations (unused by the reference; here for switch-over
     * completeness): the user base that clicked but never purchased
     * (EXCEPT/anti), and the one that did both (INTERSECT/semi). Both

@@ -161,6 +161,34 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q74 funnel steps are temporally ordered and monotonically shrink") {
+    val rows = SparkEntry.queries("q74_event_funnel")(spark, dir).collect()
+      .sortBy(_.getAs[Int]("step_id"))
+    assert(rows.map(_.getAs[String]("step")).toSeq ==
+      Seq("view", "click_after_view", "purchase_after_click"))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.sliding(2).forall { case Array(a, b) => b <= a })
+    assert(rows.head.getAs[Double]("conversion") == 1.0)
+    // ordered funnel must be at most the unordered step membership
+    val t = graft.core.Tables(spark, dir)
+    val clickUsers = t.events.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct().count()
+    assert(counts(1) <= clickUsers)
+  }
+
+  test("q75 retention: week 0 is the full cohort; no cell exceeds it") {
+    val rows = SparkEntry.queries("q75_cohort_retention")(spark, dir).collect()
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_week")).foreach { case (_, cells) =>
+      val week0 = cells.find(_.getAs[Int]("week_n") == 0).get
+      assert(week0.getAs[Long]("n_active") == week0.getAs[Long]("cohort_size"))
+      assert(week0.getAs[Double]("retention_pct") == 1.0)
+      cells.foreach { c =>
+        assert(c.getAs[Long]("n_active") <= c.getAs[Long]("cohort_size"))
+        assert(c.getAs[Int]("week_n") >= 0)
+      }
+    }
+  }
+
   test("q73 source cap: no stratum exceeds the cap; small strata intact") {
     val perSource = graft.core.Tables(spark, dir).documents
       .groupBy(col("source")).count().collect()
