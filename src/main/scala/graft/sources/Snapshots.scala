@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned parquet tables: the reference keeps its lakehouse
+  * tables in Iceberg, whose essential mechanism is immutable data files
+  * plus an atomically-swapped metadata pointer — that mechanism, reduced
+  * to plain parquet + HDFS-rename atomicity, with time travel, rollback,
+  * and retention vacuum. (Reference tables:
+  * `spark-apps/nyc_taxi_to_iceberg.py:57-70`; its operational docs lean on
+  * Iceberg snapshots for recovery.)
+  *
+  * Layout under one base directory:
+  * {{{
+  *   <base>/v=1/…parquet      immutable snapshot data (never rewritten)
+  *   <base>/v=2/…parquet
+  *   <base>/_LATEST           one line: the current version number
+  * }}}
+  *
+  * Commit protocol: data lands fully in its `v=N` directory FIRST, then
+  * `_LATEST` is swapped by write-temp + atomic rename — readers resolve
+  * the pointer once and only ever list a complete snapshot directory, so
+  * a crashed writer leaves at worst an orphaned (never-referenced)
+  * directory for [[vacuum]] to collect; it can never corrupt the current
+  * view. Commits are O(1) metadata regardless of data size.
+  *
+  * Scale notes: rename-atomicity holds on HDFS-semantics filesystems; on
+  * an eventually-consistent object store the pointer swap moves into any
+  * conditional-put/metastore — the data layout is unchanged. A reader
+  * that resolved version N keeps reading N's immutable files even as
+  * writers commit N+1 (snapshot isolation); [[vacuum]] retention is the
+  * standard bound on how long such readers may run.
+  */
+object Snapshots {
+
+  private val Latest = "_LATEST"
+
+  private def fs(spark: SparkSession, base: String): FileSystem =
+    new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Versions present on disk (committed or orphaned), ascending. */
+  def versions(spark: SparkSession, base: String): Seq[Long] = {
+    val f = fs(spark, base)
+    val dir = new Path(base)
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toLong)
+        .sorted
+  }
+
+  /** The committed current version, if any write ever committed. */
+  def currentVersion(spark: SparkSession, base: String): Option[Long] = {
+    val f = fs(spark, base)
+    val p = new Path(base, Latest)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  private def swapPointer(spark: SparkSession, base: String, version: Long): Unit = {
+    val f = fs(spark, base)
+    val tmp = new Path(base, s".${Latest}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8"))
+    finally out.close()
+    val target = new Path(base, Latest)
+    f.delete(target, false) // POSIX rename replaces; HDFS needs the delete
+    if (!f.rename(tmp, target))
+      throw new java.io.IOException(s"pointer swap failed for $base v=$version")
+  }
+
+  /** Commit `df` as the next snapshot and return its version number. */
+  def write(df: DataFrame, base: String): Long = {
+    val spark = df.sparkSession
+    val next = versions(spark, base).lastOption.getOrElse(0L) + 1
+    df.write.format("parquet").option("compression", "zstd")
+      .save(s"$base/v=$next")
+    swapPointer(spark, base, next) // publish only after the data is complete
+    next
+  }
+
+  /** Read the current snapshot, or a specific version (time travel). */
+  def read(spark: SparkSession, base: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion(spark, base)).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $base"))
+    spark.read.parquet(s"$base/v=$v")
+  }
+
+  /** Point the table back at an older committed snapshot (O(1), data
+    * untouched — the misbegotten newer snapshot stays readable by version
+    * until vacuumed). */
+  def rollback(spark: SparkSession, base: String, version: Long): Unit = {
+    require(versions(spark, base).contains(version), s"unknown version $version")
+    swapPointer(spark, base, version)
+  }
+
+  /** Delete snapshots older than the `keepLast` most recent, never the
+    * current pointer target. Returns the versions removed. */
+  def vacuum(spark: SparkSession, base: String, keepLast: Int): Seq[Long] = {
+    val f = fs(spark, base)
+    val all = versions(spark, base)
+    val current = currentVersion(spark, base)
+    val removable = all.dropRight(keepLast).filterNot(current.contains)
+    removable.foreach(v => f.delete(new Path(base, s"v=$v"), true))
+    removable
+  }
+}

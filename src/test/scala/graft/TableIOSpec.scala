@@ -181,6 +181,38 @@ class TableIOSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("Snapshots: time travel, rollback, and vacuum honor the pointer") {
+    import graft.sources.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("graft_snap").toFile.getAbsolutePath
+    val v1 = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val v2 = Seq((1, "a2"), (3, "c")).toDF("id", "v")
+    assert(Snapshots.write(v1, base) == 1L)
+    assert(Snapshots.write(v2, base) == 2L)
+    assert(Snapshots.currentVersion(spark, base).contains(2L))
+    // current read sees v2; time travel sees v1 unchanged
+    assert(Snapshots.read(spark, base).orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a2", "c"))
+    assert(Snapshots.read(spark, base, Some(1L)).orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b"))
+    // rollback is a pointer swap: current view reverts, v2 stays readable
+    Snapshots.rollback(spark, base, 1L)
+    assert(Snapshots.read(spark, base).orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b"))
+    assert(Snapshots.read(spark, base, Some(2L)).count() == 2)
+    // vacuum keeps the pointer target even when retention would drop it
+    val removed = Snapshots.vacuum(spark, base, keepLast = 1)
+    assert(removed.isEmpty, s"vacuum must spare the pointer target: $removed")
+    assert(Snapshots.read(spark, base).count() == 2)
+    // a third write after rollback continues the version sequence
+    val v3 = Snapshots.write(Seq((9, "z")).toDF("id", "v"), base)
+    assert(v3 == 3L)
+    assert(Snapshots.read(spark, base).collect().map(_.getString(1)).toSeq == Seq("z"))
+    // now vacuum can collect the two superseded snapshots
+    assert(Snapshots.vacuum(spark, base, keepLast = 1) == Seq(1L, 2L))
+    assert(Snapshots.versions(spark, base) == Seq(3L))
+    assert(Snapshots.read(spark, base).count() == 1)
+  }
+
   test("saveZOrdered handles an empty input (no stats → plain write)") {
     val t = freshName("t_zorder_empty")
     val empty = sf().lineitem
