@@ -169,9 +169,9 @@ object Dedup {
     * Self-join on (band, bucket, salt) yields candidates; token-shingle
     * Jaccard rejects false positives. `minJaccard` is the acceptance
     * threshold; `cap` bounds degenerate buckets via [[saltedBuckets]]. */
-  def minhashDupPairs(t: Tables, minJaccard: Double = 0.5,
-                      portable: Boolean = false,
-                      cap: Int = DefaultBucketCap): DataFrame = {
+  private def minhashDupPairsUnsorted(t: Tables, minJaccard: Double = 0.5,
+                                      portable: Boolean = false,
+                                      cap: Int = DefaultBucketCap): DataFrame = {
     // materialize twice: the inner checkpoint stops the salting's size
     // aggregate + join from recomputing the signature expression; the
     // outer one stops the candidate self-join from recomputing the salting
@@ -212,8 +212,16 @@ object Dedup {
             size(array_union(col("da.sh"), col("db.sh"))),
           6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** [[minhashDupPairsUnsorted]] plus the presentation sort — the q34 query
+    * surface. Internal consumers ([[dupClusters]]) take the unsorted edge
+    * set: a global range sort feeding a shuffling consumer is pure waste. */
+  def minhashDupPairs(t: Tables, minJaccard: Double = 0.5,
+                      portable: Boolean = false,
+                      cap: Int = DefaultBucketCap): DataFrame =
+    minhashDupPairsUnsorted(t, minJaccard, portable, cap)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** SimHash: 64-bit fingerprint — per token, each bit of xxhash64(token)
     * votes +1/−1; the sign of each bit-sum forms the fingerprint. Pure
@@ -450,7 +458,7 @@ object Dedup {
     * DedupSpec). */
   def dupClusters(t: Tables, minJaccard: Double = 0.2,
                   portable: Boolean = false): DataFrame = {
-    val pairs = minhashDupPairs(t, minJaccard, portable)
+    val pairs = minhashDupPairsUnsorted(t, minJaccard, portable)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = connectedComponentsStar(
       t.documents.select(col("doc_id").as("id")), pairs)
