@@ -535,4 +535,90 @@ object Multimodal {
     * tasks instead of stacking in one partition at scale. */
   def repartitionBySize(df: DataFrame, partitions: Int): DataFrame =
     df.repartition(partitions, pmod(xxhash64(col("media_id"), length(col("payload"))), lit(partitions)))
+
+  /** 64-bit average-hash (aHash) perceptual fingerprint: block-average the
+    * image onto an 8×8 grayscale grid, then set bit i when block i is
+    * brighter than the global mean. Integer-exact throughout (block/global
+    * means compared by cross-multiplication, no division), so the hash is
+    * bit-stable across platforms; near-identical images — recompressions,
+    * small edits, resizes — land within a few bits of each other, which is
+    * the property image dedup banding exploits. */
+  def averageHash(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    require(rgb.length == w * h * 3 && w > 0 && h > 0)
+    val sum = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val p = (y * w + x) * 3
+        sum(by * 8 + bx) += (rgb(p) & 0xff) + (rgb(p + 1) & 0xff) + (rgb(p + 2) & 0xff)
+        cnt(by * 8 + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = sum.sum
+    val totalCnt = cnt.sum
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      // block mean > global mean ⟺ sum_i·totalCnt > total·cnt_i; products
+      // stay under 2^63 for any image up to 256×256 blocks of 16-bit pixels
+      if (cnt(i) > 0 && sum(i) * totalCnt > total * cnt(i)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-image aHash fingerprints for every decodable image row —
+    * partition-local decode (the mapInPandas analog), no shuffle. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .filter(col("kind") === "image")
+      .flatMap { r =>
+        MediaCodec.decodeImage(r.payload).map { case (w, h, rgb) =>
+          (r.media_id, averageHash(w, h, rgb))
+        }
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs by banded aHash: the 64-bit fingerprint
+    * splits into 4×16-bit bands; a candidate pair must agree on at least
+    * one band (pigeonhole: guaranteed for Hamming distance ≤ 3, probable
+    * well past that), then the exact Hamming distance filters to
+    * `maxHamming`. The same bucket-capped self-join contract as MinHash
+    * LSH — [[Dedup.saltedBuckets]] bounds degenerate buckets (an all-black
+    * corpus) — so candidate volume stays near-linear in corpus size. */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 4,
+                    cap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val hashes = imageHashes(media)
+    val banded = Dedup.saltedBuckets(
+      hashes.select(
+          col("media_id"), col("ahash"),
+          posexplode(array((0 until 4).map(b =>
+            shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_val")
+        .localCheckpoint(), // decode + hash once for both join sides
+      Seq("band_id", "band_val"), "media_id", cap)
+    banded.as("l")
+      .join(banded.as("r"),
+        col("l.band_id") === col("r.band_id") && col("l.band_val") === col("r.band_val") &&
+          col("l.salt") === col("r.salt") && col("l.media_id") < col("r.media_id"))
+      .select(
+        col("l.media_id").as("media_a"),
+        col("r.media_id").as("media_b"),
+        col("l.ahash").as("ah_a"),
+        col("r.ahash").as("ah_b"))
+      .dropDuplicates("media_a", "media_b")
+      .withColumn("hamming", bit_count(col("ah_a").bitwiseXOR(col("ah_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
 }

@@ -299,4 +299,46 @@ class MultimodalSpec extends SparkSpec {
       .select(spark_partition_id().as("p")).distinct().count()
     assert(parts > 1)
   }
+
+  test("averageHash is codec-invariant and tolerant of tiny edits") {
+    val w = 32; val h = 24
+    // structured image: left half dark, right half bright
+    val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+      if ((j / 3) % w < w / 2) 20.toByte else 200.toByte
+    }
+    val base = Multimodal.averageHash(w, h, rgb)
+    // same pixels through PNG vs PPM encodings → identical hash
+    val viaPng = MediaCodec.decodePng(MediaCodec.encodePng(w, h, rgb)).get
+    assert(Multimodal.averageHash(viaPng._1, viaPng._2, viaPng._3) == base)
+    // one edited pixel moves the hash at most a few bits
+    val edited = rgb.clone(); edited(0) = 255.toByte; edited(1) = 255.toByte
+    val hamming = java.lang.Long.bitCount(base ^ Multimodal.averageHash(w, h, edited))
+    assert(hamming <= 2, s"tiny edit moved $hamming bits")
+    // the inverted image is far away
+    val inverted = rgb.map(b => (255 - (b & 0xff)).toByte)
+    assert(java.lang.Long.bitCount(base ^ Multimodal.averageHash(w, h, inverted)) >= 32)
+  }
+
+  test("imageNearDups pairs the recompressed/edited copies, not the distinct image") {
+    import spark.implicits._
+    val w = 32; val h = 24
+    val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+      (((j / 3) % w) * 255 / w).toByte // horizontal gradient
+    }
+    val edited = rgb.clone(); edited(100) = 0.toByte
+    val inverted = rgb.map(b => (255 - (b & 0xff)).toByte)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "image", MediaCodec.encodePpm(w, h, rgb), w, h, 0, 1),
+      Multimodal.MediaRow(1L, "image", MediaCodec.encodePng(w, h, rgb), w, h, 0, 1),
+      Multimodal.MediaRow(2L, "image", MediaCodec.encodePpm(w, h, edited), w, h, 0, 1),
+      Multimodal.MediaRow(3L, "image", MediaCodec.encodePpm(w, h, inverted), w, h, 0, 1),
+      Multimodal.MediaRow(4L, "audio", MediaCodec.encodeWav(8000, Array[Short](1, 2, 3)), 0, 0, 8000, 1))
+      .toDS()
+    val pairs = Multimodal.imageNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "identical pixels through two codecs not paired")
+    assert(pairs.contains((0L, 2L)), "one-pixel edit not paired")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "inverted image wrongly paired")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "non-image row leaked in")
+  }
 }
