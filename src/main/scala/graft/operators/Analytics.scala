@@ -677,4 +677,62 @@ object Analytics {
       .drop("rn")
       .orderBy(col("event_type"))
   }
+
+  /** q80: robust outlier detection per group — median/MAD z-score, the
+    * data-profiling shape that survives the heavy-tailed value
+    * distributions mean/stddev breaks on (one whale purchase shifts a mean;
+    * it cannot shift a median). Three passes by construction (median →
+    * MAD → flag), each a single shuffle on the group key; the two tiny
+    * stats frames broadcast back onto the fact, so the fact is never
+    * shuffled. Engine-portable: `percentile_disc` SELECTS an input value
+    * (no interpolation), IEEE subtract/abs/compare are exact, and the
+    * threshold multiply is one rounding — bit-identical in any engine. */
+  def robustOutliers(t: Tables, nSigma: Double = 3.0): DataFrame = {
+    val med = t.events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("median_value"))
+    val dev = t.events
+      .join(broadcast(med), "event_type")
+      .withColumn("abs_dev", abs(col("value") - col("median_value")))
+    val mad = dev
+      .groupBy(col("event_type"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_dev)").as("mad"))
+    dev
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("median_value")).as("median_value"),
+        min(col("mad")).as("mad"),
+        count(when(col("abs_dev") > lit(nSigma) * col("mad"), lit(1))).as("n_outliers"))
+      .withColumn("outlier_pct",
+        round(col("n_outliers").cast("double") / col("n_events"), 6))
+      .orderBy(col("event_type"))
+  }
+
+  /** q81: the salted two-phase aggregation ([[graft.functions.Skew]])
+    * under the oracle gate — count + exact decimal sum over a 5-value key
+    * (events.event_type: ~N/5 rows per key, the textbook hot-key layout
+    * where a plain groupBy leaves 27 of 32 reducers idle). Phase 1 groups
+    * on (key, salt) so each hot key spreads over `salts` reducers; phase 2
+    * merges the partials on the key alone. The sum stays bit-exact through
+    * both phases because it rides [[graft.functions.ExactAgg]]'s split
+    * hi/lo long kernels — longs are associative, so partial-then-merge is
+    * the identical arithmetic to the one-phase form the oracle runs. */
+  def saltedEventStats(t: Tables, salts: Int = 16): DataFrame = {
+    val p = round(col("value") * lit(1000000), 0).cast("long")
+    graft.functions.Skew.saltedAggregate(
+      t.events,
+      keys = Seq(col("event_type")),
+      salts = salts,
+      partials = Seq(
+        count(lit(1)).as("pc"),
+        sum(shiftright(p, 26)).as("ph"),
+        sum(p.bitwiseAND(lit(67108863L))).as("pl")),
+      merge = Seq(
+        sum(col("pc")).as("n_events"),
+        ((sum(col("ph")).cast("double") * lit(67108864.0) +
+          sum(col("pl")).cast("double")) / lit(1000000.0)).as("sum_value")))
+      .orderBy(col("event_type"))
+  }
 }

@@ -76,6 +76,41 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q77 bigrams are two-token phrases with n_docs <= n_occurrences") {
+    val rows = SparkEntry.queries("q77_frequent_bigrams")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("bigram").split(" ").length == 2))
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences")))
+    // descending heavy-hitter order
+    val counts = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
+
+  test("q80 robust outlier stats are internally consistent") {
+    val rows = SparkEntry.queries("q80_robust_outliers")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") >= 0.0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_events"))
+      val pct = r.getAs[Double]("outlier_pct")
+      assert(pct >= 0.0 && pct <= 1.0)
+    }
+  }
+
+  test("q81 salted aggregation is bit-identical to the one-phase form") {
+    val salted = SparkEntry.queries("q81_salted_agg")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))))
+      .toMap
+    val plain = sf().events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.functions.ExactAgg.dsum(col("value")).as("s"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"), r.getAs[Double]("s"))))
+      .toMap
+    assert(salted == plain) // exact ==, including the doubles
+  }
+
   /** Synthetic documents dir for planted text-quality assertions. */
   private lazy val plantedDir: String = {
     import spark.implicits._
