@@ -122,7 +122,8 @@ object SparkEntry {
     "q79_pagerank" -> q(t => operators.Graph.pageRankZones(t)),
     "q80_robust_outliers" -> q(t => Analytics.robustOutliers(t)),
     "q81_salted_agg" -> q(t => Analytics.saltedEventStats(t)),
-    "q82_triangle_stats" -> q(operators.Graph.triangleStats))
+    "q82_triangle_stats" -> q(operators.Graph.triangleStats),
+    "q83_bigram_lm" -> q(TextAnalysis.bigramFluency))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -436,6 +437,7 @@ object SparkEntry {
     "q78_ann_quantized" -> SketchOracleSql.annQuantized,
     "q79_pagerank" -> operators.Graph.pageRankZonesSql(),
     "q82_triangle_stats" -> operators.Graph.triangleStatsSql,
+    "q83_bigram_lm" -> TextAnalysis.bigramFluencySql,
     "q01_agg_stats" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          | ${O.dsum("l_quantity")} AS sum_qty,

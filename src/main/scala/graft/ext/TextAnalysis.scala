@@ -424,26 +424,85 @@ object TextAnalysis {
     * bigrams (the ones this query surfaces) are exactly the hot keys the
     * partial aggregation absorbs: each map task emits one partial row per
     * distinct bigram regardless of its row count. */
-  def frequentBigrams(t: Tables, k: Int = 100): DataFrame = {
-    // the native WordShingles loop, not a per-element HOF lambda — the
-    // bigram build is the hot narrow pass (every token of every document)
-    graft.functions.ShingleExpression.register(t.spark)
-    val tks = tokens(lower(col("text")))
-    // WordShingles emits one whole-doc shingle for n<k docs; this query's
-    // contract (and its oracle) drops sub-bigram documents instead
-    val bigrams = when(size(tks) >= 2,
-      graft.functions.ShingleExpression.wordShingles(tks, 2))
-      .otherwise(array().cast("array<string>"))
+  def frequentBigrams(t: Tables, k: Int = 100): DataFrame =
     // (bigram, doc) partial first, then merge — `count + count(DISTINCT)`
     // in one aggregate would plan an Expand that doubles the exploded rows
     // before the shuffle (the q03 pathology, corpus-sized here)
-    t.documents
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
+    bigramOccurrences(t)
       .groupBy(col("bigram"), col("doc_id"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("bigram"))
       .agg(sum(col("n")).as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("bigram"))
       .limit(k)
+
+  /** The per-document bigram stream shared by [[frequentBigrams]] and
+    * [[bigramFluency]]: one row per bigram OCCURRENCE (duplicates kept);
+    * documents with fewer than two tokens emit nothing. */
+  private def bigramOccurrences(t: Tables): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    val tks = tokens(lower(col("text")))
+    t.documents.select(col("doc_id"), explode(
+      when(size(tks) >= 2, graft.functions.ShingleExpression.wordShingles(tks, 2))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+  }
+
+  /** q83: statistical fluency scoring — a bigram language model trained on
+    * the corpus itself, each document scored by the mean in-corpus
+    * transition probability of its bigrams (P(w₂|w₁) = c(w₁w₂)/c(w₁·)).
+    * Real text full of common transitions scores high; shuffled-word or
+    * machine-mangled text scores near the unigram floor — the
+    * model-BASED complement of the rule-based [[textStats]] quality score
+    * (how perplexity filtering works, minus the libm-portability problem:
+    * probabilities stay rational, no log).
+    *
+    * Shape at scale — train once, score by join: the model is the
+    * aggregated (bigram → probability) table, |vocab|²-bounded and far
+    * smaller than the corpus; scoring joins each bigram occurrence against
+    * it on the bigram key (one shuffle of key+doc_id pairs, never
+    * documents) and reduces per doc. Probability = one exact-integer
+    * divide; the per-doc mean runs through the decimal
+    * [[graft.functions.ExactAgg.davg]] kernel — bit-portable end to end. */
+  def bigramFluency(t: Tables): DataFrame = {
+    val bg = bigramOccurrences(t)
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .withColumn("left_word", substring_index(col("bigram"), " ", 1))
+    val c1 = c2.groupBy(col("left_word")).agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, "left_word")
+      .select(col("bigram"), (col("c2").cast("double") / col("c1")).as("p"))
+    bg.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        // NO round(·, 6) here: the mean of 1e-6-quantized probabilities
+        // lands exactly on x.xxxxxx5 whenever count divides the sum's last
+        // digit — the one spot where Spark's HALF_UP BigDecimal rounding
+        // and DuckDB's float rounding disagree. davg alone is bit-portable.
+        graft.functions.ExactAgg.davg(col("p")).as("avg_p"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB mirror of [[bigramFluency]]. */
+  val bigramFluencySql: String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+       |    i -> tks[i] || ' ' || tks[i+1])) AS bigram
+       |  FROM tk),
+       |c2 AS (
+       |  SELECT bigram, count(*) AS c2,
+       |   string_split(bigram, ' ')[1] AS left_word
+       |  FROM bg GROUP BY 1),
+       |c1 AS (SELECT left_word, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |model AS (
+       |  SELECT bigram, CAST(c2 AS DOUBLE) / c1 AS p
+       |  FROM c2 JOIN c1 USING (left_word)),
+       |scored AS (SELECT doc_id, p FROM bg JOIN model USING (bigram))
+       |SELECT doc_id, count(*) AS n_bigrams,
+       | ${O.davg("p")} AS avg_p
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

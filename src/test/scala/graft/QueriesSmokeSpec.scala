@@ -111,6 +111,32 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(salted == plain) // exact ==, including the doubles
   }
 
+  test("q83 bigram-LM fluency: probabilities in (0,1], repeated text maxes out") {
+    val rows = SparkEntry.queries("q83_bigram_lm")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("avg_p")
+      assert(p > 0.0 && p <= 1.0, s"avg_p $p out of range")
+    }
+    // a document that is one bigram repeated scores avg_p = 1 exactly iff
+    // its left word never starts any other bigram in the corpus — instead
+    // assert the planted-doc ordering on a controlled corpus
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_lm").toFile.getAbsolutePath
+    Seq(
+      (0L, "the cat sat on the mat"),
+      (1L, "the cat sat on the mat"),
+      (2L, "mat the on sat cat the")) // same words, shuffled transitions
+      .map { case (id, t) => (id, t, "en", "synthetic", t.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val planted = graft.ext.TextAnalysis.bigramFluency(graft.core.Tables(spark, dir2))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("avg_p")).toMap
+    assert(planted(0L) == planted(1L))
+    assert(planted(2L) < planted(0L),
+      s"shuffled doc ${planted(2L)} should score below natural ${planted(0L)}")
+  }
+
   /** Synthetic documents dir for planted text-quality assertions. */
   private lazy val plantedDir: String = {
     import spark.implicits._

@@ -221,4 +221,39 @@ class TableIOSpec extends SparkSpec {
     try assert(spark.table(t).count() == 0)
     finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("incremental view refresh: equals full recompute, touches only delta partitions") {
+    import graft.operators.Incremental
+    val view = freshName("t_ivm")
+    val agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = df =>
+      df.groupBy(col("year"), col("month"))
+        .agg(count(lit(1)).as("n"), graft.functions.ExactAgg.dsum(col("v")).as("s"))
+    val fact0 = Seq(
+      (2024, 1, 10.5), (2024, 1, 2.25), (2024, 2, 7.0))
+      .toDF("year", "month", "v")
+    TableIO.truncateReload(spark, view, agg(fact0), partitionCols = Seq("year", "month"))
+    val janDir = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath +
+        s"/${view.toLowerCase}/year=2024/month=1")
+    def janState() = janDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val janBefore = janState()
+    assert(janBefore.nonEmpty)
+    // delta lands: more Feb rows + a brand-new March partition
+    val delta = Seq((2024, 2, 1.5), (2024, 3, 4.0)).toDF("year", "month", "v")
+    val fact1 = fact0.union(delta)
+    val nAffected = Incremental.refreshAggregate(
+      spark, view, fact1, delta, Seq("year", "month"), agg)
+    assert(nAffected == 2) // feb + mar, never jan
+    // saveAsTable stores partition cols last — compare by name
+    val cols = Seq("year", "month", "n", "s").map(col)
+    val got = spark.table(view).select(cols: _*)
+      .orderBy(col("year"), col("month")).collect().map(_.toSeq)
+    val want = agg(fact1).select(cols: _*)
+      .orderBy(col("year"), col("month")).collect().map(_.toSeq)
+    try {
+      assert(got.toSeq == want.toSeq, "incremental view diverged from full recompute")
+      assert(janState() == janBefore, "untouched partition was rewritten")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $view")
+  }
 }
