@@ -123,7 +123,9 @@ object SparkEntry {
     "q80_robust_outliers" -> q(t => Analytics.robustOutliers(t)),
     "q81_salted_agg" -> q(t => Analytics.saltedEventStats(t)),
     "q82_triangle_stats" -> q(operators.Graph.triangleStats),
-    "q83_bigram_lm" -> q(TextAnalysis.bigramFluency))
+    "q83_bigram_lm" -> q(TextAnalysis.bigramFluency),
+    "q84_duplicate_spans" -> q(t => Dedup.duplicateSpans(t)),
+    "q85_cumulative_distinct" -> q(Analytics.cumulativeDistinctUsers))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -438,6 +440,37 @@ object SparkEntry {
     "q79_pagerank" -> operators.Graph.pageRankZonesSql(),
     "q82_triangle_stats" -> operators.Graph.triangleStatsSql,
     "q83_bigram_lm" -> TextAnalysis.bigramFluencySql,
+    "q84_duplicate_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(range(1, len(tks) - 13)) AS i, tks
+        |  FROM tk WHERE len(tks) >= 15),
+        |h AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |   md5(array_to_string(tks[i:i+14], ' ')) AS span_hash
+        |  FROM sp),
+        |per AS (
+        |  SELECT span_hash, doc_id, count(*) AS n, min(pos) AS min_pos
+        |  FROM h GROUP BY 1, 2)
+        |SELECT span_hash, CAST(sum(n) AS BIGINT) AS n_occurrences,
+        | count(*) AS n_docs, min(doc_id) AS first_doc_id,
+        | min(min_pos) AS first_pos
+        |FROM per GROUP BY 1 HAVING CAST(sum(n) AS BIGINT) > 1
+        |ORDER BY n_occurrences DESC, span_hash""".stripMargin,
+    "q85_cumulative_distinct" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |   count(DISTINCT user_id) AS daily_distinct_users
+        |  FROM events GROUP BY 1),
+        |cum AS (
+        |  SELECT d.day, count(DISTINCT e.user_id) AS cumulative_distinct_users
+        |  FROM daily d JOIN events e ON CAST(e.ts AS DATE) <= d.day
+        |  GROUP BY 1)
+        |SELECT d.day, d.n_events, d.daily_distinct_users,
+        | c.cumulative_distinct_users
+        |FROM daily d JOIN cum c USING (day) ORDER BY day""".stripMargin,
     "q01_agg_stats" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
          | ${O.dsum("l_quantity")} AS sum_qty,

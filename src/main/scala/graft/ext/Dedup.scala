@@ -481,6 +481,45 @@ object Dedup {
       .select(col("doc_id"), (col("cluster_size") - 1).as("n_dropped"))
       .orderBy(col("doc_id"))
 
+  /** Exact duplicate-span detection (the substring half of training-data
+    * dedup — Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2021, at k-token granularity): every contiguous k-token span
+    * that occurs more than once in the corpus, with its occurrence and
+    * document counts. Near-dup MinHash ([[minhashDupPairs]]) catches
+    * whole-document copies; this catches the boilerplate PARAGRAPH pasted
+    * into thousands of otherwise-distinct pages, which document-level
+    * dedup never sees.
+    *
+    * Scale shape: spans are built per-row by the native
+    * [[graft.functions.WordShingles]] kernel (narrow, no shuffle) and
+    * immediately collapsed to a 16-byte md5 — the shuffle carries
+    * (hash, doc_id) pairs, never span text. The aggregation is two-level
+    * ((span, doc) partial, then span) so `count + count(DISTINCT doc)`
+    * never plans an Expand over the exploded span stream (corpus × ~doc
+    * length rows at 100 TB). Docs shorter than k tokens carry no k-token
+    * span and are filtered at the scan. */
+  def duplicateSpans(t: Tables, k: Int = 15): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    val tks = TextAnalysis.tokens(lower(col("text")))
+    t.documents
+      .select(col("doc_id"), tks.as("tks"))
+      .filter(size(col("tks")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.ShingleExpression.wordShingles(col("tks"), k)))
+      .select(col("doc_id"), md5(col("col")).as("span_hash"), col("pos"))
+      .groupBy(col("span_hash"), col("doc_id"))
+      .agg(count(lit(1)).as("n"), min(col("pos")).as("min_pos"))
+      .groupBy(col("span_hash"))
+      .agg(
+        sum(col("n")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"),
+        min(col("min_pos")).as("first_pos"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("span_hash"))
+  }
+
   /** n-gram Jaccard similarity over a deterministic candidate sample:
     * consecutive doc_id pairs (a fixed, oracle-expressible pairing that
     * exercises the set-similarity kernel; production candidates come from

@@ -141,56 +141,11 @@ object BitmapDistinct {
 
     override def eval(buffer: BitmapBuffer): Any = buffer.cardinality
 
-    override def serialize(buffer: BitmapBuffer): Array[Byte] = {
-      var size = 4
-      buffer.containers.forEach { (_, c) =>
-        size += 8 + 1 + (if (c.dense) 8192 else 4 + 2 * c.n)
-      }
-      val bb = java.nio.ByteBuffer.allocate(size)
-      bb.putInt(buffer.containers.size)
-      buffer.containers.forEach { (high, c) =>
-        bb.putLong(high)
-        if (c.dense) {
-          bb.put(1.toByte)
-          var w = 0
-          while (w < 1024) { bb.putLong(c.words(w)); w += 1 }
-        } else {
-          bb.put(0.toByte).putInt(c.n)
-          var i = 0
-          while (i < c.n) { bb.putChar(c.arr(i)); i += 1 }
-        }
-      }
-      bb.array()
-    }
+    override def serialize(buffer: BitmapBuffer): Array[Byte] =
+      serializeBuffer(buffer)
 
-    override def deserialize(bytes: Array[Byte]): BitmapBuffer = {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      val out = new BitmapBuffer
-      val nContainers = bb.getInt()
-      var k = 0
-      while (k < nContainers) {
-        val high = bb.getLong()
-        val c = new Container
-        if (bb.get() == 1.toByte) {
-          c.words = new Array[Long](1024)
-          c.arr = null
-          var w = 0; var card = 0
-          while (w < 1024) {
-            c.words(w) = bb.getLong(); card += java.lang.Long.bitCount(c.words(w)); w += 1
-          }
-          c.card = card
-        } else {
-          val n = bb.getInt()
-          c.arr = new Array[Char](math.max(8, n))
-          var i = 0
-          while (i < n) { c.arr(i) = bb.getChar(); i += 1 }
-          c.n = n
-        }
-        out.containers.put(high, c)
-        k += 1
-      }
-      out
-    }
+    override def deserialize(bytes: Array[Byte]): BitmapBuffer =
+      deserializeBuffer(bytes)
 
     override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinctAgg =
       copy(mutableAggBufferOffset = newOffset)
@@ -199,13 +154,176 @@ object BitmapDistinct {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  private val fnName = "graft_bitmap_distinct"
+  /** Like [[BitmapDistinctAgg]] but evals to the SERIALIZED bitmap (binary)
+    * instead of its cardinality — the Druid/ClickHouse `groupBitmapState`
+    * half of the state/merge pattern. A downstream layer can re-aggregate
+    * the states with [[BitmapMergeCountAgg]] (unions are associative and
+    * commutative), so exact distinct counts compose across time windows or
+    * rollup levels WITHOUT re-touching the fact table. */
+  case class BitmapStateAgg(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BitmapBuffer] with UnaryLike[Expression] {
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_state expects an integral key column, got ${other.catalogString}")
+    }
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_bitmap_state"
+
+    override def createAggregationBuffer(): BitmapBuffer = new BitmapBuffer
+
+    override def update(buffer: BitmapBuffer, input: InternalRow): BitmapBuffer = {
+      val v = child.eval(input)
+      if (v != null) buffer.add(v.asInstanceOf[Number].longValue())
+      buffer
+    }
+
+    override def merge(buffer: BitmapBuffer, other: BitmapBuffer): BitmapBuffer = {
+      buffer.mergeFrom(other)
+      buffer
+    }
+
+    override def eval(buffer: BitmapBuffer): Any = serializeBuffer(buffer)
+
+    override def serialize(buffer: BitmapBuffer): Array[Byte] =
+      serializeBuffer(buffer)
+    override def deserialize(bytes: Array[Byte]): BitmapBuffer =
+      deserializeBuffer(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BitmapStateAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BitmapStateAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The merge half: unions serialized bitmap states (from
+    * [[BitmapStateAgg]]) and evals to the exact distinct count. */
+  case class BitmapMergeCountAgg(
+      child: Expression,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BitmapBuffer] with UnaryLike[Expression] {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_bitmap_merge_count expects a binary bitmap-state column, got ${other.catalogString}")
+    }
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_bitmap_merge_count"
+
+    override def createAggregationBuffer(): BitmapBuffer = new BitmapBuffer
+
+    override def update(buffer: BitmapBuffer, input: InternalRow): BitmapBuffer = {
+      val v = child.eval(input)
+      // deserializeBuffer allocates fresh containers, so single-owner
+      // mergeFrom (which adopts the other side's containers) is safe here
+      if (v != null) buffer.mergeFrom(deserializeBuffer(v.asInstanceOf[Array[Byte]]))
+      buffer
+    }
+
+    override def merge(buffer: BitmapBuffer, other: BitmapBuffer): BitmapBuffer = {
+      buffer.mergeFrom(other)
+      buffer
+    }
+
+    override def eval(buffer: BitmapBuffer): Any = buffer.cardinality
+
+    override def serialize(buffer: BitmapBuffer): Array[Byte] =
+      serializeBuffer(buffer)
+    override def deserialize(bytes: Array[Byte]): BitmapBuffer =
+      deserializeBuffer(bytes)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BitmapMergeCountAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BitmapMergeCountAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  private[functions] def serializeBuffer(buffer: BitmapBuffer): Array[Byte] = {
+    var size = 4
+    buffer.containers.forEach { (_, c) =>
+      size += 8 + 1 + (if (c.dense) 8192 else 4 + 2 * c.n)
+    }
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(buffer.containers.size)
+    buffer.containers.forEach { (high, c) =>
+      bb.putLong(high)
+      if (c.dense) {
+        bb.put(1.toByte)
+        var w = 0
+        while (w < 1024) { bb.putLong(c.words(w)); w += 1 }
+      } else {
+        bb.put(0.toByte).putInt(c.n)
+        var i = 0
+        while (i < c.n) { bb.putChar(c.arr(i)); i += 1 }
+      }
+    }
+    bb.array()
+  }
+
+  private[functions] def deserializeBuffer(bytes: Array[Byte]): BitmapBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new BitmapBuffer
+    val nContainers = bb.getInt()
+    var k = 0
+    while (k < nContainers) {
+      val high = bb.getLong()
+      val c = new Container
+      if (bb.get() == 1.toByte) {
+        c.words = new Array[Long](1024)
+        c.arr = null
+        var w = 0; var card = 0
+        while (w < 1024) {
+          c.words(w) = bb.getLong(); card += java.lang.Long.bitCount(c.words(w)); w += 1
+        }
+        c.card = card
+      } else {
+        val n = bb.getInt()
+        c.arr = new Array[Char](math.max(8, n))
+        var i = 0
+        while (i < n) { c.arr(i) = bb.getChar(); i += 1 }
+        c.n = n
+      }
+      out.containers.put(high, c)
+      k += 1
+    }
+    out
+  }
+
+  private val fnName = "graft_bitmap_distinct"
+  private val stateFnName = "graft_bitmap_state"
+  private val mergeFnName = "graft_bitmap_merge_count"
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       fnName, exprs => BitmapDistinctAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      stateFnName, exprs => BitmapStateAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      mergeFnName, exprs => BitmapMergeCountAgg(exprs.head), "scala_udf")
+  }
 
   /** Exact distinct count of a non-negative integral column; one pass, no
     * Expand, mergeable across partials. Call [[register]] first. */
   def bitmapDistinct(key: Column): Column = call_function(fnName, key)
+
+  /** Serialized bitmap state of a non-negative integral column — re-
+    * aggregate with [[bitmapMergeCount]]. Call [[register]] first. */
+  def bitmapState(key: Column): Column = call_function(stateFnName, key)
+
+  /** Exact distinct count from merged [[bitmapState]] states. Call
+    * [[register]] first. */
+  def bitmapMergeCount(state: Column): Column = call_function(mergeFnName, state)
 }

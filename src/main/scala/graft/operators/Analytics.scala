@@ -735,4 +735,36 @@ object Analytics {
           sum(col("pl")).cast("double")) / lit(1000000.0)).as("sum_value")))
       .orderBy(col("event_type"))
   }
+
+  /** q85: cumulative EXACT distinct users by day via mergeable bitmap
+    * states — the Druid/ClickHouse `groupBitmapState`/`Merge` pattern on
+    * [[graft.functions.BitmapDistinct]]. One pass over the fact builds a
+    * per-day user bitmap (plus the plain per-day stats); the cumulative
+    * layer is a triangular self-join OF THE DAY FRAME ONLY (days² tiny
+    * state rows — at 10 years of daily grain that is ~6.7M bitmap merges,
+    * zero fact re-reads), re-aggregated with the bitmap-union merge. The
+    * naive form — `events self-join ON e.day <= d.day` then
+    * count(DISTINCT) — re-shuffles the ENTIRE fact once per day, which is
+    * the difference between O(|fact|) and O(|fact|·days) at 100 TB. Exact
+    * (not HLL): unions of Roaring-style bitmaps lose nothing, so running
+    * distinct-user curves stay auditable. */
+  def cumulativeDistinctUsers(t: Tables): DataFrame = {
+    graft.functions.BitmapDistinct.register(t.spark)
+    val daily = t.events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.BitmapDistinct.bitmapDistinct(col("user_id"))
+          .as("daily_distinct_users"),
+        graft.functions.BitmapDistinct.bitmapState(col("user_id")).as("bm"))
+      .localCheckpoint() // day frame reused on both sides of the join
+    daily.as("d")
+      .join(daily.as("e"), col("e.day") <= col("d.day"))
+      .groupBy(col("d.day").as("day"),
+        col("d.n_events").as("n_events"),
+        col("d.daily_distinct_users").as("daily_distinct_users"))
+      .agg(graft.functions.BitmapDistinct.bitmapMergeCount(col("e.bm"))
+        .as("cumulative_distinct_users"))
+      .orderBy(col("day"))
+  }
 }

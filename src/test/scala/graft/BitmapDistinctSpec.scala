@@ -79,4 +79,50 @@ class BitmapDistinctSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("state/merge round-trip: merged per-group states equal a direct distinct") {
+    BitmapDistinct.register(spark)
+    import spark.implicits._
+    // 3 groups with overlapping key sets; merging ALL group states must
+    // equal the global distinct (union loses nothing), and per-group
+    // merge-of-one-state must equal the group's own distinct
+    val df = (0 until 9000).map(i => (i % 3, (i % 1500) * 11L)).toDF("g", "k")
+    val states = df.repartition(13)
+      .groupBy(col("g"))
+      .agg(
+        BitmapDistinct.bitmapState(col("k")).as("bm"),
+        BitmapDistinct.bitmapDistinct(col("k")).as("direct"))
+    val perGroup = states
+      .groupBy(col("g"))
+      .agg(BitmapDistinct.bitmapMergeCount(col("bm")).as("merged"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = states.collect().map(r => r.getInt(0) -> r.getAs[Long]("direct")).toMap
+    assert(perGroup == direct)
+    val global = states.agg(BitmapDistinct.bitmapMergeCount(col("bm")))
+      .collect()(0).getLong(0)
+    assert(global == 1500L)
+  }
+
+  test("q85 cumulative distinct users: bitmap merge equals set-union ground truth") {
+    val t = sf()
+    val got = graft.operators.Analytics.cumulativeDistinctUsers(t).collect()
+    // ground truth by driver-side set union over the tiny test corpus
+    val byDay = t.events
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .collect()
+      .groupBy(_.getDate(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val days = byDay.keys.toSeq.sortBy(_.getTime)
+    assert(got.map(_.getDate(0)).toSeq == days)
+    var acc = Set.empty[Long]
+    days.zip(got).foreach { case (day, row) =>
+      acc = acc ++ byDay(day)
+      assert(row.getAs[Long]("daily_distinct_users") == byDay(day).size.toLong)
+      assert(row.getAs[Long]("cumulative_distinct_users") == acc.size.toLong,
+        s"cumulative mismatch at $day")
+    }
+    // monotone non-decreasing by construction
+    val cums = got.map(_.getAs[Long]("cumulative_distinct_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
 }

@@ -275,4 +275,42 @@ class DedupSpec extends SparkSpec {
     val sizeOf = clusters.groupBy(_._2).map { case (cl, rows) => cl -> rows.length }
     clusters.foreach { case (_, cl, sz) => assert(sz == sizeOf(cl)) }
   }
+
+  test("duplicate spans: planted shared paragraph found, unique docs silent") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_spans").toFile.getAbsolutePath
+    val boiler = (1 to 15).map(i => s"boiler$i").mkString(" ")
+    val docs = Seq(
+      // docs 0 and 1 share the 15-token boilerplate inside distinct prose
+      (0L, s"alpha bravo charlie $boiler delta echo"),
+      (1L, s"foxtrot golf $boiler hotel india juliet kilo"),
+      // doc 2: unique long text, no duplicated span
+      (2L, (1 to 40).map(i => s"unique$i").mkString(" ")),
+      // doc 3: repeats its own 15-token refrain twice (self-duplication)
+      (3L, ((1 to 15).map(i => s"refrain$i") ++ Seq("bridge") ++
+        (1 to 15).map(i => s"refrain$i")).mkString(" ")),
+      // doc 4: shorter than 15 tokens — contributes no span at all
+      (4L, "tiny doc under fifteen tokens total"))
+    docs.map { case (id, tx) => (id, tx, "en", "synthetic", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val out = Dedup.duplicateSpans(Tables(spark, base)).collect()
+    // exactly the boilerplate window(s) shared by 0/1 and doc 3's refrain;
+    // nothing from docs 2/4
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n_occurrences") > 1))
+    val crossDoc = out.filter(_.getAs[Long]("n_docs") == 2)
+    assert(crossDoc.nonEmpty, "shared boilerplate span not detected")
+    assert(crossDoc.forall(_.getAs[Long]("first_doc_id") == 0L))
+    val selfDup = out.filter(r =>
+      r.getAs[Long]("n_docs") == 1 && r.getAs[Long]("first_doc_id") == 3L)
+    assert(selfDup.nonEmpty, "within-document repeated span not detected")
+    assert(!out.exists(r => r.getAs[Long]("first_doc_id") == 2L ||
+      r.getAs[Long]("first_doc_id") == 4L))
+    // the boilerplate span itself (exact window) appears with count 2:
+    // md5 of the known 15-token string must be among the cross-doc hashes
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(boiler.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(crossDoc.exists(_.getAs[String]("span_hash") == expected))
+  }
 }
