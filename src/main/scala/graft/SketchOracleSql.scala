@@ -312,6 +312,46 @@ object SketchOracleSql {
        | ${KmvSketch.estimateSql("hv", 256)} AS approx_customers
        |FROM hashed GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q86: Count-Min heavy hitters — replays every sketch counter with the
+    * portable key hash and the explicit lane literals of
+    * [[graft.functions.CountMinSketch]], then probes the top-100 exact
+    * bigrams: estimate = min over lanes of the bucket counter. */
+  val cmsHeavyHitters: String = {
+    import graft.functions.CountMinSketch.{Depth, LaneA, LaneB, P, Width}
+    val lanesValues = (0 until Depth)
+      .map(i => s"(${i}, ${LaneA(i)}, ${LaneB(i)})").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+       |    i -> tks[i] || ' ' || tks[i+1])) AS bigram
+       |  FROM tk WHERE len(tks) >= 2),
+       |counts AS (
+       |  SELECT bigram, count(*) AS c, count(DISTINCT doc_id) AS d
+       |  FROM bg GROUP BY 1),
+       |hashed AS (
+       |  SELECT bigram, c, d, ${PortableHash.hash32Sql("bigram")} AS h
+       |  FROM counts),
+       |lanes AS (SELECT * FROM (VALUES $lanesValues) AS t(lane, a, b)),
+       |counters AS (
+       |  SELECT lane, ((a * h + b) % $P) % $Width AS bucket,
+       |   CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM hashed CROSS JOIN lanes GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT bigram, c, d, h FROM hashed
+       |  ORDER BY c DESC, bigram LIMIT 100),
+       |probe AS (
+       |  SELECT t.bigram, t.c, t.d, min(ct.cnt) AS est
+       |  FROM topk t CROSS JOIN lanes l
+       |  JOIN counters ct
+       |    ON ct.lane = l.lane AND ct.bucket = ((l.a * t.h + l.b) % $P) % $Width
+       |  GROUP BY 1, 2, 3)
+       |SELECT bigram, c AS n_occurrences, d AS n_docs, est AS cms_estimate,
+       | CAST(est - c AS BIGINT) AS overestimate
+       |FROM probe ORDER BY n_occurrences DESC, bigram""".stripMargin
+  }
+
   /** q78: int8 scalar-quantized ANN — per-vector symmetric quantization
     * (⌊x·127/max|x|⌋, exact IEEE), integer-domain quantized cosine for the
     * ranking, exact cosine re-ranked for the top-k survivors. Mirrors

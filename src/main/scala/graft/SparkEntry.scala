@@ -125,7 +125,8 @@ object SparkEntry {
     "q82_triangle_stats" -> q(operators.Graph.triangleStats),
     "q83_bigram_lm" -> q(TextAnalysis.bigramFluency),
     "q84_duplicate_spans" -> q(t => Dedup.duplicateSpans(t)),
-    "q85_cumulative_distinct" -> q(Analytics.cumulativeDistinctUsers))
+    "q85_cumulative_distinct" -> q(Analytics.cumulativeDistinctUsers),
+    "q86_cms_heavy_hitters" -> q(t => TextAnalysis.cmsHeavyHitters(t, portable = true)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -436,6 +437,7 @@ object SparkEntry {
         |WHERE event_type IN ('view', 'click', 'purchase', 'signup')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
+    "q86_cms_heavy_hitters" -> SketchOracleSql.cmsHeavyHitters,
     "q78_ann_quantized" -> SketchOracleSql.annQuantized,
     "q79_pagerank" -> operators.Graph.pageRankZonesSql(),
     "q82_triangle_stats" -> operators.Graph.triangleStatsSql,

@@ -436,6 +436,35 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("bigram"))
       .limit(k)
 
+  /** q86: the Count-Min scale twin of [[frequentBigrams]] — the same
+    * top-k bigrams probed against a fixed-memory sketch of the WHOLE
+    * bigram stream, reporting the sketch estimate and its (one-sided)
+    * overestimate next to the exact count. This is the sketch-family
+    * contract surface (like q40's KMV next to q04's exact distinct): at
+    * 100 TB the exact aggregate's shuffle grows with the distinct-bigram
+    * count (billions), while the sketch ships 64 KiB per map partition
+    * no matter what; frequency probes then run against the broadcast
+    * counter matrix. Portable mode makes every counter replayable by the
+    * DuckDB oracle ([[graft.functions.CountMinSketch]] lane constants are
+    * explicit literals). Estimates are ≥ the true count by construction —
+    * `overestimate` is the audit column. */
+  def cmsHeavyHitters(t: Tables, k: Int = 100, portable: Boolean = false): DataFrame = {
+    graft.functions.CountMinSketch.register(t.spark)
+    val state = bigramOccurrences(t)
+      .agg(graft.functions.CountMinSketch.cmsSketch(col("bigram"), portable).as("state"))
+    frequentBigrams(t, k)
+      .crossJoin(broadcast(state))
+      .withColumn("cms_estimate",
+        graft.functions.CountMinSketch.estimate(
+          col("state"),
+          graft.functions.CountMinSketch.keyHash(col("bigram"), portable)))
+      .select(
+        col("bigram"), col("n_occurrences"), col("n_docs"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("n_occurrences")).as("overestimate"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+  }
+
   /** The per-document bigram stream shared by [[frequentBigrams]] and
     * [[bigramFluency]]: one row per bigram OCCURRENCE (duplicates kept);
     * documents with fewer than two tokens emit nothing. */

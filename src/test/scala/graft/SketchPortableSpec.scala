@@ -189,6 +189,43 @@ class SketchPortableSpec extends SparkSpec {
     }
   }
 
+  test("CMS estimates dominate exact counts, bounded, layout-independent") {
+    import graft.functions.CountMinSketch
+    val t = sf("sf0.001")
+    for (portable <- Seq(true, false)) {
+      val out = graft.ext.TextAnalysis.cmsHeavyHitters(t, k = 100, portable).collect()
+      assert(out.length == 100)
+      // one-sided error: every estimate >= exact count
+      out.foreach { r =>
+        assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("n_occurrences"),
+          s"underestimate in ${r.getString(0)} (portable=$portable)")
+        assert(r.getAs[Long]("overestimate") ==
+          r.getAs[Long]("cms_estimate") - r.getAs[Long]("n_occurrences"))
+      }
+      // CMS bound: overestimate <= eps*N (N = total bigram occurrences,
+      // eps ~ e/width), checked at 4x slack so corpus wiggle can't flake
+      val n = t.documents
+        .select(greatest(
+          size(graft.ext.TextAnalysis.tokens(lower(col("text")))) - 1, lit(0))
+          .cast("long").as("nb"))
+        .agg(sum(col("nb"))).collect()(0).getLong(0)
+      val bound = 4.0 * math.E * n / CountMinSketch.Width
+      out.foreach(r => assert(r.getAs[Long]("overestimate") <= bound,
+        s"${r.getString(0)}: overestimate ${r.getAs[Long]("overestimate")} > $bound"))
+    }
+    // layout independence: the sketch state is identical under any
+    // partitioning (merge is elementwise addition — commutative)
+    CountMinSketch.register(spark)
+    import spark.implicits._
+    val words = (0 until 5000).map(i => s"w${i % 700}").toDF("k")
+    def state(parts: Int): Seq[Long] = words.repartition(parts)
+      .agg(CountMinSketch.cmsSketch(col("k"), portable = true)).collect()(0)
+      .getSeq[Long](0)
+    val s3 = state(3)
+    assert(s3 == state(17))
+    assert(s3.sum == 5000L * CountMinSketch.Depth) // every lane counts every row
+  }
+
   test("HLL sketch-vs-exact contract: within 5x rsd on every group") {
     // the built-in HLL path (kept alongside the oracle-checkable KMV) must
     // track the exact distinct counts of q04 within its error contract
