@@ -126,7 +126,8 @@ object SparkEntry {
     "q83_bigram_lm" -> q(TextAnalysis.bigramFluency),
     "q84_duplicate_spans" -> q(t => Dedup.duplicateSpans(t)),
     "q85_cumulative_distinct" -> q(Analytics.cumulativeDistinctUsers),
-    "q86_cms_heavy_hitters" -> q(t => TextAnalysis.cmsHeavyHitters(t, portable = true)))
+    "q86_cms_heavy_hitters" -> q(t => TextAnalysis.cmsHeavyHitters(t, portable = true)),
+    "q87_ranking_suite" -> q(Analytics.rankingSuite))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -438,6 +439,26 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
     "q86_cms_heavy_hitters" -> SketchOracleSql.cmsHeavyHitters,
+    "q87_ranking_suite" ->
+      """SELECT o_orderkey AS order_id, o_orderpriority AS priority,
+        | CAST(floor(o_totalprice / 50000) AS INTEGER) AS price_bucket,
+        | CAST(rank() OVER tw AS INTEGER) AS bucket_rank,
+        | CAST(dense_rank() OVER tw AS INTEGER) AS bucket_dense_rank,
+        | round(percent_rank() OVER tw, 6) AS bucket_percent_rank,
+        | round(cume_dist() OVER tw, 6) AS bucket_cume_dist,
+        | first_value(o_orderkey) OVER ef AS top_order_id,
+        | nth_value(o_orderkey, 3) OVER ef AS third_order_id,
+        | lead(o_orderkey, 1) OVER ew AS next_order_id
+        |FROM orders
+        |WINDOW
+        | tw AS (PARTITION BY o_orderpriority
+        |        ORDER BY floor(o_totalprice / 50000) DESC),
+        | ew AS (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey),
+        | ef AS (PARTITION BY o_orderpriority
+        |        ORDER BY o_totalprice DESC, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY order_id""".stripMargin,
     "q78_ann_quantized" -> SketchOracleSql.annQuantized,
     "q79_pagerank" -> operators.Graph.pageRankZonesSql(),
     "q82_triangle_stats" -> operators.Graph.triangleStatsSql,

@@ -736,6 +736,41 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q87: the full ranking-function suite (W8 — the window functions the
+    * reference never used, completing §2.5): RANK/DENSE_RANK over a
+    * tie-heavy ordering, PERCENT_RANK/CUME_DIST distribution positions,
+    * FIRST/NTH_VALUE over an explicit full frame, and LEAD over a unique
+    * ordering. Both windows share ONE partition key (o_orderpriority), so
+    * the plan is a single Exchange feeding two sorts — adding the second
+    * ordering costs a sort, never a reshuffle. Tie semantics are exercised
+    * deliberately: `price_bucket` collapses prices into coarse buckets so
+    * rank≠dense_rank≠row_number on real ties; the value-extraction window
+    * pins an explicit ROWS frame and a unique tiebreak, because
+    * last/nth_value over the default RANGE frame include peers — the
+    * classic silent-wrong-answer of ad-hoc window SQL. */
+  def rankingSuite(t: Tables): DataFrame = {
+    val bucketed = t.orders.select(
+      col("o_orderkey").as("order_id"),
+      col("o_orderpriority").as("priority"),
+      col("o_totalprice").as("total_price"),
+      floor(col("o_totalprice") / 50000).cast("int").as("price_bucket"))
+    val tieWin = Window.partitionBy(col("priority"))
+      .orderBy(col("price_bucket").desc)
+    val exactWin = Window.partitionBy(col("priority"))
+      .orderBy(col("total_price").desc, col("order_id"))
+    val fullFrame = exactWin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bucketed.select(
+      col("order_id"), col("priority"), col("price_bucket"),
+      rank().over(tieWin).as("bucket_rank"),
+      dense_rank().over(tieWin).as("bucket_dense_rank"),
+      round(percent_rank().over(tieWin), 6).as("bucket_percent_rank"),
+      round(cume_dist().over(tieWin), 6).as("bucket_cume_dist"),
+      first(col("order_id")).over(fullFrame).as("top_order_id"),
+      nth_value(col("order_id"), 3).over(fullFrame).as("third_order_id"),
+      lead(col("order_id"), 1).over(exactWin).as("next_order_id"))
+      .orderBy(col("order_id"))
+  }
+
   /** q85: cumulative EXACT distinct users by day via mergeable bitmap
     * states — the Druid/ClickHouse `groupBitmapState`/`Merge` pattern on
     * [[graft.functions.BitmapDistinct]]. One pass over the fact builds a

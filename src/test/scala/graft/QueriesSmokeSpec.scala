@@ -307,4 +307,35 @@ class QueriesSmokeSpec extends SparkSpec {
     val total = graft.core.Tables(spark, dir).documents.count()
     assert(rows.head.getAs[Long]("n_in") == total)
   }
+
+  test("q87 ranking suite: tie and frame semantics hold") {
+    val rows = SparkEntry.queries("q87_ranking_suite")(spark, dir).collect()
+    assert(rows.length == graft.core.Tables(spark, dir).orders.count())
+    val byPriority = rows.groupBy(_.getAs[String]("priority"))
+    byPriority.foreach { case (_, rs) =>
+      // rank >= dense_rank everywhere; equality only until the first tie
+      rs.foreach { r =>
+        assert(r.getAs[Int]("bucket_rank") >= r.getAs[Int]("bucket_dense_rank"))
+        val pr = r.getAs[Double]("bucket_percent_rank")
+        val cd = r.getAs[Double]("bucket_cume_dist")
+        assert(pr >= 0.0 && pr <= 1.0 && cd > 0.0 && cd <= 1.0)
+      }
+      // real ties exist (coarse buckets): rank has gaps dense_rank lacks
+      val ranks = rs.map(_.getAs[Int]("bucket_rank")).toSet
+      val dense = rs.map(_.getAs[Int]("bucket_dense_rank")).toSet
+      assert(dense == (1 to dense.size).toSet, "dense_rank must be gapless")
+      assert(ranks.size < rs.length || ranks == dense,
+        "bucket ordering produced no ties — tie semantics untested")
+      // the full-frame extraction: top_order_id is the partition's highest-
+      // price order for EVERY row, and it carries bucket_rank 1
+      val tops = rs.map(_.getAs[Long]("top_order_id")).toSet
+      assert(tops.size == 1)
+      val topRow = rs.find(_.getAs[Long]("order_id") == tops.head).get
+      assert(topRow.getAs[Int]("bucket_rank") == 1) // highest price ⇒ top bucket
+      // next_order_id is a permutation-free LEAD: each appears at most once
+      val nexts = rs.flatMap(r => Option(r.getAs[Any]("next_order_id"))).map(_.asInstanceOf[Long])
+      assert(nexts.distinct.length == nexts.length)
+      assert(nexts.length == rs.length - 1) // exactly one partition tail null
+    }
+  }
 }
