@@ -245,6 +245,73 @@ object TableIO {
       .saveAsTable(table)
   }
 
+  /** What [[compactTable]] did: audit surface for maintenance jobs. */
+  final case class CompactionReport(
+      partitionsCompacted: Int,
+      filesBefore: Int,
+      filesAfter: Int,
+      bytesRewritten: Long)
+
+  /** Small-file compaction — the OPTIMIZE/binpack maintenance operation
+    * every streaming-ingest lakehouse needs (each micro-batch appends a
+    * file per partition; a week of 1-minute triggers is 10k files whose
+    * open/footer costs dominate scans long before data volume does).
+    *
+    * Per leaf (partition) directory: data files smaller than
+    * `targetBytes` are read once and rewritten as ⌈Σbytes/target⌉ files;
+    * files already at or above the target are NOT rewritten (rewriting
+    * right-sized files is pure write amplification — the Iceberg binpack
+    * rule). Swap order is write-staged → move-in → delete-originals, so a
+    * crash can only leave DUPLICATE small files (re-run converges), never
+    * missing rows; plain parquet has no transaction log, so compaction is
+    * a maintenance-window operation, exactly like Hive-era concatenate.
+    * Partition rewrites are independent — at cluster scale they submit as
+    * parallel jobs; the loop here is the single-session analog. */
+  def compactTable(
+      spark: SparkSession,
+      table: String,
+      targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val root = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+    def isData(p: Path): Boolean =
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    def leafDirs(dir: Path): Seq[Path] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subdirs = entries.filter(e => e.isDirectory && isData(e.getPath))
+      if (subdirs.isEmpty) Seq(dir) else subdirs.flatMap(e => leafDirs(e.getPath))
+    }
+
+    var partitions = 0; var before = 0; var after = 0; var rewritten = 0L
+    leafDirs(root).foreach { dir =>
+      val files = fs.listStatus(dir).toSeq.filter(s => s.isFile && isData(s.getPath))
+      before += files.size
+      val small = files.filter(_.getLen < targetBytes)
+      if (small.size >= 2) {
+        partitions += 1
+        val bytes = small.map(_.getLen).sum
+        val nOut = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+        val tmp = new Path(dir, s".graft_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+        spark.read.parquet(small.map(_.getPath.toString): _*)
+          .coalesce(nOut)
+          .write.format("parquet").option("compression", "zstd")
+          .save(tmp.toString)
+        val staged = fs.listStatus(tmp).toSeq.filter(s => s.isFile && isData(s.getPath))
+        staged.zipWithIndex.foreach { case (s, i) =>
+          fs.rename(s.getPath, new Path(dir, s"compacted-${tmp.getName.drop(1)}-$i.parquet"))
+        }
+        small.foreach(s => fs.delete(s.getPath, false))
+        fs.delete(tmp, true)
+        rewritten += bytes
+        after += files.size - small.size + staged.size
+      } else after += files.size
+    }
+    spark.catalog.refreshTable(table)
+    CompactionReport(partitions, before, after, rewritten)
+  }
+
   /** S10: CTAS with partitioning (`nyc_taxi_to_iceberg.py:164-184`). */
   def ctas(
       spark: SparkSession,

@@ -222,6 +222,55 @@ class TableIOSpec extends SparkSpec {
     finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("compactTable bin-packs small files, leaves right-sized files alone") {
+    val t = freshName("t_compact")
+    // two partitions; p=1 gets 6 small appended files plus one big file,
+    // p=2 gets a single file (nothing to do)
+    val big = (0 until 20000).map(i => (i, s"payload_$i%08d", 1)).toDF("id", "v", "p")
+    TableIO.ensureTable(spark, t, big, Seq("p"))
+    TableIO.append(spark, t, big.coalesce(1))
+    (0 until 6).foreach { k =>
+      TableIO.append(spark, t,
+        (0 until 50).map(i => (100000 + k * 100 + i, s"s$i", 1)).toDF("id", "v", "p").coalesce(1))
+    }
+    TableIO.append(spark, t,
+      (0 until 50).map(i => (200000 + i, s"q$i", 2)).toDF("id", "v", "p").coalesce(1))
+    val beforeRows = spark.table(t).collect().map(_.toSeq).toSet
+
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def filesIn(p: Int) = fs.listStatus(new Path(loc, s"p=$p")).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    val bigFile = filesIn(1).maxBy(_.getLen)
+    val smallSizes = filesIn(1).map(_.getLen).sorted.dropRight(1)
+    assert(filesIn(1).size == 7)
+    // target between the small files and the big one
+    val target = math.max(smallSizes.sum + 1, bigFile.getLen - 1)
+    assert(bigFile.getLen >= target && smallSizes.forall(_ < target),
+      s"fixture sizes unusable: big=${bigFile.getLen} smalls=$smallSizes target=$target")
+
+    val report = TableIO.compactTable(spark, t, target)
+    assert(report.partitionsCompacted == 1)
+    assert(report.filesBefore == 8 && report.filesAfter == 3) // 6 smalls → 1
+    assert(report.bytesRewritten == smallSizes.sum)
+    // the big file survived untouched (same path, same bytes); the six
+    // small files are gone; one compacted file appeared
+    val after1 = filesIn(1)
+    assert(after1.size == 2)
+    assert(after1.exists(s => s.getPath == bigFile.getPath && s.getLen == bigFile.getLen))
+    assert(after1.exists(_.getPath.getName.startsWith("compacted-")))
+    assert(filesIn(2).size == 1)
+    // data identical
+    assert(spark.table(t).collect().map(_.toSeq).toSet == beforeRows)
+    // idempotent: a second pass finds nothing to do
+    val again = TableIO.compactTable(spark, t, target)
+    assert(again.partitionsCompacted == 0 && again.bytesRewritten == 0L)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("incremental view refresh: equals full recompute, touches only delta partitions") {
     import graft.operators.Incremental
     val view = freshName("t_ivm")
