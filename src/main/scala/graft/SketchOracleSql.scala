@@ -312,6 +312,43 @@ object SketchOracleSql {
        | ${KmvSketch.estimateSql("hv", 256)} AS approx_customers
        |FROM hashed GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q88: SemDeDup — the q43 IVF seed clustering, then within-(cluster,
+    * salt) pairwise cosine; a vector is dropped iff a lower-id bucket-mate
+    * sits at cosine ≥ 0.3. Salting replays [[graft.ext.Sampling.splitHash]]
+    * exactly as the LSH dedup oracles do. */
+  val semDedup: String = {
+    val cap = graft.ext.Dedup.DefaultBucketCap
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, vec AS cvec FROM emb
+       |  WHERE vec_id % greatest(1, (SELECT count(*) FROM emb) // 16) = 0
+       |  ORDER BY vec_id LIMIT 16),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.vec", "c.cvec")} DESC, c.centroid_id) AS rn
+       |    FROM emb e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |csz AS (SELECT centroid_id, count(*) AS cn FROM assign GROUP BY 1),
+       |salted AS (
+       |  SELECT vec_id, centroid_id,
+       |    (${graft.ext.Sampling.splitHashSql("vec_id")}) % ((cn + ${cap - 1}) // $cap) AS salt
+       |  FROM assign JOIN csz USING (centroid_id)),
+       |dropped AS (
+       |  SELECT DISTINCT r.vec_id
+       |  FROM salted l JOIN salted r
+       |    ON l.centroid_id = r.centroid_id AND l.salt = r.salt
+       |   AND l.vec_id < r.vec_id
+       |  JOIN emb a ON a.vec_id = l.vec_id
+       |  JOIN emb b ON b.vec_id = r.vec_id
+       |  WHERE ${cosSql("a.vec", "b.vec")} >= 0.3e0)
+       |SELECT a.vec_id, a.centroid_id, d.vec_id IS NULL AS is_kept
+       |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   /** q86: Count-Min heavy hitters — replays every sketch counter with the
     * portable key hash and the explicit lane literals of
     * [[graft.functions.CountMinSketch]], then probes the top-100 exact

@@ -127,7 +127,8 @@ object SparkEntry {
     "q84_duplicate_spans" -> q(t => Dedup.duplicateSpans(t)),
     "q85_cumulative_distinct" -> q(Analytics.cumulativeDistinctUsers),
     "q86_cms_heavy_hitters" -> q(t => TextAnalysis.cmsHeavyHitters(t, portable = true)),
-    "q87_ranking_suite" -> q(Analytics.rankingSuite))
+    "q87_ranking_suite" -> q(Analytics.rankingSuite),
+    "q88_semdedup" -> q(t => Similarity.semDedup(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -439,6 +440,7 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
     "q86_cms_heavy_hitters" -> SketchOracleSql.cmsHeavyHitters,
+    "q88_semdedup" -> SketchOracleSql.semDedup,
     "q87_ranking_suite" ->
       """SELECT o_orderkey AS order_id, o_orderpriority AS priority,
         | CAST(floor(o_totalprice / 50000) AS INTEGER) AS price_bucket,

@@ -356,6 +356,45 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic
+    * deduplication by clustering embeddings (the IVF coarse k-means) and
+    * pruning near-identical pairs WITHIN clusters only — paraphrases and
+    * re-encodings that exact/MinHash text dedup never sees. The cluster
+    * restriction is the whole scale story: pairwise cosine is O(n²) on the
+    * corpus but O(Σ cᵢ²) ≈ O(n²/k) over k clusters, and each cluster's
+    * pair join is an equi-join on centroid_id — no cross-cluster shuffle.
+    * Degenerate clusters (embedding collapse — a failure mode real
+    * encoders have) are bounded by the SAME salted-bucket cap as the LSH
+    * dedup paths ([[Dedup.saltedBuckets]]).
+    *
+    * Keep rule: a vector is dropped iff some LOWER-id vector in its
+    * (cluster, salt) bucket has cosine ≥ `minCosine` — deterministic,
+    * order-independent, and exactly replayable in SQL (the paper keeps the
+    * member farthest from the centroid; min-id keeps the same count and
+    * needs no tie-breaking on distances). Cross-cluster near-dups are
+    * missed by construction — the approximate-dedup recall contract,
+    * identical to MinHash banding's. */
+  def semDedup(t: Tables, nCentroids: Int = 16, minCosine: Double = 0.3,
+               cap: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val cos = graft.functions.VectorExpressions.cosineSim _
+    val (_, assigned) = ivfBuildIndex(t, nCentroids)
+    val b = Dedup.saltedBuckets(assigned, Seq("centroid_id"), "vec_id", cap)
+      .localCheckpoint() // salting aggregates once, feeds both join sides
+    val dropped = b.as("l")
+      .join(b.as("r"),
+        col("l.centroid_id") === col("r.centroid_id") &&
+          col("l.salt") === col("r.salt") && col("l.vec_id") < col("r.vec_id"))
+      .filter(round(cos(col("l.embedding"), col("r.embedding")), 6) >= minCosine)
+      .select(col("r.vec_id").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("__dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        (!coalesce(col("__dropped"), lit(false))).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label embedding statistics (norms, means) — the sanity-report shape
     * over vector columns. */
   def embeddingStats(t: Tables): DataFrame =

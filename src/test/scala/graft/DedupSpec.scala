@@ -276,6 +276,21 @@ class DedupSpec extends SparkSpec {
     clusters.foreach { case (_, cl, sz) => assert(sz == sizeOf(cl)) }
   }
 
+  test("semDedup drops the planted semantic duplicate, keeps everything else") {
+    val out = graft.ext.Similarity.semDedup(t, nCentroids = 4, minCosine = 0.95).collect()
+    assert(out.length == 31) // every vector labeled exactly once
+    val kept = out.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // the planted near-identical pair (0, 1000): min-id keeps 0, drops 1000
+    assert(kept(0L), "canonical lower-id vector must survive")
+    assert(!kept(1000L), "planted semantic duplicate not dropped")
+    // random 16-dim vectors are near-orthogonal — nothing else reaches 0.95
+    assert(out.count(!_.getBoolean(2)) == 1)
+    // cluster labels present and consistent for the dup pair (same cluster
+    // is what made the pair visible)
+    val cl = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(0L) == cl(1000L))
+  }
+
   test("duplicate spans: planted shared paragraph found, unique docs silent") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_spans").toFile.getAbsolutePath
