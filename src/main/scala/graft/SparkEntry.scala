@@ -128,7 +128,9 @@ object SparkEntry {
     "q85_cumulative_distinct" -> q(Analytics.cumulativeDistinctUsers),
     "q86_cms_heavy_hitters" -> q(t => TextAnalysis.cmsHeavyHitters(t, portable = true)),
     "q87_ranking_suite" -> q(Analytics.rankingSuite),
-    "q88_semdedup" -> q(t => Similarity.semDedup(t)))
+    "q88_semdedup" -> q(t => Similarity.semDedup(t)),
+    "q89_salted_join" -> q(t => Analytics.saltedSelfAggJoin(t)),
+    "q90_split_drift" -> q(t => graft.ext.Sampling.splitDrift(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -157,6 +159,7 @@ object SparkEntry {
     "q41_embedding_near_dups" -> SketchOracleSql.embeddingNearDups,
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
+    "q90_split_drift" -> graft.ext.Sampling.splitDriftSql(),
     "q67_data_card" -> graft.ext.Sampling.dataCardSql,
     "q68_dedup_corpus" -> SketchOracleSql.dedupedCorpus,
     "q69_sequence_packing" -> graft.ext.Sampling.packSequencesSql(),
@@ -441,6 +444,16 @@ object SparkEntry {
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
     "q86_cms_heavy_hitters" -> SketchOracleSql.cmsHeavyHitters,
     "q88_semdedup" -> SketchOracleSql.semDedup,
+    "q89_salted_join" ->
+      s"""WITH dim AS (
+         |  SELECT event_type, ${O.davg("value")} AS type_avg_value,
+         |   count(*) AS type_events
+         |  FROM events GROUP BY 1)
+         |SELECT event_id, event_type, round(e.value, 2) AS value,
+         | type_avg_value, type_events,
+         | round(e.value / type_avg_value, 6) AS value_vs_type_avg
+         |FROM events e JOIN dim USING (event_type)
+         |ORDER BY event_id""".stripMargin,
     "q87_ranking_suite" ->
       """SELECT o_orderkey AS order_id, o_orderpriority AS priority,
         | CAST(floor(o_totalprice / 50000) AS INTEGER) AS price_bucket,

@@ -285,4 +285,84 @@ object Sampling {
        |      ELSE 'test' END AS split
        |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** q90: split-drift check — does the held-out data look like the
+    * training data? Document length is binned into coarse deciles; each
+    * non-train split's bin distribution is compared against train's, per
+    * bin (share gap) and per split (total-variation distance). A biased
+    * splitter — or upstream time-ordered data leaking through a
+    * non-uniform hash — shows up here before it shows up as a mystery
+    * eval gap. The TVD numerator stays in INTEGER arithmetic
+    * (|c_s·T_t − c_t·T_s| summed as longs, one double division at the
+    * end), so the statistic is bit-portable: float summation order can
+    * never wiggle the 6th decimal.
+    *
+    * Scale shape: one pass over the corpus for the (split, bin) counts;
+    * everything after operates on the ≤ (splits × bins) count frame —
+    * broadcast joins over frames of size 30. */
+  def splitDrift(t: Tables, binChars: Int = 100, nBins: Int = 10): DataFrame = {
+    val base = t.documents.select(
+      splitColumn(col("doc_id")).as("split"),
+      least(floor(col("n_chars") / binChars), lit(nBins - 1)).cast("int").as("bin"))
+    val counts = base.groupBy(col("split"), col("bin")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // tiny; feeds the grid, totals, and train side
+    // dense (split × observed-bin) grid so zero-count bins still
+    // contribute their |0 − p| mass to the TVD
+    val grid = counts.select(col("bin")).distinct()
+      .crossJoin(counts.select(col("split")).distinct())
+    val full = grid.join(counts, Seq("split", "bin"), "left")
+      .select(col("split"), col("bin"), coalesce(col("c"), lit(0L)).as("c"))
+    val totals = full.groupBy(col("split")).agg(sum(col("c")).as("total"))
+    val withTotals = full.join(broadcast(totals), "split")
+    val train = withTotals.filter(col("split") === "train")
+      .select(col("bin"), col("c").as("c_t"), col("total").as("total_t"))
+    import org.apache.spark.sql.expressions.Window
+    withTotals.filter(col("split") =!= "train")
+      .join(broadcast(train), "bin")
+      .select(
+        col("split"), col("bin"), col("c").as("n_docs"),
+        round(col("c").cast("double") / col("total"), 6).as("share"),
+        round(col("c_t").cast("double") / col("total_t"), 6).as("train_share"),
+        abs(col("c") * col("total_t") - col("c_t") * col("total")).as("gap_num"),
+        (col("total") * col("total_t")).as("denom"))
+      .withColumn("tvd",
+        round(sum(col("gap_num")).over(Window.partitionBy(col("split")))
+          .cast("double") / (lit(2.0) * col("denom")), 6))
+      .drop("denom")
+      .orderBy(col("split"), col("bin"))
+  }
+
+  /** The DuckDB mirror of [[splitDrift]] — same integer TVD numerator. */
+  def splitDriftSql(binChars: Int = 100, nBins: Int = 10): String = {
+    val b = s"(${splitHashSql("doc_id")}) % 100"
+    s"""WITH base AS (
+       |  SELECT CASE WHEN $b < 80 THEN 'train'
+       |              WHEN $b < 90 THEN 'val'
+       |              ELSE 'test' END AS split,
+       |   CAST(least(floor(n_chars / $binChars), ${nBins - 1}) AS INTEGER) AS bin
+       |  FROM documents),
+       |counts AS (SELECT split, bin, count(*) AS c FROM base GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT s.split, b.bin
+       |  FROM (SELECT DISTINCT split FROM counts) s
+       |  CROSS JOIN (SELECT DISTINCT bin FROM counts) b),
+       |full_g AS (
+       |  SELECT g.split, g.bin, coalesce(c.c, 0) AS c
+       |  FROM grid g LEFT JOIN counts c ON g.split = c.split AND g.bin = c.bin),
+       |totals AS (SELECT split, CAST(sum(c) AS BIGINT) AS total FROM full_g GROUP BY 1),
+       |wt AS (SELECT f.split, f.bin, f.c, t.total
+       |       FROM full_g f JOIN totals t USING (split)),
+       |train AS (
+       |  SELECT bin, c AS c_t, total AS total_t FROM wt WHERE split = 'train')
+       |SELECT w.split, w.bin, w.c AS n_docs,
+       | round(CAST(w.c AS DOUBLE) / w.total, 6) AS share,
+       | round(CAST(tr.c_t AS DOUBLE) / tr.total_t, 6) AS train_share,
+       | CAST(abs(w.c * tr.total_t - tr.c_t * w.total) AS BIGINT) AS gap_num,
+       | round(CAST(sum(abs(w.c * tr.total_t - tr.c_t * w.total))
+       |     OVER (PARTITION BY w.split) AS DOUBLE)
+       |   / (2.0e0 * w.total * tr.total_t), 6) AS tvd
+       |FROM wt w JOIN train tr USING (bin)
+       |WHERE w.split <> 'train'
+       |ORDER BY w.split, w.bin""".stripMargin
+  }
 }

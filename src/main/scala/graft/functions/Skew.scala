@@ -51,4 +51,29 @@ object Skew {
       df, keys, salts,
       partials = Seq(count(lit(1)).as("__partial_count")),
       merge = Seq(sum(col("__partial_count")).as("count")))
+
+  /** Salted replicate join for skewed JOIN keys when the build side is too
+    * large to broadcast (broadcast is always the first answer to a skewed
+    * join; this is the second). Every fact row gets an arbitrary salt in
+    * [0, salts); the build side is replicated once per salt value; the join
+    * runs on (key, salt), so a hot key's rows spread across `salts` shuffle
+    * partitions instead of pinning one straggler/OOM reducer. Row-for-row
+    * identical to the plain join (each fact row meets exactly one replica
+    * of each matching build row) for inner and left joins — right/full
+    * would multiply unmatched build rows across salts and are rejected.
+    * Cost: the build side shuffles `salts`× its size — the standard
+    * replicate-side trade, sized by the skew factor. AQE's skew-join split
+    * handles the sort-merge case adaptively; this form works under any
+    * join strategy and any Spark version, and makes the mitigation
+    * explicit and testable. */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left" || joinType == "left_outer",
+      s"saltedJoin supports inner/left joins only, got $joinType")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

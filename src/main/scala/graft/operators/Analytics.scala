@@ -736,6 +736,33 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q89: the salted replicate JOIN ([[graft.functions.Skew.saltedJoin]])
+    * under the oracle gate — the q14 self-aggregate-enrichment shape over
+    * the maximally skewed key (events.event_type: 5 values, ~N/5 rows
+    * each), joined WITHOUT broadcast. At 100 TB this is the case where the
+    * per-key dimension is itself huge (per-key feature tables) while the
+    * fact key is hot: the salt spreads each hot key over `salts` reducers;
+    * the build side shuffles salts× its (small) size. The SHUFFLE_HASH
+    * hint keeps Catalyst from broadcasting the demo-sized dim so the plan
+    * exercised is the one the mitigation exists for (pinned in
+    * PlanAuditSpec). Row-identical to the plain join — the oracle runs the
+    * unsalted form. */
+  def saltedSelfAggJoin(t: Tables, salts: Int = 8): DataFrame = {
+    val dim = t.events
+      .groupBy(col("event_type"))
+      .agg(davg(col("value")).as("type_avg_value"), count(lit(1)).as("type_events"))
+      .hint("SHUFFLE_HASH")
+    graft.functions.Skew.saltedJoin(
+        t.events.select(col("event_id"), col("event_type"), col("value")),
+        dim, "event_type", salts)
+      .select(
+        col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        col("type_avg_value"), col("type_events"),
+        round(col("value") / col("type_avg_value"), 6).as("value_vs_type_avg"))
+      .orderBy(col("event_id"))
+  }
+
   /** q87: the full ranking-function suite (W8 — the window functions the
     * reference never used, completing §2.5): RANK/DENSE_RANK over a
     * tie-heavy ordering, PERCENT_RANK/CUME_DIST distribution positions,

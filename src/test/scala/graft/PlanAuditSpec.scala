@@ -206,6 +206,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q71_quality_funnel").contains("Exchange hashpartitioning"))
   }
 
+  test("q89 salted join: no broadcast, join keys carry the salt") {
+    val p = plan("q89_salted_join")
+    // the whole point is the non-broadcast path — SHUFFLE_HASH must hold
+    assert(!p.contains("BroadcastHashJoin"), "dim was broadcast; salt is dead code")
+    assert(p.contains("__salt"), "salt column absent from the join plan")
+    // row-identity with the plain join (same as the oracle asserts, but
+    // pinned here against future edits breaking inner-join semantics)
+    val t = graft.core.Tables(spark, dir)
+    val plainCount = t.events.count()
+    assert(SparkEntry.queries("q89_salted_join")(spark, dir).count() == plainCount)
+  }
+
+  test("q90 split drift: TVD bounds and dense bin grid") {
+    val rows = SparkEntry.queries("q90_split_drift")(spark, dir).collect()
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+    assert(bySplit.keySet == Set("val", "test"))
+    bySplit.foreach { case (_, rs) =>
+      val tvds = rs.map(_.getAs[Double]("tvd")).distinct
+      assert(tvds.length == 1, "tvd must be constant within a split")
+      assert(tvds.head >= 0.0 && tvds.head <= 1.0)
+      // dense grid: both splits carry the same bin set as each other
+      assert(rs.map(_.getAs[Int]("bin")).toSet ==
+        bySplit.values.head.map(_.getAs[Int]("bin")).toSet)
+      // per-row share sanity
+      rs.foreach { r =>
+        assert(r.getAs[Double]("share") >= 0.0 && r.getAs[Double]("share") <= 1.0)
+        assert(r.getAs[Double]("train_share") >= 0.0 && r.getAs[Double]("train_share") <= 1.0)
+      }
+    }
+  }
+
   test("q58 triple join: zone dimension broadcasts; window features share one shuffle") {
     val p = plan("q58_demand_features")
     assert(p.contains("BroadcastHashJoin"), "zone dimension not broadcast")
