@@ -595,8 +595,15 @@ object Multimodal {
     * LSH — [[Dedup.saltedBuckets]] bounds degenerate buckets (an all-black
     * corpus) — so candidate volume stays near-linear in corpus size. */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int = 4,
-                    cap: Int = Dedup.DefaultBucketCap): DataFrame = {
-    val hashes = imageHashes(media)
+                    cap: Int = Dedup.DefaultBucketCap): DataFrame =
+    bandedHashNearDups(imageHashes(media), maxHamming, cap)
+
+  /** Shared 64-bit-fingerprint near-dup kernel: 4×16-bit banding, salted
+    * (band, value) self-join, exact Hamming re-rank — the same
+    * bucket-capped contract as MinHash LSH, over any `(media_id, ahash)`
+    * frame (image aHash, audio energy hash). */
+  private def bandedHashNearDups(hashes: DataFrame, maxHamming: Int,
+                                 cap: Int): DataFrame = {
     val banded = Dedup.saltedBuckets(
       hashes.select(
           col("media_id"), col("ahash"),
@@ -621,4 +628,56 @@ object Multimodal {
       .select(col("media_a"), col("media_b"), col("hamming"))
       .orderBy(col("media_a"), col("media_b"))
   }
+
+  /** Gain-invariant audio energy fingerprint: 64 equal time frames, bit f
+    * set iff frame mean |amplitude| exceeds the global mean (integer
+    * cross-multiplied comparison, like [[averageHash]]'s). Multiplying
+    * every sample by a positive gain scales both sides of the comparison
+    * equally, so re-levelled copies of a clip hash identically; localized
+    * edits flip only their frames' bits. Exact up to 2^24 samples
+    * (~6 min at 44.1 kHz): past that `sum·count` would overflow —
+    * fingerprint longer audio per segment. */
+  def audioHash(samples: Array[Short]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val sum = new Array[Long](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val f = (i.toLong * 64 / n).toInt
+      sum(f) += math.abs(samples(i).toInt)
+      cnt(f) += 1
+      i += 1
+    }
+    val total = sum.sum
+    val totalCnt = cnt.sum
+    var hash = 0L
+    var f = 0
+    while (f < 64) {
+      if (cnt(f) > 0 && sum(f) * totalCnt > total * cnt(f)) hash |= (1L << f)
+      f += 1
+    }
+    hash
+  }
+
+  /** Per-clip energy fingerprints for every decodable audio row. */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          MediaCodec.decodeWav(r.payload).map { case (_, samples) =>
+            (r.media_id, audioHash(samples))
+          }
+        }
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** Audio near-duplicate pairs — the [[imageNearDups]] contract over the
+    * energy fingerprint: re-encoded/re-levelled copies land at Hamming 0,
+    * locally edited clips at small distances. */
+  def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 4,
+                    cap: Int = Dedup.DefaultBucketCap): DataFrame =
+    bandedHashNearDups(audioHashes(media), maxHamming, cap)
 }

@@ -341,4 +341,37 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "inverted image wrongly paired")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "non-image row leaked in")
   }
+
+  test("audioHash is gain-invariant; audioNearDups pairs re-levelled clips") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // a structured clip: quiet-loud alternating envelope
+    val clip = Array.tabulate[Short](4096) { i =>
+      val amp = if ((i / 256) % 2 == 0) 400 else 8000
+      (rnd.nextInt(2 * amp) - amp).toShort
+    }
+    val relevelled = clip.map(s => (s / 2).toShort)        // -6 dB copy
+    val edited = clip.clone()                              // one frame zeroed
+    java.util.Arrays.fill(edited, 0, 64, 0.toShort)
+    val unrelated = Array.tabulate[Short](4096) { i =>
+      val amp = if ((i / 64) % 2 == 0) 7000 else 300       // different envelope
+      (rnd.nextInt(2 * amp) - amp).toShort
+    }
+    // gain invariance at the hash level
+    assert(Multimodal.audioHash(clip) == Multimodal.audioHash(relevelled))
+    val media = Seq(
+      Multimodal.MediaRow(0L, "audio", MediaCodec.encodeWav(8000, clip), 0, 0, 8000, 1),
+      Multimodal.MediaRow(1L, "audio", MediaCodec.encodeWav(8000, relevelled), 0, 0, 8000, 1),
+      Multimodal.MediaRow(2L, "audio", MediaCodec.encodeWav(8000, edited), 0, 0, 8000, 1),
+      Multimodal.MediaRow(3L, "audio", MediaCodec.encodeWav(8000, unrelated), 0, 0, 8000, 1),
+      Multimodal.MediaRow(4L, "image", MediaCodec.encodePpm(2, 2,
+        Array.fill[Byte](12)(3)), 2, 2, 0, 1))
+      .toDS()
+    val pairs = Multimodal.audioNearDups(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "re-levelled copy not paired")
+    assert(pairs.contains((0L, 2L)), "one-frame edit not paired")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated clip wrongly paired")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "non-audio row leaked in")
+  }
 }
