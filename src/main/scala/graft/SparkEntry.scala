@@ -130,7 +130,10 @@ object SparkEntry {
     "q87_ranking_suite" -> q(Analytics.rankingSuite),
     "q88_semdedup" -> q(t => Similarity.semDedup(t)),
     "q89_salted_join" -> q(t => Analytics.saltedSelfAggJoin(t)),
-    "q90_split_drift" -> q(t => graft.ext.Sampling.splitDrift(t)))
+    "q90_split_drift" -> q(t => graft.ext.Sampling.splitDrift(t)),
+    "q91_scd2_history" -> q(Analytics.scd2History),
+    "q92_sliding_distinct" -> q(t => Analytics.slidingDistinctUsers(t)),
+    "q93_value_trend" -> q(Analytics.valueTrend))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -160,6 +163,50 @@ object SparkEntry {
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
     "q90_split_drift" -> graft.ext.Sampling.splitDriftSql(),
+    "q91_scd2_history" ->
+      """SELECT user_id,
+        | CAST(row_number() OVER w AS INTEGER) AS version_n,
+        | event_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS effective_from,
+        | strftime(lead(ts, 1) OVER w, '%Y-%m-%d %H:%M:%S.%f') AS effective_to,
+        | lead(ts, 1) OVER w IS NULL AS is_current,
+        | event_type AS attr_type,
+        | round(value, 2) AS attr_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version_n""".stripMargin,
+    "q92_sliding_distinct" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+        |   count(DISTINCT user_id) AS daily_distinct_users
+        |  FROM events GROUP BY 1),
+        |rolling AS (
+        |  SELECT d.day, count(DISTINCT e.user_id) AS rolling_distinct_users
+        |  FROM daily d JOIN events e
+        |    ON CAST(e.ts AS DATE) <= d.day
+        |   AND CAST(e.ts AS DATE) >= d.day - INTERVAL 6 DAY
+        |  GROUP BY 1)
+        |SELECT d.day, d.n_events, d.daily_distinct_users,
+        | r.rolling_distinct_users
+        |FROM daily d JOIN rolling r USING (day) ORDER BY day""".stripMargin,
+    "q93_value_trend" -> {
+      val x = "x"; val y = "y"
+      val slope =
+        s"""((CAST(count(*) AS DOUBLE) * ${O.dsumProd(x, y)}
+           |   - ${O.dsum(x)} * ${O.dsum(y)})
+           |  / (CAST(count(*) AS DOUBLE) * ${O.dsumProd(x, x)}
+           |   - ${O.dsum(x)} * ${O.dsum(x)}))""".stripMargin
+      s"""WITH base AS (
+         |  SELECT event_type,
+         |   CAST(floor((epoch_us(ts) // 1000000 - 1704067200) / 3600.0) AS DOUBLE) AS x,
+         |   value AS y
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         | round($slope, 9) AS slope_per_hour,
+         | round((${O.dsum(y)} - $slope * ${O.dsum(x)}) / count(*), 6)
+         |   AS intercept_at_base
+         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q67_data_card" -> graft.ext.Sampling.dataCardSql,
     "q68_dedup_corpus" -> SketchOracleSql.dedupedCorpus,
     "q69_sequence_packing" -> graft.ext.Sampling.packSequencesSql(),

@@ -736,6 +736,92 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q91: SCD2 dimension history — turn a change stream into
+    * validity-interval rows (effective_from, effective_to, is_current),
+    * the slowly-changing-dimension type-2 table every lakehouse keeps for
+    * point-in-time joins (the batch complement of the as-of join, q46).
+    * One window over the natural key: effective_to is simply the next
+    * version's start (LEAD), current rows have none. Single shuffle on
+    * user_id; version numbering and interval closure come from the same
+    * sort. */
+  def scd2History(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("attr_type"), round(col("value"), 2).as("attr_value"))
+      .select(
+        col("user_id"),
+        row_number().over(w).as("version_n"),
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("effective_from"),
+        date_format(lead(col("ts"), 1).over(w), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+          .as("effective_to"),
+        lead(col("ts"), 1).over(w).isNull.as("is_current"),
+        col("attr_type"), col("attr_value"))
+      .orderBy(col("user_id"), col("version_n"))
+  }
+
+  /** q92: sliding-window EXACT distinct users (trailing 7 days) — the
+    * windowed sibling of q85's cumulative form, same bitmap state/merge
+    * machinery: one fact pass builds per-day states, then each day merges
+    * only its trailing window's states (≤7 per day instead of q85's
+    * all-preceding). This is how exact rolling-distinct dashboards stay
+    * O(days·window) at any fact size — the naive
+    * `COUNT(DISTINCT) OVER (RANGE 7 days)` re-scans the fact per frame. */
+  def slidingDistinctUsers(t: Tables, windowDays: Int = 7): DataFrame = {
+    graft.functions.BitmapDistinct.register(t.spark)
+    val daily = t.events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.BitmapDistinct.bitmapDistinct(col("user_id"))
+          .as("daily_distinct_users"),
+        graft.functions.BitmapDistinct.bitmapState(col("user_id")).as("bm"))
+      .localCheckpoint() // day frame reused on both sides of the join
+    daily.as("d")
+      .join(daily.as("e"),
+        col("e.day") <= col("d.day") &&
+          col("e.day") >= date_sub(col("d.day"), windowDays - 1))
+      .groupBy(col("d.day").as("day"),
+        col("d.n_events").as("n_events"),
+        col("d.daily_distinct_users").as("daily_distinct_users"))
+      .agg(graft.functions.BitmapDistinct.bitmapMergeCount(col("e.bm"))
+        .as("rolling_distinct_users"))
+      .orderBy(col("day"))
+  }
+
+  /** q93: per-group trend — closed-form OLS of value against time (hours
+    * since a FIXED 2024-01-01 base), from the same exact-moment kernels as
+    * [[graft.functions.ExactAgg.dcorr]]: slope =
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), every Σ a decimal split-sum, so
+    * both engines derive the slope from bit-identical moments through one
+    * fixed double expression. The constant rebase (not a data-dependent
+    * min) keeps the cents-product moments small without an extra pass;
+    * slope is shift-invariant and the intercept is reported AT the base.
+    * One pass, one shuffle on the group key — trend detection at fact
+    * scale without collect or MLlib. */
+  def valueTrend(t: Tables): DataFrame = {
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    val x = floor((unix_timestamp(col("ts")) - lit(base)) / lit(3600.0)).cast("double")
+    val agg = t.events
+      .select(col("event_type"), x.as("x"), col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("x")).as("sx"),
+        dsum(col("y")).as("sy"),
+        dsumProd(col("x"), col("y")).as("sxy"),
+        dsumProd(col("x"), col("x")).as("sxx"))
+    val n = col("n_events").cast("double")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    agg.select(
+        col("event_type"), col("n_events"),
+        round(slope, 9).as("slope_per_hour"),
+        round((col("sy") - slope * col("sx")) / n, 6).as("intercept_at_base"))
+      .orderBy(col("event_type"))
+  }
+
   /** q89: the salted replicate JOIN ([[graft.functions.Skew.saltedJoin]])
     * under the oracle gate — the q14 self-aggregate-enrichment shape over
     * the maximally skewed key (events.event_type: 5 values, ~N/5 rows

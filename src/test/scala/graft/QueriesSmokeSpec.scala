@@ -308,6 +308,53 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("n_in") == total)
   }
 
+  test("q91 SCD2: intervals chain gaplessly, exactly one current per key") {
+    val rows = SparkEntry.queries("q91_scd2_history")(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("version_n"))
+      assert(ordered.map(_.getAs[Int]("version_n")).toSeq == (1 to rs.length))
+      // validity chain: each version closes exactly where the next opens
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("effective_to") == b.getAs[String]("effective_from"),
+            s"gap in user $u history")
+        case _ => ()
+      }
+      assert(ordered.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(ordered.last.getAs[Boolean]("is_current"))
+      assert(ordered.last.getAs[String]("effective_to") == null)
+    }
+  }
+
+  test("q92 sliding distinct: bounded by cumulative, equal inside the warm-up") {
+    val sliding = SparkEntry.queries("q92_sliding_distinct")(spark, dir).collect()
+    val cumulative = SparkEntry.queries("q85_cumulative_distinct")(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("cumulative_distinct_users")).toMap
+    sliding.zipWithIndex.foreach { case (r, i) =>
+      val day = r.getDate(0).toString
+      val roll = r.getAs[Long]("rolling_distinct_users")
+      assert(roll <= cumulative(day))
+      assert(roll >= r.getAs[Long]("daily_distinct_users"))
+      // first 7 days: trailing window covers everything → identical
+      if (i < 7) assert(roll == cumulative(day), s"warm-up mismatch at $day")
+    }
+  }
+
+  test("q93 trend: finite slopes, intercept consistent with group means") {
+    val t = graft.core.Tables(spark, dir)
+    val rows = SparkEntry.queries("q93_value_trend")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val slope = r.getAs[Double]("slope_per_hour")
+      val icept = r.getAs[Double]("intercept_at_base")
+      assert(!slope.isNaN && !slope.isInfinite)
+      // regression passes through (mean_x, mean_y): intercept = ȳ − b·x̄,
+      // so |intercept| is bounded by |ȳ| + |b|·max|x| on this corpus
+      assert(math.abs(icept) < 1e7, s"${r.getString(0)}: intercept $icept")
+    }
+    assert(rows.map(_.getAs[String]("event_type")).distinct.length == rows.length)
+  }
+
   test("q87 ranking suite: tie and frame semantics hold") {
     val rows = SparkEntry.queries("q87_ranking_suite")(spark, dir).collect()
     assert(rows.length == graft.core.Tables(spark, dir).orders.count())
