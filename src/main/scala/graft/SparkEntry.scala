@@ -133,7 +133,10 @@ object SparkEntry {
     "q90_split_drift" -> q(t => graft.ext.Sampling.splitDrift(t)),
     "q91_scd2_history" -> q(Analytics.scd2History),
     "q92_sliding_distinct" -> q(t => Analytics.slidingDistinctUsers(t)),
-    "q93_value_trend" -> q(Analytics.valueTrend))
+    "q93_value_trend" -> q(Analytics.valueTrend),
+    "q94_inverted_index" -> q(TextAnalysis.invertedIndex),
+    "q95_keyword_search" -> q(t => TextAnalysis.keywordSearch(t)),
+    "q96_gap_fill" -> q(Analytics.gapFillHourly))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -163,6 +166,56 @@ object SparkEntry {
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
     "q90_split_drift" -> graft.ext.Sampling.splitDriftSql(),
+    "q94_inverted_index" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM tk GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        | string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+        |FROM tf GROUP BY 1 ORDER BY term""".stripMargin,
+    "q95_keyword_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tk
+        |  WHERE term IN ('data', 'the') GROUP BY 1, 2),
+        |hit AS (
+        |  SELECT doc_id, count(*) AS n, CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY 1)
+        |SELECT doc_id, total_tf FROM hit WHERE n = 2
+        |ORDER BY total_tf DESC, doc_id LIMIT 50""".stripMargin,
+    "q96_gap_fill" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+         |   count(*) AS n_events, ${O.dsum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |span AS (
+         |  SELECT epoch_us(date_trunc('hour', min(ts))) AS u0,
+         |   epoch_us(date_trunc('hour', max(ts))) AS u1
+         |  FROM events),
+         |hours AS (
+         |  SELECT make_timestamp(u0 + unnest(range(0,
+         |    (u1 - u0) // 3600000000 + 1)) * 3600000000) AS hour_ts
+         |  FROM span),
+         |grid AS (
+         |  SELECT e.event_type, h.hour_ts
+         |  FROM (SELECT DISTINCT event_type FROM events) e
+         |  CROSS JOIN hours h)
+         |SELECT g.event_type,
+         | strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+         | coalesce(h.n_events, 0) AS n_events,
+         | h.n_events IS NOT NULL AS observed,
+         | last_value(h.sum_value IGNORE NULLS) OVER (
+         |   PARTITION BY g.event_type ORDER BY g.hour_ts
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS filled_sum_value
+         |FROM grid g LEFT JOIN hourly h
+         |  ON g.event_type = h.event_type AND g.hour_ts = h.hour_ts
+         |ORDER BY g.event_type, g.hour_ts""".stripMargin,
     "q91_scd2_history" ->
       """SELECT user_id,
         | CAST(row_number() OVER w AS INTEGER) AS version_n,

@@ -250,6 +250,54 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(k)
 
+  /** q94: the full inverted index — term → document frequency, corpus
+    * frequency, and the posting list itself ("doc:tf" entries, doc-ordered)
+    * — the table a keyword-search serving layer reads. Build shape: one
+    * narrow explode, one shuffle to (term, doc) partials, one shuffle to
+    * terms; the posting list is assembled INSIDE the term aggregate
+    * (sort + join of struct list), never via a global sort. At 100 TB the
+    * posting strings for stopword-class terms are the skew risk — cap or
+    * segment postings per term before serving (df stays exact either way);
+    * the build here keeps full lists, which the ~vocab-sized output frame
+    * absorbs at test scale. */
+  def invertedIndex(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("total_tf"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s.getField("doc_id"), lit(":"), s.getField("tf"))),
+          ",").as("postings"))
+      .orderBy(col("term"))
+
+  /** q95: conjunctive (AND) keyword search over the inverted-index frame —
+    * documents containing ALL query terms, ranked by summed term frequency.
+    * Serving shape: the scan touches only the query terms' (term, doc, tf)
+    * rows (a filter on the term key — partition-prunable when the index is
+    * stored term-bucketed), then one small aggregate enforces the
+    * all-terms predicate (`count = |terms|`, exact conjunctive semantics)
+    * and ranks survivors. No posting-string parsing: search runs on the
+    * same (term, doc, tf) partials the index build materializes. */
+  def keywordSearch(t: Tables, terms: Seq[String] = Seq("data", "the"),
+                    k: Int = 50): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("tf")).as("total_tf"))
+      .filter(col("n_terms_hit") === terms.length)
+      .select(col("doc_id"), col("total_tf"))
+      .orderBy(col("total_tf").desc, col("doc_id"))
+      .limit(k)
+
   /** TF-IDF top-k terms per document. Classic three-stage shape:
     * explode tokens (narrow) → term frequency per (doc, term) (shuffle on
     * the composite key) → document frequency per term from the tf frame

@@ -822,6 +822,37 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q96: time-series gap fill — densify each group's hourly series over
+    * the corpus span and carry the last observation forward (LOCF) through
+    * the holes; hours before a group's first observation stay null. The
+    * dashboard/feature-store shape for irregular event feeds. Plan: one
+    * aggregate for the hourly partials, a 1-row span aggregate broadcast
+    * into the grid cross join (never a driver collect), one window per
+    * group for the fill — grid size is groups × hours regardless of fact
+    * size. */
+  def gapFillHourly(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val span = t.events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = t.events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(
+        col("event_type"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("n_events").isNotNull.as("observed"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("filled_sum_value"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
   /** q89: the salted replicate JOIN ([[graft.functions.Skew.saltedJoin]])
     * under the oracle gate — the q14 self-aggregate-enrichment shape over
     * the maximally skewed key (events.event_type: 5 values, ~N/5 rows

@@ -115,4 +115,37 @@ object Snapshots {
     removable.foreach(v => f.delete(new Path(base, s"v=$v"), true))
     removable
   }
+
+  /** Change data feed between two committed versions: one row per key that
+    * was inserted, deleted, or updated, with `_change_type` (Delta CDF's
+    * column name) plus both payloads. The comparison is a single full
+    * outer join on the key; update detection hashes the non-key columns on
+    * each side (xxhash64 over all columns, null-tagged), so wide rows
+    * compare in one 8-byte equality, not column-by-column. This is how a
+    * downstream consumer syncs from a snapshot store without replaying
+    * writes: diff(v_n, v_m) is exact regardless of how many intermediate
+    * versions were vacuumed. */
+  def diff(spark: SparkSession, base: String, fromVersion: Long,
+           toVersion: Long, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val before = read(spark, base, Some(fromVersion))
+    val after = read(spark, base, Some(toVersion))
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "schema changed between versions; diff requires matching columns")
+    val valueCols = before.columns.filter(_ != key).sorted
+    // null-tagged row hash: (isnull flag, value) per column so NULL and
+    // "null"-like encodings can't collide
+    def rowHash(df: DataFrame) = xxhash64(
+      valueCols.flatMap(c => Seq(col(c).isNull.cast("int"), col(c))).map(c => c.cast("string")): _*)
+    val l = before.select(col(key).as("k"), rowHash(before).as("h_before"))
+    val r = after.select(col(key).as("k"), rowHash(after).as("h_after"))
+    l.join(r, Seq("k"), "full_outer")
+      .select(col("k").as(key),
+        when(col("h_before").isNull, lit("insert"))
+          .when(col("h_after").isNull, lit("delete"))
+          .when(col("h_before") =!= col("h_after"), lit("update_postimage"))
+          .otherwise(lit("unchanged")).as("_change_type"))
+      .filter(col("_change_type") =!= "unchanged")
+      .orderBy(col(key))
+  }
 }

@@ -222,6 +222,25 @@ class TableIOSpec extends SparkSpec {
     finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("Snapshots.diff emits exact insert/delete/update change rows") {
+    import graft.sources.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("graft_cdf").toFile.getAbsolutePath
+    val v1 = Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, null, 40.0))
+        .toDF("id", "name", "amount"), base)
+    val v2 = Snapshots.write(
+      Seq((1L, "a", 10.0),          // unchanged
+          (2L, "b2", 20.0),         // updated value
+          (4L, "was-null", 40.0),   // null → value (the null-tag case)
+          (5L, "e", 50.0))          // inserted; 3 deleted
+        .toDF("id", "name", "amount"), base)
+    val changes = Snapshots.diff(spark, base, v1, v2, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(changes == Map(
+      2L -> "update_postimage", 3L -> "delete",
+      4L -> "update_postimage", 5L -> "insert"))
+  }
+
   test("compactTable bin-packs small files, leaves right-sized files alone") {
     val t = freshName("t_compact")
     // two partitions; p=1 gets 6 small appended files plus one big file,
