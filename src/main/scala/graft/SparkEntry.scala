@@ -136,7 +136,8 @@ object SparkEntry {
     "q93_value_trend" -> q(Analytics.valueTrend),
     "q94_inverted_index" -> q(TextAnalysis.invertedIndex),
     "q95_keyword_search" -> q(t => TextAnalysis.keywordSearch(t)),
-    "q96_gap_fill" -> q(Analytics.gapFillHourly))
+    "q96_gap_fill" -> q(Analytics.gapFillHourly),
+    "q97_sliding_window" -> q(Serving.slidingWindowAgg))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -166,6 +167,19 @@ object SparkEntry {
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
     "q90_split_drift" -> graft.ext.Sampling.splitDriftSql(),
+    "q97_sliding_window" ->
+      s"""WITH assigned AS (
+         |  SELECT event_type, value,
+         |   unnest([time_bucket(INTERVAL '5 minutes', ts),
+         |           time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE])
+         |     AS ws
+         |  FROM events)
+         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+         | strftime(ws + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+         | event_type, count(*) AS n_events,
+         | ${O.dsum("value")} AS sum_value
+         |FROM assigned GROUP BY ws, event_type
+         |ORDER BY 1, 3""".stripMargin,
     "q94_inverted_index" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -151,6 +151,29 @@ object Serving {
         col("distinct_users"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** q97: SLIDING (hopping) window aggregate — 10-minute windows every
+    * 5 minutes, so each event lands in exactly two overlapping windows;
+    * the trend-smoothing companion of [[tumblingWindowAgg]] and the batch
+    * twin of Structured Streaming's `window(ts, "10 minutes",
+    * "5 minutes")`. Spark plans the window assignment as a generator
+    * (explode of the ⌈size/slide⌉ candidate windows per row — narrow, no
+    * UDF) feeding ONE hash aggregate; the shuffle carries size/slide× the
+    * partial rows of the tumbling form, which is the inherent cost of
+    * overlap, not a plan defect. */
+  def slidingWindowAgg(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.functions.ExactAgg.dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** CDC-parse shape in batch: JSON payload extraction + op-filter
     * (reference `realtime_cdc_processor.py:101-156`, P6/P8). The events
     * `props` column plays the Debezium envelope. */
