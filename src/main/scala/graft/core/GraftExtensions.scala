@@ -14,17 +14,34 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private type Exprs = Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+
+  private def inject(ext: SparkSessionExtensions, name: String, cls: Class[_])(
+      builder: Exprs => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine_similarity"),
-      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
-        "graft_cosine_similarity"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash"),
-      new ExpressionInfo(classOf[graft.functions.SimHash].getName, "graft_simhash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.SimHash(exprs.head)))
+    import graft.functions._
+    inject(ext, "graft_cosine_similarity", classOf[CosineSimilarity])(
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+    inject(ext, "graft_simhash", classOf[SimHash])(exprs => SimHash(exprs.head))
+    inject(ext, "graft_token_counts", classOf[TokenCounts])(
+      exprs => TokenCounts(exprs.head))
+    inject(ext, "graft_word_shingles", classOf[WordShingles])(
+      exprs => WordShingles(exprs.head,
+        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(3)))
+    inject(ext, "graft_bitmap_distinct", classOf[BitmapDistinct.BitmapDistinctAgg])(
+      exprs => BitmapDistinct.BitmapDistinctAgg(exprs.head))
+    inject(ext, "graft_bitmap_state", classOf[BitmapDistinct.BitmapStateAgg])(
+      exprs => BitmapDistinct.BitmapStateAgg(exprs.head))
+    inject(ext, "graft_bitmap_merge_count", classOf[BitmapDistinct.BitmapMergeCountAgg])(
+      exprs => BitmapDistinct.BitmapMergeCountAgg(exprs.head))
+    inject(ext, "graft_cms_sketch", classOf[CountMinSketch.CmsAgg])(
+      exprs => CountMinSketch.CmsAgg(exprs.head,
+        exprs.lift(1).exists(_.eval().asInstanceOf[Boolean])))
+    inject(ext, "graft_cms_key_hash", classOf[CountMinSketch.CmsKeyHash])(
+      exprs => CountMinSketch.CmsKeyHash(exprs.head,
+        exprs.lift(1).exists(_.eval().asInstanceOf[Boolean])))
   }
 }

@@ -103,6 +103,33 @@ class BitmapDistinctSpec extends SparkSpec {
     assert(global == 1500L)
   }
 
+  test("HLL state/merge twin tracks the exact cumulative curve (sketch contract)") {
+    // the approximate path for q85's shape at extreme cardinalities: Spark's
+    // Datasketches HLL aggregates are mergeable exactly like bitmapState /
+    // bitmapMergeCount, trading exactness for fixed-size state. Contract:
+    // every cumulative estimate within 10% of the exact bitmap curve here
+    // (lgConfigK=12 → ~1.6% rsd; 10% absorbs corpus-shape wiggle).
+    val t = sf()
+    val exact = graft.operators.Analytics.cumulativeDistinctUsers(t).collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Long]("cumulative_distinct_users")).toMap
+    t.events.createOrReplaceTempView("hll_events")
+    val approx = spark.sql(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, hll_sketch_agg(user_id, 12) AS sk
+        |  FROM hll_events GROUP BY 1)
+        |SELECT d.day,
+        | hll_sketch_estimate(hll_union_agg(e.sk)) AS cum_estimate
+        |FROM daily d JOIN daily e ON e.day <= d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val day = r.getDate(0).toString
+      val est = r.getLong(1).toDouble
+      val ex = exact(day).toDouble
+      assert(math.abs(est - ex) / ex <= 0.10, s"$day: exact=$ex hll=$est")
+    }
+  }
+
   test("q85 cumulative distinct users: bitmap merge equals set-union ground truth") {
     val t = sf()
     val got = graft.operators.Analytics.cumulativeDistinctUsers(t).collect()

@@ -96,6 +96,24 @@ class DedupSpec extends SparkSpec {
     val r = s2.sql(
       "SELECT graft_cosine_similarity(array(1.0D,2.0D), array(2.0D,4.0D)) c").collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    // the aggregate/sketch surface is injected too — SQL-only sessions get
+    // the full function registry, not just the scalar kernels
+    val agg = s2.sql(
+      """WITH t(x) AS (VALUES (1L), (2L), (2L), (7L)),
+        |states AS (
+        |  SELECT x % 2 AS g, graft_bitmap_state(x) AS bm,
+        |   graft_bitmap_distinct(x) AS d,
+        |   graft_cms_sketch(CAST(x AS STRING), true) AS cms
+        |  FROM t GROUP BY x % 2)
+        |SELECT graft_bitmap_merge_count(bm) m, CAST(sum(d) AS BIGINT) sd
+        |FROM states""".stripMargin).collect()(0)
+    assert(agg.getLong(0) == 3L && agg.getLong(1) == 3L)
+    val scalars = s2.sql(
+      """SELECT graft_cms_key_hash('a b', true) h,
+        | size(graft_word_shingles(array('a','b','c'), 2)) sh""".stripMargin).collect()(0)
+    assert(scalars.getLong(0) == graft.functions.PortableHash.hash32(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b")))
+    assert(scalars.getInt(1) == 2)
   }
 
   test("native SimHash matches the composable HOF form exactly") {

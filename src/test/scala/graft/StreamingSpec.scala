@@ -177,6 +177,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sliding windows under streaming: each event lands in two windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val query = input.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"), col("n"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sliding_aggs").start()
+    try {
+      input.addData((1L, ts(2)), (2L, ts(3))) // both inside [09:55,10:05) AND [10:00,10:10)
+      query.processAllAvailable()
+      input.addData((3L, ts(40)))             // advance watermark well past both
+      query.processAllAvailable()
+      input.addData((4L, ts(41)))
+      query.processAllAvailable()
+      val rows = spark.table("sliding_aggs")
+        .filter(col("n") === 2).collect()
+        .map(r => (r.getAs[Timestamp]("ws"), r.getAs[Timestamp]("we")))
+        .toSet
+      // the two overlapping 10-minute windows that contain 10:02/10:03
+      val t0955 = Timestamp.valueOf("2024-01-01 09:55:00")
+      assert(rows == Set((t0955, ts(5)), (ts(0), ts(10))),
+        s"overlapping windows wrong: $rows")
+    } finally query.stop()
+  }
+
   test("session_window works under streaming: session closes via watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
