@@ -34,6 +34,28 @@ object Sources {
       .option("mode", "PERMISSIVE")
       .json(path)
 
+  /** CSV batch scan with explicit schema and quarantined corrupt rows —
+    * the other universal landing-zone format. Same doctrine as
+    * [[readJson]]: never `inferSchema` (a full extra pass at 100 TB, and
+    * a schema that silently changes when the data does). Malformed lines
+    * land in `_corrupt_record` instead of failing the stage or being
+    * silently dropped — the ingest job decides whether to fail, quarantine
+    * or count them (`observe` on `_corrupt_record IS NOT NULL`). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("header", header)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** ORC batch scan — Spark's reader pushes filters and prunes columns
+    * exactly as with parquet (asserted in SourcesSpec), so tables landed
+    * by ORC-native writers join the lakehouse without conversion. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** S5: streaming source over a parquet directory (the table-stream seam;
     * swap for `readStream.format("kafka")` in production). */
   def streamFromTableDir(spark: SparkSession, dir: String, schema: StructType): DataFrame =

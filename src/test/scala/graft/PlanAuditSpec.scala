@@ -206,6 +206,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan("q71_quality_funnel").contains("Exchange hashpartitioning"))
   }
 
+  test("q84 duplicate spans: two-level aggregation, never an Expand") {
+    // count + count(DISTINCT doc) in one aggregate would Expand the
+    // exploded span stream (corpus × doc-length rows); the two-level form
+    // must keep the plan Expand-free and hash the spans before shuffling
+    val p = plan("q84_duplicate_spans")
+    assert(!p.contains("Expand"), "span aggregation planned an Expand")
+    assert(p.contains("md5"), "span hash collapse missing — raw spans would shuffle")
+  }
+
   test("q89 salted join: no broadcast, join keys carry the salt") {
     val p = plan("q89_salted_join")
     // the whole point is the non-broadcast path — SHUFFLE_HASH must hold

@@ -112,4 +112,43 @@ class SourcesSpec extends SparkSpec {
     val z5 = activity.filter(org.apache.spark.sql.functions.col("zone_id") === 5).collect()
     assert(z5.length == 1 && z5.head.getAs[Long]("pickup_count") == 2)
   }
+
+  test("readCsv: explicit schema, malformed rows quarantined not dropped") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(base, "drop.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      """id,name,amount
+        |1,alpha,10.5
+        |2,beta,20.25
+        |oops,this-row-is,not,valid,at-all
+        |3,gamma,30.0
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, name STRING, amount DOUBLE")
+    val df = Sources.readCsv(spark, f.getAbsolutePath, schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 3)
+    assert(good.filter(col("id") === 2).collect()(0).getAs[String]("name") == "beta")
+    // the malformed line is quarantined verbatim, never silently dropped
+    assert(bad.count() == 1)
+    assert(bad.collect()(0).getAs[String]("_corrupt_record").startsWith("oops"))
+  }
+
+  test("readOrc round-trips and pushes filters to the ORC scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_orc").toFile.getAbsolutePath
+    val df = (1 to 1000).map(i => (i.toLong, s"n$i", i * 1.5)).toDF("id", "name", "amount")
+    df.write.orc(s"$base/t")
+    val back = Sources.readOrc(spark, s"$base/t")
+    assert(back.count() == 1000)
+    val q = back.filter(col("id") === 7L).select(col("name"))
+    assert(q.collect()(0).getString(0) == "n7")
+    // ORC gets the same scan-level treatment as parquet: predicate pushed,
+    // columns pruned
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"), plan.take(800))
+  }
 }
