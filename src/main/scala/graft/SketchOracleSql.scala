@@ -92,11 +92,12 @@ object SketchOracleSql {
     * nSalts = 1 ⇒ salt 0, identical to unsalted) → candidate pairs →
     * exact shingle-set Jaccard ≥ 0.2. Used by q34 (the pair list itself)
     * and q45 (clusters over it). */
-  private val dupPairsCtes: String = {
+  /** bands → bucket sizes → salted buckets (the [[graft.ext.Dedup
+    * .saltedBuckets]] replay), shared by the self-join and incremental
+    * dedup oracles. */
+  private val saltedBucketCtes: String = {
     val cap = graft.ext.Dedup.DefaultBucketCap
-    s"""$shingleCte,
-       |$sigCte,
-       |bands AS (
+    s"""bands AS (
        |  SELECT doc_id, b AS band_id,
        |    ${PortableHash.foldLongsSql("list_prepend(CAST(b AS BIGINT), sig[b*4+1 : b*4+4])")} AS bucket
        |  FROM sig CROSS JOIN range(0, 8) t(b)),
@@ -104,7 +105,13 @@ object SketchOracleSql {
        |salted AS (
        |  SELECT doc_id, band_id, bucket,
        |    (${graft.ext.Sampling.splitHashSql("doc_id")}) % ((bucket_n + ${cap - 1}) // $cap) AS salt
-       |  FROM bands JOIN bsz USING (band_id, bucket)),
+       |  FROM bands JOIN bsz USING (band_id, bucket))""".stripMargin
+  }
+
+  private val dupPairsCtes: String = {
+    s"""$shingleCte,
+       |$sigCte,
+       |$saltedBucketCtes,
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM salted l JOIN salted r
@@ -119,6 +126,28 @@ object SketchOracleSql {
        |    FROM cand JOIN sets a ON doc_a = a.doc_id JOIN sets b ON doc_b = b.doc_id)
        |  WHERE jaccard >= 0.2)""".stripMargin
   }
+
+  /** q99: incremental dedup — incoming (doc_id % 20 ≠ 0) vs existing
+    * (doc_id % 20 = 0) corpus, union-salted buckets, exact Jaccard
+    * verify. Mirrors [[graft.ext.Dedup.incrementalDupPairs]]. */
+  val incrementalDupPairs: String =
+    s"""WITH $shingleCte,
+       |$sigCte,
+       |$saltedBucketCtes,
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS doc_new, r.doc_id AS doc_existing
+       |  FROM salted l JOIN salted r
+       |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.salt = r.salt
+       |  WHERE l.doc_id % 20 <> 0 AND r.doc_id % 20 = 0),
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS shset FROM sh)
+       |SELECT doc_new, doc_existing, jaccard FROM (
+       |  SELECT doc_new, doc_existing,
+       |    round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
+       |  FROM cand JOIN sets a ON doc_new = a.doc_id
+       |            JOIN sets b ON doc_existing = b.doc_id)
+       |WHERE jaccard >= 0.2
+       |ORDER BY doc_new, doc_existing""".stripMargin
 
   /** q34: the near-dup pair list. */
   val minhashDupPairs: String =

@@ -137,7 +137,9 @@ object SparkEntry {
     "q94_inverted_index" -> q(TextAnalysis.invertedIndex),
     "q95_keyword_search" -> q(t => TextAnalysis.keywordSearch(t)),
     "q96_gap_fill" -> q(Analytics.gapFillHourly),
-    "q97_sliding_window" -> q(Serving.slidingWindowAgg))
+    "q97_sliding_window" -> q(Serving.slidingWindowAgg),
+    "q98_range_frame" -> q(Analytics.trailingHourActivity),
+    "q99_incremental_dedup" -> q(t => Dedup.incrementalDupPairs(t, portable = true)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -167,6 +169,16 @@ object SparkEntry {
     "q45_dup_clusters" -> SketchOracleSql.dupClusters,
     "q48_dataset_splits" -> graft.ext.Sampling.documentSplitsSql,
     "q90_split_drift" -> graft.ext.Sampling.splitDriftSql(),
+    "q98_range_frame" ->
+      """SELECT event_id, user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        | count(*) OVER w AS events_last_hour,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |   AS value_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q97_sliding_window" ->
       s"""WITH assigned AS (
          |  SELECT event_type, value,
@@ -558,6 +570,7 @@ object SparkEntry {
     "q43_ann_ivf" -> SketchOracleSql.annIvf,
     "q86_cms_heavy_hitters" -> SketchOracleSql.cmsHeavyHitters,
     "q88_semdedup" -> SketchOracleSql.semDedup,
+    "q99_incremental_dedup" -> SketchOracleSql.incrementalDupPairs,
     "q89_salted_join" ->
       s"""WITH dim AS (
          |  SELECT event_type, ${O.davg("value")} AS type_avg_value,

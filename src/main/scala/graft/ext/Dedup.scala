@@ -481,6 +481,67 @@ object Dedup {
       .select(col("doc_id"), (col("cluster_size") - 1).as("n_dropped"))
       .orderBy(col("doc_id"))
 
+  /** Incremental (cross-corpus) near-dup detection: candidate pairs
+    * between an INCOMING document set and an EXISTING corpus — the
+    * production dedup flow, where each new crawl is checked against the
+    * reference corpus instead of re-clustering everything. The join is
+    * incoming-buckets ⋈ existing-buckets on (band, bucket): never a self
+    * join, and at steady state the existing side is a PERSISTED signature/
+    * bucket table (the [[graft.ext.Similarity.ivfWriteIndex]] pattern), so
+    * each increment costs O(incoming) signature work plus one shuffle of
+    * the incoming buckets against the index. Bucket capping salts BOTH
+    * sides with the shared hash, so a boilerplate bucket in either corpus
+    * stays bounded while identical documents still collide (same salt
+    * function ⇒ the cross join only loses cross-SALT recall inside
+    * oversized buckets, the standard cap contract).
+    *
+    * `split` carves the two corpora out of the one documents table for the
+    * gated query surface (existing = doc_id % split == 0, like the q62
+    * decontamination benchmark subset); production calls pass two real
+    * tables through the same body. Verification computes exact Jaccard on
+    * the candidate pairs only. */
+  def incrementalDupPairs(t: Tables, minJaccard: Double = 0.2,
+                          portable: Boolean = false, split: Int = 20,
+                          cap: Int = DefaultBucketCap): DataFrame = {
+    // salt over the UNION of both corpora, then split: both sides see the
+    // same ⌈n/cap⌉ for a bucket, so the cross join partitions cleanly by
+    // salt (per-side salting would strand incoming salts the existing side
+    // never emits, losing whole salt classes instead of the documented
+    // cross-salt recall inside oversized buckets)
+    val salted = saltedBuckets(
+      lshBuckets(t, portable = portable).localCheckpoint(),
+      Seq("band_id", "bucket"), "doc_id", cap)
+      .localCheckpoint()
+    val existing = salted.filter(pmod(col("doc_id"), lit(split)) === 0)
+    val incoming = salted.filter(pmod(col("doc_id"), lit(split)) =!= 0)
+    val candidates = incoming.as("l")
+      .join(existing.as("r"), Seq("band_id", "bucket", "salt"))
+      .select(col("l.doc_id").as("doc_new"), col("r.doc_id").as("doc_existing"))
+      .distinct()
+      .localCheckpoint()
+    graft.functions.ShingleExpression.register(t.spark)
+    val candIds = candidates
+      .select(explode(array(col("doc_new"), col("doc_existing"))).as("doc_id"))
+      .distinct()
+    val docs = t.documents
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), array_distinct(
+        graft.functions.ShingleExpression.wordShingles(
+          TextAnalysis.tokens(col("text")))).as("sh"))
+      .localCheckpoint()
+    candidates
+      .join(docs.as("da"), col("doc_new") === col("da.doc_id"))
+      .join(docs.as("db"), col("doc_existing") === col("db.doc_id"))
+      .select(
+        col("doc_new"), col("doc_existing"),
+        round(
+          size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+            size(array_union(col("da.sh"), col("db.sh"))),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("doc_new"), col("doc_existing"))
+  }
+
   /** Exact duplicate-span detection (the substring half of training-data
     * dedup — Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", 2021, at k-token granularity): every contiguous k-token span

@@ -822,6 +822,32 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q98: TIME-RANGE window frame — each event's trailing-one-hour
+    * activity (count + exact sum), a RANGE frame over event time rather
+    * than a ROWS frame over positions. The distinction matters on
+    * irregular feeds: "last 6 rows" (q17) is a different feature than
+    * "last 60 minutes" whenever arrival rates vary — and the time-based
+    * form is what fraud/ops features mean. One shuffle on the partition
+    * key; the frame bound is epoch-second arithmetic (Spark's rangeBetween
+    * needs a numeric ordering column; DuckDB mirrors it with the identical
+    * integer ordering). The in-frame sum rides a DECIMAL cast (the q17
+    * pattern) so accumulation order can't wiggle the double. */
+  def trailingHourActivity(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3599, 0)
+    t.events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        unix_timestamp(col("ts")).as("epoch_s"),
+        col("value").cast("decimal(18,6)").as("value_dec"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        count(lit(1)).over(w).as("events_last_hour"),
+        sum(col("value_dec")).over(w).cast("double").as("value_last_hour"))
+      .orderBy(col("event_id"))
+  }
+
   /** q96: time-series gap fill — densify each group's hourly series over
     * the corpus span and carry the last observation forward (LOCF) through
     * the holes; hours before a group's first observation stay null. The

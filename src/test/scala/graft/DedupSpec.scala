@@ -309,6 +309,26 @@ class DedupSpec extends SparkSpec {
     assert(cl(0L) == cl(1000L))
   }
 
+  test("incremental dedup: pairs cross the corpus boundary, agree with the self-join") {
+    val td = sf()
+    val inc = Dedup.incrementalDupPairs(td, minJaccard = 0.2).collect()
+    assert(inc.nonEmpty, "no cross-corpus near-dups found on the test corpus")
+    inc.foreach { r =>
+      assert(r.getAs[Long]("doc_new") % 20 != 0, "incoming side leaked an existing doc")
+      assert(r.getAs[Long]("doc_existing") % 20 == 0, "existing side leaked an incoming doc")
+      assert(r.getAs[Double]("jaccard") >= 0.2)
+    }
+    // consistency with the full self-join pipeline: every incremental pair
+    // is a q34 pair (same buckets, same union salting, same threshold)
+    val full = Dedup.minhashDupPairs(td, minJaccard = 0.2).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    inc.foreach { r =>
+      val (n, e) = (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_existing"))
+      assert(full.contains((math.min(n, e), math.max(n, e))),
+        s"incremental pair ($n,$e) missing from the self-join result")
+    }
+  }
+
   test("duplicate spans: planted shared paragraph found, unique docs silent") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_spans").toFile.getAbsolutePath
