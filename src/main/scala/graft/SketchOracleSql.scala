@@ -341,6 +341,46 @@ object SketchOracleSql {
        | ${KmvSketch.estimateSql("hv", 256)} AS approx_customers
        |FROM hashed GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q100: the composed training-corpus pipeline — dedup survivors
+    * (recursive-CTE closure, as q68) ∩ quality pass (q71's four stages
+    * conjoined) → split assignment → per-(lang, split) release stats.
+    * Mirrors [[graft.ext.TrainingPipeline.trainingCorpus]]. */
+  val trainingCorpus: String = {
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    val b = s"(${graft.ext.Sampling.splitHashSql("d.doc_id")}) % 100"
+    s"""WITH RECURSIVE $dupPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM dup_pairs),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+       |survivors AS (SELECT doc_id FROM labels WHERE cluster_id = doc_id),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang,
+       |   CAST(len(d.tks) AS BIGINT) AS n_tokens,
+       |   CASE WHEN $b < 80 THEN 'train'
+       |        WHEN $b < 90 THEN 'val'
+       |        ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, lang, text,
+       |          string_split_regex(trim(text), '\\s+') AS tks
+       |        FROM documents) d
+       |  JOIN survivors s ON d.doc_id = s.doc_id
+       |  WHERE len(d.tks) BETWEEN 10 AND 100000
+       |    AND CAST(length(d.text) AS DOUBLE) / len(d.tks) >= 2.0e0
+       |    AND CAST(length(d.text) AS DOUBLE) / len(d.tks) <= 12.0e0
+       |    AND CAST(len(list_distinct(d.tks)) AS DOUBLE) / len(d.tks) >= 0.3e0
+       |    AND len(list_filter(d.tks, tk -> list_contains($stop, tk))) >= 1)
+       |SELECT lang, split, count(*) AS n_docs,
+       | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       | round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_tokens
+       |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** q88: SemDeDup — the q43 IVF seed clustering, then within-(cluster,
     * salt) pairwise cosine; a vector is dropped iff a lower-id bucket-mate
     * sits at cosine ≥ 0.3. Salting replays [[graft.ext.Sampling.splitHash]]

@@ -139,7 +139,9 @@ object SparkEntry {
     "q96_gap_fill" -> q(Analytics.gapFillHourly),
     "q97_sliding_window" -> q(Serving.slidingWindowAgg),
     "q98_range_frame" -> q(Analytics.trailingHourActivity),
-    "q99_incremental_dedup" -> q(t => Dedup.incrementalDupPairs(t, portable = true)))
+    "q99_incremental_dedup" -> q(t => Dedup.incrementalDupPairs(t, portable = true)),
+    "q100_training_corpus" -> q(t =>
+      graft.ext.TrainingPipeline.trainingCorpus(t, portable = true)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -571,6 +573,7 @@ object SparkEntry {
     "q86_cms_heavy_hitters" -> SketchOracleSql.cmsHeavyHitters,
     "q88_semdedup" -> SketchOracleSql.semDedup,
     "q99_incremental_dedup" -> SketchOracleSql.incrementalDupPairs,
+    "q100_training_corpus" -> SketchOracleSql.trainingCorpus,
     "q89_salted_join" ->
       s"""WITH dim AS (
          |  SELECT event_type, ${O.davg("value")} AS type_avg_value,

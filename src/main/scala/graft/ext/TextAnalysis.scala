@@ -401,15 +401,28 @@ object TextAnalysis {
     * pass + one 5-long reduce regardless of corpus size. Thresholds on
     * exact-integer-derived doubles, so the DuckDB oracle replays the
     * comparisons bit-for-bit. */
+  /** The four funnel-stage predicates over (token array, raw text) — the
+    * single source shared by [[qualityFunnel]] (per-stage accounting) and
+    * [[TrainingPipeline.trainingCorpus]] (the conjunctive keep filter). */
+  private[ext] def qualityFlagCols(tks: Column, text: Column): Seq[Column] = Seq(
+    size(tks) >= 10 && size(tks) <= 100000,
+    length(text).cast("double") / size(tks) >= 2.0 &&
+      length(text).cast("double") / size(tks) <= 12.0,
+    size(array_distinct(tks)).cast("double") / size(tks) >= 0.3,
+    size(filter(tks, tk => tk.isin(stopwords.map(lit(_)): _*))) >= 1)
+
+  /** All four quality stages as one conjunctive keep predicate. */
+  def qualityPass(text: Column): Column =
+    qualityFlagCols(tokens(text), text).reduce(_ && _)
+
   def qualityFunnel(t: Tables): DataFrame = {
     val tks = tokens(col("text"))
+    val flags = qualityFlagCols(tks, col("text"))
     val flagged = t.documents.select(
-      (size(tks) >= 10 && size(tks) <= 100000).cast("long").as("k1"),
-      (length(col("text")).cast("double") / size(tks) >= 2.0 &&
-        length(col("text")).cast("double") / size(tks) <= 12.0).cast("long").as("k2"),
-      (size(array_distinct(tks)).cast("double") / size(tks) >= 0.3).cast("long").as("k3"),
-      (size(filter(tks, tk => tk.isin(stopwords.map(lit(_)): _*))) >= 1)
-        .cast("long").as("k4"))
+      flags(0).cast("long").as("k1"),
+      flags(1).cast("long").as("k2"),
+      flags(2).cast("long").as("k3"),
+      flags(3).cast("long").as("k4"))
     flagged
       .agg(
         count(lit(1)).as("n0"),
