@@ -141,7 +141,8 @@ object SparkEntry {
     "q98_range_frame" -> q(Analytics.trailingHourActivity),
     "q99_incremental_dedup" -> q(t => Dedup.incrementalDupPairs(t, portable = true)),
     "q100_training_corpus" -> q(t =>
-      graft.ext.TrainingPipeline.trainingCorpus(t, portable = true)))
+      graft.ext.TrainingPipeline.trainingCorpus(t, portable = true)),
+    "q101_data_profile" -> q(Analytics.dataProfile))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -574,6 +575,21 @@ object SparkEntry {
     "q88_semdedup" -> SketchOracleSql.semDedup,
     "q99_incremental_dedup" -> SketchOracleSql.incrementalDupPairs,
     "q100_training_corpus" -> SketchOracleSql.trainingCorpus,
+    "q101_data_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      val stacked = cols.map(c =>
+        s"SELECT '$c' AS column_name, CAST($c AS VARCHAR) AS value FROM orders")
+        .mkString("\n  UNION ALL ")
+      s"""WITH stacked AS (
+         |  $stacked)
+         |SELECT column_name, count(*) AS n_rows,
+         | count(*) - count(value) AS n_nulls,
+         | count(DISTINCT value) AS n_distinct,
+         | round(CAST(count(*) - count(value) AS DOUBLE) / count(*), 6)
+         |   AS null_pct
+         |FROM stacked GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q89_salted_join" ->
       s"""WITH dim AS (
          |  SELECT event_type, ${O.davg("value")} AS type_avg_value,

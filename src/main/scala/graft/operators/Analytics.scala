@@ -822,6 +822,35 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q101: per-column data profile — row/null/distinct counts for every
+    * column of a table in ONE scan, the Deequ/ANALYZE-style health report
+    * a pipeline runs before trusting a new drop. Columns are stacked via
+    * a narrow explode into (column_name, value-as-string) pairs, so the
+    * plan is one generator + one aggregate with a single DISTINCT per
+    * group — never the multi-distinct Expand (ncols distincts in one wide
+    * aggregate would replicate the scan ncols× with Expand semantics
+    * anyway; the stack makes that cost explicit and keeps the aggregate
+    * shape trivial). String casting is only a stacking device: counts are
+    * cast-invariant (casts are injective per column type in both
+    * engines), and no casted VALUE is ever output — only counts. */
+  def dataProfile(t: Tables): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    t.orders
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column_name"), col(c).cast("string").as("value"))): _*))
+        .as("s"))
+      .select(col("s.column_name").as("column_name"), col("s.value").as("value"))
+      .groupBy(col("column_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("value"))).as("n_nulls"),
+        countDistinct(col("value")).as("n_distinct"))
+      .withColumn("null_pct",
+        round(col("n_nulls").cast("double") / col("n_rows"), 6))
+      .orderBy(col("column_name"))
+  }
+
   /** q98: TIME-RANGE window frame — each event's trailing-one-hour
     * activity (count + exact sum), a RANGE frame over event time rather
     * than a ROWS frame over positions. The distinction matters on
