@@ -142,7 +142,8 @@ object SparkEntry {
     "q99_incremental_dedup" -> q(t => Dedup.incrementalDupPairs(t, portable = true)),
     "q100_training_corpus" -> q(t =>
       graft.ext.TrainingPipeline.trainingCorpus(t, portable = true)),
-    "q101_data_profile" -> q(Analytics.dataProfile))
+    "q101_data_profile" -> q(Analytics.dataProfile),
+    "q102_equidepth_histogram" -> q(t => Analytics.equiDepthHistogram(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -575,6 +576,17 @@ object SparkEntry {
     "q88_semdedup" -> SketchOracleSql.semDedup,
     "q99_incremental_dedup" -> SketchOracleSql.incrementalDupPairs,
     "q100_training_corpus" -> SketchOracleSql.trainingCorpus,
+    "q102_equidepth_histogram" -> {
+      val edges = (1 to 9).map(i =>
+        s"quantile_disc(o_totalprice, 0.$i) AS e$i").mkString(", ")
+      val bucket = (1 to 9).map(i =>
+        s"CASE WHEN e$i <= o_totalprice THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH edges AS (SELECT $edges FROM orders)
+         |SELECT ($bucket) AS bucket, count(*) AS n_orders,
+         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         |FROM orders CROSS JOIN edges
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q101_data_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -822,6 +822,36 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q102: EQUI-DEPTH histogram — bins carry (approximately) equal row
+    * counts with data-driven edges, where [[priceHistogram]] (q52) fixes
+    * the edges and lets counts skew. This is the histogram query
+    * optimizers and drift monitors actually want: resolution concentrates
+    * where the data is. Two passes by construction: exact decile edges
+    * via `percentile_disc` (bit-portable — selection, not interpolation),
+    * broadcast as one row; then a narrow bucket projection (count of
+    * edges ≤ value) and one aggregate. Ties across an edge land in one
+    * bin, so counts are only near-equal on duplicate-heavy data — that is
+    * the exact-semantics answer, not an implementation artifact. */
+  def equiDepthHistogram(t: Tables, buckets: Int = 10): DataFrame = {
+    val edgeCols = (1 until buckets).map { i =>
+      val q = i.toDouble / buckets
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)").as(s"e$i")
+    }
+    val edges = t.orders.agg(edgeCols.head, edgeCols.tail: _*)
+    val bucket = (1 until buckets)
+      .map(i => (col(s"e$i") <= col("o_totalprice")).cast("int"))
+      .reduce(_ + _)
+    t.orders
+      .crossJoin(broadcast(edges))
+      .select(bucket.as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("bucket"))
+  }
+
   /** q101: per-column data profile — row/null/distinct counts for every
     * column of a table in ONE scan, the Deequ/ANALYZE-style health report
     * a pipeline runs before trusting a new drop. Columns are stacked via
