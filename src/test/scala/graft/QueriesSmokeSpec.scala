@@ -355,6 +355,89 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("event_type")).distinct.length == rows.length)
   }
 
+  test("q95 keyword search: every hit really contains all query terms") {
+    val t = graft.core.Tables(spark, dir)
+    val hits = SparkEntry.queries("q95_keyword_search")(spark, dir).collect()
+    assert(hits.nonEmpty)
+    val texts = t.documents.select(col("doc_id"), lower(col("text")).as("tx"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hits.foreach { r =>
+      val tokens = texts(r.getAs[Long]("doc_id")).trim.split("\\s+").toSet
+      assert(tokens.contains("data") && tokens.contains("the"),
+        s"doc ${r.getAs[Long]("doc_id")} missing a query term")
+    }
+    // ranking is by total tf descending
+    val tfs = hits.map(_.getAs[Long]("total_tf"))
+    assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q96 gap fill: dense grid, LOCF carries the last observed value") {
+    val rows = SparkEntry.queries("q96_gap_fill")(spark, dir).collect()
+    val byType = rows.groupBy(_.getString(0))
+    val gridSize = byType.values.head.length
+    byType.values.foreach(rs => assert(rs.length == gridSize, "grid not dense"))
+    byType.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getAs[String]("hour_ts"))
+      var lastObserved: Option[Double] = None
+      ordered.foreach { r =>
+        if (r.getAs[Boolean]("observed"))
+          lastObserved = Some(r.getAs[Double]("filled_sum_value"))
+        else {
+          assert(r.getAs[Long]("n_events") == 0L)
+          lastObserved match {
+            case Some(v) => assert(r.getAs[Double]("filled_sum_value") == v,
+              s"LOCF broke at ${r.getAs[String]("hour_ts")}")
+            case None => assert(r.isNullAt(r.fieldIndex("filled_sum_value")))
+          }
+        }
+      }
+    }
+  }
+
+  test("q100 training corpus: stats bounded by the raw corpus, full split set") {
+    val t = graft.core.Tables(spark, dir)
+    val rows = SparkEntry.queries("q100_training_corpus")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total > 0 && total <= t.documents.count())
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // train must dominate per lang present in all splits (80/10/10 hash)
+    val trainDocs = rows.filter(_.getAs[String]("split") == "train")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(trainDocs > total / 2)
+    rows.foreach(r => assert(r.getAs[Double]("avg_tokens") > 0))
+  }
+
+  test("q101 profile: distinct bounded by rows, key column unique") {
+    val rows = SparkEntry.queries("q101_data_profile")(spark, dir).collect()
+    val t = graft.core.Tables(spark, dir)
+    val n = t.orders.count()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == n)
+      assert(r.getAs[Long]("n_distinct") + r.getAs[Long]("n_nulls") <= n)
+    }
+    val key = rows.find(_.getString(0) == "o_orderkey").get
+    assert(key.getAs[Long]("n_distinct") == n && key.getAs[Long]("n_nulls") == 0L)
+  }
+
+  test("q102 equi-depth histogram: near-equal depths, ordered disjoint ranges") {
+    val rows = SparkEntry.queries("q102_equidepth_histogram")(spark, dir).collect()
+      .sortBy(_.getAs[Int]("bucket"))
+    val n = rows.map(_.getAs[Long]("n_orders")).sum
+    rows.foreach { r =>
+      // equi-depth within generous tie slack on continuous-ish prices
+      val c = r.getAs[Long]("n_orders")
+      assert(c > n / 20 && c < n / 4, s"bucket ${r.getAs[Int]("bucket")}: $c of $n")
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("max_price") <= b.getAs[Double]("min_price"),
+          "bucket ranges overlap")
+      case _ => ()
+    }
+  }
+
   test("q87 ranking suite: tie and frame semantics hold") {
     val rows = SparkEntry.queries("q87_ranking_suite")(spark, dir).collect()
     assert(rows.length == graft.core.Tables(spark, dir).orders.count())
