@@ -312,6 +312,43 @@ object TableIO {
     CompactionReport(partitions, before, after, rewritten)
   }
 
+  /** Storage audit: per-partition file count, byte totals, and small-file
+    * share — the table-health report that DECIDES when [[compactTable]]
+    * runs (Iceberg keeps this in its manifests; plain parquet has to list
+    * the filesystem, which is exactly what this does, once, driver-side —
+    * a metadata pass, not a data scan). */
+  def storageAudit(
+      spark: SparkSession,
+      table: String,
+      smallFileBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, when}
+    import spark.implicits._
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val root = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def isData(p: Path): Boolean =
+      !p.getName.startsWith("_") && !p.getName.startsWith(".")
+    def leafDirs(dir: Path): Seq[Path] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subdirs = entries.filter(e => e.isDirectory && isData(e.getPath))
+      if (subdirs.isEmpty) Seq(dir) else subdirs.flatMap(e => leafDirs(e.getPath))
+    }
+    val rows = leafDirs(root).map { dir =>
+      val files = fs.listStatus(dir).toSeq.filter(s => s.isFile && isData(s.getPath))
+      val rel = root.toUri.relativize(dir.toUri).getPath.stripSuffix("/")
+      val partition = if (rel.isEmpty) "<root>" else rel
+      (partition, files.size.toLong,
+        files.map(_.getLen).sum,
+        files.count(_.getLen < smallFileBytes).toLong)
+    }
+    rows.toDF("partition", "n_files", "total_bytes", "n_small_files")
+      .withColumn("avg_file_bytes",
+        when(col("n_files") > 0,
+          col("total_bytes") / col("n_files")).otherwise(0L).cast("long"))
+      .orderBy(col("partition"))
+  }
+
   /** S10: CTAS with partitioning (`nyc_taxi_to_iceberg.py:164-184`). */
   def ctas(
       spark: SparkSession,

@@ -290,6 +290,27 @@ class TableIOSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("storageAudit reports per-partition file counts and flags small files") {
+    val t = freshName("t_audit")
+    val df = Seq((1, "a", 1), (2, "b", 1), (3, "c", 2)).toDF("id", "v", "p")
+    TableIO.ensureTable(spark, t, df, Seq("p"))
+    TableIO.append(spark, t, df.coalesce(1))
+    TableIO.append(spark, t, df.filter(col("p") === 1).coalesce(1))
+    val audit = TableIO.storageAudit(spark, t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(audit.keySet == Set("p=1", "p=2"))
+    assert(audit("p=1").getAs[Long]("n_files") == 2)
+    assert(audit("p=2").getAs[Long]("n_files") == 1)
+    audit.values.foreach { r =>
+      assert(r.getAs[Long]("total_bytes") > 0)
+      // everything here is tiny → all files flagged small at the default
+      assert(r.getAs[Long]("n_small_files") == r.getAs[Long]("n_files"))
+      assert(r.getAs[Long]("avg_file_bytes") ==
+        r.getAs[Long]("total_bytes") / r.getAs[Long]("n_files"))
+    }
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("incremental view refresh: equals full recompute, touches only delta partitions") {
     import graft.operators.Incremental
     val view = freshName("t_ivm")
