@@ -577,11 +577,13 @@ object SparkEntry {
     "q99_incremental_dedup" -> SketchOracleSql.incrementalDupPairs,
     "q100_training_corpus" -> SketchOracleSql.trainingCorpus,
     "q102_equidepth_histogram" -> {
-      val edges = (1 to 9).map(i =>
-        s"quantile_disc(o_totalprice, 0.$i) AS e$i").mkString(", ")
+      val qs = (1 to 9).map(i => s"0.$i").mkString(", ")
+      val edges = (1 to 9).map(i => s"es[$i] AS e$i").mkString(", ")
       val bucket = (1 to 9).map(i =>
         s"CASE WHEN e$i <= o_totalprice THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH edges AS (SELECT $edges FROM orders)
+      s"""WITH es0 AS (
+         |  SELECT quantile_cont(o_totalprice, [$qs]) AS es FROM orders),
+         |edges AS (SELECT $edges FROM es0)
          |SELECT ($bucket) AS bucket, count(*) AS n_orders,
          | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
          |FROM orders CROSS JOIN edges

@@ -826,18 +826,20 @@ object Analytics {
     * counts with data-driven edges, where [[priceHistogram]] (q52) fixes
     * the edges and lets counts skew. This is the histogram query
     * optimizers and drift monitors actually want: resolution concentrates
-    * where the data is. Two passes by construction: exact decile edges
-    * via `percentile_disc` (bit-portable — selection, not interpolation),
+    * where the data is. Two passes by construction: ALL edge quantiles
+    * from ONE exact `percentile(col, array(…))` aggregate (one value
+    * buffer, not one per quantile — at sf0.1 that is the difference
+    * between 2.8 s and sub-second; R-7 linear interpolation, empirically
+    * bit-identical to DuckDB's `quantile_cont` on these doubles),
     * broadcast as one row; then a narrow bucket projection (count of
     * edges ≤ value) and one aggregate. Ties across an edge land in one
     * bin, so counts are only near-equal on duplicate-heavy data — that is
     * the exact-semantics answer, not an implementation artifact. */
   def equiDepthHistogram(t: Tables, buckets: Int = 10): DataFrame = {
-    val edgeCols = (1 until buckets).map { i =>
-      val q = i.toDouble / buckets
-      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY o_totalprice)").as(s"e$i")
-    }
-    val edges = t.orders.agg(edgeCols.head, edgeCols.tail: _*)
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val edges = t.orders
+      .agg(expr(s"percentile(o_totalprice, array(${qs.mkString(",")}))").as("es"))
+      .select((1 until buckets).map(i => element_at(col("es"), i).as(s"e$i")): _*)
     val bucket = (1 until buckets)
       .map(i => (col(s"e$i") <= col("o_totalprice")).cast("int"))
       .reduce(_ + _)
