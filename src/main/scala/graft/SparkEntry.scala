@@ -143,7 +143,8 @@ object SparkEntry {
     "q100_training_corpus" -> q(t =>
       graft.ext.TrainingPipeline.trainingCorpus(t, portable = true)),
     "q101_data_profile" -> q(Analytics.dataProfile),
-    "q102_equidepth_histogram" -> q(t => Analytics.equiDepthHistogram(t)))
+    "q102_equidepth_histogram" -> q(t => Analytics.equiDepthHistogram(t)),
+    "q103_referential_integrity" -> q(Analytics.referentialIntegrity))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -576,6 +577,23 @@ object SparkEntry {
     "q88_semdedup" -> SketchOracleSql.semDedup,
     "q99_incremental_dedup" -> SketchOracleSql.incrementalDupPairs,
     "q100_training_corpus" -> SketchOracleSql.trainingCorpus,
+    "q103_referential_integrity" -> {
+      def one(name: String, fact: String, fk: String, dim: String, pk: String) =
+        s"""SELECT '$name' AS relationship,
+           | (SELECT count(*) FROM $fact) AS n_rows,
+           | (SELECT count(*) FROM $fact f
+           |   WHERE NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk))
+           |   AS n_orphans,
+           | round(CAST((SELECT count(*) FROM $fact f
+           |   WHERE NOT EXISTS (SELECT 1 FROM $dim d WHERE d.$pk = f.$fk))
+           |   AS DOUBLE) / (SELECT count(*) FROM $fact), 6) AS orphan_pct""".stripMargin
+      Seq(
+        one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        one("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        one("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        one("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
     "q102_equidepth_histogram" -> {
       val qs = (1 to 9).map(i => s"0.$i").mkString(", ")
       val edges = (1 to 9).map(i => s"es[$i] AS e$i").mkString(", ")

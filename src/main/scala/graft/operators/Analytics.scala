@@ -822,6 +822,36 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q103: referential-integrity audit — orphan foreign keys per
+    * relationship, the constraint check a lakehouse has to RUN because
+    * parquet enforces nothing (the reference's Postgres source enforced
+    * FKs; its lake tables silently don't). One LEFT ANTI join per edge —
+    * each plans as a broadcast/shuffled hash anti join with only the key
+    * column scanned on both sides — then a one-row summary per
+    * relationship, unioned. */
+  def referentialIntegrity(t: Tables): DataFrame = {
+    def audit(name: String, fact: DataFrame, fk: String,
+              dim: DataFrame, pk: String): DataFrame = {
+      val total = fact.select(col(fk).as("k"))
+      val orphans = total.join(dim.select(col(pk).as("k")), Seq("k"), "left_anti")
+      total.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(
+          lit(name).as("relationship"),
+          col("n_rows"), col("n_orphans"),
+          round(col("n_orphans").cast("double") / col("n_rows"), 6)
+            .as("orphan_pct"))
+    }
+    audit("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+      .unionByName(
+        audit("lineitem.l_partkey->part", t.lineitem, "l_partkey", t.part, "p_partkey"))
+      .unionByName(
+        audit("orders.o_custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey"))
+      .unionByName(
+        audit("customer.c_nationkey->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"))
+      .orderBy(col("relationship"))
+  }
+
   /** q102: EQUI-DEPTH histogram — bins carry (approximately) equal row
     * counts with data-driven edges, where [[priceHistogram]] (q52) fixes
     * the edges and lets counts skew. This is the histogram query
