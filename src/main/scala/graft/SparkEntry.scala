@@ -144,7 +144,8 @@ object SparkEntry {
       graft.ext.TrainingPipeline.trainingCorpus(t, portable = true)),
     "q101_data_profile" -> q(Analytics.dataProfile),
     "q102_equidepth_histogram" -> q(t => Analytics.equiDepthHistogram(t)),
-    "q103_referential_integrity" -> q(Analytics.referentialIntegrity))
+    "q103_referential_integrity" -> q(Analytics.referentialIntegrity),
+    "q104_cumulative_approx_distinct" -> q(t => Analytics.cumulativeApproxDistinct(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -577,6 +578,19 @@ object SparkEntry {
     "q88_semdedup" -> SketchOracleSql.semDedup,
     "q99_incremental_dedup" -> SketchOracleSql.incrementalDupPairs,
     "q100_training_corpus" -> SketchOracleSql.trainingCorpus,
+    "q104_cumulative_approx_distinct" -> {
+      import graft.functions.KmvSketch
+      s"""WITH hashed AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |   ${KmvSketch.hash31Sql("user_id")} AS h
+         |  FROM events),
+         |days AS (SELECT day, count(*) AS n_events FROM hashed GROUP BY 1)
+         |SELECT d.day, d.n_events,
+         | ${KmvSketch.estimateSql("e.h", 256)} AS approx_cumulative_users
+         |FROM days d JOIN hashed e ON e.day <= d.day
+         |GROUP BY d.day, d.n_events
+         |ORDER BY d.day""".stripMargin
+    },
     "q103_referential_integrity" -> {
       def one(name: String, fact: String, fk: String, dim: String, pk: String) =
         s"""SELECT '$name' AS relationship,

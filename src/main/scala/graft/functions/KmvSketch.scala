@@ -202,20 +202,152 @@ object KmvSketch {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  private val nativeFnName = "graft_kmv_distinct"
+  /** The state half of the KMV state/merge pair (the bitmap-distinct
+    * pattern applied to the approximate sketch): evals to the SERIALIZED
+    * bottom-k buffer instead of the estimate, so distinct estimates
+    * compose across time windows or rollup levels without re-touching the
+    * fact. Bottom-k of a union of bottom-k sketches IS the global
+    * bottom-k (any global minimum survives its own partition's sketch),
+    * so re-aggregation with [[KmvMergeAgg]] is lossless w.r.t. the
+    * estimator — and, unlike HLL states, fully oracle-replayable. */
+  case class KmvStateAgg(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
 
-  /** Registers the native aggregate; k rides as an optional second literal
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_state expects a pre-hashed bigint/int column, got ${other.catalogString}")
+    }
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_kmv_state"
+
+    override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+    override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+      val v = child.eval(input)
+      if (v != null) buffer.insert(v.asInstanceOf[Number].longValue())
+      buffer
+    }
+
+    override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+      var i = 0
+      while (i < other.n) { buffer.insert(other.hashes(i)); i += 1 }
+      buffer
+    }
+
+    override def eval(buffer: KmvBuffer): Any = serializeBuffer(buffer)
+    override def serialize(buffer: KmvBuffer): Array[Byte] = serializeBuffer(buffer)
+    override def deserialize(bytes: Array[Byte]): KmvBuffer = deserializeBuffer(bytes, k)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvStateAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvStateAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** The merge half: unions serialized [[KmvStateAgg]] states and evals to
+    * the distinct estimate. */
+  case class KmvMergeAgg(
+      child: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmv_merge expects a binary kmv-state column, got ${other.catalogString}")
+    }
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_kmv_merge"
+
+    override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+    override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
+      val v = child.eval(input)
+      if (v != null) {
+        val other = deserializeBuffer(v.asInstanceOf[Array[Byte]], k)
+        var i = 0
+        while (i < other.n) { buffer.insert(other.hashes(i)); i += 1 }
+      }
+      buffer
+    }
+
+    override def merge(buffer: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+      var i = 0
+      while (i < other.n) { buffer.insert(other.hashes(i)); i += 1 }
+      buffer
+    }
+
+    override def eval(buffer: KmvBuffer): Any = buffer.estimate
+    override def serialize(buffer: KmvBuffer): Array[Byte] = serializeBuffer(buffer)
+    override def deserialize(bytes: Array[Byte]): KmvBuffer = deserializeBuffer(bytes, k)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  private def serializeBuffer(buffer: KmvBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.n)
+    bb.putInt(buffer.n)
+    var i = 0
+    while (i < buffer.n) { bb.putLong(buffer.hashes(i)); i += 1 }
+    bb.array()
+  }
+
+  private def deserializeBuffer(bytes: Array[Byte], k: Int): KmvBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new KmvBuffer(k)
+    out.n = bb.getInt()
+    var i = 0
+    while (i < out.n) { out.hashes(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  private val nativeFnName = "graft_kmv_distinct"
+  private val stateFnName = "graft_kmv_state"
+  private val mergeFnName = "graft_kmv_merge"
+
+  private def kArg(exprs: Seq[Expression]): Int =
+    exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(256)
+
+  /** Registers the native aggregates; k rides as an optional second literal
     * argument (default 256). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      nativeFnName,
-      exprs => KmvDistinctNative(
-        exprs.head,
-        exprs.lift(1).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(256)),
-      "scala_udf")
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      nativeFnName, exprs => KmvDistinctNative(exprs.head, kArg(exprs)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      stateFnName, exprs => KmvStateAgg(exprs.head, kArg(exprs)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      mergeFnName, exprs => KmvMergeAgg(exprs.head, kArg(exprs)), "scala_udf")
+  }
 
   /** Native KMV distinct-estimate over a pre-hashed long column. Call
     * [[register]] on the session first. */
   def kmvDistinctNative(hashed: Column, k: Int = 256): Column =
     call_function(nativeFnName, hashed, lit(k))
+
+  /** Serialized bottom-k state over a pre-hashed long column; re-aggregate
+    * with [[kmvMerge]]. Call [[register]] first. */
+  def kmvState(hashed: Column, k: Int = 256): Column =
+    call_function(stateFnName, hashed, lit(k))
+
+  /** Distinct estimate from merged [[kmvState]] states. Call [[register]]
+    * first. */
+  def kmvMerge(state: Column, k: Int = 256): Column =
+    call_function(mergeFnName, state, lit(k))
 }

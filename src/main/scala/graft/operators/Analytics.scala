@@ -822,6 +822,30 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q104: cumulative APPROXIMATE distinct users by day — q85's shape on
+    * the KMV bottom-k sketch instead of exact bitmaps: per-day 2 KiB
+    * states from one fact pass, cumulative estimates from merging each
+    * day's trailing states. Bottom-k of a union of bottom-k sketches IS
+    * the global bottom-k, so the merged estimate equals the one computed
+    * from raw data — which is why, unlike HLL, the DuckDB oracle replays
+    * the whole cascade exactly. At extreme cardinalities this is the
+    * memory story: the bitmap's worst case grows with the key domain, the
+    * sketch never exceeds k hashes per day. */
+  def cumulativeApproxDistinct(t: Tables, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch
+    KmvSketch.register(t.spark)
+    val daily = t.events
+      .select(to_date(col("ts")).as("day"), KmvSketch.hash31(col("user_id")).as("h"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), KmvSketch.kmvState(col("h"), k).as("st"))
+      .localCheckpoint() // day frame reused on both sides of the join
+    daily.as("d")
+      .join(daily.as("e"), col("e.day") <= col("d.day"))
+      .groupBy(col("d.day").as("day"), col("d.n_events").as("n_events"))
+      .agg(KmvSketch.kmvMerge(col("e.st"), k).as("approx_cumulative_users"))
+      .orderBy(col("day"))
+  }
+
   /** q103: referential-integrity audit — orphan foreign keys per
     * relationship, the constraint check a lakehouse has to RUN because
     * parquet enforces nothing (the reference's Postgres source enforced
