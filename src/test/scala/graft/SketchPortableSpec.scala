@@ -189,6 +189,33 @@ class SketchPortableSpec extends SparkSpec {
     }
   }
 
+  test("KMV state/merge: merged states equal the direct estimate, any layout") {
+    import graft.functions.KmvSketch
+    KmvSketch.register(spark)
+    import spark.implicits._
+    val df = (0 until 20000).map(i => (i % 4, (i % 3000) * 13L)).toDF("g", "key")
+      .select(col("g"), KmvSketch.hash31(col("key")).as("h"))
+    // direct estimate per group vs merge of per-partition states
+    val direct = df.groupBy(col("g"))
+      .agg(KmvSketch.kmvDistinctNative(col("h")).as("d"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (parts <- Seq(3, 17)) {
+      val states = df.repartition(parts)
+        .withColumn("p", spark_partition_id())
+        .groupBy(col("g"), col("p"))
+        .agg(KmvSketch.kmvState(col("h")).as("st"))
+      val merged = states.groupBy(col("g"))
+        .agg(KmvSketch.kmvMerge(col("st")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(merged == direct, s"parts=$parts")
+    }
+    // below k distinct the estimate is exact
+    val small = (0 until 100).map(i => i.toLong).toDF("key")
+      .select(KmvSketch.hash31(col("key")).as("h"))
+    val st = small.agg(KmvSketch.kmvState(col("h")).as("st"))
+    assert(st.agg(KmvSketch.kmvMerge(col("st"))).collect()(0).getDouble(0) == 100.0)
+  }
+
   test("CMS estimates dominate exact counts, bounded, layout-independent") {
     import graft.functions.CountMinSketch
     val t = sf("sf0.001")
