@@ -680,4 +680,33 @@ object Multimodal {
   def audioNearDups(media: Dataset[MediaRow], maxHamming: Int = 4,
                     cap: Int = Dedup.DefaultBucketCap): DataFrame =
     bandedHashNearDups(audioHashes(media), maxHamming, cap)
+
+  /** Per-video fingerprints: the XOR-rotated fold of every frame's
+    * [[averageHash]]. Rotation makes the fold ORDER-SENSITIVE (a reversed
+    * clip hashes differently — plain XOR would collide it) while staying
+    * one pass; identical frame sequences hash identically regardless of
+    * container chunking, and editing one frame flips only the bits that
+    * frame contributed. */
+  def videoHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val frames = MediaCodec.decodePpmStream(r.payload)
+          if (frames.isEmpty) None
+          else Some((r.media_id, frames.foldLeft(0L) { case (acc, (w, h, rgb)) =>
+            java.lang.Long.rotateLeft(acc, 1) ^ averageHash(w, h, rgb)
+          }))
+        }
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** Video near-duplicate pairs — the same banded-Hamming kernel over the
+    * frame-fold fingerprint. Catches re-chunked/re-wrapped copies and
+    * clips with a few edited frames; temporal edits (cuts, reordering)
+    * change the fingerprint by design. */
+  def videoNearDups(media: Dataset[MediaRow], maxHamming: Int = 4,
+                    cap: Int = Dedup.DefaultBucketCap): DataFrame =
+    bandedHashNearDups(videoHashes(media), maxHamming, cap)
 }

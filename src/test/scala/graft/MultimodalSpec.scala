@@ -374,4 +374,34 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated clip wrongly paired")
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "non-audio row leaked in")
   }
+
+  test("videoNearDups pairs identical frame streams, rejects reordered frames") {
+    import spark.implicits._
+    val w = 16; val h = 12
+    // pseudo-random content per frame: distinct block-mean patterns, so
+    // distinct aHashes (a pure gradient rescaled per frame keeps the SAME
+    // aHash — every block keeps its side of the global mean)
+    def frame(seed: Int) = Array.tabulate[Byte](w * h * 3) { j =>
+      ((j * 131 + seed * 977 + (j * j + seed) % 89) % 256).toByte
+    }
+    val clip = (0 until 4).map(f => (w, h, frame(f)))
+    val reordered = clip.reverse
+    val edited = clip.updated(3, (w, h, frame(9)))
+    def enc(fs: Seq[(Int, Int, Array[Byte])]) = MediaCodec.encodePpmStream(fs)
+    val media = Seq(
+      Multimodal.MediaRow(0L, "video", enc(clip), w, h, 0, 4),
+      Multimodal.MediaRow(1L, "video", enc(clip), w, h, 0, 4),      // exact copy
+      Multimodal.MediaRow(2L, "video", enc(edited), w, h, 0, 4),    // one frame swapped
+      Multimodal.MediaRow(3L, "video", enc(reordered), w, h, 0, 4), // temporal edit
+      Multimodal.MediaRow(4L, "audio", MediaCodec.encodeWav(8000, Array[Short](1, 2)), 0, 0, 8000, 1))
+      .toDS()
+    val hashes = Multimodal.videoHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(0L) == hashes(1L), "identical frame streams must hash equal")
+    assert(hashes(0L) != hashes(3L), "reordered frames must hash differently")
+    val pairs = Multimodal.videoNearDups(media, maxHamming = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact video copy not paired")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "non-video row leaked in")
+  }
 }
