@@ -145,7 +145,8 @@ object SparkEntry {
     "q101_data_profile" -> q(Analytics.dataProfile),
     "q102_equidepth_histogram" -> q(t => Analytics.equiDepthHistogram(t)),
     "q103_referential_integrity" -> q(Analytics.referentialIntegrity),
-    "q104_cumulative_approx_distinct" -> q(t => Analytics.cumulativeApproxDistinct(t)))
+    "q104_cumulative_approx_distinct" -> q(t => Analytics.cumulativeApproxDistinct(t)),
+    "q105_grouped_equidepth" -> q(t => Analytics.groupedEquiDepthHistogram(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -578,6 +579,18 @@ object SparkEntry {
     "q88_semdedup" -> SketchOracleSql.semDedup,
     "q99_incremental_dedup" -> SketchOracleSql.incrementalDupPairs,
     "q100_training_corpus" -> SketchOracleSql.trainingCorpus,
+    "q105_grouped_equidepth" -> {
+      val qs = (1 to 4).map(i => s"0.${i * 2}").mkString(", ")
+      val bucket = (1 to 4).map(i =>
+        s"CASE WHEN es[$i] <= o_totalprice THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH edges AS (
+         |  SELECT o_orderpriority, quantile_cont(o_totalprice, [$qs]) AS es
+         |  FROM orders GROUP BY 1)
+         |SELECT o.o_orderpriority, ($bucket) AS bucket, count(*) AS n_orders,
+         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         |FROM orders o JOIN edges e USING (o_orderpriority)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q104_cumulative_approx_distinct" -> {
       import graft.functions.KmvSketch
       s"""WITH hashed AS (

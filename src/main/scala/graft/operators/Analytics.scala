@@ -846,6 +846,32 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** q105: PER-GROUP equi-depth histogram — q102's quantile-bin shape
+    * computed independently inside every group (order priority), the
+    * per-segment distribution monitor: one segment's price drift is
+    * invisible in a global histogram. Same two-pass plan, now grouped:
+    * per-group edge arrays from one grouped array-percentile aggregate
+    * (tiny — one row per group), broadcast-joined back on the group key;
+    * bucketing stays a narrow projection. */
+  def groupedEquiDepthHistogram(t: Tables, buckets: Int = 5): DataFrame = {
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val edges = t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(s"percentile(o_totalprice, array(${qs.mkString(",")}))").as("es"))
+    val bucket = (1 until buckets)
+      .map(i => (element_at(col("es"), i) <= col("o_totalprice")).cast("int"))
+      .reduce(_ + _)
+    t.orders
+      .join(broadcast(edges), "o_orderpriority")
+      .select(col("o_orderpriority"), bucket.as("bucket"), col("o_totalprice"))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"), col("bucket"))
+  }
+
   /** q103: referential-integrity audit — orphan foreign keys per
     * relationship, the constraint check a lakehouse has to RUN because
     * parquet enforces nothing (the reference's Postgres source enforced
