@@ -57,6 +57,28 @@ object CountMinSketch {
   private def bucket(lane: Int, h: Long): Int =
     (((LaneA(lane) * h + LaneB(lane)) % P) % Width).toInt
 
+  /** JVM-side update for custom-state consumers (streaming heavy hitters
+    * hold the counter matrix in a GroupState buffer): identical arithmetic
+    * to [[CmsAgg]], so estimates agree with the batch aggregate. */
+  def updateCounters(buf: Array[Long], key: String, portable: Boolean = false): Unit = {
+    val h = reducedHash(UTF8String.fromString(key), portable)
+    var i = 0
+    while (i < Depth) { buf(i * Width + bucket(i, h)) += 1L; i += 1 }
+  }
+
+  /** JVM-side point estimate over a counter matrix (min across lanes). */
+  def estimateCount(buf: Array[Long], key: String, portable: Boolean = false): Long = {
+    val h = reducedHash(UTF8String.fromString(key), portable)
+    var best = Long.MaxValue
+    var i = 0
+    while (i < Depth) {
+      val c = buf(i * Width + bucket(i, h))
+      if (c < best) best = c
+      i += 1
+    }
+    best
+  }
+
   /** The sketch aggregate: evals to the full counter matrix as
     * `array<long>` of length Depth×Width (lane-major), so probing is plain
     * `element_at` arithmetic — no custom reader expression, and the

@@ -206,6 +206,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming heavy hitters: top-k per window in fixed state, watermark-closed") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val query = streaming.StreamingHeavyHitters
+      .windowTopK(input.toDS(), windowMinutes = 5, k = 3, capacity = 16)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hh").start()
+    try {
+      // window [10:00, 10:05): alpha x6, beta x4, gamma x2, 8 rare words
+      val batch =
+        (1 to 6).map(i => ("alpha", ts(1, i))) ++
+        (1 to 4).map(i => ("beta", ts(2, i))) ++
+        (1 to 2).map(i => ("gamma", ts(3, i))) ++
+        (1 to 8).map(i => (s"rare$i", ts(4, i)))
+      input.addData(batch: _*)
+      query.processAllAvailable()
+      assert(spark.table("hh").count() == 0) // window still open
+      // push the watermark far past the window end → close + emit
+      input.addData(("later", ts(40)))
+      query.processAllAvailable()
+      input.addData(("later2", ts(41)))
+      query.processAllAvailable()
+      val out = spark.table("hh")
+        .filter(col("window_start") === ts(0)).collect()
+        .sortBy(_.getAs[Int]("rank"))
+      assert(out.length == 3, s"expected top-3, got ${out.length}")
+      assert(out.map(_.getAs[String]("word")).toSeq == Seq("alpha", "beta", "gamma"))
+      // CMS estimates are one-sided: >= true counts (here: sparse, exact)
+      assert(out.map(_.getAs[Long]("estimate")).toSeq == Seq(6L, 4L, 2L))
+      // closed window's state is gone: nothing more emitted for it later
+      input.addData(("later3", ts(42)))
+      query.processAllAvailable()
+      assert(spark.table("hh").filter(col("window_start") === ts(0)).count() == 3)
+    } finally query.stop()
+  }
+
   test("session_window works under streaming: session closes via watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
