@@ -112,22 +112,13 @@ object Dedup {
     * only thing that ever shuffles in the MinHash plan. Portable mode folds
     * the band slice with engine-portable arithmetic (band_id enters the
     * fold seed so equal slices in different bands stay distinct). */
-  def lshBuckets(t: Tables, bands: Int = 8, portable: Boolean = false): DataFrame = {
-    val rows = 32 / bands
+  def lshBuckets(t: Tables, bands: Int = 8, portable: Boolean = false): DataFrame =
     t.documents
       .select(col("doc_id"), nativeSig(t, portable).as("sig"))
-      .select(
-        col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), lit(bands - 1)),
-            b =>
-              if (portable) foldLongs(concat(array(b.cast("long")), slice(col("sig"), b * rows + 1, lit(rows))))
-              else xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b))))
+      .select(col("doc_id"), posexplode(bandedBuckets(col("sig"), portable, bands)))
       .withColumnRenamed("pos", "band_id")
       .withColumnRenamed("col", "bucket")
       .select(col("band_id"), col("bucket"), col("doc_id"))
-  }
 
   /** Max members per (band, bucket) before deterministic salting splits the
     * bucket. 64 keeps the worst-case per-bucket pair count at
@@ -540,6 +531,108 @@ object Dedup {
           6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy(col("doc_new"), col("doc_existing"))
+  }
+
+  /** Persist the LSH index for [[incrementalDupPairsServed]]: the
+    * (band, bucket, doc_id) assignments bucketed BY the join key — so the
+    * serve-path join against incoming buckets is co-located (no shuffle of
+    * the stored side) — plus the per-bucket sizes the joint salting needs.
+    * `nBuckets` sizes the physical bucketing (≈ index rows / target
+    * partition size at scale). */
+  def writeLshIndex(t: Tables, prefix: String, portable: Boolean = false,
+                    nBuckets: Int = 8): Unit = {
+    val b = lshBuckets(t, portable = portable)
+    graft.sources.TableIO.dropTableAndLocation(t.spark, s"${prefix}_buckets")
+    b.write.format("parquet").option("compression", "zstd")
+      .bucketBy(nBuckets, "band_id", "bucket")
+      .saveAsTable(s"${prefix}_buckets")
+    graft.sources.TableIO.dropTableAndLocation(t.spark, s"${prefix}_sizes")
+    b.groupBy(col("band_id"), col("bucket"))
+      .agg(count(lit(1)).as("existing_n"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(nBuckets, "band_id", "bucket")
+      .saveAsTable(s"${prefix}_sizes")
+  }
+
+  /** The steady-state increment: candidate pairs between `incoming`
+    * documents (doc_id, text) and a corpus indexed by [[writeLshIndex]] —
+    * the existing side's SIGNATURES are never recomputed; only its bucket
+    * rows co-located with the incoming buckets are read. Salting is joint
+    * (stored sizes + incoming sizes per bucket), so both sides share each
+    * bucket's ⌈n/cap⌉ split exactly like [[incrementalDupPairs]]' union
+    * salting — and identical documents still collide (same salt hash).
+    * Verification needs the candidate EXISTING docs' text: `corpus` is
+    * the document table the index was built from (only candidate rows are
+    * semi-joined out of it). */
+  def incrementalDupPairsServed(incoming: DataFrame, corpus: DataFrame,
+                                prefix: String, minJaccard: Double = 0.2,
+                                portable: Boolean = false,
+                                cap: Int = DefaultBucketCap): DataFrame = {
+    val spark = incoming.sparkSession
+    graft.functions.MinHashExpression.register(spark)
+    graft.functions.ShingleExpression.register(spark)
+    val sig = graft.functions.MinHashExpression
+      .minhashSig(TextAnalysis.tokens(col("text")), portable)
+    val incomingBuckets = incoming
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), posexplode(bandedBuckets(col("sig"), portable)))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "bucket")
+      .select(col("band_id"), col("bucket"), col("doc_id"))
+      .localCheckpoint()
+    // joint salting: n = stored + incoming members per bucket
+    val jointSizes = spark.table(s"${prefix}_sizes")
+      .join(incomingBuckets.groupBy(col("band_id"), col("bucket"))
+          .agg(count(lit(1)).as("incoming_n")),
+        Seq("band_id", "bucket"), "outer")
+      .select(col("band_id"), col("bucket"),
+        (coalesce(col("existing_n"), lit(0L)) + coalesce(col("incoming_n"), lit(0L)))
+          .as("bucket_n"))
+    def salt(side: DataFrame) = side
+      .join(jointSizes, Seq("band_id", "bucket"))
+      .withColumn("n_salts", expr(s"(bucket_n + ${cap - 1}) div $cap"))
+      .withColumn("salt", pmod(Sampling.splitHash(col("doc_id")), col("n_salts")))
+      .drop("bucket_n", "n_salts")
+    val candidates = salt(incomingBuckets).as("l")
+      .join(salt(spark.table(s"${prefix}_buckets")).as("r"),
+        Seq("band_id", "bucket", "salt"))
+      .select(col("l.doc_id").as("doc_new"), col("r.doc_id").as("doc_existing"))
+      .distinct()
+      .localCheckpoint()
+    val shingleSet = array_distinct(
+      graft.functions.ShingleExpression.wordShingles(TextAnalysis.tokens(col("text"))))
+    val newDocs = incoming
+      .join(candidates.select(col("doc_new").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleSet.as("sh")).localCheckpoint()
+    val oldDocs = corpus
+      .join(candidates.select(col("doc_existing").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleSet.as("sh")).localCheckpoint()
+    candidates
+      .join(newDocs.as("da"), col("doc_new") === col("da.doc_id"))
+      .join(oldDocs.as("db"), col("doc_existing") === col("db.doc_id"))
+      .select(
+        col("doc_new"), col("doc_existing"),
+        round(
+          size(array_intersect(col("da.sh"), col("db.sh"))).cast("double") /
+            size(array_union(col("da.sh"), col("db.sh"))),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("doc_new"), col("doc_existing"))
+  }
+
+  /** The shared band-fold: 8 bands × 4 rows over a signature column —
+    * factored from [[lshBuckets]] so the served path banding cannot
+    * drift. */
+  private def bandedBuckets(sig: Column, portable: Boolean,
+                            bands: Int = 8): Column = {
+    val rows = 32 / bands
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        if (portable) foldLongs(concat(array(b.cast("long")), slice(sig, b * rows + 1, lit(rows))))
+        else xxhash64(concat_ws(",", slice(sig, b * rows + 1, lit(rows))), b))
   }
 
   /** Exact duplicate-span detection (the substring half of training-data

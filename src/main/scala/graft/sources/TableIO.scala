@@ -117,7 +117,7 @@ object TableIO {
     * TABLE IF EXISTS` is a no-op in the fresh metastore while the old data
     * directory still exists on disk, and managed-table CTAS then fails with
     * LOCATION_ALREADY_EXISTS. Replace-style writers must clear both. */
-  private def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
+  private[graft] def dropTableAndLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val path = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

@@ -91,8 +91,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("extensions-built session has graft functions in SQL without register") {
+    // create(), not getOrCreate(): a session built by ANOTHER suite would
+    // be returned as-is (extensions unapplied) and the suite-ordering
+    // accident of someone having called register() would mask the gap —
+    // create() always constructs a fresh session over the shared context
+    // and runs the injection
+    val prior = org.apache.spark.sql.SparkSession.getDefaultSession
     val s2 = graft.core.GraftSession.builder("local[2]", 2)
-      .withExtensions(new graft.core.GraftExtensions).getOrCreate()
+      .withExtensions(new graft.core.GraftExtensions).create()
+    try {
     val r = s2.sql(
       "SELECT graft_cosine_similarity(array(1.0D,2.0D), array(2.0D,4.0D)) c").collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
@@ -114,6 +121,12 @@ class DedupSpec extends SparkSpec {
     assert(scalars.getLong(0) == graft.functions.PortableHash.hash32(
       org.apache.spark.unsafe.types.UTF8String.fromString("a b")))
     assert(scalars.getInt(1) == 2)
+    } finally {
+      prior.foreach { p =>
+        org.apache.spark.sql.SparkSession.setDefaultSession(p)
+        org.apache.spark.sql.SparkSession.setActiveSession(p)
+      }
+    }
   }
 
   test("native SimHash matches the composable HOF form exactly") {
@@ -327,6 +340,28 @@ class DedupSpec extends SparkSpec {
       assert(full.contains((math.min(n, e), math.max(n, e))),
         s"incremental pair ($n,$e) missing from the self-join result")
     }
+  }
+
+  test("served LSH index: persisted-index increments equal the in-memory pairs") {
+    val td = sf()
+    val existing = td.documents.filter(col("doc_id") % 20 === 0)
+    val incoming = td.documents.filter(col("doc_id") % 20 =!= 0)
+    // index only the existing corpus (its own directory = its own Tables)
+    val exDir = Files.createTempDirectory("graft_lshidx").toFile.getAbsolutePath
+    existing.write.parquet(s"$exDir/documents.parquet")
+    Dedup.writeLshIndex(Tables(spark, exDir), "lshidx_test")
+    val served = Dedup.incrementalDupPairsServed(
+      incoming, existing, "lshidx_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // joint salting (stored sizes + incoming sizes) reproduces q99's
+    // union salting exactly, so the pair sets must be identical
+    val inMemory = Dedup.incrementalDupPairs(td).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(served == inMemory,
+      s"served=${served.size} inMemory=${inMemory.size} diff=${served.diff(inMemory).take(3)}")
+    assert(served.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS lshidx_test_buckets")
+    spark.sql("DROP TABLE IF EXISTS lshidx_test_sizes")
   }
 
   test("duplicate spans: planted shared paragraph found, unique docs silent") {
