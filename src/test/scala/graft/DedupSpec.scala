@@ -360,6 +360,28 @@ class DedupSpec extends SparkSpec {
     assert(served == inMemory,
       s"served=${served.size} inMemory=${inMemory.size} diff=${served.diff(inMemory).take(3)}")
     assert(served.nonEmpty)
+    // the stored-side scale claim: the index scan carries its bucketing
+    // into the candidate join — no Exchange sits between the bucketed
+    // table scan and the join (the incoming side shuffles to match).
+    // Reconstructed unsnapshotted (the production frame localCheckpoints,
+    // which hides the plan); broadcast disabled so the hash join can't
+    // trivialize the assertion.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val stored = spark.table("lshidx_test_buckets")
+        .withColumnRenamed("doc_id", "doc_existing")
+      val incomingBuckets = Dedup.lshBuckets(td)
+        .filter(col("doc_id") % 20 =!= 0)
+      val j = incomingBuckets.join(stored, Seq("band_id", "bucket"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      // exactly ONE hash exchange in the whole join plan: the incoming
+      // side shuffles to the index's bucketing; a second would mean the
+      // bucketed scan was reshuffled too
+      val exchanges = plan.split("Exchange hashpartitioning").length - 1
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(1500)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     spark.sql("DROP TABLE IF EXISTS lshidx_test_buckets")
     spark.sql("DROP TABLE IF EXISTS lshidx_test_sizes")
   }
