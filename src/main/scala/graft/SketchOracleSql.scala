@@ -302,6 +302,70 @@ object SketchOracleSql {
        |SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q106: IVF + SQ8 — the q43 routing (seed centroids, nProbe=4) feeding
+    * the q78 quantized scoring, exact re-rank of survivors. */
+  val annIvfQuantized: String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, vec AS cvec FROM emb
+       |  WHERE vec_id % greatest(1, (SELECT count(*) FROM emb) // 16) = 0
+       |  ORDER BY vec_id LIMIT 16),
+       |assign AS (
+       |  SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.vec", "c.cvec")} DESC, c.centroid_id) AS rn
+       |    FROM emb e CROSS JOIN cents c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id FROM (
+       |    SELECT e.vec_id AS query_id, c.centroid_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.vec", "c.cvec")} DESC, c.centroid_id) AS rn
+       |    FROM emb e CROSS JOIN cents c WHERE e.vec_id < 8)
+       |  WHERE rn <= 4),
+       |mx AS (
+       |  SELECT vec_id, vec,
+       |   list_max(list_transform(vec, x -> abs(x))) AS maxabs
+       |  FROM emb),
+       |quant AS (
+       |  SELECT vec_id, vec,
+       |   CASE WHEN maxabs = 0.0e0
+       |        THEN list_transform(vec, x -> CAST(0 AS BIGINT))
+       |        ELSE list_transform(vec, x -> CAST(floor(x * 127.0e0 / maxabs) AS BIGINT))
+       |   END AS q
+       |  FROM mx),
+       |qn AS (
+       |  SELECT vec_id, vec, q,
+       |   sqrt(CAST(list_dot_product(q, q) AS DOUBLE)) AS qnorm
+       |  FROM quant),
+       |queries AS (
+       |  SELECT vec_id AS query_id, q AS qq, qnorm AS qqnorm, vec AS qvec
+       |  FROM qn WHERE vec_id < 8),
+       |cand AS (
+       |  SELECT DISTINCT query_id, a.vec_id
+       |  FROM probes JOIN assign a USING (centroid_id)
+       |  WHERE a.vec_id <> query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |   round(CAST(list_dot_product(u.qq, v.q) AS DOUBLE)
+       |     / (u.qqnorm * v.qnorm), 6) AS qcosine
+       |  FROM cand c
+       |  JOIN qn v ON v.vec_id = c.vec_id
+       |  JOIN queries u ON u.query_id = c.query_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY qcosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT r.query_id, r.vec_id, r.qcosine,
+       | ${cosSql("u.qvec", "cv.vec")} AS cosine,
+       | CAST(r.rank AS INTEGER) AS rank
+       |FROM ranked r
+       |JOIN queries u ON u.query_id = r.query_id
+       |JOIN qn cv ON cv.vec_id = r.vec_id
+       |WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""".stripMargin
+
   /** q61: intra-document repetition ratio over word 3-shingles. */
   val repetitionStats: String =
     s"""WITH $shingleCte

@@ -146,7 +146,8 @@ object SparkEntry {
     "q102_equidepth_histogram" -> q(t => Analytics.equiDepthHistogram(t)),
     "q103_referential_integrity" -> q(Analytics.referentialIntegrity),
     "q104_cumulative_approx_distinct" -> q(t => Analytics.cumulativeApproxDistinct(t)),
-    "q105_grouped_equidepth" -> q(t => Analytics.groupedEquiDepthHistogram(t)))
+    "q105_grouped_equidepth" -> q(t => Analytics.groupedEquiDepthHistogram(t)),
+    "q106_ann_ivf_quantized" -> q(t => Similarity.ivfQuantizedTopK(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -680,6 +681,7 @@ object SparkEntry {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY order_id""".stripMargin,
     "q78_ann_quantized" -> SketchOracleSql.annQuantized,
+    "q106_ann_ivf_quantized" -> SketchOracleSql.annIvfQuantized,
     "q79_pagerank" -> operators.Graph.pageRankZonesSql(),
     "q82_triangle_stats" -> operators.Graph.triangleStatsSql,
     "q83_bigram_lm" -> TextAnalysis.bigramFluencySql,

@@ -315,10 +315,10 @@ object Similarity {
     * norms are exact (≤ 64·127² per vector, far under 2^53), so both
     * engines agree on every code and every score — the quantizer is
     * hash-checkable, not just recall-tested. */
-  def quantizedTopK(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
-    graft.functions.VectorExpressions.register(t.spark)
-    val emb = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("vec"))
-    val quant = emb
+  /** Per-vector symmetric int8 quantization: (vec_id, vec, q, qnorm).
+    * Shared by [[quantizedTopK]] and [[ivfQuantizedTopK]]. */
+  private def sq8(emb: DataFrame): DataFrame =
+    emb
       .withColumn("maxabs",
         aggregate(col("vec"), lit(0.0), (a, x) => greatest(a, abs(x))))
       .withColumn("q",
@@ -327,6 +327,17 @@ object Similarity {
       .withColumn("qnorm",
         sqrt(aggregate(col("q"), lit(0L), (a, x) => a + x * x).cast("double")))
       .drop("maxabs")
+
+  /** Quantized-cosine score column over (qq, qqnorm) × (q, qnorm). */
+  private def qCosine: Column =
+    round(
+      aggregate(zip_with(col("qq"), col("q"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+        .cast("double") / (col("qqnorm") * col("qnorm")), 6)
+
+  def quantizedTopK(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val emb = t.embeddings.select(col("vec_id"), toDouble(col("embedding")).as("vec"))
+    val quant = sq8(emb)
       .localCheckpoint() // quantize once; reused as both join sides
     val queries = quant
       .filter(col("vec_id") < nQueries)
@@ -346,6 +357,55 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
     // exact re-rank: fetch float vectors for the k·Q survivors only
+    quant.select(col("vec_id"), col("vec"))
+      .join(broadcast(topk), "vec_id")
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
+      .select(col("query_id"), col("vec_id"), col("qcosine"),
+        round(graft.functions.VectorExpressions.cosineSim(col("qvec"), col("vec")), 6)
+          .as("cosine"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q106: IVF + SQ8 — the production ANN composition (FAISS's IVF-flat
+    * with scalar quantization): coarse centroids route each query to its
+    * nProbe inverted lists, ONLY those lists' vectors are scored, and
+    * the scoring runs on int8 codes (4× the scan bandwidth of floats);
+    * the exact re-rank touches floats for the k·Q survivors alone. The
+    * two levers compose multiplicatively at 100 TB: IVF prunes which
+    * vectors are read (partition pruning on centroid_id for a persisted
+    * index), SQ8 shrinks the bytes per vector read — and both halves are
+    * already oracle-proven in isolation (q43, q78). */
+  def ivfQuantizedTopK(t: Tables, nQueries: Int = 8, k: Int = 5,
+                       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val (cents, assigned) = ivfBuildIndex(t, nCentroids)
+    val quant = sq8(
+      assigned.select(col("vec_id"), toDouble(col("embedding")).as("vec"),
+        col("centroid_id")))
+      .localCheckpoint() // quantized inverted lists: built once, probed twice
+    val queries = quant
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("q").as("qq"), col("qnorm").as("qqnorm"))
+    // probe with the RAW float embeddings against the float centroids —
+    // the exact q43 routing arithmetic (typed consistently with cvec)
+    val probes = nearestLists(
+      cents,
+      assigned.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qemb")),
+      "query_id", "qemb", nProbe)
+      .select(col("query_id"), col("centroid_id"))
+    val candidates = probes
+      .join(broadcast(queries.drop("qvec")), Seq("query_id"))
+      .join(quant, Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qcosine").desc, col("vec_id"))
+    val topk = candidates
+      .select(col("query_id"), col("vec_id"), qCosine.as("qcosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
     quant.select(col("vec_id"), col("vec"))
       .join(broadcast(topk), "vec_id")
       .join(broadcast(queries.select(col("query_id"), col("qvec"))), "query_id")
