@@ -24,6 +24,18 @@ class SimilaritySpec extends SparkSpec {
     assert(refined > 0.3, s"refined recall degenerate: $refined")
   }
 
+  test("IVF+SQ8 (q106) recall@5 tracks plain IVF: quantization barely costs") {
+    val t = sf("sf0.001")
+    val truth = pairs(Similarity.bruteForceTopK(t, nQueries = 8, k = 5))
+    val ivf = recall(pairs(Similarity.ivfTopK(t, 8, 5, nCentroids = 16, nProbe = 4)), truth)
+    val composed = recall(
+      pairs(Similarity.ivfQuantizedTopK(t, 8, 5, nCentroids = 16, nProbe = 4)), truth)
+    // same routing, int8-ranked: within one pair per query of the float-
+    // ranked IVF (SQ8 ranking error only reorders near-ties)
+    assert(composed >= ivf - 0.2, s"composed=$composed ivf=$ivf")
+    assert(composed > 0.3, s"composed recall degenerate: $composed")
+  }
+
   test("Lloyd iterations improve the quantizer objective (mean member cosine)") {
     import org.apache.spark.sql.functions._
     val t = sf("sf0.001")
