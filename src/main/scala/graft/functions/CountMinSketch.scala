@@ -166,15 +166,18 @@ object CountMinSketch {
   private val aggFnName = "graft_cms_sketch"
   private val hashFnName = "graft_cms_key_hash"
 
-  private def boolArg(e: Expression): Boolean =
-    e.eval().asInstanceOf[Boolean]
+  // The portable flag is an optional second argument on BOTH registration
+  // paths (here and GraftExtensions), defaulting to false — a one-argument
+  // SQL call must not die with an IndexOutOfBoundsException.
+  private def boolArg(exprs: Seq[Expression]): Boolean =
+    exprs.lift(1).exists(_.eval().asInstanceOf[Boolean])
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      aggFnName, exprs => CmsAgg(exprs.head, boolArg(exprs(1))), "scala_udf")
+      aggFnName, exprs => CmsAgg(exprs.head, boolArg(exprs)), "scala_udf")
     reg.createOrReplaceTempFunction(
-      hashFnName, exprs => CmsKeyHash(exprs.head, boolArg(exprs(1))), "scala_udf")
+      hashFnName, exprs => CmsKeyHash(exprs.head, boolArg(exprs)), "scala_udf")
   }
 
   /** CMS counter matrix (array<long>, lane-major) over a string key column.

@@ -311,7 +311,13 @@ object KmvSketch {
   private def deserializeBuffer(bytes: Array[Byte], k: Int): KmvBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val out = new KmvBuffer(k)
-    out.n = bb.getInt()
+    val n = bb.getInt()
+    // A serialized state may carry more minima than this aggregate's k
+    // (kmv_merge called with a smaller k than the states were built with).
+    // Hashes are stored sorted ascending, so keeping the first min(n, k)
+    // degrades the sketch to the merge-side k — exactly what insert-based
+    // merging would produce — instead of overrunning the k-length array.
+    out.n = math.min(n, k)
     var i = 0
     while (i < out.n) { out.hashes(i) = bb.getLong(); i += 1 }
     out

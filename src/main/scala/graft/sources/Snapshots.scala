@@ -117,14 +117,17 @@ object Snapshots {
   }
 
   /** Change data feed between two committed versions: one row per key that
-    * was inserted, deleted, or updated, with `_change_type` (Delta CDF's
-    * column name) plus both payloads. The comparison is a single full
-    * outer join on the key; update detection hashes the non-key columns on
-    * each side (xxhash64 over all columns, null-tagged), so wide rows
-    * compare in one 8-byte equality, not column-by-column. This is how a
-    * downstream consumer syncs from a snapshot store without replaying
-    * writes: diff(v_n, v_m) is exact regardless of how many intermediate
-    * versions were vacuumed. */
+    * was inserted, deleted, or updated, carrying the key and
+    * `_change_type` (Delta CDF's column name). The comparison is a single
+    * full outer join on the key; update detection hashes the non-key
+    * columns on each side (xxhash64 over all columns, null-tagged), so
+    * wide rows compare in one 8-byte equality, not column-by-column — at
+    * the cost of a 2^-64 per-row chance that a genuinely changed row
+    * hash-collides and is classified unchanged. This is how a downstream
+    * consumer syncs from a snapshot store without replaying writes:
+    * diff(v_n, v_m) works regardless of how many intermediate versions
+    * were vacuumed; consumers needing payloads join the keyed output back
+    * to `read(base, toVersion)`. */
   def diff(spark: SparkSession, base: String, fromVersion: Long,
            toVersion: Long, key: String): DataFrame = {
     import org.apache.spark.sql.functions._

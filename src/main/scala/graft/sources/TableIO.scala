@@ -299,8 +299,17 @@ object TableIO {
           .write.format("parquet").option("compression", "zstd")
           .save(tmp.toString)
         val staged = fs.listStatus(tmp).toSeq.filter(s => s.isFile && isData(s.getPath))
+        // Every rename must verifiably succeed BEFORE any original is
+        // deleted — otherwise a transient FS failure (rename returns
+        // false) would delete rows that were never promoted, breaking the
+        // "crash leaves duplicates, never missing rows" invariant.
         staged.zipWithIndex.foreach { case (s, i) =>
-          fs.rename(s.getPath, new Path(dir, s"compacted-${tmp.getName.drop(1)}-$i.parquet"))
+          val dest = new Path(dir, s"compacted-${tmp.getName.drop(1)}-$i.parquet")
+          if (!fs.rename(s.getPath, dest)) {
+            throw new java.io.IOException(
+              s"compactTable: rename ${s.getPath} -> $dest failed; " +
+                "aborting before deleting originals (originals left in place)")
+          }
         }
         small.foreach(s => fs.delete(s.getPath, false))
         fs.delete(tmp, true)

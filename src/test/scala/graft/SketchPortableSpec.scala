@@ -253,6 +253,42 @@ class SketchPortableSpec extends SparkSpec {
     assert(s3.sum == 5000L * CountMinSketch.Depth) // every lane counts every row
   }
 
+  test("KMV merge with a smaller k degrades to the merge-side k, no crash") {
+    import graft.functions.KmvSketch
+    KmvSketch.register(spark)
+    import spark.implicits._
+    // States built at k=256, merged at k=64: the 64 smallest hashes of the
+    // union are contained in every partition's 256 smallest, so the merged
+    // estimate must EQUAL the direct k=64 estimate — previously this threw
+    // ArrayIndexOutOfBoundsException on deserialization.
+    val df = (0 until 20000).map(i => (i % 3000) * 13L).toDF("key")
+      .select(KmvSketch.hash31(col("key")).as("h"))
+    val direct = df.agg(KmvSketch.kmvDistinctNative(col("h"), 64))
+      .collect()(0).getDouble(0)
+    val merged = df.repartition(7)
+      .withColumn("p", spark_partition_id())
+      .groupBy(col("p")).agg(KmvSketch.kmvState(col("h"), 256).as("st"))
+      .agg(KmvSketch.kmvMerge(col("st"), 64))
+      .collect()(0).getDouble(0)
+    assert(merged == direct, s"direct=$direct merged=$merged")
+  }
+
+  test("CMS SQL registration accepts the one-argument form") {
+    import graft.functions.CountMinSketch
+    CountMinSketch.register(spark)
+    import spark.implicits._
+    (0 until 100).map(i => s"w${i % 7}").toDF("k").createOrReplaceTempView("cms_one_arg")
+    // both functions default portable=false when the flag is omitted
+    val row = spark.sql(
+      """SELECT graft_cms_sketch(k) AS st, graft_cms_key_hash('w0') AS h
+        |FROM cms_one_arg""".stripMargin).collect()(0)
+    assert(row.getSeq[Long](0).sum == 100L * CountMinSketch.Depth)
+    val twoArg = spark.sql(
+      "SELECT graft_cms_key_hash('w0', false) AS h FROM cms_one_arg LIMIT 1")
+      .collect()(0).getLong(0)
+    assert(row.getLong(1) == twoArg)
+  }
+
   test("HLL sketch-vs-exact contract: within 5x rsd on every group") {
     // the built-in HLL path (kept alongside the oracle-checkable KMV) must
     // track the exact distinct counts of q04 within its error contract
