@@ -28,4 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Dderby.system.home=/tmp/graft-derby",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The 106-query bench generates thousands of whole-stage-codegen classes
+  // in one JVM; the JDK default 240 MB code cache fills mid-suite, the JIT
+  // shuts off ("CodeCache is full"), and every per-row kernel after that
+  // point runs interpreted — measured as 2.4-3.8x medians on the narrow
+  // scan queries (q30/q35/q39/q49 fast in isolation, slow in-suite).
+  "-XX:ReservedCodeCacheSize=1g",
 )

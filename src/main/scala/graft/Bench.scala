@@ -120,7 +120,15 @@ object Bench {
     // OS noise) and have produced 10x phantom outliers; the median is what
     // a perf claim should rest on
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query-name filter, for isolating a handful
+    // of queries in a fresh JVM when chasing in-suite interference
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = filter match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink executes the FULL plan without collecting to the driver
@@ -131,7 +139,8 @@ object Bench {
       name -> times(times.length / 2)
     }
     val cascadeMs =
-      try streamingCascadeMs(spark)
+      if (filter.isDefined) -1.0 // isolation runs skip the cascade
+      else try streamingCascadeMs(spark)
       catch { case _: Throwable => -1.0 }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -563,4 +563,58 @@ object SketchOracleSql {
        |JOIN queries qv ON qv.query_id = r.query_id
        |JOIN qn cv ON cv.vec_id = r.vec_id
        |WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""".stripMargin
+
+  /** q107/q108: equi-depth histogram on grid-refined APPROXIMATE quantile
+    * edges — the bounded-memory production path of q102/q105. Every stage
+    * (min/max/count, equi-width cell counts, cumulative crossing, uniform
+    * interpolation) is order-independent IEEE arithmetic written with the
+    * same expression shapes as [[graft.operators.Analytics.gridQuantileEdges]],
+    * so DuckDB replays the approximation bit-for-bit. */
+  def gridEquiDepth(buckets: Int, grid: Int, grouped: Boolean): String = {
+    val g = if (grouped) "o_orderpriority, " else ""
+    val gSel = if (grouped) "o_orderpriority," else ""
+    val mmJoin =
+      if (grouped) "JOIN mm USING (o_orderpriority)" else "CROSS JOIN mm"
+    val partition = if (grouped) "PARTITION BY o_orderpriority " else ""
+    val edges = (1 until buckets).map(i => s"es[$i] AS e$i").mkString(", ")
+    val bucket = (1 until buckets).map(i =>
+      s"CASE WHEN e$i <= o_totalprice THEN 1 ELSE 0 END").mkString(" + ")
+    val edgesJoin =
+      if (grouped) "JOIN edges USING (o_orderpriority)" else "CROSS JOIN edges"
+    val orderBy = if (grouped) "1, 2" else "1"
+    s"""WITH mm AS (
+       |  SELECT ${g}min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+       |   CAST(count(*) AS DOUBLE) AS n
+       |  FROM orders ${if (grouped) "GROUP BY 1" else ""}),
+       |hist AS (
+       |  SELECT $gSel
+       |   CASE WHEN mm.mx = mm.mn THEN 0
+       |    ELSE LEAST(CAST(floor((o_totalprice - mm.mn) / (mm.mx - mm.mn)
+       |      * $grid.0) AS INTEGER), ${grid - 1}) END AS bin,
+       |   count(*) AS c, max(mm.mn) AS mn, max(mm.mx) AS mx, max(mm.n) AS n
+       |  FROM orders $mmJoin
+       |  GROUP BY ${if (grouped) "1, 2" else "1"}),
+       |cum AS (
+       |  SELECT *, COALESCE(SUM(c) OVER (${partition}ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM hist),
+       |targets AS (SELECT CAST(range AS INTEGER) AS i FROM range(1, $buckets)),
+       |edge_rows AS (
+       |  SELECT $gSel
+       |   cum.mn + (CAST(cum.bin AS DOUBLE)
+       |     + (CAST(t.i AS DOUBLE) * cum.n / $buckets.0 - CAST(cum.cb AS DOUBLE))
+       |       / CAST(cum.c AS DOUBLE))
+       |     * ((cum.mx - cum.mn) / $grid.0) AS edge
+       |  FROM cum JOIN targets t
+       |    ON CAST(cum.cb AS DOUBLE) <= CAST(t.i AS DOUBLE) * cum.n / $buckets.0
+       |   AND CAST(cum.cb + cum.c AS DOUBLE) > CAST(t.i AS DOUBLE) * cum.n / $buckets.0),
+       |es0 AS (
+       |  SELECT ${gSel}list_sort(list(edge)) AS es FROM edge_rows
+       |  ${if (grouped) "GROUP BY 1" else ""}),
+       |edges AS (SELECT $gSel$edges FROM es0)
+       |SELECT $gSel($bucket) AS bucket, count(*) AS n_orders,
+       | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+       |FROM orders $edgesJoin
+       |GROUP BY ${if (grouped) "1, 2" else "1"} ORDER BY $orderBy""".stripMargin
+  }
 }

@@ -147,7 +147,10 @@ object SparkEntry {
     "q103_referential_integrity" -> q(Analytics.referentialIntegrity),
     "q104_cumulative_approx_distinct" -> q(t => Analytics.cumulativeApproxDistinct(t)),
     "q105_grouped_equidepth" -> q(t => Analytics.groupedEquiDepthHistogram(t)),
-    "q106_ann_ivf_quantized" -> q(t => Similarity.ivfQuantizedTopK(t)))
+    "q106_ann_ivf_quantized" -> q(t => Similarity.ivfQuantizedTopK(t)),
+    "q107_equidepth_approx" -> q(t => Analytics.equiDepthHistogramApprox(t)),
+    "q108_grouped_equidepth_approx" -> q(t =>
+      Analytics.groupedEquiDepthHistogramApprox(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -622,6 +625,8 @@ object SparkEntry {
         one("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
     },
+    "q107_equidepth_approx" -> SketchOracleSql.gridEquiDepth(10, 4096, grouped = false),
+    "q108_grouped_equidepth_approx" -> SketchOracleSql.gridEquiDepth(5, 4096, grouped = true),
     "q102_equidepth_histogram" -> {
       val qs = (1 to 9).map(i => s"0.$i").mkString(", ")
       val edges = (1 to 9).map(i => s"es[$i] AS e$i").mkString(", ")

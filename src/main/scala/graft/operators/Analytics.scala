@@ -852,7 +852,12 @@ object Analytics {
     * invisible in a global histogram. Same two-pass plan, now grouped:
     * per-group edge arrays from one grouped array-percentile aggregate
     * (tiny — one row per group), broadcast-joined back on the group key;
-    * bucketing stays a narrow projection. */
+    * bucketing stays a narrow projection.
+    *
+    * ORACLE TWIN, not the production default: every group's exact
+    * percentile buffers that group's full column. Production uses
+    * [[groupedEquiDepthHistogramApprox]] (q108, `groups x grid` counters);
+    * this form pins its accuracy and feeds the DuckDB compare. */
   def groupedEquiDepthHistogram(t: Tables, buckets: Int = 5): DataFrame = {
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     val edges = t.orders
@@ -902,6 +907,111 @@ object Analytics {
       .orderBy(col("relationship"))
   }
 
+  /** Approximate quantile edges by deterministic GRID-HISTOGRAM refinement
+    * — the scale-safe replacement for exact `percentile`'s per-group
+    * full-column buffer (the textbook single-reducer OOM at 100 TB).
+    * Three narrow passes, all bounded: (1) per-group min/max/count;
+    * (2) per-group counts over a fixed `grid` of equi-width cells — at
+    * most `grid` counters per group no matter how many rows; (3) the
+    * crossing cell for each target rank, with uniform interpolation
+    * inside it. Error is bounded by one cell width in VALUE space.
+    *
+    * Chosen over `approx_percentile` (Greenwald-Khanna) deliberately: GK's
+    * result depends on partial-merge ORDER, so two cluster layouts give
+    * two answers and no external oracle can replay it. Grid counts are
+    * pure additions — order-independent, layout-independent, and
+    * bit-replayable by the DuckDB oracle (same IEEE arithmetic, same
+    * expression shapes) — the same portability argument as the KMV/CMS
+    * sketches. Returns one row per group with edge columns e1..e{b-1}. */
+  def gridQuantileEdges(
+      df: DataFrame, valueCol: String, groupCols: Seq[String],
+      buckets: Int, grid: Int): DataFrame = {
+    val gcols = groupCols.map(col)
+    val v = col(valueCol)
+    val mm = (if (groupCols.isEmpty) df.groupBy() else df.groupBy(gcols: _*))
+      .agg(min(v).as("mn"), max(v).as("mx"),
+        count(lit(1)).cast("double").as("n"))
+    val withMm =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(mm))
+      else df.join(broadcast(mm), groupCols)
+    val bin = when(col("mx") === col("mn"), lit(0)).otherwise(
+      least(floor((v - col("mn")) / (col("mx") - col("mn")) * lit(grid.toDouble))
+        .cast("int"), lit(grid - 1)))
+    val hist = withMm
+      .groupBy((gcols :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("c"),
+        max(col("mn")).as("mn"), max(col("mx")).as("mx"), max(col("n")).as("n"))
+    // cumulative count BEFORE each occupied cell; the window runs over at
+    // most `grid` rows per group — a metadata-sized frame, never the data
+    val w = Window.partitionBy(gcols: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+    val targets = df.sparkSession.range(1, buckets)
+      .select(col("id").cast("int").as("i"))
+    val target = col("i").cast("double") * col("n") / lit(buckets.toDouble)
+    val crossing = cum.join(broadcast(targets),
+      col("cb").cast("double") <= target &&
+        (col("cb") + col("c")).cast("double") > target)
+    val binw = (col("mx") - col("mn")) / lit(grid.toDouble)
+    val edge = col("mn") +
+      (col("bin").cast("double") +
+        (target - col("cb").cast("double")) / col("c").cast("double")) * binw
+    val edges = crossing.select((gcols :+ edge.as("edge")): _*)
+    (if (groupCols.isEmpty) edges.groupBy() else edges.groupBy(gcols: _*))
+      .agg(sort_array(collect_list(col("edge"))).as("es"))
+      .select((gcols ++
+        (1 until buckets).map(i => element_at(col("es"), i).as(s"e$i"))): _*)
+  }
+
+  /** q107: equi-depth histogram on APPROXIMATE edges — the production
+    * default of [[equiDepthHistogram]]'s shape. Same output contract
+    * (bucket, n_orders, min/max price); edges come from
+    * [[gridQuantileEdges]] so memory is O(grid) per group instead of the
+    * exact form's O(rows) percentile buffer. The exact variant (q102) is
+    * kept as the bit-exact oracle twin — the q04/q40 exact-vs-sketch
+    * pattern; see SketchPortableSpec for the accuracy contract binding
+    * this path to the exact edges. */
+  def equiDepthHistogramApprox(
+      t: Tables, buckets: Int = 10, grid: Int = 4096): DataFrame = {
+    val edges = gridQuantileEdges(t.orders, "o_totalprice", Nil, buckets, grid)
+    val bucket = (1 until buckets)
+      .map(i => (col(s"e$i") <= col("o_totalprice")).cast("int"))
+      .reduce(_ + _)
+    t.orders
+      .crossJoin(broadcast(edges))
+      .select(bucket.as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** q108: per-group equi-depth histogram on APPROXIMATE edges — the
+    * production default of [[groupedEquiDepthHistogram]]'s shape (q105
+    * stays as the exact oracle twin). Grouped grid refinement: every pass
+    * carries the group key, so a 100 TB run holds `groups x grid` counters
+    * — still metadata-sized — where the exact form buffers every group's
+    * full column in single aggregation buffers. */
+  def groupedEquiDepthHistogramApprox(
+      t: Tables, buckets: Int = 5, grid: Int = 4096): DataFrame = {
+    val edges = gridQuantileEdges(
+      t.orders, "o_totalprice", Seq("o_orderpriority"), buckets, grid)
+    val bucket = (1 until buckets)
+      .map(i => (col(s"e$i") <= col("o_totalprice")).cast("int"))
+      .reduce(_ + _)
+    t.orders
+      .join(broadcast(edges), "o_orderpriority")
+      .select(col("o_orderpriority"), bucket.as("bucket"), col("o_totalprice"))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderpriority"), col("bucket"))
+  }
+
   /** q102: EQUI-DEPTH histogram — bins carry (approximately) equal row
     * counts with data-driven edges, where [[priceHistogram]] (q52) fixes
     * the edges and lets counts skew. This is the histogram query
@@ -914,7 +1024,14 @@ object Analytics {
     * broadcast as one row; then a narrow bucket projection (count of
     * edges ≤ value) and one aggregate. Ties across an edge land in one
     * bin, so counts are only near-equal on duplicate-heavy data — that is
-    * the exact-semantics answer, not an implementation artifact. */
+    * the exact-semantics answer, not an implementation artifact.
+    *
+    * ORACLE TWIN, not the production default: exact `percentile` buffers
+    * the full column in one aggregation buffer — fine at verification SF,
+    * a single-reducer OOM at 100 TB. Production uses
+    * [[equiDepthHistogramApprox]] (q107, O(grid) memory); this form exists
+    * to pin that path's accuracy (SketchPortableSpec) and for the DuckDB
+    * bit-exact compare. */
   def equiDepthHistogram(t: Tables, buckets: Int = 10): DataFrame = {
     val qs = (1 until buckets).map(i => i.toDouble / buckets)
     val edges = t.orders

@@ -289,6 +289,46 @@ class SketchPortableSpec extends SparkSpec {
     assert(row.getLong(1) == twoArg)
   }
 
+  test("grid-refined equi-depth edges hit their target ranks within a cell") {
+    // Accuracy contract binding the q107/q108 production path to the
+    // exact-percentile oracle twin (q102/q105). The guarantee is in RANK
+    // space, which is what equi-depth means: the number of rows at or
+    // below each approximate edge is within one crossing-cell's
+    // population of the target rank i·n/b (value-space distance is
+    // data-gap-dependent and NOT bounded — sparse regions put adjacent
+    // order statistics many cells apart).
+    val t = sf("sf0.001")
+    val grid = 4096
+    val buckets = 10
+    val mm = t.orders.agg(min(col("o_totalprice")), max(col("o_totalprice")),
+      count(lit(1))).collect()(0)
+    val (mn, mx, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
+    // densest grid cell = the worst-case rank error of in-cell uniform
+    // interpolation
+    val cell = least(floor((col("o_totalprice") - lit(mn)) / lit(mx - mn)
+      * lit(grid.toDouble)).cast("int"), lit(grid - 1))
+    val maxCell = t.orders.select(cell.as("b")).groupBy("b").count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    val edges = graft.operators.Analytics
+      .gridQuantileEdges(t.orders, "o_totalprice", Nil, buckets, grid)
+      .collect()(0)
+    (0 until buckets - 1).foreach { i =>
+      val e = edges.getDouble(i)
+      val rank = t.orders.filter(col("o_totalprice") <= e).count()
+      val target = (i + 1).toDouble * n / buckets
+      assert(math.abs(rank - target) <= maxCell + 1,
+        s"edge ${i + 1}: rank=$rank target=$target maxCell=$maxCell")
+    }
+    // and the buckets those edges induce are near-equal depth (each bucket
+    // is bounded by two edges, each off by at most maxCell rows)
+    val counts = graft.operators.Analytics.equiDepthHistogramApprox(t)
+      .collect().map(_.getAs[Long]("n_orders"))
+    assert(counts.sum == n)
+    counts.foreach(c => assert(
+      math.abs(c - n.toDouble / buckets) <= 2 * maxCell + 2,
+      s"bucket depth $c far from ${n.toDouble / buckets} (maxCell=$maxCell)"))
+  }
+
   test("HLL sketch-vs-exact contract: within 5x rsd on every group") {
     // the built-in HLL path (kept alongside the oracle-checkable KMV) must
     // track the exact distinct counts of q04 within its error contract
