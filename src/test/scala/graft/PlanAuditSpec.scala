@@ -255,4 +255,119 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = p.split("Exchange hashpartitioning").length - 1
     assert(exchanges <= 3, s"window features re-shuffle per column ($exchanges exchanges)")
   }
+
+  // ── suite-wide lint ─────────────────────────────────────────────────
+  //
+  // Every SparkEntry query, one sweep: no CartesianProduct anywhere; a
+  // BroadcastNestedLoopJoin only where the query deliberately joins an
+  // explicitly broadcast() tiny frame on a non-equi condition (listed
+  // below with the frame that justifies it); and the shuffle-exchange
+  // count pinned to a per-query budget. The budgets are today's measured
+  // counts — a future edit that silently de-optimizes a plan (drops a
+  // broadcast hint, splits a shared window shuffle, loses bucketing)
+  // fails here, not in a cluster run. Regenerate with PlanLintDump after
+  // an INTENDED plan change.
+
+  /** Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+    * each one joins an explicitly broadcast 1-to-few-row frame (global
+    * aggregate, quantile edges, quantization constants, rank targets) on
+    * a non-equi or empty condition — the broadcast side is metadata-sized
+    * by construction, never data. */
+  private val bnljAllowed: Set[String] = Set(
+    "q26_future_grid",              // 1-row (min,max) bounds frame
+    "q37_ann_bruteforce",           // broadcast query-vector frame
+    "q43_ann_ivf",                  // broadcast centroid frame
+    "q50_tfidf_topk",               // 1-row corpus doc-count
+    "q78_ann_quantized",            // broadcast query codes
+    "q82_triangle_stats",           // 1-row totals in the coefficient
+    "q85_cumulative_distinct",      // day<=day state-merge band
+    "q86_cms_heavy_hitters",        // 1-row sketch state probe
+    "q90_split_drift",              // 1-row global split shares
+    "q92_sliding_distinct",         // day-window state-merge band
+    "q96_gap_fill",                 // 1-row (min,max) time bounds
+    "q102_equidepth_histogram",     // 1-row exact edge array
+    "q103_referential_integrity",   // 1-row count x 1-row count
+    "q104_cumulative_approx_distinct", // day<=day KMV-merge band
+    "q106_ann_ivf_quantized",       // broadcast centroid frame
+    "q107_equidepth_approx",        // rank-target x crossing-cell band
+    "q108_grouped_equidepth_approx")
+
+  /** Measured shuffle-exchange counts (hash+range+SinglePartition;
+    * BroadcastExchange excluded — broadcasting a dimension is the point). */
+  private val exchangeBudget: Map[String, Int] = Map(
+    "q01_agg_stats" -> 2, "q02_ingest_clean" -> 1, "q03_daily_summary" -> 2,
+    "q04_count_distinct" -> 3, "q05_conditional_agg" -> 2,
+    "q06_hourly_series" -> 3, "q07_multilevel_agg" -> 3, "q08_corr" -> 2,
+    "q09_collect_set" -> 2, "q10_global_stats" -> 1,
+    "q11_join_dim_broadcast" -> 3, "q12_join_multikey" -> 3,
+    "q13_join_expr" -> 2, "q14_self_agg_join" -> 2,
+    "q15_double_dim_join" -> 2, "q16_window_lag" -> 3,
+    "q17_window_rolling" -> 3, "q18_ntile" -> 2, "q19_window_over_agg" -> 3,
+    "q20_peak_hour" -> 3, "q21_recent" -> 0, "q22_topk_revenue" -> 1,
+    "q23_scalar_datetime" -> 1, "q24_case_encode" -> 1,
+    "q25_math_funcs" -> 1, "q26_future_grid" -> 3,
+    "q27_tumbling_window" -> 3, "q28_json_parse" -> 1,
+    "q29_dedup_exact" -> 2, "q30_text_stats" -> 1, "q31_lang_id" -> 1,
+    "q32_fingerprint" -> 1, "q33_minhash_signatures" -> 1,
+    "q34_minhash_dup_pairs" -> 2, "q35_simhash" -> 1,
+    "q36_ngram_jaccard" -> 1, "q37_ann_bruteforce" -> 2,
+    "q38_ann_lsh" -> 3, "q39_embedding_stats" -> 2,
+    "q40_approx_distinct" -> 2, "q41_embedding_near_dups" -> 2,
+    "q42_token_counts" -> 1, "q43_ann_ivf" -> 6, "q44_join_bucketed" -> 1,
+    "q45_dup_clusters" -> 7, "q46_asof_join" -> 3, "q47_range_join" -> 1,
+    "q48_dataset_splits" -> 1, "q49_sessionization" -> 2,
+    "q50_tfidf_topk" -> 6, "q51_percentiles" -> 2, "q52_histogram" -> 2,
+    "q53_pivot" -> 3, "q54_unpivot" -> 4, "q55_bitmap_distinct" -> 2,
+    "q56_data_mix" -> 1, "q57_rollup" -> 2, "q58_demand_features" -> 4,
+    "q59_zone_activity" -> 3, "q60_dict_bitmap_distinct" -> 2,
+    "q61_repetition" -> 1, "q62_decontamination" -> 3,
+    "q63_pii_redact" -> 1, "q64_vocabulary" -> 2, "q65_cube" -> 2,
+    "q66_set_ops" -> 5, "q67_data_card" -> 2, "q68_dedup_corpus" -> 7,
+    "q69_sequence_packing" -> 2, "q70_mixture_weights" -> 2,
+    "q71_quality_funnel" -> 1, "q72_chunking" -> 1, "q73_source_cap" -> 2,
+    "q74_event_funnel" -> 2, "q75_cohort_retention" -> 5,
+    "q76_bloom_semi_join" -> 4, "q77_frequent_bigrams" -> 2,
+    "q78_ann_quantized" -> 2, "q79_pagerank" -> 1,
+    "q80_robust_outliers" -> 5, "q81_salted_agg" -> 3,
+    "q82_triangle_stats" -> 4, "q83_bigram_lm" -> 5,
+    "q84_duplicate_spans" -> 3, "q85_cumulative_distinct" -> 2,
+    "q86_cms_heavy_hitters" -> 3, "q87_ranking_suite" -> 2,
+    "q88_semdedup" -> 5, "q89_salted_join" -> 4, "q90_split_drift" -> 9,
+    "q91_scd2_history" -> 2, "q92_sliding_distinct" -> 2,
+    "q93_value_trend" -> 2, "q94_inverted_index" -> 3,
+    "q95_keyword_search" -> 2, "q96_gap_fill" -> 4,
+    "q97_sliding_window" -> 2, "q98_range_frame" -> 2,
+    "q99_incremental_dedup" -> 1, "q100_training_corpus" -> 11,
+    "q101_data_profile" -> 3, "q102_equidepth_histogram" -> 3,
+    "q103_referential_integrity" -> 8,
+    "q104_cumulative_approx_distinct" -> 2, "q105_grouped_equidepth" -> 3,
+    "q106_ann_ivf_quantized" -> 6, "q107_equidepth_approx" -> 5,
+    "q108_grouped_equidepth_approx" -> 5)
+
+  test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
+    val exchangeRe =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val errs = Seq.newBuilder[String]
+        if (p.contains("CartesianProduct"))
+          errs += s"$name: CartesianProduct in plan"
+        if (p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
+          errs += s"$name: unexpected BroadcastNestedLoopJoin"
+        if (!p.contains("BroadcastNestedLoopJoin") && bnljAllowed(name))
+          errs += s"$name: bnljAllowed entry is stale (no BNLJ in plan)"
+        val ex = exchangeRe.findAllIn(p).length
+        exchangeBudget.get(name) match {
+          case Some(budget) if ex > budget =>
+            errs += s"$name: $ex exchanges > budget $budget"
+          case Some(budget) if ex < budget =>
+            errs += s"$name: $ex exchanges < budget $budget — plan improved, tighten the budget"
+          case None => errs += s"$name: no exchange budget — add it to the map"
+          case _ => ()
+        }
+        errs.result()
+    }
+    assert(problems.isEmpty, problems.mkString("\n", "\n", ""))
+  }
 }
