@@ -56,10 +56,97 @@ object Sources {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** S6: JDBC batch scan — the entry point for the reference's Postgres
+    * serving database (`serving/database.py:16-24`). Single-connection
+    * form; use [[readJdbcPartitioned]] for any table that matters at
+    * scale. Catalyst pushes filters and prunes columns into the generated
+    * SQL (asserted in SourcesSpec), so a filtered scan ships WHERE clauses
+    * to the database instead of rows to the cluster. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    reader.load()
+  }
+
+  /** S6 at scale: range-partitioned parallel JDBC scan — `numPartitions`
+    * concurrent connections, each reading one stride of
+    * `partitionColumn` ∈ [lowerBound, upperBound]. This is the only JDBC
+    * shape that survives a large table: the single-connection form funnels
+    * everything through one executor. Bounds come from the database
+    * (`SELECT min(pk), max(pk)`) or a watermark table, NOT from a Spark
+    * pre-scan. */
+  def readJdbcPartitioned(
+      spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    reader.load()
+  }
+
+  /** Serving-side JDBC load: the reference's ETL publishes aggregate
+    * tables INTO Postgres for the API layer; this is that hop. `Overwrite`
+    * with `truncate=true` keeps the table's grants/indexes (a DROP+CREATE
+    * would not). Batched inserts; one connection per partition — coalesce
+    * small aggregates before calling to avoid connection storms. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "append",
+                options: Map[String, String] = Map.empty): Unit = {
+    val writer = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("truncate", mode == "overwrite")
+      .mode(mode)
+    options.foreach { case (k, v) => writer.option(k, v) }
+    writer.save()
+  }
+
   /** S5: streaming source over a parquet directory (the table-stream seam;
     * swap for `readStream.format("kafka")` in production). */
   def streamFromTableDir(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** True if the spark-sql-kafka connector is on the classpath. The
+    * container image ships no kafka jar, so local runs use the
+    * file/MemoryStream seam; a cluster with the connector flips this gate
+    * with zero code changes. */
+  def kafkaAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** S4: the real Kafka streaming source binding
+    * (`realtime_cdc_processor.py:90-98`) — value + event timestamp in the
+    * exact shape [[graft.streaming.Cdc.parseTrips]] consumes, identical to
+    * what the file seam feeds it in tests. Gated on [[kafkaAvailable]] so
+    * a missing connector fails fast with the deployment fix, not a
+    * ClassNotFoundException mid-plan. */
+  def streamFromKafka(spark: SparkSession, bootstrapServers: String,
+                      topic: String,
+                      startingOffsets: String = "latest"): DataFrame = {
+    require(kafkaAvailable,
+      "spark-sql-kafka-0-10 connector not on classpath; deploy with " +
+        "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark version> " +
+        "(local tests use Sources.streamFromTableDir / MemoryStream instead)")
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value",
+        "timestamp AS kafka_timestamp")
+  }
 
   /** S11: checkpointed parquet streaming sink with a processing-time
     * trigger (30 s in the reference; parameterized for tests). */

@@ -151,4 +151,40 @@ class SourcesSpec extends SparkSpec {
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("id"), plan.take(800))
   }
+
+  test("JDBC round-trip via embedded Derby: write, read, partitioned read, pushdown (S6)") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graft_sources_spec;create=true"
+    val rows = (1 to 200).map(i => (i.toLong, s"name_$i", i * 1.5)).toDF("id", "name", "score")
+    Sources.writeJdbc(rows, url, "serving_scores", mode = "overwrite")
+    // plain scan round-trips
+    val back = Sources.readJdbc(spark, url, "serving_scores")
+    assert(back.count() == 200)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == (1L to 200L))
+    // range-partitioned scan: same rows, parallel connections
+    val part = Sources.readJdbcPartitioned(
+      spark, url, "serving_scores", "id", 1L, 200L, numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.count() == 200)
+    // filters reach the database as generated SQL, not cluster-side scans
+    val filtered = Sources.readJdbc(spark, url, "serving_scores")
+      .filter(col("id") <= 10).select("id", "name")
+    assert(filtered.count() == 10)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual"),
+      plan.take(800))
+    // overwrite with truncate is idempotent (the serving-reload contract)
+    Sources.writeJdbc(rows.filter(col("id") <= 50), url, "serving_scores",
+      mode = "overwrite")
+    assert(Sources.readJdbc(spark, url, "serving_scores").count() == 50)
+  }
+
+  test("Kafka seam is gated: absent connector reported with the deployment fix (S4)") {
+    // this image ships no kafka jar — the gate must say so up front
+    assert(!Sources.kafkaAvailable)
+    val e = intercept[IllegalArgumentException] {
+      Sources.streamFromKafka(spark, "broker:9092", "trips")
+    }
+    assert(e.getMessage.contains("spark-sql-kafka"))
+  }
 }
