@@ -85,11 +85,35 @@ object TaxiPipeline {
     // ── ingest (only rows past the stored watermark; first run = all) ──
     val prevWm = EtlControl.watermark(spark, control, "trips")
     val tripsClean0 = TaxiIngest.cleanTrips(rawTrips, loadDate)
-    val tripsClean = prevWm match {
+    val tripsFiltered = prevWm match {
       case Some(wm) => tripsClean0.filter(col("pickup_datetime") > lit(wm))
       case None     => tripsClean0
     }
     val tripsTable = s"${db}_trips"
+    // Exactly-once under crash-retry: append and watermark-advance are two
+    // writes, and a crash between them leaves the batch in the table with a
+    // stale control row. The retry re-selects the same rows, so they are
+    // anti-joined (on a business-column row hash — load_date excluded, it
+    // differs per attempt) against the destination rows ABOVE the stored
+    // watermark: exactly the span a crashed cycle could have half-written,
+    // partition-prunable and empty on the happy path. Never a full-table
+    // dedup.
+    // name-sorted so the hash is layout-independent: the destination
+    // table's write path moves partition columns last, the incoming frame
+    // carries cleanTrips order
+    def businessHash(df: DataFrame): org.apache.spark.sql.Column =
+      xxhash64(df.columns.filterNot(_ == "load_date").sorted.map(col): _*)
+    val tripsClean =
+      if (spark.catalog.tableExists(tripsTable)) {
+        val atRisk = prevWm match {
+          case Some(wm) => spark.table(tripsTable).filter(col("pickup_datetime") > lit(wm))
+          case None     => spark.table(tripsTable)
+        }
+        tripsFiltered
+          .withColumn("_h", businessHash(tripsFiltered))
+          .join(atRisk.select(businessHash(atRisk).as("_h")), Seq("_h"), "left_anti")
+          .drop("_h")
+      } else tripsFiltered
     TableIO.ensureTable(spark, tripsTable, tripsClean, Seq("year", "month"))
     // one pass: the write's plan also observes the batch row count AND the
     // new watermark — no separate agg job over the incoming batch
@@ -99,7 +123,21 @@ object TaxiPipeline {
         count(lit(1)).as("rows"), max(col("pickup_datetime")).as("wm")))
     val tripsLoaded = tripsObs.get("rows").asInstanceOf[Long]
     val maxTs = tripsObs.get("wm").asInstanceOf[Timestamp]
-    if (maxTs != null) EtlControl.advance(spark, control, "trips", maxTs, loadDate)
+    // Advance from the appended batch; when the retry appended NOTHING
+    // because a crashed cycle already landed the rows, converge the control
+    // log from the destination's at-risk span instead (1-row pruned agg,
+    // only on that rare path) — otherwise the watermark would stay stale
+    // and every future cycle would re-scan the same span.
+    val advanceTo =
+      if (maxTs != null) Some(maxTs)
+      else {
+        val span = prevWm match {
+          case Some(wm) => spark.table(tripsTable).filter(col("pickup_datetime") > lit(wm))
+          case None     => spark.table(tripsTable)
+        }
+        Option(span.agg(max(col("pickup_datetime"))).collect()(0).getTimestamp(0))
+      }
+    advanceTo.foreach(wm => EtlControl.advance(spark, control, "trips", wm, loadDate))
 
     val weatherClean = TaxiIngest.cleanWeather(rawWeather, loadDate)
     val weatherTable = s"${db}_hourly_weather"

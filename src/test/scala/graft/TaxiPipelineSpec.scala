@@ -37,4 +37,56 @@ class TaxiPipelineSpec extends SparkSpec {
     (Seq("trips", "hourly_weather", "taxi_zones", "etl_control") ++
       r1.analyticsRows.keys).foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${db}_$t"))
   }
+
+  test("crash between trips append and watermark advance: retry is exactly-once") {
+    import org.apache.spark.sql.functions._
+    val db = s"plc${System.nanoTime()}"
+    val now = TaxiData.anchor
+    val loadDate1 = java.sql.Timestamp.valueOf("2025-10-24 12:34:56")
+    val loadDate2 = java.sql.Timestamp.valueOf("2025-10-25 12:34:56")
+    val raw1 = TaxiData.rawTrips(spark, 1500, days = 7)
+    val weather = TaxiData.rawWeather(spark, days = 8)
+    val zones = TaxiData.rawZones(spark)
+    // batch 2 = batch 1 shifted a week forward: every row lands past wm1
+    val raw2 = raw1
+      .withColumn("tpep_pickup_datetime",
+        col("tpep_pickup_datetime") + expr("INTERVAL 7 DAYS"))
+      .withColumn("tpep_dropoff_datetime",
+        col("tpep_dropoff_datetime") + expr("INTERVAL 7 DAYS"))
+
+    TaxiPipeline.runBatchCycle(spark, raw1, weather, zones, now, loadDate1, db)
+    val control = s"${db}_etl_control"
+    val wm1 = TaxiPipeline.EtlControl.watermark(spark, control, "trips").get
+    val total1 = spark.table(s"${db}_trips").count()
+
+    // ── simulate the crash: cycle 2's batch lands in the table, then the
+    // process dies BEFORE EtlControl.advance writes the control row ──
+    val clean2 = TaxiIngest.cleanTrips(raw2, loadDate2)
+      .filter(col("pickup_datetime") > lit(wm1))
+    val batch2Rows = clean2.count()
+    assert(batch2Rows > 0)
+    graft.sources.TableIO.append(spark, s"${db}_trips", clean2)
+    assert(TaxiPipeline.EtlControl.watermark(spark, control, "trips").get == wm1,
+      "precondition: control row must still be stale after the crash")
+
+    // ── the retry: full cycle over the same raw batch ──
+    val r2 = TaxiPipeline.runBatchCycle(spark, raw2, weather, zones, now, loadDate2, db)
+    assert(r2.tripsLoaded == 0,
+      s"retry re-appended ${r2.tripsLoaded} rows the crashed cycle already wrote")
+    assert(spark.table(s"${db}_trips").count() == total1 + batch2Rows,
+      "trips table gained duplicates under crash-retry")
+    // the control log converged past the crashed batch (append-only,
+    // latest-wins), so the at-risk span does not grow without bound
+    val wm2 = TaxiPipeline.EtlControl.watermark(spark, control, "trips").get
+    assert(wm2.after(wm1), "watermark not advanced by the retry")
+    assert(wm2 == clean2.agg(max(col("pickup_datetime"))).collect()(0).getTimestamp(0))
+
+    // a third cycle over the same input is a plain no-op
+    val r3 = TaxiPipeline.runBatchCycle(spark, raw2, weather, zones, now, loadDate2, db)
+    assert(r3.tripsLoaded == 0)
+    assert(spark.table(s"${db}_trips").count() == total1 + batch2Rows)
+
+    (Seq("trips", "hourly_weather", "taxi_zones", "etl_control") ++
+      r2.analyticsRows.keys).foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${db}_$t"))
+  }
 }
