@@ -617,4 +617,46 @@ object SketchOracleSql {
        |FROM orders $edgesJoin
        |GROUP BY ${if (grouped) "1, 2" else "1"} ORDER BY $orderBy""".stripMargin
   }
+
+  /** q109: cumulative per-day quantiles via mergeable grid-histogram
+    * states — mirrors [[graft.operators.Analytics.cumulativeQuantiles]]
+    * expression-for-expression (same IEEE shapes as [[gridEquiDepth]]). */
+  def cumulativeQuantiles(grid: Int): String =
+    s"""WITH mm AS (
+       |  SELECT min(value) AS mn, max(value) AS mx
+       |  FROM events WHERE value IS NOT NULL),
+       |daily AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |   CASE WHEN mm.mx = mm.mn THEN 0
+       |    ELSE LEAST(CAST(floor((value - mm.mn) / (mm.mx - mm.mn)
+       |      * $grid.0) AS INTEGER), ${grid - 1}) END AS bin,
+       |   count(*) AS c, max(mm.mn) AS mn, max(mm.mx) AS mx
+       |  FROM events CROSS JOIN mm WHERE value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |days AS (SELECT DISTINCT day AS d_day FROM daily),
+       |merged AS (
+       |  SELECT d.d_day AS day, e.bin, SUM(e.c) AS c,
+       |   max(e.mn) AS mn, max(e.mx) AS mx
+       |  FROM daily e JOIN days d ON e.day <= d.d_day
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT *,
+       |   COALESCE(SUM(c) OVER (PARTITION BY day ORDER BY bin
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+       |   CAST(SUM(c) OVER (PARTITION BY day) AS DOUBLE) AS n
+       |  FROM merged),
+       |targets AS (SELECT 0.5e0 AS q UNION ALL SELECT 0.9e0 AS q),
+       |hits AS (
+       |  SELECT cum.day, t.q,
+       |   cum.n,
+       |   cum.mn + (CAST(cum.bin AS DOUBLE)
+       |     + (t.q * cum.n - CAST(cum.cb AS DOUBLE)) / CAST(cum.c AS DOUBLE))
+       |     * ((cum.mx - cum.mn) / $grid.0) AS edge
+       |  FROM cum JOIN targets t
+       |    ON CAST(cum.cb AS DOUBLE) <= t.q * cum.n
+       |   AND CAST(cum.cb + cum.c AS DOUBLE) > t.q * cum.n)
+       |SELECT day, CAST(max(n) AS BIGINT) AS cum_events,
+       | max(CASE WHEN q = 0.5e0 THEN edge END) AS p50,
+       | max(CASE WHEN q = 0.9e0 THEN edge END) AS p90
+       |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin
 }

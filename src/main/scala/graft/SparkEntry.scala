@@ -150,7 +150,8 @@ object SparkEntry {
     "q106_ann_ivf_quantized" -> q(t => Similarity.ivfQuantizedTopK(t)),
     "q107_equidepth_approx" -> q(t => Analytics.equiDepthHistogramApprox(t)),
     "q108_grouped_equidepth_approx" -> q(t =>
-      Analytics.groupedEquiDepthHistogramApprox(t)))
+      Analytics.groupedEquiDepthHistogramApprox(t)),
+    "q109_cumulative_quantiles" -> q(t => Analytics.cumulativeQuantiles(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -627,6 +628,7 @@ object SparkEntry {
     },
     "q107_equidepth_approx" -> SketchOracleSql.gridEquiDepth(10, 4096, grouped = false),
     "q108_grouped_equidepth_approx" -> SketchOracleSql.gridEquiDepth(5, 4096, grouped = true),
+    "q109_cumulative_quantiles" -> SketchOracleSql.cumulativeQuantiles(4096),
     "q102_equidepth_histogram" -> {
       val qs = (1 to 9).map(i => s"0.$i").mkString(", ")
       val edges = (1 to 9).map(i => s"es[$i] AS e$i").mkString(", ")

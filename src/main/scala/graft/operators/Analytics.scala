@@ -1012,6 +1012,64 @@ object Analytics {
       .orderBy(col("o_orderpriority"), col("bucket"))
   }
 
+  /** q109: cumulative per-day quantiles from MERGEABLE grid-histogram
+    * states — the quantile member of the state/merge sketch family
+    * (q85 = bitmap exact distinct, q104 = KMV approx distinct). Each day
+    * reduces to at most `grid` cell counts over a fixed global value
+    * range; merging days is elementwise ADDITION of those counts —
+    * commutative, associative, order-independent — so "median and p90 of
+    * everything up to day D" comes from merging D tiny states with ZERO
+    * re-reads of the fact table. Exactly how a production metrics store
+    * keeps running latency percentiles. GK/t-digest sketches also merge
+    * but their results depend on merge order; grid cells are
+    * deterministic, which is why the DuckDB oracle can replay every
+    * interpolated edge bit-for-bit. One fact pass total; the cumulative
+    * layer is days x days x occupied-cells of pure arithmetic. */
+  def cumulativeQuantiles(t: Tables, grid: Int = 4096): DataFrame = {
+    // fixed global bounds make states mergeable (same cell <-> same range);
+    // at 100 TB these come from table stats, here from a 2-value aggregate
+    val vals = t.events.filter(col("value").isNotNull)
+    val mm = vals.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val bin = when(col("mx") === col("mn"), lit(0)).otherwise(
+      least(floor((col("value") - col("mn")) / (col("mx") - col("mn")) * lit(grid.toDouble))
+        .cast("int"), lit(grid - 1)))
+    // the per-day states: (day, cell, count) — this is what a streaming job
+    // would checkpoint
+    val daily = vals
+      .crossJoin(broadcast(mm))
+      .select(to_date(col("ts")).as("day"), bin.as("bin"),
+        col("mn"), col("mx"))
+      .groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("c"), max(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      .localCheckpoint() // reused on both sides of the day<=day merge
+    // merge: day-prefix union = elementwise addition of cell counts
+    val days = daily.select(col("day").as("d_day")).distinct()
+    val merged = daily.join(days, col("day") <= col("d_day"))
+      .groupBy(col("d_day").as("day"), col("bin"))
+      .agg(sum(col("c")).as("c"), max(col("mn")).as("mn"), max(col("mx")).as("mx"))
+    val w = Window.partitionBy(col("day")).orderBy(col("bin"))
+    val cum = merged
+      .withColumn("cb", coalesce(sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).cast("double"))
+    val qs = t.spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(0.5), org.apache.spark.sql.Row(0.9)),
+      org.apache.spark.sql.types.StructType.fromDDL("q DOUBLE"))
+    val target = col("q") * col("n")
+    val binw = (col("mx") - col("mn")) / lit(grid.toDouble)
+    val edge = col("mn") +
+      (col("bin").cast("double") +
+        (target - col("cb").cast("double")) / col("c").cast("double")) * binw
+    cum.join(broadcast(qs),
+        col("cb").cast("double") <= target && (col("cb") + col("c")).cast("double") > target)
+      .groupBy(col("day"))
+      .agg(
+        max(col("n")).cast("long").as("cum_events"),
+        max(when(col("q") === 0.5, edge)).as("p50"),
+        max(when(col("q") === 0.9, edge)).as("p90"))
+      .orderBy(col("day"))
+  }
+
   /** q102: EQUI-DEPTH histogram — bins carry (approximately) equal row
     * counts with data-driven edges, where [[priceHistogram]] (q52) fixes
     * the edges and lets counts skew. This is the histogram query

@@ -290,7 +290,8 @@ class PlanAuditSpec extends SparkSpec {
     "q104_cumulative_approx_distinct", // day<=day KMV-merge band
     "q106_ann_ivf_quantized",       // broadcast centroid frame
     "q107_equidepth_approx",        // rank-target x crossing-cell band
-    "q108_grouped_equidepth_approx")
+    "q108_grouped_equidepth_approx",
+    "q109_cumulative_quantiles")    // day<=day state merge + quantile targets
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -342,7 +343,7 @@ class PlanAuditSpec extends SparkSpec {
     "q103_referential_integrity" -> 8,
     "q104_cumulative_approx_distinct" -> 2, "q105_grouped_equidepth" -> 3,
     "q106_ann_ivf_quantized" -> 6, "q107_equidepth_approx" -> 5,
-    "q108_grouped_equidepth_approx" -> 5)
+    "q108_grouped_equidepth_approx" -> 5, "q109_cumulative_quantiles" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
