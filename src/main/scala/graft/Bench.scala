@@ -51,7 +51,9 @@ object Bench {
     // batch-analytics default) is the standard knob; it binds at query
     // start. Restored in the finally so anything timed after the cascade
     // keeps the configured parallelism.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val savedShufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val savedProvider = spark.conf.getOption(providerKey)
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     // RocksDB is the at-scale state store (state larger than executor
     // heap, incremental checkpoints); at this toy state size it measures
@@ -59,7 +61,7 @@ object Bench {
     // runs the configuration production would. A tighter trigger was
     // ALSO measured and rejected: 10 ms polls cost more than they save
     // (1558 ms vs 1390 at 50 ms).
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     def batch(round: Int): Unit = {
@@ -108,6 +110,10 @@ object Bench {
       if (q1 != null) q1.stop()
       if (q2 != null) q2.stop()
       spark.conf.set("spark.sql.shuffle.partitions", savedShufflePartitions)
+      savedProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None    => spark.conf.unset(providerKey)
+      }
     }
   }
 

@@ -178,22 +178,11 @@ object KmvSketch {
 
     override def eval(buffer: KmvBuffer): Any = buffer.estimate
 
-    override def serialize(buffer: KmvBuffer): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.n)
-      bb.putInt(buffer.n)
-      var i = 0
-      while (i < buffer.n) { bb.putLong(buffer.hashes(i)); i += 1 }
-      bb.array()
-    }
+    override def serialize(buffer: KmvBuffer): Array[Byte] =
+      serializeBuffer(buffer)
 
-    override def deserialize(bytes: Array[Byte]): KmvBuffer = {
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-      val out = new KmvBuffer(k)
-      out.n = bb.getInt()
-      var i = 0
-      while (i < out.n) { out.hashes(i) = bb.getLong(); i += 1 }
-      out
-    }
+    override def deserialize(bytes: Array[Byte]): KmvBuffer =
+      deserializeBuffer(bytes, k)
 
     override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinctNative =
       copy(mutableAggBufferOffset = newOffset)
@@ -300,8 +289,13 @@ object KmvSketch {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** State layout: (state k, n, n sorted hashes). Carrying the builder's k
+    * in the header is what makes k-mismatched merges SAFE to adjudicate:
+    * without it, a state with n < k minima is indistinguishable from an
+    * unsaturated exact buffer. */
   private def serializeBuffer(buffer: KmvBuffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buffer.n)
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buffer.n)
+    bb.putInt(buffer.k)
     bb.putInt(buffer.n)
     var i = 0
     while (i < buffer.n) { bb.putLong(buffer.hashes(i)); i += 1 }
@@ -310,13 +304,19 @@ object KmvSketch {
 
   private def deserializeBuffer(bytes: Array[Byte], k: Int): KmvBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val stateK = bb.getInt()
+    // Merging DOWN (state k > merge k) is sound: hashes are stored sorted
+    // ascending, so keeping the first min(n, k) minima degrades the sketch
+    // to the merge-side k — exactly what insert-based merging would
+    // produce. Merging UP is NOT: a saturated k=256 state merged at k=512
+    // would present its 256 minima as an unsaturated exact buffer and
+    // report 256 "exact" distincts regardless of the true count — so that
+    // direction is a hard error, not a silent underestimate.
+    require(stateK >= k,
+      s"kmv merge k=$k exceeds the serialized state's k=$stateK; " +
+        "merge k must be <= the smallest builder k")
     val out = new KmvBuffer(k)
     val n = bb.getInt()
-    // A serialized state may carry more minima than this aggregate's k
-    // (kmv_merge called with a smaller k than the states were built with).
-    // Hashes are stored sorted ascending, so keeping the first min(n, k)
-    // degrades the sketch to the merge-side k — exactly what insert-based
-    // merging would produce — instead of overrunning the k-length array.
     out.n = math.min(n, k)
     var i = 0
     while (i < out.n) { out.hashes(i) = bb.getLong(); i += 1 }

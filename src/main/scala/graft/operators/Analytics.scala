@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import graft.functions.ExactAgg._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -923,6 +923,32 @@ object Analytics {
     * bit-replayable by the DuckDB oracle (same IEEE arithmetic, same
     * expression shapes) — the same portability argument as the KMV/CMS
     * sketches. Returns one row per group with edge columns e1..e{b-1}. */
+  // ── shared grid-cell arithmetic for the q107/q108/q109 family ─────────
+  // ONE definition of the IEEE-sensitive expressions; the DuckDB mirrors
+  // in SketchOracleSql are written against these exact shapes, so any
+  // change here must land there too or the bit-exact contract breaks.
+  // All three expect frames carrying mn/mx (global or per-group bounds)
+  // and, for crossing/edge, bin/c/cb from the cell histogram.
+
+  /** Clamped equi-width cell index of `v` over [mn, mx]. */
+  private def gridCell(v: Column, grid: Int): Column =
+    when(col("mx") === col("mn"), lit(0)).otherwise(
+      least(floor((v - col("mn")) / (col("mx") - col("mn")) * lit(grid.toDouble))
+        .cast("int"), lit(grid - 1)))
+
+  /** True on the one occupied cell whose cumulative span contains
+    * `target`. */
+  private def gridCrossing(target: Column): Column =
+    col("cb").cast("double") <= target &&
+      (col("cb") + col("c")).cast("double") > target
+
+  /** Uniform interpolation of rank `target` inside the crossing cell. */
+  private def gridEdge(target: Column, grid: Int): Column =
+    col("mn") +
+      (col("bin").cast("double") +
+        (target - col("cb").cast("double")) / col("c").cast("double")) *
+        ((col("mx") - col("mn")) / lit(grid.toDouble))
+
   def gridQuantileEdges(
       df: DataFrame, valueCol: String, groupCols: Seq[String],
       buckets: Int, grid: Int): DataFrame = {
@@ -934,9 +960,7 @@ object Analytics {
     val withMm =
       if (groupCols.isEmpty) df.crossJoin(broadcast(mm))
       else df.join(broadcast(mm), groupCols)
-    val bin = when(col("mx") === col("mn"), lit(0)).otherwise(
-      least(floor((v - col("mn")) / (col("mx") - col("mn")) * lit(grid.toDouble))
-        .cast("int"), lit(grid - 1)))
+    val bin = gridCell(v, grid)
     val hist = withMm
       .groupBy((gcols :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("c"),
@@ -949,14 +973,8 @@ object Analytics {
     val targets = df.sparkSession.range(1, buckets)
       .select(col("id").cast("int").as("i"))
     val target = col("i").cast("double") * col("n") / lit(buckets.toDouble)
-    val crossing = cum.join(broadcast(targets),
-      col("cb").cast("double") <= target &&
-        (col("cb") + col("c")).cast("double") > target)
-    val binw = (col("mx") - col("mn")) / lit(grid.toDouble)
-    val edge = col("mn") +
-      (col("bin").cast("double") +
-        (target - col("cb").cast("double")) / col("c").cast("double")) * binw
-    val edges = crossing.select((gcols :+ edge.as("edge")): _*)
+    val crossing = cum.join(broadcast(targets), gridCrossing(target))
+    val edges = crossing.select((gcols :+ gridEdge(target, grid).as("edge")): _*)
     (if (groupCols.isEmpty) edges.groupBy() else edges.groupBy(gcols: _*))
       .agg(sort_array(collect_list(col("edge"))).as("es"))
       .select((gcols ++
@@ -1030,9 +1048,7 @@ object Analytics {
     // at 100 TB these come from table stats, here from a 2-value aggregate
     val vals = t.events.filter(col("value").isNotNull)
     val mm = vals.agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
-    val bin = when(col("mx") === col("mn"), lit(0)).otherwise(
-      least(floor((col("value") - col("mn")) / (col("mx") - col("mn")) * lit(grid.toDouble))
-        .cast("int"), lit(grid - 1)))
+    val bin = gridCell(col("value"), grid)
     // the per-day states: (day, cell, count) — this is what a streaming job
     // would checkpoint
     val daily = vals
@@ -1056,12 +1072,8 @@ object Analytics {
       java.util.Arrays.asList(org.apache.spark.sql.Row(0.5), org.apache.spark.sql.Row(0.9)),
       org.apache.spark.sql.types.StructType.fromDDL("q DOUBLE"))
     val target = col("q") * col("n")
-    val binw = (col("mx") - col("mn")) / lit(grid.toDouble)
-    val edge = col("mn") +
-      (col("bin").cast("double") +
-        (target - col("cb").cast("double")) / col("c").cast("double")) * binw
-    cum.join(broadcast(qs),
-        col("cb").cast("double") <= target && (col("cb") + col("c")).cast("double") > target)
+    val edge = gridEdge(target, grid)
+    cum.join(broadcast(qs), gridCrossing(target))
       .groupBy(col("day"))
       .agg(
         max(col("n")).cast("long").as("cum_events"),

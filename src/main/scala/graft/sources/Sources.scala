@@ -105,7 +105,10 @@ object Sources {
     val writer = df.write.format("jdbc")
       .option("url", url)
       .option("dbtable", table)
-      .option("truncate", mode == "overwrite")
+      // case-insensitive like DataFrameWriter.mode itself, or "Overwrite"
+      // would silently DROP+CREATE (losing grants/indexes) instead of
+      // truncating
+      .option("truncate", mode.equalsIgnoreCase("overwrite"))
       .mode(mode)
     options.foreach { case (k, v) => writer.option(k, v) }
     writer.save()

@@ -98,21 +98,39 @@ object TaxiPipeline {
     // watermark: exactly the span a crashed cycle could have half-written,
     // partition-prunable and empty on the happy path. Never a full-table
     // dedup.
-    // name-sorted so the hash is layout-independent: the destination
-    // table's write path moves partition columns last, the incoming frame
-    // carries cleanTrips order
+    // Name-sorted so the hash is layout-independent (the write path moves
+    // partition columns last), and null-tagged per column — xxhash64 SKIPS
+    // null inputs, so without the isnull flags two rows whose values sit in
+    // different nullable columns would collide and the retry would drop a
+    // genuinely new row (same pattern as Snapshots.diff).
     def businessHash(df: DataFrame): org.apache.spark.sql.Column =
-      xxhash64(df.columns.filterNot(_ == "load_date").sorted.map(col): _*)
+      xxhash64(df.columns.filterNot(_ == "load_date").sorted
+        .flatMap(c => Seq(col(c).isNull.cast("int").cast("string"),
+          col(c).cast("string"))): _*)
+    // Occurrence-numbered anti join, not a plain hash anti join: a batch
+    // may legitimately contain identical rows, and a crashed append can
+    // have committed only SOME copies. Numbering copies per hash on both
+    // sides and anti-joining on (hash, copy#) appends exactly the missing
+    // multiplicity instead of dropping every incoming copy.
     val tripsClean =
       if (spark.catalog.tableExists(tripsTable)) {
         val atRisk = prevWm match {
           case Some(wm) => spark.table(tripsTable).filter(col("pickup_datetime") > lit(wm))
           case None     => spark.table(tripsTable)
         }
+        val copyNum = row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_h")).orderBy(lit(1)))
         tripsFiltered
           .withColumn("_h", businessHash(tripsFiltered))
-          .join(atRisk.select(businessHash(atRisk).as("_h")), Seq("_h"), "left_anti")
-          .drop("_h")
+          .withColumn("_copy", copyNum)
+          .join(
+            atRisk
+              .withColumn("_h", businessHash(atRisk))
+              .withColumn("_copy", copyNum)
+              .select(col("_h"), col("_copy")),
+            Seq("_h", "_copy"), "left_anti")
+          .drop("_h", "_copy")
       } else tripsFiltered
     TableIO.ensureTable(spark, tripsTable, tripsClean, Seq("year", "month"))
     // one pass: the write's plan also observes the batch row count AND the

@@ -271,6 +271,19 @@ class SketchPortableSpec extends SparkSpec {
       .agg(KmvSketch.kmvMerge(col("st"), 64))
       .collect()(0).getDouble(0)
     assert(merged == direct, s"direct=$direct merged=$merged")
+    // merging UP is a hard error, not a silent underestimate: a saturated
+    // k=256 state presented at k=512 would report its 256 minima as an
+    // "exact" count regardless of the true cardinality
+    val up = intercept[Exception] {
+      df.repartition(7)
+        .withColumn("p", spark_partition_id())
+        .groupBy(col("p")).agg(KmvSketch.kmvState(col("h"), 256).as("st"))
+        .agg(KmvSketch.kmvMerge(col("st"), 512))
+        .collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(up).exists(_.contains("merge k")), rootMessages(up).mkString("; "))
   }
 
   test("CMS SQL registration accepts the one-argument form") {

@@ -86,6 +86,31 @@ class TaxiPipelineSpec extends SparkSpec {
     assert(r3.tripsLoaded == 0)
     assert(spark.table(s"${db}_trips").count() == total1 + batch2Rows)
 
+    // ── multiplicity under partial crash: batch 3 duplicates one row, the
+    // crashed append committed only ONE copy — the retry must append
+    // exactly the missing copy, not drop both incoming copies ──
+    val wm2b = TaxiPipeline.EtlControl.watermark(spark, control, "trips").get
+    val raw3 = raw2
+      .withColumn("tpep_pickup_datetime",
+        col("tpep_pickup_datetime") + expr("INTERVAL 7 DAYS"))
+      .withColumn("tpep_dropoff_datetime",
+        col("tpep_dropoff_datetime") + expr("INTERVAL 7 DAYS"))
+      .limit(50)
+    val raw3Dup = raw3.union(raw3.limit(1)) // one row appears twice
+    val clean3 = TaxiIngest.cleanTrips(raw3Dup, loadDate2)
+      .filter(col("pickup_datetime") > lit(wm2b))
+    val batch3Rows = clean3.count()
+    // crash: only the DISTINCT rows landed (one copy of the duplicate)
+    graft.sources.TableIO.append(spark, s"${db}_trips",
+      clean3.dropDuplicates(clean3.columns.filterNot(_ == "load_date")))
+    val landed = batch3Rows - 1 // the duplicate's second copy is missing
+    val beforeRetry = spark.table(s"${db}_trips").count()
+    assert(beforeRetry == total1 + batch2Rows + landed)
+    val r4 = TaxiPipeline.runBatchCycle(spark, raw3Dup, weather, zones, now, loadDate2, db)
+    assert(r4.tripsLoaded == 1,
+      s"retry should append exactly the missing duplicate copy, got ${r4.tripsLoaded}")
+    assert(spark.table(s"${db}_trips").count() == total1 + batch2Rows + batch3Rows)
+
     (Seq("trips", "hourly_weather", "taxi_zones", "etl_control") ++
       r2.analyticsRows.keys).foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${db}_$t"))
   }
