@@ -114,6 +114,74 @@ object Sources {
     writer.save()
   }
 
+  /** Key-matched upsert of `df` into a JDBC table: prepared
+    * UPDATE-then-INSERT per row inside one transaction per partition —
+    * runs ON THE EXECUTORS, never collects to the driver. The two-step
+    * form is the portable upsert (MERGE exists everywhere but its source
+    * grammar differs — Derby rejects VALUES sources; ON CONFLICT is
+    * Postgres-only). Row-disjoint partitions cannot race on a key:
+    * aggregate output in update mode carries each key exactly once, and
+    * the groupBy has already co-located keys. Replaying a batch upserts
+    * the same keys to the same values — idempotent. Serving aggregates
+    * are small by construction; `coalesce` the frame first if the
+    * partition count would open more connections than the database
+    * wants. */
+  def jdbcUpsert(df: DataFrame, url: String, table: String,
+                 keyCols: Seq[String]): Unit = {
+    val cols = df.schema.fieldNames.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(cols.contains),
+      s"keyCols $keyCols must be columns of the frame (${cols.mkString(", ")})")
+    val nonKeys = cols.filterNot(keyCols.contains)
+    // Spark's JDBC writer creates QUOTED (case-sensitive) column names;
+    // unquoted identifiers here would be case-folded by the database and
+    // miss them. The table name stays unquoted — the writer leaves it so.
+    def quoted(c: String) = "\"" + c + "\""
+    val updateSql =
+      s"UPDATE $table SET ${nonKeys.map(c => s"${quoted(c)} = ?").mkString(", ")} " +
+        s"WHERE ${keyCols.map(k => s"${quoted(k)} = ?").mkString(" AND ")}"
+    val insertSql =
+      s"INSERT INTO $table (${cols.map(quoted).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val colIdx = cols.zipWithIndex.toMap
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val update = conn.prepareStatement(updateSql)
+          val insert = conn.prepareStatement(insertSql)
+          rows.foreach { r =>
+            (nonKeys ++ keyCols).zipWithIndex.foreach { case (c, i) =>
+              update.setObject(i + 1, r.get(colIdx(c)))
+            }
+            if (update.executeUpdate() == 0) {
+              cols.indices.foreach(i => insert.setObject(i + 1, r.get(i)))
+              insert.executeUpdate()
+            }
+          }
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** S11+S6: streaming publish into the serving database — the realtime
+    * half of the reference's serving story (stream aggregates feeding the
+    * API's Postgres) as a checkpointed foreachBatch over [[jdbcUpsert]].
+    * Update output mode + key-matched upsert make the sink effectively
+    * exactly-once: a batch replayed after crash recovery upserts the same
+    * keys to the same values. */
+  def jdbcUpsertSink(df: DataFrame, url: String, table: String,
+                     keyCols: Seq[String], checkpointDir: String,
+                     triggerMs: Long = 30000): StreamingQuery =
+    df.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        jdbcUpsert(batch, url, table, keyCols))
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+
   /** S5: streaming source over a parquet directory (the table-stream seam;
     * swap for `readStream.format("kafka")` in production). */
   def streamFromTableDir(spark: SparkSession, dir: String, schema: StructType): DataFrame =
