@@ -151,7 +151,8 @@ object SparkEntry {
     "q107_equidepth_approx" -> q(t => Analytics.equiDepthHistogramApprox(t)),
     "q108_grouped_equidepth_approx" -> q(t =>
       Analytics.groupedEquiDepthHistogramApprox(t)),
-    "q109_cumulative_quantiles" -> q(t => Analytics.cumulativeQuantiles(t)))
+    "q109_cumulative_quantiles" -> q(t => Analytics.cumulativeQuantiles(t)),
+    "q110_maximal_dup_spans" -> q(t => Dedup.maximalDuplicateSpans(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -711,6 +712,31 @@ object SparkEntry {
         | min(min_pos) AS first_pos
         |FROM per GROUP BY 1 HAVING CAST(sum(n) AS BIGINT) > 1
         |ORDER BY n_occurrences DESC, span_hash""".stripMargin,
+    "q110_maximal_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tks
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, unnest(range(1, len(tks) - 13)) AS i, tks
+        |  FROM tk WHERE len(tks) >= 15),
+        |h AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |   md5(array_to_string(tks[i:i+14], ' ')) AS span_hash
+        |  FROM sp),
+        |dup AS (
+        |  SELECT doc_id, pos
+        |  FROM (SELECT doc_id, pos,
+        |          count(*) OVER (PARTITION BY span_hash) AS occ FROM h)
+        |  WHERE occ > 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dup)
+        |SELECT doc_id, min(pos) AS span_start,
+        | max(pos) - min(pos) + 15 AS span_tokens,
+        | count(*) AS n_windows
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "q85_cumulative_distinct" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,

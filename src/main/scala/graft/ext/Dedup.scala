@@ -674,6 +674,48 @@ object Dedup {
       .orderBy(col("n_occurrences").desc, col("span_hash"))
   }
 
+  /** q110: MAXIMAL duplicated spans — [[duplicateSpans]]' fixed-k
+    * duplicated windows merged into their maximal per-document extents.
+    * Every maximal duplicated span of >= k tokens is exactly an island of
+    * consecutive duplicated k-windows, so this reproduces the OUTPUT
+    * shape of suffix-array substring dedup (Lee et al. 2022, the
+    * deduplicate-text-datasets span form) at k-token resolution without
+    * distributed suffix construction — the piece a dedup pipeline
+    * actually consumes ("cut doc 17 from token 120 for 340 tokens").
+    *
+    * Plan: one pass to positions+hashes (the shuffle carries 16-byte
+    * hashes and positions, never text), a window count over span_hash to
+    * keep duplicated windows, then the classic gaps-and-islands
+    * (pos - row_number) per document. Two shuffles total (span_hash,
+    * doc_id), both on narrow rows; islands never materialize per-token
+    * state. */
+  def maximalDuplicateSpans(t: Tables, k: Int = 15): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    import org.apache.spark.sql.expressions.Window
+    val tks = TextAnalysis.tokens(lower(col("text")))
+    val positions = t.documents
+      .select(col("doc_id"), tks.as("tks"))
+      .filter(size(col("tks")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.ShingleExpression.wordShingles(col("tks"), k)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("span_hash"))
+    val dupPositions = positions
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("span_hash"))))
+      .filter(col("occ") > 1)
+    dupPositions
+      .withColumn("island",
+        col("pos") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"), col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** n-gram Jaccard similarity over a deterministic candidate sample:
     * consecutive doc_id pairs (a fixed, oracle-expressible pairing that
     * exercises the set-similarity kernel; production candidates come from

@@ -423,4 +423,39 @@ class DedupSpec extends SparkSpec {
       .digest(boiler.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(crossDoc.exists(_.getAs[String]("span_hash") == expected))
   }
+
+  test("maximal spans: consecutive duplicated windows merge into one island") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_maxspans").toFile.getAbsolutePath
+    // 20 shared tokens = 6 overlapping duplicated 15-windows = ONE maximal
+    // span of 20 tokens; the two shared runs sit at different offsets
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha bravo charlie $shared delta echo"),             // span at pos 3
+      (1L, s"zulu $shared yankee xray whiskey victor uniform tango"), // span at pos 1
+      (2L, (1 to 40).map(i => s"unique$i").mkString(" ")))         // no spans
+    docs.map { case (id, tx) => (id, tx, "en", "synthetic", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val t = Tables(spark, base)
+    val out = Dedup.maximalDuplicateSpans(t).collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // one island per doc, 20 tokens long, at the right offset
+    assert(byDoc.keySet == Set(0L, 1L))
+    val d0 = byDoc(0L); val d1 = byDoc(1L)
+    assert(d0.length == 1 && d1.length == 1, "overlapping windows not merged")
+    assert(d0.head.getAs[Int]("span_start") == 3)
+    assert(d1.head.getAs[Int]("span_start") == 1)
+    Seq(d0.head, d1.head).foreach { r =>
+      assert(r.getAs[Int]("span_tokens") == 20)
+      assert(r.getAs[Long]("n_windows") == 6)
+      // structural invariant of the islands construction
+      assert(r.getAs[Int]("span_tokens") == r.getAs[Long]("n_windows") + 15 - 1)
+    }
+    // every duplicated window position (q84's view) lies inside an island
+    val spans = out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("span_start"),
+      r.getAs[Int]("span_start") + r.getAs[Long]("n_windows").toInt - 1))
+    assert(spans.forall { case (_, s, e) => s <= e })
+  }
 }
