@@ -342,6 +342,56 @@ class SketchPortableSpec extends SparkSpec {
       s"bucket depth $c far from ${n.toDouble / buckets} (maxCell=$maxCell)"))
   }
 
+  test("grid-edge rank contract holds on adversarial distributions") {
+    // property-style sweep: uniform, heavy-tailed (exp), clustered ties,
+    // and near-constant data — the rank-space guarantee (edge rank within
+    // one crossing-cell population of target) must hold on all of them
+    import spark.implicits._
+    val grid = 1024
+    val buckets = 10
+    val shapes: Seq[(String, Seq[Double])] = Seq(
+      ("uniform", (1 to 2000).map(i => (i * 2654435761L % 10007).toDouble)),
+      ("exp-tail", (1 to 2000).map(i => math.exp((i * 2654435761L % 997) / 100.0))),
+      ("ties", (1 to 2000).map(i => (i % 7).toDouble)),
+      ("near-constant", Seq.fill(1999)(42.0) :+ 43.0))
+    shapes.foreach { case (name, xs) =>
+      val df = xs.toDF("v")
+      val mm = df.agg(min(col("v")), max(col("v")), count(lit(1))).collect()(0)
+      val (mn, mx, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
+      val cell = when(lit(mx) === lit(mn), lit(0)).otherwise(
+        least(floor((col("v") - lit(mn)) / lit(mx - mn) * lit(grid.toDouble))
+          .cast("int"), lit(grid - 1)))
+      val maxCell = df.select(cell.as("b")).groupBy("b").count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      val edges = graft.operators.Analytics
+        .gridQuantileEdges(df, "v", Nil, buckets, grid).collect()(0)
+      (0 until buckets - 1).foreach { i =>
+        val e = edges.getDouble(i)
+        val rank = xs.count(_ <= e)
+        val target = (i + 1).toDouble * n / buckets
+        assert(math.abs(rank - target) <= maxCell + 1,
+          s"$name edge ${i + 1}: rank=$rank target=$target maxCell=$maxCell")
+      }
+    }
+  }
+
+  test("q109 cumulative quantiles: monotone counts, ordered percentiles") {
+    val t = sf("sf0.001")
+    val rows = graft.operators.Analytics.cumulativeQuantiles(t).collect()
+    assert(rows.nonEmpty)
+    // cumulative event counts never decrease; p50 <= p90 on every day;
+    // the last day's count equals the table's non-null total
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cum_events") <= b.getAs[Long]("cum_events"))
+      case _ => ()
+    }
+    rows.foreach(r => assert(r.getAs[Double]("p50") <= r.getAs[Double]("p90"),
+      s"${r.get(0)}: p50 > p90"))
+    val total = t.events.filter(col("value").isNotNull).count()
+    assert(rows.last.getAs[Long]("cum_events") == total)
+  }
+
   test("HLL sketch-vs-exact contract: within 5x rsd on every group") {
     // the built-in HLL path (kept alongside the oracle-checkable KMV) must
     // track the exact distinct counts of q04 within its error contract
