@@ -152,7 +152,8 @@ object SparkEntry {
     "q108_grouped_equidepth_approx" -> q(t =>
       Analytics.groupedEquiDepthHistogramApprox(t)),
     "q109_cumulative_quantiles" -> q(t => Analytics.cumulativeQuantiles(t)),
-    "q110_maximal_dup_spans" -> q(t => Dedup.maximalDuplicateSpans(t)))
+    "q110_maximal_dup_spans" -> q(t => Dedup.maximalDuplicateSpans(t)),
+    "q111_quality_classifier" -> q(t => TextAnalysis.qualityClassifier(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -712,6 +713,25 @@ object SparkEntry {
         | min(min_pos) AS first_pos
         |FROM per GROUP BY 1 HAVING CAST(sum(n) AS BIGINT) > 1
         |ORDER BY n_occurrences DESC, span_hash""".stripMargin,
+    "q111_quality_classifier" -> {
+      import graft.functions.PortableHash
+      val w = s"(((${PortableHash.hash32Sql("t")}) % 4096) * 2654435761 + 104729) % 1000003"
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |   string_split_regex(trim(lower(text)), '\\s+') AS tks
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens,
+         |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |     list_transform(tks, t ->
+         |       CAST($w AS DOUBLE) / 1000003.0 - 0.5)),
+         |     (acc, x) -> acc + x) AS wsum
+         |  FROM tk)
+         |SELECT doc_id, n_tokens,
+         | round(wsum / n_tokens, 6) AS quality_score,
+         | wsum / n_tokens > 0.0 AS quality_pass
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
     "q110_maximal_dup_spans" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tks

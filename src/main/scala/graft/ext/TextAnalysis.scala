@@ -19,6 +19,46 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** q111: hashed linear quality classifier — BATCH MODEL INFERENCE inside
+    * the engine, the fastText/CCNet-filter shape every pretraining corpus
+    * runs: tokens → hashed feature buckets → dot product with a weight
+    * vector → per-document score and keep/drop decision. The weight
+    * "model" here is a deterministic function of the bucket index (a
+    * stand-in for trained weights; the plumbing — feature hashing, fold,
+    * scoring, filtering — is the production shape, and a real weight
+    * array would broadcast identically). Entirely narrow: per-row
+    * higher-order fold, zero shuffles before the output sort. The score
+    * stays LINEAR (mean feature weight) rather than sigmoid'd: the
+    * decision boundary is the same and avoiding `exp` keeps the
+    * arithmetic bit-replayable in DuckDB (libm exp is not guaranteed
+    * correctly-rounded across engines; +, *, / are IEEE-exact).
+    *
+    * Hashing rides [[graft.functions.CountMinSketch.keyHash]]'s portable
+    * mode ([[graft.functions.PortableHash.hash32]]) so the oracle replays
+    * every bucket id. */
+  def qualityClassifier(t: Tables, buckets: Int = 4096,
+                        threshold: Double = 0.0): DataFrame = {
+    graft.functions.CountMinSketch.register(t.spark)
+    import graft.functions.CountMinSketch.keyHash
+    val tks = tokens(lower(col("text")))
+    val weightOf: Column => Column = h =>
+      ((pmod(h, lit(buckets.toLong)) * lit(2654435761L) + lit(104729L)) % lit(1000003L))
+        .cast("double") / lit(1000003.0) - lit(0.5)
+    val wsum = aggregate(
+      transform(tks, tok => weightOf(keyHash(tok, portable = true))),
+      lit(0.0), (acc, w) => acc + w)
+    t.documents
+      .select(
+        col("doc_id"),
+        size(tks).cast("long").as("n_tokens"),
+        wsum.as("wsum"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("wsum") / col("n_tokens"), 6).as("quality_score"),
+        (col("wsum") / col("n_tokens") > threshold).as("quality_pass"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting + quality scoring (length / distinct-token ratio /
     * stopword ratio), the heuristics a pretraining cleanliness filter
     * applies per document. */
