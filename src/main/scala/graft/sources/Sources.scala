@@ -114,35 +114,73 @@ object Sources {
     writer.save()
   }
 
-  /** Key-matched upsert of `df` into a JDBC table: prepared
-    * UPDATE-then-INSERT per row inside one transaction per partition —
-    * runs ON THE EXECUTORS, never collects to the driver. The two-step
-    * form is the portable upsert (MERGE exists everywhere but its source
-    * grammar differs — Derby rejects VALUES sources; ON CONFLICT is
-    * Postgres-only). Row-disjoint partitions cannot race on a key:
-    * aggregate output in update mode carries each key exactly once, and
-    * the groupBy has already co-located keys. Replaying a batch upserts
-    * the same keys to the same values — idempotent. Serving aggregates
-    * are small by construction; `coalesce` the frame first if the
-    * partition count would open more connections than the database
-    * wants. */
+  private def jdbcTypeOf(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType       => java.sql.Types.BIGINT
+      case IntegerType    => java.sql.Types.INTEGER
+      case ShortType      => java.sql.Types.SMALLINT
+      case ByteType       => java.sql.Types.TINYINT
+      case DoubleType     => java.sql.Types.DOUBLE
+      case FloatType      => java.sql.Types.FLOAT
+      case BooleanType    => java.sql.Types.BOOLEAN
+      case StringType     => java.sql.Types.VARCHAR
+      case TimestampType  => java.sql.Types.TIMESTAMP
+      case DateType       => java.sql.Types.DATE
+      case _: DecimalType => java.sql.Types.NUMERIC
+      case BinaryType     => java.sql.Types.BINARY
+      case _              => java.sql.Types.OTHER
+    }
+  }
+
+  /** Key-matched upsert of `df` into a JDBC table: batched
+    * UPDATE-then-INSERT inside one transaction per partition — runs ON
+    * THE EXECUTORS, never collects to the driver. The two-step form is
+    * the portable upsert (MERGE exists everywhere but its source grammar
+    * differs — Derby rejects VALUES sources; ON CONFLICT is
+    * Postgres-only). Key matching is null-safe (`k = ? OR (k IS NULL AND
+    * ? IS NULL)`), so NULL-keyed aggregate rows update in place instead
+    * of inserting a duplicate per replay; NULL values bind through
+    * `setNull` with the column's SQL type (bare `setObject(_, null)` is
+    * driver-defined). Updates run as ONE JDBC batch (one round trip, not
+    * one per row); rows the batch reports unmatched insert as a second
+    * batch. Drivers that return SUCCESS_NO_INFO for batches fall back to
+    * a row-by-row pass — correct everywhere, batched where the driver
+    * cooperates. A partition that fails mid-transaction rolls back
+    * explicitly before the connection closes (close-with-open-transaction
+    * is implementation-defined — some databases commit).
+    *
+    * Row-disjoint partitions cannot race on a key: aggregate output in
+    * update mode carries each key exactly once, and the groupBy has
+    * already co-located keys. Replaying a batch upserts the same keys to
+    * the same values — idempotent. (MySQL deployments must keep the
+    * connector's default found-rows semantics; with `useAffectedRows=true`
+    * a value-identical replayed UPDATE reports 0 and would re-insert.)
+    * Serving aggregates are small by construction; `coalesce` the frame
+    * first if the partition count would open more connections than the
+    * database wants. */
   def jdbcUpsert(df: DataFrame, url: String, table: String,
                  keyCols: Seq[String]): Unit = {
     val cols = df.schema.fieldNames.toSeq
     require(keyCols.nonEmpty && keyCols.forall(cols.contains),
       s"keyCols $keyCols must be columns of the frame (${cols.mkString(", ")})")
     val nonKeys = cols.filterNot(keyCols.contains)
+    require(nonKeys.nonEmpty,
+      "keyCols covers every column — nothing to update; use writeJdbc append")
     // Spark's JDBC writer creates QUOTED (case-sensitive) column names;
     // unquoted identifiers here would be case-folded by the database and
     // miss them. The table name stays unquoted — the writer leaves it so.
     def quoted(c: String) = "\"" + c + "\""
     val updateSql =
       s"UPDATE $table SET ${nonKeys.map(c => s"${quoted(c)} = ?").mkString(", ")} " +
-        s"WHERE ${keyCols.map(k => s"${quoted(k)} = ?").mkString(" AND ")}"
+        s"WHERE ${keyCols
+          .map(k => s"(${quoted(k)} = ? OR (${quoted(k)} IS NULL AND ? IS NULL))")
+          .mkString(" AND ")}"
     val insertSql =
       s"INSERT INTO $table (${cols.map(quoted).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     val colIdx = cols.zipWithIndex.toMap
+    val sqlType = df.schema.fields.map(f => f.name -> jdbcTypeOf(f.dataType)).toMap
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val conn = java.sql.DriverManager.getConnection(url)
@@ -150,16 +188,40 @@ object Sources {
           conn.setAutoCommit(false)
           val update = conn.prepareStatement(updateSql)
           val insert = conn.prepareStatement(insertSql)
-          rows.foreach { r =>
-            (nonKeys ++ keyCols).zipWithIndex.foreach { case (c, i) =>
-              update.setObject(i + 1, r.get(colIdx(c)))
-            }
-            if (update.executeUpdate() == 0) {
-              cols.indices.foreach(i => insert.setObject(i + 1, r.get(i)))
-              insert.executeUpdate()
-            }
+          def bind(ps: java.sql.PreparedStatement, idx: Int, c: String, r: Row): Unit =
+            if (r.isNullAt(colIdx(c))) ps.setNull(idx, sqlType(c))
+            else ps.setObject(idx, r.get(colIdx(c)))
+          def bindUpdate(r: Row): Unit = {
+            var i = 1
+            nonKeys.foreach { c => bind(update, i, c, r); i += 1 }
+            keyCols.foreach { k => bind(update, i, k, r); bind(update, i + 1, k, r); i += 2 }
           }
+          def doInsert(r: Row): Unit = {
+            cols.zipWithIndex.foreach { case (c, i) => bind(insert, i + 1, c, r) }
+            insert.addBatch()
+          }
+          // serving aggregates are small by contract; buffering the
+          // partition lets the updates go out as one round trip
+          val buffered = rows.toVector
+          buffered.foreach { r => bindUpdate(r); update.addBatch() }
+          val counts = update.executeBatch()
+          if (counts.contains(java.sql.Statement.SUCCESS_NO_INFO)) {
+            // no per-statement counts from this driver: re-run row-by-row
+            // (value-identical re-updates are idempotent) to learn misses
+            buffered.foreach { r =>
+              bindUpdate(r)
+              if (update.executeUpdate() == 0) doInsert(r)
+            }
+          } else {
+            buffered.zip(counts).foreach { case (r, c) => if (c == 0) doInsert(r) }
+          }
+          insert.executeBatch()
           conn.commit()
+        } catch {
+          case e: Throwable =>
+            try conn.rollback()
+            catch { case _: Throwable => () }
+            throw e
         } finally conn.close()
       }
     }

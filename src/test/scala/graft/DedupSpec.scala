@@ -452,10 +452,12 @@ class DedupSpec extends SparkSpec {
       // structural invariant of the islands construction
       assert(r.getAs[Int]("span_tokens") == r.getAs[Long]("n_windows") + 15 - 1)
     }
-    // every duplicated window position (q84's view) lies inside an island
-    val spans = out.map(r => (r.getAs[Long]("doc_id"),
-      r.getAs[Int]("span_start"),
-      r.getAs[Int]("span_start") + r.getAs[Long]("n_windows").toInt - 1))
-    assert(spans.forall { case (_, s, e) => s <= e })
+    // window-count conservation against q84's view: the islands cover
+    // exactly as many duplicated window POSITIONS as q84 counts duplicated
+    // window OCCURRENCES (every occurrence is one (doc, pos) here)
+    val q84Occurrences = Dedup.duplicateSpans(t).collect()
+      .map(_.getAs[Long]("n_occurrences")).sum
+    assert(out.map(_.getAs[Long]("n_windows")).sum == q84Occurrences,
+      "island windows do not cover q84's duplicated occurrences")
   }
 }

@@ -188,8 +188,11 @@ class SourcesSpec extends SparkSpec {
     val agg = events.toDF().toDF("zone", "amount")
       .groupBy(col("zone"))
       .agg(count(lit(1)).as("n_trips"), sum(col("amount")).as("revenue"))
-    // create the serving table with the aggregate's schema, then stream
-    Sources.writeJdbc(Seq.empty[(Int, Long, Double)].toDF("zone", "n_trips", "revenue"),
+    // create the serving table with the aggregate's schema (nullable, as
+    // streaming aggregate output is), then stream
+    Sources.writeJdbc(
+      Seq.empty[(Option[Int], Option[Long], Option[Double])]
+        .toDF("zone", "n_trips", "revenue"),
       url, "zone_totals", mode = "overwrite")
     val ck = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
     val q = Sources.jdbcUpsertSink(agg, url, "zone_totals", Seq("zone"), ck, triggerMs = 50)
@@ -214,6 +217,20 @@ class SourcesSpec extends SparkSpec {
     Sources.jdbcUpsert(snapshot, url, "zone_totals", Seq("zone"))
     Sources.jdbcUpsert(snapshot, url, "zone_totals", Seq("zone"))
     assert(Sources.readJdbc(spark, url, "zone_totals").count() == 3)
+    // NULL-keyed and NULL-valued rows: the null-safe key match updates the
+    // NULL-key row in place across replays (no duplicate accumulation),
+    // and NULL measures bind through setNull
+    val withNulls = Seq(
+      (Some(1), Some(9L), Some(1.0)),
+      (Option.empty[Int], Some(4L), Option.empty[Double]))
+      .toDF("zone", "n_trips", "revenue")
+    Sources.jdbcUpsert(withNulls, url, "zone_totals", Seq("zone"))
+    Sources.jdbcUpsert(withNulls, url, "zone_totals", Seq("zone"))
+    val all = Sources.readJdbc(spark, url, "zone_totals")
+    assert(all.count() == 4, "NULL-keyed row duplicated on replay")
+    val nullRow = all.filter(col("zone").isNull).collect()
+    assert(nullRow.length == 1 && nullRow.head.getLong(1) == 4L && nullRow.head.isNullAt(2))
+    assert(all.filter(col("zone") === 1).collect().head.getLong(1) == 9L)
   }
 
   test("Kafka seam is gated: absent connector reported with the deployment fix (S4)") {
