@@ -305,4 +305,32 @@ object TaxiServing {
     else writer.json(outDir)
     obs.get("n_rows").asInstanceOf[Long]
   }
+
+  /** The last hop of the reference's batch lifecycle (E1): publish a
+    * derived lakehouse table into the serving database the API reads
+    * (ETL → Postgres in `serving/database.py`'s world). Key-matched upsert
+    * via [[graft.sources.Sources.jdbcUpsert]] so re-publishing after every
+    * cycle CONVERGES — a repeated or replayed publish updates rows in
+    * place, never accumulates. First publish creates the table from the
+    * frame's (nullable) schema. `coalesceTo` bounds serving-database
+    * connections regardless of lake-side parallelism. */
+  def publishToServingDb(spark: SparkSession, lakeTable: String, url: String,
+                         servingTable: String, keyCols: Seq[String],
+                         coalesceTo: Int = 8): Unit = {
+    import graft.sources.Sources
+    val df = spark.table(lakeTable).coalesce(coalesceTo)
+    // append of zero rows = CREATE TABLE IF NOT EXISTS with this schema.
+    // String columns are pinned to VARCHAR: several dialects (Derby, and
+    // older DB2/Oracle mappings) default Spark strings to CLOB/TEXT types
+    // that cannot sit in a WHERE equality — which the upsert's key match
+    // needs.
+    val stringCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(1024)")
+    val createOpts =
+      if (stringCols.isEmpty) Map.empty[String, String]
+      else Map("createTableColumnTypes" -> stringCols.mkString(", "))
+    Sources.writeJdbc(df.limit(0), url, servingTable, mode = "append", createOpts)
+    Sources.jdbcUpsert(df, url, servingTable, keyCols)
+  }
 }

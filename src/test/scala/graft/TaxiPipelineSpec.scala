@@ -114,4 +114,40 @@ class TaxiPipelineSpec extends SparkSpec {
     (Seq("trips", "hourly_weather", "taxi_zones", "etl_control") ++
       r2.analyticsRows.keys).foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${db}_$t"))
   }
+
+  test("serving publish: lakehouse aggregate lands in the serving DB and converges") {
+    import org.apache.spark.sql.functions.col
+    val db = s"plp${System.nanoTime()}"
+    val now = TaxiData.anchor
+    val loadDate = java.sql.Timestamp.valueOf("2025-10-24 12:34:56")
+    TaxiPipeline.runBatchCycle(spark,
+      TaxiData.rawTrips(spark, 800, days = 7),
+      TaxiData.rawWeather(spark, days = 8),
+      TaxiData.rawZones(spark), now, loadDate, db)
+    val url = "jdbc:derby:memory:graft_publish_spec;create=true"
+    val lake = s"${db}_trip_weather_correlation"
+    val lakeCount = spark.table(lake).count()
+    TaxiServing.publishToServingDb(spark, lake, url, "twc_serving",
+      keyCols = Seq("trip_date", "hour", "weather_condition"))
+    val served = graft.sources.Sources.readJdbc(spark, url, "twc_serving")
+    assert(served.count() == lakeCount)
+    // a second publish of the SAME cycle converges: no accumulation
+    TaxiServing.publishToServingDb(spark, lake, url, "twc_serving",
+      keyCols = Seq("trip_date", "hour", "weather_condition"))
+    assert(graft.sources.Sources.readJdbc(spark, url, "twc_serving").count() == lakeCount)
+    // values round-trip: a sampled key's trip count matches the lake row
+    val sample = spark.table(lake).orderBy(col("trip_date"), col("hour"))
+      .select(col("trip_date"), col("hour"), col("weather_condition"), col("total_trips"))
+      .collect().head
+    val match0 = graft.sources.Sources.readJdbc(spark, url, "twc_serving")
+      .filter(col("trip_date") === sample.get(0) && col("hour") === sample.get(1) &&
+        col("weather_condition") === sample.get(2))
+      .collect()
+    assert(match0.length == 1 &&
+      match0.head.getAs[Long]("total_trips") == sample.getAs[Long]("total_trips"))
+    (Seq("trips", "hourly_weather", "taxi_zones", "etl_control",
+      "trip_weather_correlation", "zone_performance_metrics",
+      "demand_prediction_features", "ml_demand_features", "ml_fare_features"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${db}_$t"))
+  }
 }
