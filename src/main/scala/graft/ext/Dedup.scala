@@ -351,7 +351,9 @@ object Dedup {
     * converges in O(log n) rounds regardless of component DIAMETER, where
     * [[connectedComponents]]' min-label propagation needs diameter rounds —
     * the difference between 10 and 10,000 shuffles on an adversarial chain.
-    * Each round is two groupBy-join phases over the current edge set:
+    * Each round is two WINDOW phases over the current edge set (one
+    * shuffle each — the neighborhood minimum rides a window over the
+    * grouping key instead of a groupBy re-joined to its own input):
     *
     *  - large-star: every node's LARGER neighbors re-attach to the minimum
     *    of its neighborhood (strictly decreases large edges);
@@ -364,62 +366,65 @@ object Dedup {
     * scalar aggregates per round, no set comparison.
     */
   def connectedComponentsStar(nodes: DataFrame, edges0: DataFrame, maxIters: Int = 30): DataFrame = {
-    var edges = edges0
-      .filter(col("src") =!= col("dst"))
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-      .localCheckpoint()
-
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      // order-independent set fingerprint over a hash of each edge — a
-      // plain linear checksum (sum of u*13+v) collides between edge sets
-      // like {(1,4),(2,3)} and {(1,3),(2,4)}, which would stop the loop on
-      // a non-star edge set. Per-edge hashes are folded to 40 bits so the
-      // ANSI-mode sum stays exact up to 2^23 edges (wrap past that would
-      // only weaken, not break, the convergence check — count still guards)
-      val r = e.agg(
+    import org.apache.spark.sql.expressions.Window
+    // order-independent set fingerprint over a hash of each edge — a
+    // plain linear checksum (sum of u*13+v) collides between edge sets
+    // like {(1,4),(2,3)} and {(1,3),(2,4)}, which would stop the loop on
+    // a non-star edge set. Per-edge hashes are folded to 40 bits so the
+    // ANSI-mode sum stays exact up to 2^23 edges (wrap past that would
+    // only weaken, not break, the convergence check — count still guards).
+    // The aggregates ride an observe() on the per-round checkpoint, so
+    // convergence detection costs ZERO extra jobs — the metrics are
+    // collected by the materialization that has to happen anyway.
+    def fingerprinted(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = new org.apache.spark.sql.Observation(
+        s"graft_cc_${System.nanoTime()}")
+      val checkpointed = e.observe(obs,
         count(lit(1)).as("n"),
         coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1L << 40))), lit(0L)).as("s"))
-        .collect()(0)
-      (r.getLong(0), r.getLong(1))
+        .localCheckpoint()
+      (checkpointed,
+        (obs.get("n").asInstanceOf[Long], obs.get("s").asInstanceOf[Long]))
     }
 
-    var fp = fingerprint(edges)
+    var (edges, fp) = fingerprinted(edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct())
+
+    val wA = Window.partitionBy(col("a"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      // LARGE-STAR over both directions: m(a) = min(Γ(a) ∪ {a});
-      // each larger neighbor b > a re-attaches as edge (m(a), b)
+      // LARGE-STAR over both directions: m(a) = min(Γ(a) ∪ {a}); each
+      // larger neighbor b > a re-attaches as edge (m(a), b). One window
+      // pass — a single shuffle on a — where a groupBy+join would shuffle
+      // the directed edges twice and recompute them on each side.
       val dir = edges.select(col("u").as("a"), col("v").as("b"))
         .union(edges.select(col("v").as("a"), col("u").as("b")))
-      val mLarge = dir.groupBy(col("a"))
-        .agg(min(col("b")).as("mb"))
-        .select(col("a"), least(col("a"), col("mb")).as("m"))
-      val afterLarge = dir.filter(col("b") > col("a"))
-        .join(mLarge, "a")
-        .filter(col("b") =!= col("m"))
+      val afterLarge = dir
+        .withColumn("m", least(col("a"), min(col("b")).over(wA)))
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
         .select(least(col("m"), col("b")).as("u"), greatest(col("m"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint()
 
       // SMALL-STAR over the larger→smaller direction: for each a with
       // smaller neighbors S, all of S ∪ {a} except the minimum re-attach
-      // to the minimum
+      // to the minimum. Same single-window shape; the duplicate self-edges
+      // it emits (one per (a, b) row instead of one per a) collapse in the
+      // final distinct.
       val dirS = afterLarge.select(col("v").as("a"), col("u").as("b")) // b < a
-      val mSmall = dirS.groupBy(col("a")).agg(min(col("b")).as("m"))
-      val reattached = dirS.join(mSmall, "a")
-        .filter(col("b") =!= col("m"))
+      val withMs = dirS.withColumn("m", min(col("b")).over(wA))
+      val next = withMs.filter(col("b") =!= col("m"))
         .select(col("m").as("u"), col("b").as("v"))
-      val selfEdges = mSmall.select(col("m").as("u"), col("a").as("v"))
-      val next = reattached.union(selfEdges)
+        .union(withMs.select(col("m").as("u"), col("a").as("v")))
         .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
         .distinct()
-        .localCheckpoint()
 
-      val nextFp = fingerprint(next)
+      val (nextEdges, nextFp) = fingerprinted(next)
       converged = nextFp == fp
       fp = nextFp
-      edges = next
+      edges = nextEdges
       iter += 1
     }
 
