@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.functions.ExactAgg.{Sql => O}
 import graft.operators.{Analytics, DictEncode, Ingest, Serving}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -153,7 +153,10 @@ object SparkEntry {
       Analytics.groupedEquiDepthHistogramApprox(t)),
     "q109_cumulative_quantiles" -> q(t => Analytics.cumulativeQuantiles(t)),
     "q110_maximal_dup_spans" -> q(t => Dedup.maximalDuplicateSpans(t)),
-    "q111_quality_classifier" -> q(t => TextAnalysis.qualityClassifier(t)))
+    "q111_quality_classifier" -> q(t => TextAnalysis.qualityClassifier(t)),
+    "q112_topk_per_group" -> q(t => Sampling.topDocsPerSource(t)),
+    "q113_zorder_layout" -> q(t => graft.sources.Layout.zOrderPreview(t)),
+    "q114_group_sample" -> q(t => Sampling.sampleKPerSource(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -174,6 +177,9 @@ object SparkEntry {
     * portable-arithmetic mode (see [[SketchOracleSql]]) so EVERY query has
     * an oracle entry — nothing is rows-only anymore. */
   def oracleSql: Map[String, String] = Map(
+    "q112_topk_per_group" -> Sampling.topDocsPerSourceSql(),
+    "q113_zorder_layout" -> graft.sources.Layout.zOrderPreviewSql,
+    "q114_group_sample" -> Sampling.sampleKPerSourceSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

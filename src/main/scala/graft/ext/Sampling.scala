@@ -365,4 +365,69 @@ object Sampling {
        |WHERE w.split <> 'train'
        |ORDER BY w.split, w.bin""".stripMargin
   }
+
+  /** q112: the k largest documents per source — the bounded-heap top-k
+    * aggregate ([[graft.functions.TopKAgg]]) instead of a
+    * `row_number() OVER (...)` filter. The window form shuffles and sorts
+    * the whole corpus to keep 3 rows per source; this plan's exchange
+    * carries at most k (ord, id) pairs per (source, partition) and no sort
+    * ever sees the full input. The oracle replays the window form — both
+    * compute the same unique kept set because the ordering
+    * (n_chars DESC, doc_id ASC) is total. */
+  def topDocsPerSource(t: Tables, k: Int = 3): DataFrame = {
+    graft.functions.TopKAgg.register(t.spark)
+    t.documents
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topKBy(col("n_chars"), col("doc_id"), k).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(
+        col("source"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("doc_id"),
+        col("col.ord").as("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** The DuckDB mirror of [[topDocsPerSource]]: the window form. */
+  def topDocsPerSourceSql(k: Int = 3): String =
+    s"""SELECT source, CAST(rn AS INTEGER) AS rank, doc_id, n_chars
+       |FROM (SELECT source, doc_id, n_chars,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY n_chars DESC, doc_id) AS rn
+       |      FROM documents)
+       |WHERE rn <= $k
+       |ORDER BY source, rank""".stripMargin
+
+  /** q114: deterministic k-per-group uniform sample — the same bounded-heap
+    * kernel ordered by the portable split hash (negated: the k SMALLEST
+    * hashes win), giving every group exactly min(k, |group|) rows chosen
+    * uniformly and layout-independently. The per-group companion to
+    * [[deterministicSample]]'s fraction filter: a fraction can't promise
+    * "exactly 5 exemplars per source" and a window sample can't promise
+    * "no full sort" — this does both. */
+  def sampleKPerSource(t: Tables, k: Int = 5): DataFrame = {
+    graft.functions.TopKAgg.register(t.spark)
+    t.documents
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topKBy(-splitHash(col("doc_id")), col("doc_id"), k).as("keep"))
+      .select(col("source"), posexplode(col("keep")))
+      .select(
+        col("source"),
+        (col("pos") + 1).cast("int").as("pick"),
+        col("col.payload").as("doc_id"),
+        (-col("col.ord")).as("h"))
+      .orderBy(col("source"), col("pick"))
+  }
+
+  /** The DuckDB mirror of [[sampleKPerSource]]. */
+  def sampleKPerSourceSql(k: Int = 5): String = {
+    val h = splitHashSql("doc_id")
+    s"""SELECT source, CAST(rn AS INTEGER) AS pick, doc_id, h
+       |FROM (SELECT source, doc_id, ($h) AS h,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY ($h) ASC, doc_id) AS rn
+       |      FROM documents)
+       |WHERE rn <= $k
+       |ORDER BY source, pick""".stripMargin
+  }
 }

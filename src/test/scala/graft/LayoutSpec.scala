@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.ZOrder
+import graft.sources.Layout
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the bit interleave against an independent per-bit
+  * reimplementation, and the layout claim itself — z-clustered files have
+  * tight min/max ranges in BOTH dimensions where a linear sort leaves the
+  * second dimension spanning the full domain in every file. */
+class LayoutSpec extends SparkSpec {
+
+  // independent Morton reference: bit-by-bit, no shared code with ZOrder
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | ((x >> i & 1L) << (2 * i)) | ((y >> i & 1L) << (2 * i + 1))
+    }
+
+  test("zValue matches a per-bit Morton reference, including 16-bit masking") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (70000L, 3L), (3L, 70000L)) // >16-bit inputs mask down
+    val df = spark.createDataFrame(cases).toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue(col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == mortonRef(r.getLong(0) & 0xFFFF, r.getLong(1) & 0xFFFF),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("z-order preserves locality: close points get close z-values within a quadrant") {
+    // both coordinates in [0,16): z < 256 — the whole quadrant maps below
+    // any point with a coordinate >= 16 in the same 16x16 grid scale
+    val inQuad = mortonRef(15, 15)
+    assert(inQuad == 255L)
+    assert(mortonRef(16, 0) == 256L && mortonRef(0, 16) == 512L)
+  }
+
+  /** Mean per-file (max-min) extent of a column, as a fraction of its
+    * global extent. */
+  private def meanSpan(files: DataFrame, c: String, lo: Long, hi: Long): Double = {
+    val spans = files.groupBy(input_file_name())
+      .agg((max(col(c)) - min(col(c))).as("span"))
+      .agg(avg(col("span"))).collect()(0).getDouble(0)
+    spans / (hi - lo).toDouble
+  }
+
+  test("writeZOrdered bounds BOTH dimensions' per-file spans; linear sort only one") {
+    val t = sf("sf0.01")
+    val hourIdx = floor(unix_timestamp(col("ts")) / 3600L).cast("long") - 473352L
+    val events = t.events.select(col("event_id"), hourIdx.as("h"), col("user_id")).cache()
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
+      val zDir = s"$tmp/z"
+      val linDir = s"$tmp/lin"
+      Layout.writeZOrdered(events,
+        ZOrder.scaleTo16(col("h"), 0L, 720L),
+        ZOrder.scaleTo16(col("user_id"), 0L, 150L), zDir, files = 16)
+      events.repartitionByRange(16, col("h")).sortWithinPartitions(col("h"))
+        .write.parquet(linDir)
+
+      val zFiles = spark.read.parquet(zDir)
+      val linFiles = spark.read.parquet(linDir)
+      // 10k events over 720 hours x 150 users; 16 z-range files ≈ 4x4
+      // quadrants → each file should cover well under half of EACH domain
+      val zH = meanSpan(zFiles, "h", 0, 720)
+      val zU = meanSpan(zFiles, "user_id", 0, 150)
+      assert(zH < 0.5, s"z-layout hour span $zH")
+      assert(zU < 0.5, s"z-layout user span $zU")
+      // the linear layout nails hours but every file spans ~all users
+      val linU = meanSpan(linFiles, "user_id", 0, 150)
+      assert(linU > 0.9, s"linear layout should not cluster users, got $linU")
+      assert(zU < linU / 2, s"z-layout user span $zU not better than linear $linU")
+      // row content identical either way
+      assert(zFiles.count() == events.count())
+      assert(zFiles.agg(sum(col("event_id"))).collect()(0).getLong(0) ==
+        events.agg(sum(col("event_id"))).collect()(0).getLong(0))
+    } finally events.unpersist()
+  }
+}

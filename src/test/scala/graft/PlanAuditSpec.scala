@@ -344,7 +344,9 @@ class PlanAuditSpec extends SparkSpec {
     "q104_cumulative_approx_distinct" -> 2, "q105_grouped_equidepth" -> 3,
     "q106_ann_ivf_quantized" -> 6, "q107_equidepth_approx" -> 5,
     "q108_grouped_equidepth_approx" -> 5, "q109_cumulative_quantiles" -> 4,
-    "q110_maximal_dup_spans" -> 3, "q111_quality_classifier" -> 1)
+    "q110_maximal_dup_spans" -> 3, "q111_quality_classifier" -> 1,
+    "q112_topk_per_group" -> 2, "q113_zorder_layout" -> 1,
+    "q114_group_sample" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
