@@ -156,7 +156,8 @@ object SparkEntry {
     "q111_quality_classifier" -> q(t => TextAnalysis.qualityClassifier(t)),
     "q112_topk_per_group" -> q(t => Sampling.topDocsPerSource(t)),
     "q113_zorder_layout" -> q(t => graft.sources.Layout.zOrderPreview(t)),
-    "q114_group_sample" -> q(t => Sampling.sampleKPerSource(t)))
+    "q114_group_sample" -> q(t => Sampling.sampleKPerSource(t)),
+    "q115_corr_matrix" -> q(Analytics.corrMatrix))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -180,6 +181,7 @@ object SparkEntry {
     "q112_topk_per_group" -> Sampling.topDocsPerSourceSql(),
     "q113_zorder_layout" -> graft.sources.Layout.zOrderPreviewSql,
     "q114_group_sample" -> Sampling.sampleKPerSourceSql(),
+    "q115_corr_matrix" -> Analytics.corrMatrixSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

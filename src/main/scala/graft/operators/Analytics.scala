@@ -346,6 +346,49 @@ object Analytics {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** q115: pairwise Pearson correlation MATRIX over the fact's measure
+    * columns in ONE pass — the feature-profiling shape (which measures are
+    * redundant / collinear before they feed a model). All C(n,2) pairs
+    * come from the same scan: one global aggregate computes every pair's
+    * exact decimal moments ([[graft.functions.ExactAgg.dcorr]]), then a
+    * `stack` unpivots the single result row to (col_x, col_y, corr) rows.
+    * The naive form runs one scan per pair — 6 scans here, 45 at 10
+    * features; this is always exactly one. */
+  def corrMatrix(t: Tables): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.length }
+      yield (cols(i), cols(j))
+    val aggs = pairs.map { case (x, y) => dcorr(col(x), col(y)).as(s"${x}__$y") } :+
+      count(lit(1)).as("n_rows")
+    val stackArgs = pairs
+      .map { case (x, y) => s"'$x', '$y', `${x}__$y`" }
+      .mkString(", ")
+    t.lineitem
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(${pairs.length}, $stackArgs) AS (col_x, col_y, corr)"),
+        col("n_rows"))
+      .orderBy(col("col_x"), col("col_y"))
+  }
+
+  /** The DuckDB mirror of [[corrMatrix]]. */
+  def corrMatrixSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.length }
+      yield (cols(i), cols(j))
+    val sums = pairs
+      .map { case (x, y) => s"${Sql.dcorr(x, y)} AS ${x}__$y" }
+      .mkString(",\n   ")
+    val arms = pairs
+      .map { case (x, y) => s"SELECT '$x' AS col_x, '$y' AS col_y, ${x}__$y AS corr, n_rows FROM a" }
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH a AS (
+       |  SELECT $sums,
+       |   count(*) AS n_rows
+       |  FROM lineitem)$arms
+       |ORDER BY col_x, col_y""".stripMargin
+  }
+
   /** A7: collect_set, emitted as a sorted joined string so set ordering is
     * deterministic across engines (reference `weather_to_iceberg.py:115`). */
   def collectSetByUser(t: Tables): DataFrame =

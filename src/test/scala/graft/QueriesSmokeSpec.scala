@@ -33,6 +33,21 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(row.getAs[Double]("max_price") >= row.getAs[Double]("min_price"))
   }
 
+  test("q115 correlation matrix: all C(4,2) pairs, each corr in [-1, 1], single-pass vs per-pair parity") {
+    val rows = SparkEntry.queries("q115_corr_matrix")(spark, dir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("corr")) <= 1.0 + 1e-12))
+    // the one-pass matrix must equal the per-pair aggregate (q08's kernel)
+    val t = sf()
+    val single = t.lineitem.agg(
+      graft.functions.ExactAgg.dcorr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect()(0).getDouble(0)
+    val fromMatrix = rows.find(r =>
+      r.getString(0) == "l_quantity" && r.getString(1) == "l_extendedprice").get
+      .getAs[Double]("corr")
+    assert(fromMatrix == single, "matrix pair diverges from the per-pair kernel")
+  }
+
   test("q16 lag is null at each partition head") {
     val df = SparkEntry.queries("q16_window_lag")(spark, dir)
     val firstPerUser = df
