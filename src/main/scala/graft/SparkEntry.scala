@@ -157,7 +157,8 @@ object SparkEntry {
     "q112_topk_per_group" -> q(t => Sampling.topDocsPerSource(t)),
     "q113_zorder_layout" -> q(t => graft.sources.Layout.zOrderPreview(t)),
     "q114_group_sample" -> q(t => Sampling.sampleKPerSource(t)),
-    "q115_corr_matrix" -> q(Analytics.corrMatrix))
+    "q115_corr_matrix" -> q(Analytics.corrMatrix),
+    "q116_top_terms_per_lang" -> q(t => TextAnalysis.topTermsPerLang(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -182,6 +183,7 @@ object SparkEntry {
     "q113_zorder_layout" -> graft.sources.Layout.zOrderPreviewSql,
     "q114_group_sample" -> Sampling.sampleKPerSourceSql(),
     "q115_corr_matrix" -> Analytics.corrMatrixSql,
+    "q116_top_terms_per_lang" -> TextAnalysis.topTermsPerLangSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

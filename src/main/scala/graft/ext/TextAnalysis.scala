@@ -290,6 +290,48 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("term"))
       .limit(k)
 
+  /** q116: per-language vocabulary head — the k terms with the highest
+    * document frequency in each language, via the bounded-heap top-k
+    * aggregate ([[graft.functions.TopKAgg.topKStrBy]]) rather than a
+    * `row_number()` window. The distinction matters here more than
+    * anywhere: the (lang, term) df frame is vocabulary-sized (millions of
+    * terms per language at corpus scale), and the window form would
+    * shuffle-sort all of it to keep 10 rows per language. Doc-level term
+    * dedup rides `array_distinct` INSIDE the narrow explode (no
+    * (doc, term) distinct shuffle); the df count is then one exchange. */
+  def topTermsPerLang(t: Tables, k: Int = 10): DataFrame = {
+    graft.functions.TopKAgg.register(t.spark)
+    t.documents
+      .select(col("lang"),
+        explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAgg.topKStrBy(col("df"), col("term"), k).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(
+        col("lang"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("term"),
+        col("col.ord").as("df"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** The DuckDB mirror of [[topTermsPerLang]]: the window form. */
+  def topTermsPerLangSql(k: Int = 10): String =
+    s"""WITH tk AS (
+       |  SELECT lang,
+       |   unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
+       |  FROM documents),
+       |df AS (SELECT lang, term, count(*) AS df FROM tk GROUP BY 1, 2)
+       |SELECT lang, CAST(rn AS INTEGER) AS rank, term, df
+       |FROM (SELECT lang, term, df,
+       |        row_number() OVER (PARTITION BY lang
+       |                           ORDER BY df DESC, term) AS rn
+       |      FROM df)
+       |WHERE rn <= $k
+       |ORDER BY lang, rank""".stripMargin
+
   /** q94: the full inverted index — term → document frequency, corpus
     * frequency, and the posting list itself ("doc:tf" entries, doc-ordered)
     * — the table a keyword-search serving layer reads. Build shape: one

@@ -172,17 +172,178 @@ object TopKAgg {
       copy(left = l, right = r)
   }
 
-  private val fnName = "graft_topk"
+  /** Fixed-capacity heap over (ord, string payload) pairs — the
+    * [[TopKBuffer]] kernel with a text payload (terms, ids, urls), same
+    * (ord DESC, payload ASC) total order with payload ties compared as
+    * binary UTF-8 (Spark's and DuckDB's default string ordering, so the
+    * kept set stays oracle-replayable). */
+  final class TopKStrBuffer(val k: Int) {
+    val ords = new Array[Long](k)
+    val pays = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var n = 0
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName,
-      exprs => TopKByAgg(exprs.head, exprs(1),
-        exprs.lift(2).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(10)),
-      "scala_udf")
+    private def worse(ai: Long, ap: org.apache.spark.unsafe.types.UTF8String,
+                      bi: Long, bp: org.apache.spark.unsafe.types.UTF8String): Boolean =
+      ai < bi || (ai == bi && ap.compareTo(bp) > 0)
+
+    private def swap(i: Int, j: Int): Unit = {
+      val to = ords(i); ords(i) = ords(j); ords(j) = to
+      val tp = pays(i); pays(i) = pays(j); pays(j) = tp
+    }
+
+    def insert(o: Long, p: org.apache.spark.unsafe.types.UTF8String): Unit = {
+      if (n < k) {
+        ords(n) = o; pays(n) = p
+        var i = n
+        n += 1
+        while (i > 0 && worse(ords(i), pays(i), ords((i - 1) / 2), pays((i - 1) / 2))) {
+          swap(i, (i - 1) / 2)
+          i = (i - 1) / 2
+        }
+      } else if (worse(ords(0), pays(0), o, p)) {
+        ords(0) = o; pays(0) = p
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var w = i
+          if (l < n && worse(ords(l), pays(l), ords(w), pays(w))) w = l
+          if (r < n && worse(ords(r), pays(r), ords(w), pays(w))) w = r
+          if (w == i) done = true
+          else { swap(i, w); i = w }
+        }
+      }
+    }
+
+    def sortedPairs: Array[(Long, org.apache.spark.unsafe.types.UTF8String)] = {
+      val out = Array.tabulate(n)(i => (ords(i), pays(i)))
+      scala.util.Sorting.stableSort(out,
+        (a: (Long, org.apache.spark.unsafe.types.UTF8String),
+         b: (Long, org.apache.spark.unsafe.types.UTF8String)) =>
+          a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0))
+      out
+    }
+  }
+
+  private val strElemType = StructType(Seq(
+    StructField("ord", LongType, nullable = false),
+    StructField("payload", StringType, nullable = false)))
+
+  /** `graft_topk_str(ord, payload, k)` — the [[TopKByAgg]] contract with a
+    * string payload. */
+  case class TopKStrByAgg(
+      left: Expression,
+      right: Expression,
+      k: Int,
+      override val mutableAggBufferOffset: Int = 0,
+      override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKStrBuffer] with BinaryLike[Expression] {
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case _ if k <= 0 => TypeCheckResult.TypeCheckFailure(s"graft_topk_str k must be positive, got $k")
+      case (LongType | IntegerType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_topk_str expects (integral ord, string payload), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+    override def dataType: DataType = ArrayType(strElemType, containsNull = false)
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_topk_str"
+
+    override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+    override def update(buffer: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+      val o = left.eval(input)
+      val p = right.eval(input)
+      if (o != null && p != null)
+        // clone: the UTF8String points into a row buffer the scan reuses
+        buffer.insert(o.asInstanceOf[Number].longValue(),
+          p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].clone())
+      buffer
+    }
+
+    override def merge(buffer: TopKStrBuffer, other: TopKStrBuffer): TopKStrBuffer = {
+      var i = 0
+      while (i < other.n) { buffer.insert(other.ords(i), other.pays(i)); i += 1 }
+      buffer
+    }
+
+    override def eval(buffer: TopKStrBuffer): Any =
+      new GenericArrayData(buffer.sortedPairs.map { case (o, p) =>
+        InternalRow(o, p): Any
+      })
+
+    override def serialize(buffer: TopKStrBuffer): Array[Byte] = {
+      val payloadBytes = new Array[Array[Byte]](buffer.n)
+      var total = 8 + 12 * buffer.n
+      var i = 0
+      while (i < buffer.n) {
+        payloadBytes(i) = buffer.pays(i).getBytes
+        total += payloadBytes(i).length
+        i += 1
+      }
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.putInt(buffer.k)
+      bb.putInt(buffer.n)
+      i = 0
+      while (i < buffer.n) {
+        bb.putLong(buffer.ords(i))
+        bb.putInt(payloadBytes(i).length)
+        bb.put(payloadBytes(i))
+        i += 1
+      }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val stateK = bb.getInt()
+      require(stateK >= k,
+        s"topk_str merge k=$k exceeds the serialized state's k=$stateK; " +
+          "merge k must be <= the smallest builder k")
+      val out = new TopKStrBuffer(k)
+      val n = bb.getInt()
+      var i = 0
+      while (i < n) {
+        val o = bb.getLong()
+        val len = bb.getInt()
+        val pb = new Array[Byte](len)
+        bb.get(pb)
+        out.insert(o, org.apache.spark.unsafe.types.UTF8String.fromBytes(pb))
+        i += 1
+      }
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): TopKStrByAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): TopKStrByAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  private val fnName = "graft_topk"
+  private val strFnName = "graft_topk_str"
+
+  private def kArg(exprs: Seq[Expression]): Int =
+    exprs.lift(2).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(10)
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      fnName, exprs => TopKByAgg(exprs.head, exprs(1), kArg(exprs)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      strFnName, exprs => TopKStrByAgg(exprs.head, exprs(1), kArg(exprs)), "scala_udf")
+  }
 
   /** Top-k (ord DESC, payload ASC) pairs per group, best-first. Call
     * [[register]] on the session first. */
   def topKBy(ord: Column, payload: Column, k: Int): Column =
     call_function(fnName, ord, payload, lit(k))
+
+  /** [[topKBy]] with a string payload. Call [[register]] first. */
+  def topKStrBy(ord: Column, payload: Column, k: Int): Column =
+    call_function(strFnName, ord, payload, lit(k))
 }

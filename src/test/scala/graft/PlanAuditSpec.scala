@@ -346,7 +346,8 @@ class PlanAuditSpec extends SparkSpec {
     "q108_grouped_equidepth_approx" -> 5, "q109_cumulative_quantiles" -> 4,
     "q110_maximal_dup_spans" -> 3, "q111_quality_classifier" -> 1,
     "q112_topk_per_group" -> 2, "q113_zorder_layout" -> 1,
-    "q114_group_sample" -> 2, "q115_corr_matrix" -> 1)
+    "q114_group_sample" -> 2, "q115_corr_matrix" -> 1,
+    "q116_top_terms_per_lang" -> 3)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -93,6 +93,46 @@ class TopKAggSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("string-payload heap: kept set, wire-format merge, UTF-8 binary tiebreak") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val words = Seq("data", "database", "set", "zeta", "alpha", "Alpha", "a", "")
+    val pairs = lcg(11).take(300).zipWithIndex.map { case (h, i) =>
+      ((h % 20).abs, UTF8String.fromString(words(i % words.length)))
+    }.toSeq
+    val k = 5
+    val whole = new TopKAgg.TopKStrBuffer(k)
+    pairs.foreach { case (o, p) => whole.insert(o, p) }
+    val brute = pairs.sortWith((a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2.compareTo(b._2) < 0)).take(k)
+    assert(whole.sortedPairs.toSeq == brute)
+
+    val agg = TopKAgg.TopKStrByAgg(L0, L0, k)
+    val merged = pairs.grouped(37).foldLeft(new TopKAgg.TopKStrBuffer(k)) { (acc, chunk) =>
+      val part = new TopKAgg.TopKStrBuffer(k)
+      chunk.foreach { case (o, p) => part.insert(o, p) }
+      agg.merge(acc, agg.deserialize(agg.serialize(part)))
+    }
+    assert(merged.sortedPairs.toSeq == whole.sortedPairs.toSeq)
+  }
+
+  test("q116 equals the window form on real data") {
+    val t = sf()
+    val df = t.documents
+      .select(col("lang"),
+        explode(array_distinct(graft.ext.TextAnalysis.tokens(lower(col("text"))))).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val expected = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("df").desc, col("term"))))
+      .filter(col("rank") <= 10)
+      .select(col("lang"), col("rank"), col("term"), col("df"))
+      .orderBy(col("lang"), col("rank"))
+      .collect().toSeq
+    val got = graft.ext.TextAnalysis.topTermsPerLang(t).collect().toSeq
+    assert(got == expected)
+  }
+
   test("plan: aggregates with partial+final pair, no Window, no full-input Sort") {
     val df = graft.ext.Sampling.topDocsPerSource(sf())
     val p = df.queryExecution.executedPlan.toString
