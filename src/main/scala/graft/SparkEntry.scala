@@ -158,7 +158,8 @@ object SparkEntry {
     "q113_zorder_layout" -> q(t => graft.sources.Layout.zOrderPreview(t)),
     "q114_group_sample" -> q(t => Sampling.sampleKPerSource(t)),
     "q115_corr_matrix" -> q(Analytics.corrMatrix),
-    "q116_top_terms_per_lang" -> q(t => TextAnalysis.topTermsPerLang(t)))
+    "q116_top_terms_per_lang" -> q(t => TextAnalysis.topTermsPerLang(t)),
+    "q117_bpe_merges" -> q(t => graft.ext.Bpe.bpeMerges(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -184,6 +185,7 @@ object SparkEntry {
     "q114_group_sample" -> Sampling.sampleKPerSourceSql(),
     "q115_corr_matrix" -> Analytics.corrMatrixSql,
     "q116_top_terms_per_lang" -> TextAnalysis.topTermsPerLangSql(),
+    "q117_bpe_merges" -> graft.ext.Bpe.bpeMergesSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

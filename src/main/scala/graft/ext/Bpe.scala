@@ -1,0 +1,155 @@
+package graft.ext
+
+import graft.core.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge training — tokenizer
+  * induction over a corpus (Sennrich et al. 2016), the vocabulary-build
+  * step of an LLM data pipeline.
+  *
+  * Scale shape: BPE never iterates over the corpus. One corpus pass builds
+  * the word-frequency table (the only full-data shuffle); every merge round
+  * then runs on that vocabulary-sized frame (millions of rows at web
+  * scale — still distributed, but 10^6× smaller than the corpus). Per
+  * round: one aggregate for pair frequencies, a 1-row argmax to the driver
+  * (the merge RULE is driver-state by definition — it IS the output), and
+  * one narrow rebuild of the token arrays. localCheckpoint per round keeps
+  * the plan from growing with the merge count, the same pattern as the
+  * connected-components closure.
+  *
+  * Greedy left-to-right application is made shuffle-friendly by the
+  * runs-parity formulation: candidate positions of the winning pair that
+  * sit consecutively (overlapping occurrences like "aaa" for merge (a,a))
+  * form runs, and exactly the 1st, 3rd, 5th… of each run merge — byte-wise
+  * identical to a sequential scan, but computable with two windows over
+  * the exploded positions. Ties in the argmax break on (pair_left,
+  * pair_right) so the whole training is deterministic and the DuckDB
+  * oracle replays every round bit-for-bit.
+  */
+object Bpe {
+
+  /** q117: the first `merges` BPE merge rules learned from the documents
+    * corpus — (rank, left_tok, right_tok, merged, freq). */
+  def bpeMerges(t: Tables, merges: Int = 8): DataFrame =
+    bpeMergesFrom(t.documents, merges)
+
+  /** [[bpeMerges]] over any frame with a `text` column. */
+  def bpeMergesFrom(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // the word-frequency table: BPE's working set. Chars via an explicit
+    // substring transform (same char semantics as the oracle's slicing).
+    var words = docs
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      // adjacent-pair frequencies, weighted by word count (every occurrence
+      // inside a word counts, standard BPE)
+      val best = words
+        .select(col("cnt"), col("toks"),
+          posexplode(expr("slice(toks, 1, size(toks) - 1)")).as(Seq("i", "a")))
+        .withColumn("b", expr("toks[i + 1]"))
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (ba, bb, bf) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rules += ((rank, ba, bb, ba + bb, bf))
+
+        // greedy application: candidate positions → runs → odd-in-run kept
+        val cand = words
+          .select(col("word"), col("toks"),
+            posexplode(expr("slice(toks, 1, size(toks) - 1)")).as(Seq("i", "a")))
+          .filter(col("a") === lit(ba) && expr("toks[i + 1]") === lit(bb))
+          .select(col("word"), col("i"))
+        val kept = cand
+          .withColumn("rn", row_number().over(Window.partitionBy(col("word")).orderBy(col("i"))))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("word"), col("i") - col("rn")).orderBy(col("i"))))
+          .filter(pmod(col("rr"), lit(2)) === 1)
+          .groupBy(col("word")).agg(collect_list(col("i")).as("kept"))
+
+        words = words
+          .join(kept, Seq("word"), "left")
+          .withColumn("keptA", coalesce(col("kept"), expr("CAST(array() AS ARRAY<INT>)")))
+          .withColumn("toks", expr(
+            """filter(
+              |  transform(sequence(0, size(toks) - 1), i ->
+              |    CASE WHEN array_contains(keptA, i) THEN concat(toks[i], toks[i + 1])
+              |         WHEN array_contains(keptA, i - 1) THEN CAST(NULL AS STRING)
+              |         ELSE toks[i] END),
+              |  x -> x IS NOT NULL)""".stripMargin))
+          .select(col("word"), col("cnt"), col("toks"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    rules.result()
+      .toDF("rank", "left_tok", "right_tok", "merged", "freq")
+      .orderBy(col("rank"))
+  }
+
+  /** The DuckDB mirror of [[bpeMerges]]: the same rounds unrolled as CTE
+    * chains (SQL has no loops; the rule count is a training parameter, so
+    * unrolling is exact, not an approximation). */
+  def bpeMergesSql(merges: Int = 8): String = {
+    val base =
+      """wc AS (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |t0 AS (
+        |  SELECT word, cnt,
+        |   list_transform(range(1, length(word) + 1), i -> word[i:i]) AS toks
+        |  FROM wc)""".stripMargin
+    val rounds = (1 to merges).map { r =>
+      val p = s"t${r - 1}"
+      s"""pf_$r AS (
+         |  SELECT t.toks[i] AS a, t.toks[i + 1] AS b, CAST(sum(t.cnt) AS BIGINT) AS freq
+         |  FROM $p t, unnest(range(1, len(t.toks))) AS u(i)
+         |  GROUP BY 1, 2),
+         |best_$r AS (SELECT a, b, freq FROM pf_$r ORDER BY freq DESC, a, b LIMIT 1),
+         |cand_$r AS (
+         |  SELECT t.word, i
+         |  FROM $p t, unnest(range(1, len(t.toks))) AS u(i), best_$r
+         |  WHERE t.toks[i] = best_$r.a AND t.toks[i + 1] = best_$r.b),
+         |kept_$r AS (
+         |  SELECT word, list(i ORDER BY i) AS kept FROM (
+         |    SELECT word, i,
+         |      row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS rr
+         |    FROM (SELECT word, i,
+         |            row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+         |          FROM cand_$r))
+         |  WHERE rr % 2 = 1 GROUP BY word),
+         |t$r AS (
+         |  SELECT t.word, t.cnt,
+         |   list_filter(
+         |     list_transform(range(1, len(t.toks) + 1), i ->
+         |       CASE WHEN list_contains(coalesce(k.kept, []), i)
+         |              THEN t.toks[i] || t.toks[i + 1]
+         |            WHEN list_contains(coalesce(k.kept, []), i - 1)
+         |              THEN NULL
+         |            ELSE t.toks[i] END),
+         |     x -> x IS NOT NULL) AS toks
+         |  FROM $p t LEFT JOIN kept_$r k USING (word))""".stripMargin
+    }
+    val arms = (1 to merges)
+      .map(r => s"SELECT $r AS rank, a AS left_tok, b AS right_tok, a || b AS merged, freq FROM best_$r")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"WITH $base,\n${rounds.mkString(",\n")}$arms\nORDER BY rank"
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ext.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE merge training: the classic worked example, sequential-greedy
+  * equivalence of the runs-parity application (overlapping occurrences),
+  * and full-corpus parity with an independent single-node reference. */
+class BpeSpec extends SparkSpec {
+
+  /** Independent reference: plain-Scala BPE over a word-count map, with
+    * the textbook sequential greedy merge application. No shared code with
+    * [[Bpe]]. */
+  private def referenceBpe(wordCounts: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to k) {
+      val freqs = collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, c) <- words; i <- 0 until toks.length - 1)
+        freqs((toks(i), toks(i + 1))) = freqs.getOrElse((toks(i), toks(i + 1)), 0L) + c
+      if (freqs.nonEmpty) {
+        val ((a, b), f) = freqs.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, f))
+        words = words.groupMapReduce { case (toks, _) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+              merged += a + b; i += 2
+            } else { merged += toks(i); i += 1 }
+          }
+          merged.result()
+        } { case (_, c) => c }(_ + _)
+      }
+    }
+    out.result()
+  }
+
+  test("classic corpus: merges follow pair frequency with deterministic ties") {
+    // Sennrich et al.'s shape: {low x5, lower x2, newest x6, widest x3}
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = spark.createDataFrame(Seq(Tuple1(text))).toDF("text")
+    val got = Bpe.bpeMergesFrom(docs, 4).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    // (e,s) and (es,t) dominate at 9 (newest+widest); then t? no — after
+    // "est", pair ranking continues; the reference implementation is the
+    // ground truth for the full sequence
+    val expected = referenceBpe(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    assert(got == expected)
+    assert(got.head == (("e", "s", 9L)), s"first merge should be (e,s,9), got ${got.head}")
+  }
+
+  test("overlapping occurrences: runs-parity equals sequential greedy (aaaa)") {
+    val docs = spark.createDataFrame(
+      Seq(Tuple1("aaaa aaaa aaa ba ab"))).toDF("text")
+    val got = Bpe.bpeMergesFrom(docs, 3).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val expected = referenceBpe(
+      Map("aaaa" -> 2L, "aaa" -> 1L, "ba" -> 1L, "ab" -> 1L), 3)
+    assert(got == expected)
+    // "aaaa" has 3 (a,a) positions but greedy merges only 2; "aaa" has 2
+    // positions, merges 1 → freq = 2*3 + 1*2 = 8? No: frequency COUNTS all
+    // occurrences (4+2+1 = 8? pairs in aaaa: 3, aaa: 2, ba: 0, ab: 0 →
+    // 2*3 + 2 = 8); the reference asserts the exact value either way
+    assert(got.head._1 == "a" && got.head._2 == "a")
+  }
+
+  test("full corpus: distributed training equals the single-node reference") {
+    val t = sf()
+    val wordCounts = t.documents
+      .select(explode(graft.ext.TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceBpe(wordCounts, 8)
+    val got = Bpe.bpeMerges(t, 8).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expected)
+    // merged column is the concatenation, ranks are 1..k
+    val rows = Bpe.bpeMerges(t, 8).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8))
+    assert(rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+  }
+}

@@ -347,7 +347,11 @@ class PlanAuditSpec extends SparkSpec {
     "q110_maximal_dup_spans" -> 3, "q111_quality_classifier" -> 1,
     "q112_topk_per_group" -> 2, "q113_zorder_layout" -> 1,
     "q114_group_sample" -> 2, "q115_corr_matrix" -> 1,
-    "q116_top_terms_per_lang" -> 3)
+    "q116_top_terms_per_lang" -> 3,
+    // q117's returned frame is the driver-assembled merge table (the
+    // training's exchanges happen inside the loop's checkpointed rounds);
+    // the visible plan is LocalTableScan + presentation sort
+    "q117_bpe_merges" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
