@@ -36,7 +36,14 @@ object Bpe {
     bpeMergesFrom(t.documents, merges)
 
   /** [[bpeMerges]] over any frame with a `text` column. */
-  def bpeMergesFrom(docs: DataFrame, merges: Int): DataFrame = {
+  def bpeMergesFrom(docs: DataFrame, merges: Int): DataFrame =
+    trainFrom(docs, merges)._1
+
+  /** The training loop, returning both the merge-rule table and the final
+    * word → token-array vocabulary state (the encode side reuses the
+    * latter: the corpus is ENCODED by a broadcast join against the
+    * vocabulary, never by re-running merges over full text). */
+  private def trainFrom(docs: DataFrame, merges: Int): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -97,37 +104,90 @@ object Bpe {
         rank += 1
       }
     }
-    rules.result()
+    (rules.result()
       .toDF("rank", "left_tok", "right_tok", "merged", "freq")
-      .orderBy(col("rank"))
+      .orderBy(col("rank")),
+      words)
+  }
+
+  /** q118: corpus encoding under the learned vocabulary — per-document
+    * word count, BPE token count, and compression ratio (chars per BPE
+    * token, the metric a tokenizer build is judged on).
+    *
+    * Scale shape: the expensive part (merge training + vocabulary
+    * tokenization) ran on the word table; encoding the corpus is then one
+    * NARROW explode plus a broadcast join against the word → token-count
+    * vocabulary — no shuffle touches full text, and the only exchange is
+    * the per-document aggregate. */
+  def bpeEncode(t: Tables, merges: Int = 8): DataFrame = {
+    val (_, vocab) = trainFrom(t.documents, merges)
+    val wordTokens = vocab.select(
+      col("word"),
+      length(col("word")).as("n_chars"),
+      size(col("toks")).as("n_toks"))
+    t.documents
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(wordTokens), "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_chars")).as("n_word_chars"),
+        sum(col("n_toks")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_word_chars").cast("double") / col("n_bpe_tokens"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB mirror of [[bpeEncode]]: the q117 rounds unrolled, then
+    * the corpus joined to the final vocabulary state. */
+  def bpeEncodeSql(merges: Int = 8): String = {
+    val training = bpeMergesSql(merges)
+    val prefix = training.substring(0, training.lastIndexOf("SELECT 1 AS rank"))
+    s"""$prefix
+       |SELECT d.doc_id,
+       | count(*) AS n_words,
+       | CAST(sum(length(d.word)) AS BIGINT) AS n_word_chars,
+       | CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe_tokens,
+       | round(CAST(sum(length(d.word)) AS DOUBLE) / sum(len(t.toks)), 6) AS compression
+       |FROM (SELECT doc_id,
+       |        unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |      FROM documents) d
+       |JOIN t$merges t USING (word)
+       |WHERE length(d.word) > 0
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** The DuckDB mirror of [[bpeMerges]]: the same rounds unrolled as CTE
     * chains (SQL has no loops; the rule count is a training parameter, so
-    * unrolling is exact, not an approximation). */
+    * unrolling is exact, not an approximation). Every CTE is
+    * `AS MATERIALIZED`: each round references the previous one three
+    * times, and inlining makes evaluation 3^rounds-exponential (measured
+    * >60 s for 8 rounds vs 0.2 s materialized). */
   def bpeMergesSql(merges: Int = 8): String = {
     val base =
-      """wc AS (
+      """wc AS MATERIALIZED (
         |  SELECT word, count(*) AS cnt
         |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
         |        FROM documents)
         |  WHERE length(word) > 0 GROUP BY 1),
-        |t0 AS (
+        |t0 AS MATERIALIZED (
         |  SELECT word, cnt,
         |   list_transform(range(1, length(word) + 1), i -> word[i:i]) AS toks
         |  FROM wc)""".stripMargin
     val rounds = (1 to merges).map { r =>
       val p = s"t${r - 1}"
-      s"""pf_$r AS (
+      s"""pf_$r AS MATERIALIZED (
          |  SELECT t.toks[i] AS a, t.toks[i + 1] AS b, CAST(sum(t.cnt) AS BIGINT) AS freq
          |  FROM $p t, unnest(range(1, len(t.toks))) AS u(i)
          |  GROUP BY 1, 2),
-         |best_$r AS (SELECT a, b, freq FROM pf_$r ORDER BY freq DESC, a, b LIMIT 1),
-         |cand_$r AS (
+         |best_$r AS MATERIALIZED (SELECT a, b, freq FROM pf_$r ORDER BY freq DESC, a, b LIMIT 1),
+         |cand_$r AS MATERIALIZED (
          |  SELECT t.word, i
          |  FROM $p t, unnest(range(1, len(t.toks))) AS u(i), best_$r
          |  WHERE t.toks[i] = best_$r.a AND t.toks[i + 1] = best_$r.b),
-         |kept_$r AS (
+         |kept_$r AS MATERIALIZED (
          |  SELECT word, list(i ORDER BY i) AS kept FROM (
          |    SELECT word, i,
          |      row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS rr
@@ -135,7 +195,7 @@ object Bpe {
          |            row_number() OVER (PARTITION BY word ORDER BY i) AS rn
          |          FROM cand_$r))
          |  WHERE rr % 2 = 1 GROUP BY word),
-         |t$r AS (
+         |t$r AS MATERIALIZED (
          |  SELECT t.word, t.cnt,
          |   list_filter(
          |     list_transform(range(1, len(t.toks) + 1), i ->

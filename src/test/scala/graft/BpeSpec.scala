@@ -68,6 +68,41 @@ class BpeSpec extends SparkSpec {
     assert(got.head._1 == "a" && got.head._2 == "a")
   }
 
+  test("encode: per-doc token counts reconcile with the reference tokenization") {
+    val t = sf()
+    // reference: train on the corpus word counts, then encode each word
+    val wordCounts = t.documents
+      .select(explode(graft.ext.TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sequential per-word encode under the reference merge list
+    val rules = referenceBpe(wordCounts, 8).map { case (a, b, _) => (a, b) }
+    def encodeWord(w: String): Int = {
+      var toks = w.map(_.toString).toVector
+      for ((a, b) <- rules) {
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+            merged += a + b; i += 2
+          } else { merged += toks(i); i += 1 }
+        }
+        toks = merged.result()
+      }
+      toks.length
+    }
+    val expected = t.documents
+      .select(col("doc_id"), explode(graft.ext.TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => encodeWord(r.getString(1)).toLong).sum).toMap
+    val got = graft.ext.Bpe.bpeEncode(t).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_bpe_tokens")).toMap
+    assert(got == expected)
+  }
+
   test("full corpus: distributed training equals the single-node reference") {
     val t = sf()
     val wordCounts = t.documents

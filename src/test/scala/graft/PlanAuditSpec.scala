@@ -351,7 +351,7 @@ class PlanAuditSpec extends SparkSpec {
     // q117's returned frame is the driver-assembled merge table (the
     // training's exchanges happen inside the loop's checkpointed rounds);
     // the visible plan is LocalTableScan + presentation sort
-    "q117_bpe_merges" -> 1)
+    "q117_bpe_merges" -> 1, "q118_bpe_encode" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
