@@ -160,7 +160,8 @@ object SparkEntry {
     "q115_corr_matrix" -> q(Analytics.corrMatrix),
     "q116_top_terms_per_lang" -> q(t => TextAnalysis.topTermsPerLang(t)),
     "q117_bpe_merges" -> q(t => graft.ext.Bpe.bpeMerges(t)),
-    "q118_bpe_encode" -> q(t => graft.ext.Bpe.bpeEncode(t)))
+    "q118_bpe_encode" -> q(t => graft.ext.Bpe.bpeEncode(t)),
+    "q119_token_budget_mix" -> q(t => Sampling.tokenBudgetMix(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -188,6 +189,7 @@ object SparkEntry {
     "q116_top_terms_per_lang" -> TextAnalysis.topTermsPerLangSql(),
     "q117_bpe_merges" -> graft.ext.Bpe.bpeMergesSql(),
     "q118_bpe_encode" -> graft.ext.Bpe.bpeEncodeSql(),
+    "q119_token_budget_mix" -> Sampling.tokenBudgetMixSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -419,6 +419,70 @@ object Sampling {
       .orderBy(col("source"), col("pick"))
   }
 
+  /** q119: token-budget mixing — fill a per-source character budget
+    * (weight% of that source's corpus mass) with documents in portable-hash
+    * order, keeping each document only if it still fits. This is the
+    * budget-constrained form of [[mixByStratum]]: a rate filter keeps ~X%
+    * of ROWS regardless of their size; a training-mix spec is written in
+    * TOKENS ("fill 1T tokens: 50% web, 30% code…"), and this keeps the
+    * exact greedy prefix of the hash order that satisfies it. Hash order
+    * makes the kept prefix a uniform, layout-independent sample (first-N
+    * by doc_id would bias toward old crawls) that only ever GROWS with the
+    * budget. All budget arithmetic is integer (chars × pct div 100), so
+    * the oracle replays the cutoff exactly.
+    *
+    * Scale shape: per-source totals are a tiny broadcast aggregate; the
+    * cumulative fill is one window over the (doc_id, source, n_chars)
+    * STATS frame — document text never shuffles. */
+  def tokenBudgetMix(t: Tables,
+                     ratesPct: Seq[(String, Int)] = Seq("src0" -> 80, "src1" -> 30),
+                     defaultPct: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pct = ratesPct.foldRight(lit(defaultPct): Column) { case ((k, p), acc) =>
+      when(col("source") === lit(k), lit(p)).otherwise(acc)
+    }
+    val budgets = t.documents
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("total_chars"))
+      .withColumn("pct", pct)
+      .withColumn("budget", expr("(total_chars * pct) div 100"))
+      .select(col("source"), col("budget"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(splitHash(col("doc_id")), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(broadcast(budgets), "source")
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .filter(col("cum_chars") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("cum_chars"), col("budget"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB mirror of [[tokenBudgetMix]]. */
+  def tokenBudgetMixSql(ratesPct: Seq[(String, Int)] = Seq("src0" -> 80, "src1" -> 30),
+                        defaultPct: Int = 50): String = {
+    val caseArms = ratesPct
+      .map { case (k, p) => s"WHEN source = '$k' THEN $p" }
+      .mkString(" ")
+    val h = splitHashSql("doc_id")
+    s"""WITH b AS (
+       |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents GROUP BY 1),
+       |bb AS (
+       |  SELECT source,
+       |   (total_chars * (CASE $caseArms ELSE $defaultPct END)) // 100 AS budget
+       |  FROM b),
+       |c AS (
+       |  SELECT d.doc_id, d.source, d.n_chars, bb.budget,
+       |   CAST(sum(d.n_chars) OVER (PARTITION BY d.source
+       |          ORDER BY ($h), d.doc_id) AS BIGINT) AS cum_chars
+       |  FROM documents d JOIN bb USING (source))
+       |SELECT doc_id, source, n_chars, cum_chars, budget
+       |FROM c WHERE cum_chars <= budget
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The DuckDB mirror of [[sampleKPerSource]]. */
   def sampleKPerSourceSql(k: Int = 5): String = {
     val h = splitHashSql("doc_id")

@@ -351,7 +351,8 @@ class PlanAuditSpec extends SparkSpec {
     // q117's returned frame is the driver-assembled merge table (the
     // training's exchanges happen inside the loop's checkpointed rounds);
     // the visible plan is LocalTableScan + presentation sort
-    "q117_bpe_merges" -> 1, "q118_bpe_encode" -> 2)
+    "q117_bpe_merges" -> 1, "q118_bpe_encode" -> 2,
+    "q119_token_budget_mix" -> 3)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

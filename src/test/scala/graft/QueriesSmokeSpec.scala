@@ -48,6 +48,36 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(fromMatrix == single, "matrix pair diverges from the per-pair kernel")
   }
 
+  test("q119 budget fill: per-source mass within budget, next-in-order doc would not fit") {
+    val t = sf()
+    val kept = SparkEntry.queries("q119_token_budget_mix")(spark, dir).collect()
+    val bySource = kept.groupBy(_.getString(1))
+    for ((src, rows) <- bySource) {
+      val budget = rows.head.getLong(4)
+      val mass = rows.map(_.getLong(2)).sum
+      assert(mass <= budget, s"$src over budget: $mass > $budget")
+      assert(rows.map(_.getLong(3)).max == mass, s"$src cum/mass mismatch")
+    }
+    // greedy maximality: the first EXCLUDED doc in hash order per source
+    // must not fit in the remaining budget
+    val all = t.documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        graft.ext.Sampling.splitHash(col("doc_id")).as("h"))
+      .collect()
+      .groupBy(_.getString(1))
+    val keptIds = kept.map(_.getLong(0)).toSet
+    for ((src, rows) <- bySource) {
+      val budget = rows.head.getLong(4)
+      val mass = rows.map(_.getLong(2)).sum
+      val excluded = all(src).sortBy(r => (r.getLong(3), r.getLong(0)))
+        .find(r => !keptIds.contains(r.getLong(0)))
+      excluded.foreach { e =>
+        assert(mass + e.getLong(2) > budget,
+          s"$src: excluded doc ${e.getLong(0)} (${e.getLong(2)} chars) still fits")
+      }
+    }
+  }
+
   test("q16 lag is null at each partition head") {
     val df = SparkEntry.queries("q16_window_lag")(spark, dir)
     val firstPerUser = df
