@@ -141,10 +141,8 @@ object Bpe {
 
   /** The DuckDB mirror of [[bpeEncode]]: the q117 rounds unrolled, then
     * the corpus joined to the final vocabulary state. */
-  def bpeEncodeSql(merges: Int = 8): String = {
-    val training = bpeMergesSql(merges)
-    val prefix = training.substring(0, training.lastIndexOf("SELECT 1 AS rank"))
-    s"""$prefix
+  def bpeEncodeSql(merges: Int = 8): String =
+    s"""WITH ${trainingCtesSql(merges)}
        |SELECT d.doc_id,
        | count(*) AS n_words,
        | CAST(sum(length(d.word)) AS BIGINT) AS n_word_chars,
@@ -157,15 +155,24 @@ object Bpe {
        |WHERE length(d.word) > 0
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The DuckDB mirror of [[bpeMerges]]: the shared training CTE chain
+    * plus one SELECT arm per learned rule. */
+  def bpeMergesSql(merges: Int = 8): String = {
+    val arms = (1 to merges)
+      .map(r => s"SELECT $r AS rank, a AS left_tok, b AS right_tok, a || b AS merged, freq FROM best_$r")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${trainingCtesSql(merges)}\n$arms\nORDER BY rank"
   }
 
-  /** The DuckDB mirror of [[bpeMerges]]: the same rounds unrolled as CTE
-    * chains (SQL has no loops; the rule count is a training parameter, so
-    * unrolling is exact, not an approximation). Every CTE is
-    * `AS MATERIALIZED`: each round references the previous one three
-    * times, and inlining makes evaluation 3^rounds-exponential (measured
-    * >60 s for 8 rounds vs 0.2 s materialized). */
-  def bpeMergesSql(merges: Int = 8): String = {
+  /** The training rounds unrolled as a CTE chain — the shared body of
+    * [[bpeMergesSql]] and [[bpeEncodeSql]] (SQL has no loops; the rule
+    * count is a training parameter, so unrolling is exact, not an
+    * approximation). Every CTE is `AS MATERIALIZED`: each round references
+    * the previous one three times, and inlining makes evaluation
+    * 3^rounds-exponential (measured >60 s for 8 rounds vs 0.2 s
+    * materialized). */
+  private def trainingCtesSql(merges: Int): String = {
     val base =
       """wc AS MATERIALIZED (
         |  SELECT word, count(*) AS cnt
@@ -207,9 +214,6 @@ object Bpe {
          |     x -> x IS NOT NULL) AS toks
          |  FROM $p t LEFT JOIN kept_$r k USING (word))""".stripMargin
     }
-    val arms = (1 to merges)
-      .map(r => s"SELECT $r AS rank, a AS left_tok, b AS right_tok, a || b AS merged, freq FROM best_$r")
-      .mkString("\n", "\nUNION ALL\n", "")
-    s"WITH $base,\n${rounds.mkString(",\n")}$arms\nORDER BY rank"
+    s"$base,\n${rounds.mkString(",\n")}"
   }
 }

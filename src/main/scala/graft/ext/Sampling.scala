@@ -421,7 +421,10 @@ object Sampling {
 
   /** q119: token-budget mixing — fill a per-source character budget
     * (weight% of that source's corpus mass) with documents in portable-hash
-    * order, keeping each document only if it still fits. This is the
+    * order, keeping the longest PREFIX of that order that fits (the first
+    * overflowing document ends the kept set — later smaller documents are
+    * NOT back-filled; prefix semantics are what keep the set monotone in
+    * the budget). This is the
     * budget-constrained form of [[mixByStratum]]: a rate filter keeps ~X%
     * of ROWS regardless of their size; a training-mix spec is written in
     * TOKENS ("fill 1T tokens: 50% web, 30% code…"), and this keeps the

@@ -304,6 +304,7 @@ object TextAnalysis {
     t.documents
       .select(col("lang"),
         explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+      .filter(length(col("term")) > 0) // whitespace-only docs yield [""]
       .groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("df"))
       .groupBy(col("lang"))
@@ -323,7 +324,8 @@ object TextAnalysis {
        |  SELECT lang,
        |   unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
        |  FROM documents),
-       |df AS (SELECT lang, term, count(*) AS df FROM tk GROUP BY 1, 2)
+       |df AS (SELECT lang, term, count(*) AS df FROM tk
+       |       WHERE length(term) > 0 GROUP BY 1, 2)
        |SELECT lang, CAST(rn AS INTEGER) AS rank, term, df
        |FROM (SELECT lang, term, df,
        |        row_number() OVER (PARTITION BY lang

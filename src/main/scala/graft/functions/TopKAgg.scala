@@ -176,7 +176,14 @@ object TopKAgg {
     * [[TopKBuffer]] kernel with a text payload (terms, ids, urls), same
     * (ord DESC, payload ASC) total order with payload ties compared as
     * binary UTF-8 (Spark's and DuckDB's default string ordering, so the
-    * kept set stays oracle-replayable). */
+    * kept set stays oracle-replayable).
+    *
+    * DELIBERATE TWIN of [[TopKBuffer]]: the long-payload kernel stays on
+    * primitive arrays (zero boxing on the hot path) and a shared
+    * payload-ops abstraction would box every element, so the heap logic
+    * is specialized twice. Any fix to insert/sift/sortedPairs or the
+    * serialized k-header contract MUST be mirrored in both kernels — the
+    * wire-format merge tests in TopKAggSpec cover each twin separately. */
   final class TopKStrBuffer(val k: Int) {
     val ords = new Array[Long](k)
     val pays = new Array[org.apache.spark.unsafe.types.UTF8String](k)
@@ -328,7 +335,15 @@ object TopKAgg {
   private val strFnName = "graft_topk_str"
 
   private def kArg(exprs: Seq[Expression]): Int =
-    exprs.lift(2).map(_.eval().asInstanceOf[Number].intValue()).getOrElse(10)
+    exprs.lift(2).map { e =>
+      require(e.foldable,
+        "graft_topk's k must be a literal (it sizes the per-group heap at plan time)")
+      e.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_topk's k must be an integer literal, got $other")
+      }
+    }.getOrElse(10)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -53,14 +53,24 @@ object ZOrder {
     * WITHOUT this, a narrow dimension occupies only the low bits of the
     * interleave and the curve splits the wide dimension 2^Δbits more
     * finely (a 10-bit×8-bit interleave clusters users 4× worse than
-    * hours). Floor-of-double division is exact here: the numerator stays
-    * below 2^53 and the true quotient is never within an ulp of an
-    * integer it doesn't equal. */
-  def scaleTo16(c: Column, lo: Long, hi: Long): Column =
-    least(floor((c.cast("long") - lit(lo)) * lit(65536L) / lit((hi - lo).toDouble)),
-      lit(65535L)).cast("long")
+    * hours). Out-of-domain values clamp to BOTH boundary cells (a value
+    * below `lo` must pin to the curve's start, not alias into the high
+    * end through the sign bits). Floor-of-double division is exact while
+    * `(hi - lo) * 65536` stays below 2^53 — any sane layout domain. */
+  def scaleTo16(c: Column, lo: Column, hi: Column): Column =
+    least(greatest(
+      floor((c.cast("long") - lo) * lit(65536L) / (hi - lo)).cast("long"),
+      lit(0L)), lit(65535L))
 
-  /** The DuckDB mirror of [[scaleTo16]]. */
+  /** [[scaleTo16]] for a domain known at plan time. */
+  def scaleTo16(c: Column, lo: Long, hi: Long): Column =
+    scaleTo16(c, lit(lo), lit(hi))
+
+  /** The DuckDB mirror of [[scaleTo16]]; `lo`/`hi` are SQL expressions. */
+  def scaleTo16Sql(x: String, lo: String, hi: String): String =
+    s"least(greatest(CAST(floor((($x) - ($lo)) * 65536 / (($hi) - ($lo))) AS BIGINT), 0), 65535)"
+
+  /** [[scaleTo16Sql]] for a literal domain. */
   def scaleTo16Sql(x: String, lo: Long, hi: Long): String =
-    s"least(CAST(floor((($x) - $lo) * 65536 / ${(hi - lo).toDouble}) AS BIGINT), 65535)"
+    scaleTo16Sql(x, lo.toString, hi.toString)
 }

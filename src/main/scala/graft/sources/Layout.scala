@@ -39,29 +39,43 @@ object Layout {
     * compaction job would cluster on, exposed as a query so the bit
     * interleave is oracle-checked end to end. */
   def zOrderPreview(t: Tables): DataFrame = {
-    // hours since 2024-01-01 00:00 UTC (epoch hour 473352) — the events
-    // fixture spans one month, so this bins to [0, 720); both dimensions
-    // are scaled onto the full 16-bit range so the curve splits them
-    // equally (see [[ZOrder.scaleTo16]])
+    // hours since 2024-01-01 00:00 UTC (epoch hour 473352). Dimension
+    // domains come from the DATA (a compaction job reads them from
+    // partition stats): a hardcoded domain that fit one scale factor
+    // would clamp everything beyond it into a single boundary cell at the
+    // next — collapsing that dimension of the curve entirely. Both dims
+    // then scale onto the full 16-bit range so the curve splits them
+    // equally (see [[ZOrder.scaleTo16]]).
     val hourIdx = floor(unix_timestamp(col("ts")) / 3600L).cast("long") - 473352L
-    t.events.select(
-      col("event_id"),
-      hourIdx.as("hour_idx"),
-      col("user_id"),
-      ZOrder.zValue(
-        ZOrder.scaleTo16(hourIdx, 0L, 720L),
-        ZOrder.scaleTo16(col("user_id"), 0L, 150L)).as("zvalue"))
+    val ev = t.events.select(col("event_id"), hourIdx.as("hour_idx"), col("user_id"))
+    val bounds = ev.agg(
+      min(col("hour_idx")).as("lo_h"), (max(col("hour_idx")) + 1L).as("hi_h"),
+      min(col("user_id")).as("lo_u"), (max(col("user_id")) + 1L).as("hi_u"))
+    ev.crossJoin(broadcast(bounds))
+      .select(
+        col("event_id"),
+        col("hour_idx"),
+        col("user_id"),
+        ZOrder.zValue(
+          ZOrder.scaleTo16(col("hour_idx"), col("lo_h"), col("hi_h")),
+          ZOrder.scaleTo16(col("user_id"), col("lo_u"), col("hi_u"))).as("zvalue"))
       .orderBy(col("event_id"))
   }
 
   /** The DuckDB mirror of [[zOrderPreview]]. */
   val zOrderPreviewSql: String = {
     val h = "(CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473352)"
-    val hs = ZOrder.scaleTo16Sql(h, 0L, 720L)
-    val us = ZOrder.scaleTo16Sql("user_id", 0L, 150L)
-    s"""SELECT event_id, $h AS hour_idx, user_id,
+    val hs = ZOrder.scaleTo16Sql("hour_idx", "lo_h", "hi_h")
+    val us = ZOrder.scaleTo16Sql("user_id", "lo_u", "hi_u")
+    s"""WITH e AS (
+       |  SELECT event_id, $h AS hour_idx, user_id FROM events),
+       |b AS (
+       |  SELECT min(hour_idx) AS lo_h, max(hour_idx) + 1 AS hi_h,
+       |   min(user_id) AS lo_u, max(user_id) + 1 AS hi_u
+       |  FROM e)
+       |SELECT event_id, hour_idx, user_id,
        | ${ZOrder.zValueSql(hs, us)} AS zvalue
-       |FROM events
+       |FROM e, b
        |ORDER BY event_id""".stripMargin
   }
 }

@@ -291,7 +291,8 @@ class PlanAuditSpec extends SparkSpec {
     "q106_ann_ivf_quantized",       // broadcast centroid frame
     "q107_equidepth_approx",        // rank-target x crossing-cell band
     "q108_grouped_equidepth_approx",
-    "q109_cumulative_quantiles")    // day<=day state merge + quantile targets
+    "q109_cumulative_quantiles",    // day<=day state merge + quantile targets
+    "q113_zorder_layout")           // 1-row per-dimension (min,max) bounds frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -345,7 +346,7 @@ class PlanAuditSpec extends SparkSpec {
     "q106_ann_ivf_quantized" -> 6, "q107_equidepth_approx" -> 5,
     "q108_grouped_equidepth_approx" -> 5, "q109_cumulative_quantiles" -> 4,
     "q110_maximal_dup_spans" -> 3, "q111_quality_classifier" -> 1,
-    "q112_topk_per_group" -> 2, "q113_zorder_layout" -> 1,
+    "q112_topk_per_group" -> 2, "q113_zorder_layout" -> 2,
     "q114_group_sample" -> 2, "q115_corr_matrix" -> 1,
     "q116_top_terms_per_lang" -> 3,
     // q117's returned frame is the driver-assembled merge table (the
