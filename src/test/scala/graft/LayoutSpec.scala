@@ -36,6 +36,23 @@ class LayoutSpec extends SparkSpec {
     assert(mortonRef(16, 0) == 256L && mortonRef(0, 16) == 512L)
   }
 
+  test("q113 z-values use the full curve at EVERY fixture scale (domains from data)") {
+    // a hardcoded domain fits exactly one scale factor; deriving bounds
+    // from the data must light up the top interleave bits regardless of
+    // how wide the dimensions actually are
+    for (dir <- Seq("sf0.001", "sf0.01")) {
+      val z = graft.sources.Layout.zOrderPreview(sf(dir))
+        .agg(min(col("zvalue")).as("lo"), max(col("zvalue")).as("hi"))
+        .collect()(0)
+      // hour-dim bit 15 lands at z-bit 30, user-dim bit 15 at z-bit 31:
+      // the max z-value must have at least one of the top two bits set
+      assert(z.getAs[Long]("hi") >= (1L << 30),
+        s"$dir: curve top never reached (max z = ${z.getAs[Long]("hi")})")
+      assert(z.getAs[Long]("lo") < (1L << 24),
+        s"$dir: curve bottom never reached (min z = ${z.getAs[Long]("lo")})")
+    }
+  }
+
   /** Mean per-file (max-min) extent of a column, as a fraction of its
     * global extent. */
   private def meanSpan(files: DataFrame, c: String, lo: Long, hi: Long): Double = {
