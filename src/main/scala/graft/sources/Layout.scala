@@ -23,15 +23,34 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Writes `df` as `files` parquet files clustered on the z-curve over two
-    * binned dimensions (callers bin to [0, 65536) — see [[ZOrder]]). The
-    * helper z-value column drives the range partitioning and in-file sort
-    * but is not written. */
-  def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String, files: Int): Unit =
-    df.withColumn("_z", ZOrder.zValue(x, y))
+  /** Returns `df` re-clustered into `files` range partitions along the
+    * z-curve over two numeric dimensions, each min-max scaled onto the
+    * full 16-bit range from a broadcast 1-row bounds frame (domains come
+    * from the DATA — a hardcoded domain clamps everything beyond it into
+    * one boundary cell at the next scale-up, collapsing that dimension of
+    * the curve). The shared kernel behind [[writeZOrdered]],
+    * [[TableIO.saveZOrdered]], and [[TableIO.compactTableZOrdered]];
+    * helper columns drive the partitioning and in-file sort but are not
+    * in the output. Empty input degrades to an empty result (the bounds
+    * row is all-null, the cross join of nothing is nothing). */
+  def clusterZOrdered(df: DataFrame, x: Column, y: Column, files: Int): DataFrame = {
+    val bounds = df.agg(
+      min(x).cast("long").as("_lox"), (max(x).cast("long") + 1L).as("_hix"),
+      min(y).cast("long").as("_loy"), (max(y).cast("long") + 1L).as("_hiy"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_z", ZOrder.zValue(
+        ZOrder.scaleTo16(x, col("_lox"), col("_hix")),
+        ZOrder.scaleTo16(y, col("_loy"), col("_hiy"))))
       .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+      .sortWithinPartitions(col("_z"))
+      .drop("_z", "_lox", "_hix", "_loy", "_hiy")
+  }
+
+  /** Writes `df` as `files` parquet files clustered on the z-curve over
+    * two numeric dimensions (domains derived from the data — see
+    * [[clusterZOrdered]]). */
+  def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String, files: Int): Unit =
+    clusterZOrdered(df, x, y, files)
       .write.mode("overwrite").parquet(path)
 
   /** q113: the z-curve assignment itself, over the events stream's two

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Lakehouse write paths (SURVEY §2.1 S7–S10), bound to managed parquet
   * catalog tables since no Iceberg/Delta jars ship locally (SURVEY §7
@@ -187,6 +187,9 @@ object TableIO {
     * together), no UDF. */
   def morton2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
               bits: Int): org.apache.spark.sql.Column = {
+    // retained for parameterized-bits callers; the fixed-16-bit write
+    // paths use graft.functions.ZOrder's parallel-prefix spread (9 ops per
+    // dimension vs 4·bits here) — see [[Layout.clusterZOrdered]]
     import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
@@ -195,11 +198,11 @@ object TableIO {
     }
   }
 
-  /** Persist `df` Z-ORDERED on two columns: each is min-max scaled to a
-    * `bits`-bit integer at write time (one tiny stats aggregate — the same
-    * kind of pre-pass `repartitionByRange`'s sampler already does), the
-    * scaled values are Morton-interleaved ([[morton2]]), and the data is
-    * range-partitioned + sorted on the interleaved value. Because the
+  /** Persist `df` Z-ORDERED on two columns: each is min-max scaled onto
+    * the 16-bit range from a broadcast bounds frame, the scaled values are
+    * Morton-interleaved, and the data is range-partitioned + sorted on
+    * the interleaved value ([[Layout.clusterZOrdered]], the shared kernel
+    * with [[compactTableZOrdered]]). Because the
     * Z-curve alternates bits of both dimensions, every parquet file gets a
     * tight min/max footer range on BOTH columns simultaneously — with
     * `nFiles` files each dimension's per-file span shrinks ~√nFiles×,
@@ -214,33 +217,10 @@ object TableIO {
       df: DataFrame,
       colA: String,
       colB: String,
-      nFiles: Int,
-      bits: Int = 8): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, max, min}
+      nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
     dropTableAndLocation(spark, table)
-    val s = df.agg(
-      min(col(colA)).cast("long"), max(col(colA)).cast("long"),
-      min(col(colB)).cast("long"), max(col(colB)).cast("long")).collect()(0)
-    if (s.isNullAt(0) || s.isNullAt(2)) {
-      // empty (or all-null-key) input: nothing to order — write as-is,
-      // like saveClustered would, instead of NPE-ing after the drop
-      df.write.format("parquet").option("compression", "zstd").saveAsTable(table)
-      return
-    }
-    val (aMin, aMax, bMin, bMax) = (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3))
-    val top = (1L << bits) - 1
-    // floor of an exact double quotient: (x-min)·top stays below 2^53 for
-    // any 32-bit key domain, so the double division is exact before floor
-    def scaled(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
-      if (mx > mn)
-        org.apache.spark.sql.functions
-          .floor((c.cast("long") - lit(mn)) * lit(top) / lit((mx - mn).toDouble))
-      else lit(0L)
-    val z = morton2(scaled(col(colA), aMin, aMax), scaled(col(colB), bMin, bMax), bits)
-    df.withColumn("__graft_z", z)
-      .repartitionByRange(nFiles, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
+    Layout.clusterZOrdered(df, col(colA), col(colB), nFiles)
       .write.format("parquet").option("compression", "zstd")
       .saveAsTable(table)
   }
@@ -270,7 +250,30 @@ object TableIO {
   def compactTable(
       spark: SparkSession,
       table: String,
-      targetBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+      targetBytes: Long = 128L * 1024 * 1024): CompactionReport =
+    compactTableImpl(spark, table, targetBytes, None)
+
+  /** [[compactTable]] that ALSO z-order-clusters each rewritten partition
+    * on two numeric dimensions (`OPTIMIZE ... ZORDER BY (x, y)`): rewritten
+    * files get tight min/max ranges in BOTH dimensions, so the parquet
+    * reader's row-group stats prune on either predicate — see
+    * [[graft.functions.ZOrder]]. Dimension domains are derived per
+    * partition from the data being rewritten (a broadcast 1-row bounds
+    * frame, no extra driver action), so the clustering adapts to each
+    * partition's actual ranges. Same binpack rule and staged-swap crash
+    * contract as the plain form. */
+  def compactTableZOrdered(
+      spark: SparkSession,
+      table: String,
+      zorderBy: (Column, Column),
+      targetBytes: Long = 128L * 1024 * 1024): CompactionReport =
+    compactTableImpl(spark, table, targetBytes, Some(zorderBy))
+
+  private def compactTableImpl(
+      spark: SparkSession,
+      table: String,
+      targetBytes: Long,
+      zorderBy: Option[(Column, Column)]): CompactionReport = {
     import org.apache.hadoop.fs.Path
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val root = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
@@ -294,8 +297,12 @@ object TableIO {
         val bytes = small.map(_.getLen).sum
         val nOut = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
         val tmp = new Path(dir, s".graft_compact_${java.util.UUID.randomUUID().toString.take(8)}")
-        spark.read.parquet(small.map(_.getPath.toString): _*)
-          .coalesce(nOut)
+        val df = spark.read.parquet(small.map(_.getPath.toString): _*)
+        val rewritten0 = zorderBy match {
+          case Some((x, y)) => Layout.clusterZOrdered(df, x, y, nOut)
+          case None         => df.coalesce(nOut)
+        }
+        rewritten0
           .write.format("parquet").option("compression", "zstd")
           .save(tmp.toString)
         val staged = fs.listStatus(tmp).toSeq.filter(s => s.isFile && isData(s.getPath))

@@ -70,9 +70,7 @@ class LayoutSpec extends SparkSpec {
       val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
       val zDir = s"$tmp/z"
       val linDir = s"$tmp/lin"
-      Layout.writeZOrdered(events,
-        ZOrder.scaleTo16(col("h"), 0L, 720L),
-        ZOrder.scaleTo16(col("user_id"), 0L, 150L), zDir, files = 16)
+      Layout.writeZOrdered(events, col("h"), col("user_id"), zDir, files = 16)
       events.repartitionByRange(16, col("h")).sortWithinPartitions(col("h"))
         .write.parquet(linDir)
 

@@ -290,6 +290,46 @@ class TableIOSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("compactTableZOrdered rewrites small files clustered in BOTH dimensions") {
+    val t = freshName("t_compact_z")
+    // one partition, 8 small files of scattered (a, b) keys
+    val rows = (0 until 4000).map(i => ((i * 37) % 1000, (i * 91) % 500, 1))
+    TableIO.ensureTable(spark, t, rows.toDF("a", "b", "p"), Seq("p"))
+    rows.grouped(500).foreach { chunk =>
+      TableIO.append(spark, t, chunk.toDF("a", "b", "p").coalesce(1))
+    }
+    val beforeRows = spark.table(t).collect().map(_.toSeq).toSet
+
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    def filesNow() = fs.listStatus(new Path(loc, "p=1")).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    // target just above the largest small file: every file rewrites, and
+    // ceil(sum/target) lands near the original count — multiple clustered
+    // outputs to measure spans over
+    val target = filesNow().map(_.getLen).max + 1
+
+    val report = TableIO.compactTableZOrdered(spark, t, (col("a"), col("b")), target)
+    assert(report.partitionsCompacted == 1)
+    assert(spark.table(t).collect().map(_.toSeq).toSet == beforeRows)
+
+    // rewritten files must be tight in BOTH dims (plain binpack keeps the
+    // scattered interleaving: every file would span ~the full key ranges)
+    val files = filesNow()
+    assert(files.size >= 4, s"expected several clustered outputs, got ${files.size}")
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getPath.toString)
+        .agg(min(col("a")), max(col("a")), min(col("b")), max(col("b"))).collect()(0)
+      ((r.getInt(1) - r.getInt(0)) / 1000.0, (r.getInt(3) - r.getInt(2)) / 500.0)
+    }
+    assert(spans.map(_._1).sum / spans.size < 0.75, s"dim a not clustered: $spans")
+    assert(spans.map(_._2).sum / spans.size < 0.75, s"dim b not clustered: $spans")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("storageAudit reports per-partition file counts and flags small files") {
     val t = freshName("t_audit")
     val df = Seq((1, "a", 1), (2, "b", 1), (3, "c", 2)).toDF("id", "v", "p")
