@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.streaming.{Cdc, TripAggregations, ZoneActivity}
+import graft.streaming.{Cdc, Sessions, TripAggregations, ZoneActivity}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -447,5 +447,62 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("id") -> r.getAs[Double]("fare_amount")).toMap
       assert(rows == Map(1L -> 15.0))
     } finally q.stop()
+  }
+
+  test("streaming sessionization: gap-merge across batches, close past watermark, match batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Int, Timestamp, Double)]
+    val query = Sessions.sessionize(input.toDF().toDF("user_id", "ts", "value"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_stream_sessions")
+      .start()
+    try {
+      // batch 1: two u1 events 10 min apart — one open session
+      input.addData((1, ts(0), 1.0), (1, ts(10), 2.0))
+      query.processAllAvailable()
+      assert(spark.table("graft_stream_sessions").count() == 0, "open session emitted early")
+
+      // batch 2: an event 15 min later MERGES into the same session even
+      // though it arrived in a different micro-batch (state-side merge)
+      input.addData((1, ts(25), 3.0))
+      query.processAllAvailable()
+      assert(spark.table("graft_stream_sessions").count() == 0)
+
+      // batches 3-4: a much later event pushes the watermark past the
+      // session close (10:55 + 10 min) → exactly one merged session emits
+      val late = Timestamp.valueOf("2024-01-01 12:00:00")
+      input.addData((2, late, 9.0))
+      query.processAllAvailable()
+      input.addData((2, Timestamp.valueOf("2024-01-01 12:05:00"), 9.0))
+      query.processAllAvailable()
+      val closed = spark.table("graft_stream_sessions")
+        .filter(col("user_id") === 1).collect()
+      assert(closed.length == 1, s"expected 1 closed session, got ${closed.length}")
+      val s = closed.head
+      assert(s.getAs[Timestamp]("session_start") == ts(0))
+      assert(s.getAs[Timestamp]("session_end") == ts(55)) // last event + 30 min gap
+      assert(s.getAs[Long]("n_events") == 3)
+      assert(math.abs(s.getAs[Double]("total_value") - 6.0) < 1e-9)
+
+      // the emitted session matches the batch operator's row for the same
+      // events — streaming is the batch semantics plus a close condition
+      val batch = Sessions.sessionize(
+        Seq((1, ts(0), 1.0), (1, ts(10), 2.0), (1, ts(25), 3.0))
+          .toDF("user_id", "ts", "value"))
+        .collect().head
+      assert(batch.getAs[Timestamp]("session_start") == s.getAs[Timestamp]("session_start"))
+      assert(batch.getAs[Timestamp]("session_end") == s.getAs[Timestamp]("session_end"))
+      assert(batch.getAs[Long]("n_events") == s.getAs[Long]("n_events"))
+
+      // a late event inside the closed session's span is dropped, not
+      // re-opened (watermark contract)
+      input.addData((1, ts(5), 99.0))
+      query.processAllAvailable()
+      assert(spark.table("graft_stream_sessions")
+        .filter(col("user_id") === 1).count() == 1)
+    } finally query.stop()
   }
 }
