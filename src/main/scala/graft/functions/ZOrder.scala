@@ -66,9 +66,12 @@ object ZOrder {
   def scaleTo16(c: Column, lo: Long, hi: Long): Column =
     scaleTo16(c, lit(lo), lit(hi))
 
-  /** The DuckDB mirror of [[scaleTo16]]; `lo`/`hi` are SQL expressions. */
+  /** The DuckDB mirror of [[scaleTo16]]; `lo`/`hi` are SQL expressions.
+    * The input is cast to BIGINT like the Scala side — without it the
+    * `(x - lo) * 65536` product runs in INT32 and overflows for any
+    * dimension wider than 32768 units. */
   def scaleTo16Sql(x: String, lo: String, hi: String): String =
-    s"least(greatest(CAST(floor((($x) - ($lo)) * 65536 / (($hi) - ($lo))) AS BIGINT), 0), 65535)"
+    s"least(greatest(CAST(floor((CAST(($x) AS BIGINT) - ($lo)) * 65536 / (($hi) - ($lo))) AS BIGINT), 0), 65535)"
 
   /** [[scaleTo16Sql]] for a literal domain. */
   def scaleTo16Sql(x: String, lo: Long, hi: Long): String =

@@ -33,17 +33,30 @@ object Layout {
     * helper columns drive the partitioning and in-file sort but are not
     * in the output. Empty input degrades to an empty result (the bounds
     * row is all-null, the cross join of nothing is nothing). */
-  def clusterZOrdered(df: DataFrame, x: Column, y: Column, files: Int): DataFrame = {
+  def clusterZOrdered(df: DataFrame, x: Column, y: Column, files: Int): DataFrame =
+    withZValue(df, x, y)
+      .repartitionByRange(files, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
+
+  /** Reserved helper-column name — `__graft`-prefixed so it cannot collide
+    * with user columns (a bare `_z` would silently replace one). */
+  private val zCol = "__graft_z"
+
+  /** `df` plus its z-value column ([[zCol]]) over two numeric dimensions,
+    * each scaled from a broadcast data-derived bounds frame — the single
+    * bounds/scale/interleave assembly behind both [[clusterZOrdered]] and
+    * [[zOrderPreview]] (one copy, so the bounds convention cannot diverge
+    * between the write path and the oracle-checked query). */
+  private def withZValue(df: DataFrame, x: Column, y: Column): DataFrame = {
     val bounds = df.agg(
-      min(x).cast("long").as("_lox"), (max(x).cast("long") + 1L).as("_hix"),
-      min(y).cast("long").as("_loy"), (max(y).cast("long") + 1L).as("_hiy"))
+      min(x).cast("long").as("__graft_lox"), (max(x).cast("long") + 1L).as("__graft_hix"),
+      min(y).cast("long").as("__graft_loy"), (max(y).cast("long") + 1L).as("__graft_hiy"))
     df.crossJoin(broadcast(bounds))
-      .withColumn("_z", ZOrder.zValue(
-        ZOrder.scaleTo16(x, col("_lox"), col("_hix")),
-        ZOrder.scaleTo16(y, col("_loy"), col("_hiy"))))
-      .repartitionByRange(files, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z", "_lox", "_hix", "_loy", "_hiy")
+      .withColumn(zCol, ZOrder.zValue(
+        ZOrder.scaleTo16(x, col("__graft_lox"), col("__graft_hix")),
+        ZOrder.scaleTo16(y, col("__graft_loy"), col("__graft_hiy"))))
+      .drop("__graft_lox", "__graft_hix", "__graft_loy", "__graft_hiy")
   }
 
   /** Writes `df` as `files` parquet files clustered on the z-curve over
@@ -67,17 +80,9 @@ object Layout {
     // equally (see [[ZOrder.scaleTo16]]).
     val hourIdx = floor(unix_timestamp(col("ts")) / 3600L).cast("long") - 473352L
     val ev = t.events.select(col("event_id"), hourIdx.as("hour_idx"), col("user_id"))
-    val bounds = ev.agg(
-      min(col("hour_idx")).as("lo_h"), (max(col("hour_idx")) + 1L).as("hi_h"),
-      min(col("user_id")).as("lo_u"), (max(col("user_id")) + 1L).as("hi_u"))
-    ev.crossJoin(broadcast(bounds))
-      .select(
-        col("event_id"),
-        col("hour_idx"),
-        col("user_id"),
-        ZOrder.zValue(
-          ZOrder.scaleTo16(col("hour_idx"), col("lo_h"), col("hi_h")),
-          ZOrder.scaleTo16(col("user_id"), col("lo_u"), col("hi_u"))).as("zvalue"))
+    withZValue(ev, col("hour_idx"), col("user_id"))
+      .select(col("event_id"), col("hour_idx"), col("user_id"),
+        col(zCol).as("zvalue"))
       .orderBy(col("event_id"))
   }
 

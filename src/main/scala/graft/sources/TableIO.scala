@@ -181,23 +181,6 @@ object TableIO {
       .saveAsTable(table)
   }
 
-  /** Morton (Z-order) interleave of the low `bits` bits of two non-negative
-    * long columns: bit i of `a` lands at position 2i, bit i of `b` at
-    * 2i+1. Pure codegen'd bit arithmetic (`2·bits` shift/mask terms OR'd
-    * together), no UDF. */
-  def morton2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
-              bits: Int): org.apache.spark.sql.Column = {
-    // retained for parameterized-bits callers; the fixed-16-bit write
-    // paths use graft.functions.ZOrder's parallel-prefix spread (9 ops per
-    // dimension vs 4·bits here) — see [[Layout.clusterZOrdered]]
-    import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
-    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }
-  }
-
   /** Persist `df` Z-ORDERED on two columns: each is min-max scaled onto
     * the 16-bit range from a broadcast bounds frame, the scaled values are
     * Morton-interleaved, and the data is range-partitioned + sorted on

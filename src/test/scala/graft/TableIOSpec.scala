@@ -314,6 +314,9 @@ class TableIOSpec extends SparkSpec {
 
     val report = TableIO.compactTableZOrdered(spark, t, (col("a"), col("b")), target)
     assert(report.partitionsCompacted == 1)
+    // exact row count FIRST: the fixture's key pattern repeats every 1000
+    // rows, so the Set compare alone would mask dropped/duplicated copies
+    assert(spark.table(t).count() == 4000)
     assert(spark.table(t).collect().map(_.toSeq).toSet == beforeRows)
 
     // rewritten files must be tight in BOTH dims (plain binpack keeps the
