@@ -30,6 +30,48 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** A trained tokenizer: the merge-rule table and the word → token-array
+    * vocabulary state it left behind. Train once, [[encode]] any number of
+    * corpora — encoding never re-runs merges (it is a broadcast join
+    * against [[wordTokens]]). Both frames are localCheckpoint-backed, so
+    * the model is valid for the lifetime of its SparkSession; persist
+    * [[merges]]/[[vocab]] as tables to ship it across sessions. */
+  final case class BpeModel(merges: DataFrame, vocab: DataFrame) {
+
+    /** word → (n_chars, n_toks) lookup, the broadcast side of encoding. */
+    def wordTokens: DataFrame = vocab.select(
+      col("word"),
+      length(col("word")).as("n_chars"),
+      size(col("toks")).as("n_toks"))
+
+    /** Per-document word/BPE-token counts + compression for any frame with
+      * (doc_id, text) — words absent from the training vocabulary fall
+      * back to character count (the unknown-word floor: zero learned
+      * merges apply). */
+    def encode(docs: DataFrame): DataFrame =
+      docs
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(broadcast(wordTokens), Seq("word"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_chars"), length(col("word"))).as("n_chars"),
+          coalesce(col("n_toks"), length(col("word"))).as("n_toks"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_chars")).as("n_word_chars"),
+          sum(col("n_toks")).as("n_bpe_tokens"))
+        .withColumn("compression",
+          round(col("n_word_chars").cast("double") / col("n_bpe_tokens"), 6))
+        .orderBy(col("doc_id"))
+  }
+
+  /** Train a BPE model on any frame with a `text` column. */
+  def train(docs: DataFrame, merges: Int = 8): BpeModel = {
+    val (rules, vocab) = trainFrom(docs, merges)
+    BpeModel(rules, vocab)
+  }
+
   /** q117: the first `merges` BPE merge rules learned from the documents
     * corpus — (rank, left_tok, right_tok, merged, freq). */
   def bpeMerges(t: Tables, merges: Int = 8): DataFrame =
@@ -119,25 +161,8 @@ object Bpe {
     * NARROW explode plus a broadcast join against the word → token-count
     * vocabulary — no shuffle touches full text, and the only exchange is
     * the per-document aggregate. */
-  def bpeEncode(t: Tables, merges: Int = 8): DataFrame = {
-    val (_, vocab) = trainFrom(t.documents, merges)
-    val wordTokens = vocab.select(
-      col("word"),
-      length(col("word")).as("n_chars"),
-      size(col("toks")).as("n_toks"))
-    t.documents
-      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
-      .filter(length(col("word")) > 0)
-      .join(broadcast(wordTokens), "word")
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_words"),
-        sum(col("n_chars")).as("n_word_chars"),
-        sum(col("n_toks")).as("n_bpe_tokens"))
-      .withColumn("compression",
-        round(col("n_word_chars").cast("double") / col("n_bpe_tokens"), 6))
-      .orderBy(col("doc_id"))
-  }
+  def bpeEncode(t: Tables, merges: Int = 8): DataFrame =
+    train(t.documents, merges).encode(t.documents)
 
   /** The DuckDB mirror of [[bpeEncode]]: the q117 rounds unrolled, then
     * the corpus joined to the final vocabulary state. */

@@ -103,6 +103,22 @@ class BpeSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("model reuse: train once, encode an unseen corpus with unknown-word fallback") {
+    import org.apache.spark.sql.functions.col
+    val train = spark.createDataFrame(
+      Seq(Tuple1("aa aa aa ab"))).toDF("text")
+    val model = Bpe.train(train, merges = 1) // learns (a,a) only
+    assert(model.merges.collect().map(r => (r.getString(1), r.getString(2))).toSeq ==
+      Seq(("a", "a")))
+    // "aa" → 1 token (merged); "zz" unseen → falls back to char count 2
+    val unseen = spark.createDataFrame(
+      Seq((1L, "aa zz"))).toDF("doc_id", "text")
+    val enc = model.encode(unseen).collect().head
+    assert(enc.getAs[Long]("n_words") == 2)
+    assert(enc.getAs[Long]("n_bpe_tokens") == 1 + 2,
+      s"expected merged aa (1) + fallback zz (2), got ${enc.getAs[Long]("n_bpe_tokens")}")
+  }
+
   test("full corpus: distributed training equals the single-node reference") {
     val t = sf()
     val wordCounts = t.documents
