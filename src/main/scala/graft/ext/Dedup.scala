@@ -681,12 +681,18 @@ object Dedup {
 
   /** q110: MAXIMAL duplicated spans — [[duplicateSpans]]' fixed-k
     * duplicated windows merged into their maximal per-document extents.
-    * Every maximal duplicated span of >= k tokens is exactly an island of
-    * consecutive duplicated k-windows, so this reproduces the OUTPUT
-    * shape of suffix-array substring dedup (Lee et al. 2022, the
-    * deduplicate-text-datasets span form) at k-token resolution without
-    * distributed suffix construction — the piece a dedup pipeline
-    * actually consumes ("cut doc 17 from token 120 for 340 tokens").
+    * Every maximal duplicated span of >= k tokens is an island of
+    * consecutive duplicated k-windows, so no duplicated material is
+    * missed; the converse does NOT hold — adjacent windows duplicated
+    * against DIFFERENT partner documents merge into one reported island,
+    * so an extent is a superset-merge at k-window resolution and may not
+    * be duplicated anywhere as a whole. That is the right contract for
+    * dedup removal ("cut doc 17 from token 120 for 340 tokens" — every
+    * cut token sits in some duplicated window); use
+    * [[maximalDuplicateSpansExact]] when exact per-partner extents
+    * matter. Approximates the OUTPUT shape of suffix-array substring
+    * dedup (Lee et al. 2022, the deduplicate-text-datasets span form)
+    * without distributed suffix construction.
     *
     * Plan: one pass to positions+hashes (the shuffle carries 16-byte
     * hashes and positions, never text), a window count over span_hash to

@@ -289,13 +289,17 @@ object KmvSketch {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  /** State layout: (state k, n, n sorted hashes). Carrying the builder's k
-    * in the header is what makes k-mismatched merges SAFE to adjudicate:
-    * without it, a state with n < k minima is indistinguishable from an
-    * unsaturated exact buffer. */
+  /** State layout: ([[SketchState]] versioned header carrying the builder's
+    * k, n, n sorted hashes). Carrying the builder's k in the header is what
+    * makes k-mismatched merges SAFE to adjudicate: without it, a state with
+    * n < k minima is indistinguishable from an unsaturated exact buffer.
+    * The version byte makes the layout durable for checkpointed states
+    * (pre-versioning k-only headers still read as version 0). */
+  private val stateVersion = 1
+
   private def serializeBuffer(buffer: KmvBuffer): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(8 + 8 * buffer.n)
-    bb.putInt(buffer.k)
+    val bb = java.nio.ByteBuffer.allocate(SketchState.HeaderBytes + 4 + 8 * buffer.n)
+    SketchState.putHeader(bb, stateVersion, buffer.k)
     bb.putInt(buffer.n)
     var i = 0
     while (i < buffer.n) { bb.putLong(buffer.hashes(i)); i += 1 }
@@ -304,7 +308,7 @@ object KmvSketch {
 
   private def deserializeBuffer(bytes: Array[Byte], k: Int): KmvBuffer = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    val stateK = bb.getInt()
+    val (_, stateK) = SketchState.readHeader(bb, stateVersion, "kmv")
     // Merging DOWN (state k > merge k) is sound: hashes are stored sorted
     // ascending, so keeping the first min(n, k) minima degrades the sketch
     // to the merge-side k — exactly what insert-based merging would

@@ -39,6 +39,11 @@ import org.apache.spark.sql.types._
   */
 object TopKAgg {
 
+  /** Serialized-state format version (see [[SketchState]]); bump on any
+    * byte-layout change. Both kernels share it — their layouts change
+    * together by the mirrored-contract rule below. */
+  private[functions] val stateVersion = 1
+
   /** Fixed-capacity binary heap over (ord, payload) pairs; the WORST kept
     * pair sits at the root, so saturated inserts are reject-or-replace-root
     * in O(log k) with zero allocation. "a worse than b" ⇔ a.ord < b.ord,
@@ -138,13 +143,14 @@ object TopKAgg {
         InternalRow(o, p): Any
       })
 
-    /** State layout: (builder k, n, n (ord, payload) pairs) — the k header
-      * follows [[KmvSketch]]'s convention: a state built at smaller k than
-      * the merge side has already discarded rows the larger k would keep,
-      * so up-merge is a hard error rather than a silent truncation. */
+    /** State layout: ([[SketchState]] versioned header with builder k, n,
+      * n (ord, payload) pairs) — the k header follows [[KmvSketch]]'s
+      * convention: a state built at smaller k than the merge side has
+      * already discarded rows the larger k would keep, so up-merge is a
+      * hard error rather than a silent truncation. */
     override def serialize(buffer: TopKBuffer): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(8 + 16 * buffer.n)
-      bb.putInt(buffer.k)
+      val bb = java.nio.ByteBuffer.allocate(SketchState.HeaderBytes + 4 + 16 * buffer.n)
+      SketchState.putHeader(bb, TopKAgg.stateVersion, buffer.k)
       bb.putInt(buffer.n)
       var i = 0
       while (i < buffer.n) { bb.putLong(buffer.ords(i)); bb.putLong(buffer.pays(i)); i += 1 }
@@ -153,7 +159,7 @@ object TopKAgg {
 
     override def deserialize(bytes: Array[Byte]): TopKBuffer = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
-      val stateK = bb.getInt()
+      val (_, stateK) = SketchState.readHeader(bb, TopKAgg.stateVersion, "topk")
       require(stateK >= k,
         s"topk merge k=$k exceeds the serialized state's k=$stateK; " +
           "merge k must be <= the smallest builder k")
@@ -283,7 +289,7 @@ object TopKAgg {
 
     override def serialize(buffer: TopKStrBuffer): Array[Byte] = {
       val payloadBytes = new Array[Array[Byte]](buffer.n)
-      var total = 8 + 12 * buffer.n
+      var total = SketchState.HeaderBytes + 4 + 12 * buffer.n
       var i = 0
       while (i < buffer.n) {
         payloadBytes(i) = buffer.pays(i).getBytes
@@ -291,7 +297,7 @@ object TopKAgg {
         i += 1
       }
       val bb = java.nio.ByteBuffer.allocate(total)
-      bb.putInt(buffer.k)
+      SketchState.putHeader(bb, TopKAgg.stateVersion, buffer.k)
       bb.putInt(buffer.n)
       i = 0
       while (i < buffer.n) {
@@ -305,7 +311,7 @@ object TopKAgg {
 
     override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
       val bb = java.nio.ByteBuffer.wrap(bytes)
-      val stateK = bb.getInt()
+      val (_, stateK) = SketchState.readHeader(bb, TopKAgg.stateVersion, "topk_str")
       require(stateK >= k,
         s"topk_str merge k=$k exceeds the serialized state's k=$stateK; " +
           "merge k must be <= the smallest builder k")

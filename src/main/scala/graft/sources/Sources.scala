@@ -213,7 +213,17 @@ object Sources {
               if (update.executeUpdate() == 0) doInsert(r)
             }
           } else {
-            buffered.zip(counts).foreach { case (r, c) => if (c == 0) doInsert(r) }
+            buffered.zip(counts).foreach { case (r, c) =>
+              if (c == java.sql.Statement.EXECUTE_FAILED) {
+                // driver reported a per-statement failure WITHOUT throwing
+                // BatchUpdateException: re-run the row alone so the real
+                // error surfaces (or, if the report was spurious, the true
+                // match count routes it to update/insert correctly) —
+                // treating it as "updated" would silently lose the row
+                bindUpdate(r)
+                if (update.executeUpdate() == 0) doInsert(r)
+              } else if (c == 0) doInsert(r)
+            }
           }
           insert.executeBatch()
           conn.commit()

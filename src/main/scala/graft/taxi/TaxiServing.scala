@@ -313,11 +313,17 @@ object TaxiServing {
     * cycle CONVERGES — a repeated or replayed publish updates rows in
     * place, never accumulates. First publish creates the table from the
     * frame's (nullable) schema. `coalesceTo` bounds serving-database
-    * connections regardless of lake-side parallelism. */
+    * connections regardless of lake-side parallelism.
+    *
+    * `varcharWidth` sizes every string column in the CREATE; values longer
+    * than it make the insert fail (or truncate, dialect-dependent), so size
+    * it to the widest value the serving table can ever carry — the width is
+    * fixed at first publish and later publishes cannot widen it. */
   def publishToServingDb(spark: SparkSession, lakeTable: String, url: String,
                          servingTable: String, keyCols: Seq[String],
-                         coalesceTo: Int = 8): Unit = {
+                         coalesceTo: Int = 8, varcharWidth: Int = 1024): Unit = {
     import graft.sources.Sources
+    require(varcharWidth > 0, s"varcharWidth must be positive, got $varcharWidth")
     val df = spark.table(lakeTable).coalesce(coalesceTo)
     // append of zero rows = CREATE TABLE IF NOT EXISTS with this schema.
     // String columns are pinned to VARCHAR: several dialects (Derby, and
@@ -326,7 +332,7 @@ object TaxiServing {
     // needs.
     val stringCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR(1024)")
+      .map(f => s"${f.name} VARCHAR($varcharWidth)")
     val createOpts =
       if (stringCols.isEmpty) Map.empty[String, String]
       else Map("createTableColumnTypes" -> stringCols.mkString(", "))
