@@ -117,6 +117,30 @@ object Bench {
     }
   }
 
+  /** Highest per-task execution memory seen since the last [[reset]] —
+    * the "would this aggregate/join spill or OOM an executor" signal the
+    * scale-up record needs. Peak, not sum: tasks run concurrently but each
+    * task's peak bounds what ONE thread demanded of the unified region. */
+  private final class PeakMemListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        val p = m.peakExecutionMemory
+        var cur = peak.get()
+        while (p > cur && !peak.compareAndSet(cur, p)) cur = peak.get()
+      }
+    }
+    def reset(): Unit = peak.set(0L)
+    def peakBytes: Long = peak.get()
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -126,6 +150,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 1-minute load BEFORE any work: a machine already busy when the bench
+    // starts is the contended-run signature that produced r4's phantom
+    // regressions — recording it makes such a run self-identifying
+    val loadStart = loadAvg
+    val peakMem = new PeakMemListener
+    spark.sparkContext.addSparkListener(peakMem)
     // untimed warmup: JVM/codegen/session initialization otherwise lands
     // on whichever query happens to run first (~3-5s attribution skew)
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -144,6 +174,7 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
+      peakMem.reset()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop sink executes the FULL plan without collecting to the driver
@@ -151,17 +182,27 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.length / 2)
+      name -> (times, peakMem.peakBytes)
     }
     // isolation runs skip the cascade unless asked for by name
     val cascadeMs =
       if (filter.exists(f => !f("streaming_cascade"))) -1.0
       else try streamingCascadeMs(spark)
       catch { case _: Throwable => -1.0 }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val medians = results.map { case (k, (ts, _)) => k -> ts(ts.length / 2) }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"median","streaming_cascade_ms":$cascadeMs}""")
+    // [min, median, max] per query: a query whose max >> median inside ONE
+    // run, or a run whose load_avg exceeds the bench's own parallelism,
+    // flags itself as noise before anyone chases a phantom regression
+    val disp = results.map { case (k, (ts, _)) =>
+      s"\"" + k + s"\":[${ts.head},${ts(ts.length / 2)},${ts.last}]"
+    }.mkString("{", ",", "}")
+    val peaks = results.map { case (k, (_, pk)) =>
+      s"\"" + k + "\":" + (pk / (1024.0 * 1024.0))
+    }.mkString("{", ",", "}")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"peak_exec_mb":$peaks,"sf":"$sfDir","runs":$runs,"agg":"median","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"streaming_cascade_ms":$cascadeMs}""")
     spark.stop()
   }
 }
