@@ -161,7 +161,8 @@ object SparkEntry {
     "q116_top_terms_per_lang" -> q(t => TextAnalysis.topTermsPerLang(t)),
     "q117_bpe_merges" -> q(t => graft.ext.Bpe.bpeMerges(t)),
     "q118_bpe_encode" -> q(t => graft.ext.Bpe.bpeEncode(t)),
-    "q119_token_budget_mix" -> q(t => Sampling.tokenBudgetMix(t)))
+    "q119_token_budget_mix" -> q(t => Sampling.tokenBudgetMix(t)),
+    "q120_bpe_batched" -> q(t => graft.ext.Bpe.bpeMergesBatched(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -190,6 +191,7 @@ object SparkEntry {
     "q117_bpe_merges" -> graft.ext.Bpe.bpeMergesSql(),
     "q118_bpe_encode" -> graft.ext.Bpe.bpeEncodeSql(),
     "q119_token_budget_mix" -> Sampling.tokenBudgetMixSql(),
+    "q120_bpe_batched" -> graft.ext.Bpe.bpeMergesBatchedSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -152,6 +152,234 @@ object Bpe {
       words)
   }
 
+  /** A batched training run: the merge rules learned, the final vocabulary
+    * state, and how many driver round-trips it took — the spec asserts the
+    * round count, because the round count IS the point: sequential BPE pays
+    * one Spark job chain per merge (32k merges = 32k chained rounds at a
+    * real vocabulary), batched BPE pays one per ROUND of up to `batchSize`
+    * merges. */
+  final case class BatchedTraining(rules: DataFrame, vocab: DataFrame,
+                                   roundsRun: Int, mergesLearned: Int)
+
+  /** q120: batched BPE — up to `batchSize` merges learned per round, at
+    * most `rounds` rounds (so ≤ `rounds` driver round-trips total).
+    *
+    * Batch selection (the standard distributed-BPE trick, made order-free
+    * so the DuckDB oracle can replay it): rank the round's pair
+    * frequencies by (freq DESC, a, b), keep a deterministic window of the
+    * top `windowSize`, and greedily scan it in order, selecting each pair
+    * that does not INTERACT with any already-SELECTED pair, until
+    * `batchSize` are kept. Pair q interacts with a selected pair p iff
+    * their occurrences can overlap — `p.b == q.a` (pattern
+    * "p.a p.b=q.a q.b") or `p.a == q.b` (the mirror) — or one of q's
+    * tokens IS p's merged string `p.a || p.b` (p's application mints
+    * tokens q would then match, which only a sequential pass would see).
+    * Sharing a left or a right token is NOT an interaction ((i,n) and
+    * (a,n) cannot overlap), which is what keeps the per-round yield near
+    * `batchSize`. Selected batches apply simultaneously with
+    * byte-identical results to applying them sequentially in rank order:
+    * occurrences never overlap (so merged positions are never adjacent
+    * and the one-pass rebuild is sound) and no merge creates or destroys
+    * another selected pair's matches. The one semantic difference from
+    * 1-merge-per-round BPE is that frequencies refresh per ROUND, not per
+    * merge, which is the accepted batched-BPE tradeoff. The oracle
+    * replays the greedy scan as a single-row recursive-CTE fold over the
+    * window (bounded: `windowSize` steps per round).
+    *
+    * Within-round ranks follow the scan order, so the full rule table is
+    * deterministic and the oracle unrolls one CTE block per round. */
+  def bpeMergesBatched(t: Tables, rounds: Int = 8, batchSize: Int = 16): DataFrame =
+    trainBatched(t.documents, rounds, batchSize).rules
+
+  /** Batched training over any frame with a `text` column. `windowSize`
+    * bounds the candidate window (and the per-round driver collect) —
+    * fixed, because the oracle must replay the same window. */
+  def trainBatched(docs: DataFrame, rounds: Int = 8, batchSize: Int = 16,
+                   windowSize: Int = 128): BatchedTraining = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    var words = docs
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("toks",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint()
+
+    val rules = Seq.newBuilder[(Int, String, String, String, Long)]
+    var learned = 0
+    var round = 0
+    var exhausted = false
+    while (round < rounds && !exhausted) {
+      // the ONE driver round-trip of the round: the top-windowSize pair
+      // frequencies (bounded rows), from which the batch is selected
+      val win = words
+        .select(col("cnt"), col("toks"),
+          posexplode(expr("slice(toks, 1, size(toks) - 1)")).as(Seq("i", "a")))
+        .withColumn("b", expr("toks[i + 1]"))
+        .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("a"), col("b"))
+        .limit(windowSize)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (win.isEmpty) exhausted = true
+      else {
+        // greedy scan: a pair joins the batch iff it interacts with no
+        // already-selected pair — chains into one (selected right == its
+        // left, selected left == its right) or matches a token a selected
+        // merge mints. The batch is pairwise non-interacting by
+        // construction.
+        val lefts = scala.collection.mutable.Set.empty[String]
+        val rights = scala.collection.mutable.Set.empty[String]
+        val minted = scala.collection.mutable.Set.empty[String]
+        val batch = Seq.newBuilder[(String, String, Long)]
+        var kept = 0
+        win.foreach { case (a, b, f) =>
+          val interacts = rights(a) || lefts(b) || minted(a) || minted(b)
+          if (kept < batchSize && !interacts) {
+            batch += ((a, b, f)); kept += 1
+            lefts += a; rights += b; minted += (a + b)
+          }
+        }
+        val sel = batch.result()
+        sel.zipWithIndex.foreach { case ((a, b, f), j) =>
+          rules += ((learned + j + 1, a, b, a + b, f))
+        }
+        learned += sel.size
+        round += 1
+
+        // simultaneous application of the whole batch: candidates of ANY
+        // selected pair, runs-parity PER (word, pair) — cross-pair
+        // candidates are never adjacent (adjacency would need p.b == q.a,
+        // an interaction), so merged positions are never adjacent and one
+        // rebuild pass is sound
+        val selDf = broadcast(sel.map { case (a, b, _) => (a, b) }.toDF("a", "b"))
+        val cand = words
+          .select(col("word"), col("toks"),
+            posexplode(expr("slice(toks, 1, size(toks) - 1)")).as(Seq("i", "a")))
+          .withColumn("b", expr("toks[i + 1]"))
+          .join(selDf, Seq("a", "b"))
+          .select(col("word"), col("a"), col("b"), col("i"))
+        val kept2 = cand
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("word"), col("a"), col("b")).orderBy(col("i"))))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy(col("word"), col("a"), col("b"), col("i") - col("rn"))
+              .orderBy(col("i"))))
+          .filter(pmod(col("rr"), lit(2)) === 1)
+          .groupBy(col("word")).agg(collect_list(col("i")).as("kept"))
+
+        words = words
+          .join(kept2, Seq("word"), "left")
+          .withColumn("keptA", coalesce(col("kept"), expr("CAST(array() AS ARRAY<INT>)")))
+          .withColumn("toks", expr(
+            """filter(
+              |  transform(sequence(0, size(toks) - 1), i ->
+              |    CASE WHEN array_contains(keptA, i) THEN concat(toks[i], toks[i + 1])
+              |         WHEN array_contains(keptA, i - 1) THEN CAST(NULL AS STRING)
+              |         ELSE toks[i] END),
+              |  x -> x IS NOT NULL)""".stripMargin))
+          .select(col("word"), col("cnt"), col("toks"))
+          .localCheckpoint()
+      }
+    }
+    BatchedTraining(
+      rules.result()
+        .toDF("rank", "left_tok", "right_tok", "merged", "freq")
+        .orderBy(col("rank")),
+      words, round, learned)
+  }
+
+  /** The DuckDB mirror of [[bpeMergesBatched]]: one CTE block per round —
+    * pair frequencies, the ranked window, the greedy selection scan
+    * replayed as a single-row recursive-CTE fold over the window,
+    * candidates of every selected pair, per-(word, pair) runs-parity,
+    * rebuild. Global ranks are the within-round ordinal plus the summed
+    * sizes of all earlier rounds' batches (scalar subqueries — batch
+    * sizes vary by round). */
+  def bpeMergesBatchedSql(rounds: Int = 8, batchSize: Int = 16,
+                          windowSize: Int = 128): String = {
+    val arms = (1 to rounds).map { r =>
+      val offset =
+        if (r == 1) "0"
+        else (1 until r).map(j => s"(SELECT count(*) FROM sel_$j)").mkString(" + ")
+      s"SELECT CAST($offset + rn AS INTEGER) AS rank, a AS left_tok, b AS right_tok, " +
+        s"a || b AS merged, freq FROM sel_$r"
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${batchedCtesSql(rounds, batchSize, windowSize)}\n$arms\nORDER BY rank"
+  }
+
+  private def batchedCtesSql(rounds: Int, batchSize: Int, windowSize: Int): String = {
+    val base =
+      """wc AS MATERIALIZED (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0 GROUP BY 1),
+        |t0 AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |   list_transform(range(1, length(word) + 1), i -> word[i:i]) AS toks
+        |  FROM wc)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      val p = s"t${r - 1}"
+      s"""pf_$r AS MATERIALIZED (
+         |  SELECT t.toks[i] AS a, t.toks[i + 1] AS b, CAST(sum(t.cnt) AS BIGINT) AS freq
+         |  FROM $p t, unnest(range(1, len(t.toks))) AS u(i)
+         |  GROUP BY 1, 2),
+         |win_$r AS MATERIALIZED (
+         |  SELECT a, b, freq, row_number() OVER (ORDER BY freq DESC, a, b) AS ord
+         |  FROM pf_$r ORDER BY freq DESC, a, b LIMIT $windowSize),
+         |scan_$r AS MATERIALIZED (
+         |  WITH RECURSIVE s AS (
+         |    SELECT CAST(0 AS BIGINT) AS ord, CAST([] AS VARCHAR[]) AS lefts,
+         |           CAST([] AS VARCHAR[]) AS rights, CAST([] AS VARCHAR[]) AS minted,
+         |           CAST([] AS STRUCT(a VARCHAR, b VARCHAR, freq BIGINT)[]) AS sels
+         |    UNION ALL
+         |    SELECT ord,
+         |      CASE WHEN ok THEN list_append(lefts, a) ELSE lefts END,
+         |      CASE WHEN ok THEN list_append(rights, b) ELSE rights END,
+         |      CASE WHEN ok THEN list_append(minted, a || b) ELSE minted END,
+         |      CASE WHEN ok THEN list_append(sels, {'a': a, 'b': b, 'freq': freq})
+         |           ELSE sels END
+         |    FROM (
+         |      SELECT w.ord, w.a, w.b, w.freq, s.lefts, s.rights, s.minted, s.sels,
+         |        (len(s.sels) < $batchSize AND NOT (
+         |          list_contains(s.rights, w.a) OR list_contains(s.lefts, w.b)
+         |          OR list_contains(s.minted, w.a) OR list_contains(s.minted, w.b))) AS ok
+         |      FROM s JOIN win_$r w ON w.ord = s.ord + 1))
+         |  SELECT sels FROM s ORDER BY ord DESC LIMIT 1),
+         |sel_$r AS MATERIALIZED (
+         |  SELECT CAST(i AS INTEGER) AS rn, sels[i].a AS a, sels[i].b AS b,
+         |         sels[i].freq AS freq
+         |  FROM scan_$r, unnest(range(1, len(sels) + 1)) AS u(i)),
+         |cand_$r AS MATERIALIZED (
+         |  SELECT t.word, s.a, s.b, i
+         |  FROM $p t, unnest(range(1, len(t.toks))) AS u(i), sel_$r s
+         |  WHERE t.toks[i] = s.a AND t.toks[i + 1] = s.b),
+         |kept_$r AS MATERIALIZED (
+         |  SELECT word, list(i ORDER BY i) AS kept FROM (
+         |    SELECT word, i,
+         |      row_number() OVER (PARTITION BY word, a, b, i - rn ORDER BY i) AS rr
+         |    FROM (SELECT word, a, b, i,
+         |            row_number() OVER (PARTITION BY word, a, b ORDER BY i) AS rn
+         |          FROM cand_$r))
+         |  WHERE rr % 2 = 1 GROUP BY word),
+         |t$r AS MATERIALIZED (
+         |  SELECT t.word, t.cnt,
+         |   list_filter(
+         |     list_transform(range(1, len(t.toks) + 1), i ->
+         |       CASE WHEN list_contains(coalesce(k.kept, []), i)
+         |              THEN t.toks[i] || t.toks[i + 1]
+         |            WHEN list_contains(coalesce(k.kept, []), i - 1)
+         |              THEN NULL
+         |            ELSE t.toks[i] END),
+         |     x -> x IS NOT NULL) AS toks
+         |  FROM $p t LEFT JOIN kept_$r k USING (word))""".stripMargin
+    }
+    s"$base,\n${blocks.mkString(",\n")}"
+  }
+
   /** q118: corpus encoding under the learned vocabulary — per-document
     * word count, BPE token count, and compression ratio (chars per BPE
     * token, the metric a tokenizer build is judged on).

@@ -135,4 +135,87 @@ class BpeSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq == (1 to 8))
     assert(rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
   }
+
+  /** Independent single-node reference for BATCHED training: same window +
+    * greedy non-interacting selection, but the batch is applied
+    * SEQUENTIALLY one merge at a time — so equality with the engine (which
+    * applies the whole batch simultaneously) is exactly the commutation
+    * claim the batching rests on: non-interacting merges give
+    * byte-identical results in either order. */
+  private def referenceBatchedBpe(wordCounts: Map[String, Long], rounds: Int,
+      batchSize: Int, windowSize: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
+    def applyMerge(a: String, b: String): Unit =
+      words = words.groupMapReduce { case (toks, _) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i < toks.length - 1 && toks(i) == a && toks(i + 1) == b) {
+            merged += a + b; i += 2
+          } else { merged += toks(i); i += 1 }
+        }
+        merged.result()
+      } { case (_, c) => c }(_ + _)
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val freqs = collection.mutable.Map.empty[(String, String), Long]
+      for ((toks, c) <- words; i <- 0 until toks.length - 1)
+        freqs((toks(i), toks(i + 1))) = freqs.getOrElse((toks(i), toks(i + 1)), 0L) + c
+      if (freqs.nonEmpty) {
+        val win = freqs.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(windowSize)
+        val lefts = collection.mutable.Set.empty[String]
+        val rights = collection.mutable.Set.empty[String]
+        val minted = collection.mutable.Set.empty[String]
+        val batch = Seq.newBuilder[(String, String, Long)]
+        var kept = 0
+        win.foreach { case ((a, b), f) =>
+          val interacts = rights(a) || lefts(b) || minted(a) || minted(b)
+          if (kept < batchSize && !interacts) {
+            batch += ((a, b, f)); kept += 1
+            lefts += a; rights += b; minted += (a + b)
+          }
+        }
+        val sel = batch.result()
+        sel.foreach { case (a, b, _) => applyMerge(a, b) }
+        out ++= sel
+      }
+    }
+    out.result()
+  }
+
+  test("batched: engine's simultaneous batch equals sequential reference") {
+    val t = sf()
+    val wordCounts = t.documents
+      .select(explode(graft.ext.TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = referenceBatchedBpe(wordCounts, rounds = 4, batchSize = 8, windowSize = 64)
+    val got = Bpe.trainBatched(t.documents, rounds = 4, batchSize = 8, windowSize = 64)
+      .rules.collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("batched with batchSize=1 degenerates to plain sequential BPE") {
+    val t = sf()
+    val plain = Bpe.bpeMerges(t, 4).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val batched = Bpe.bpeMergesBatched(t, rounds = 4, batchSize = 1).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(batched == plain)
+  }
+
+  test("batched: >= 64 merges learned in <= 8 driver rounds (q120 contract)") {
+    val t = sf()
+    val run = Bpe.trainBatched(t.documents, rounds = 8, batchSize = 16)
+    assert(run.roundsRun <= 8, s"took ${run.roundsRun} rounds")
+    assert(run.mergesLearned >= 64,
+      s"only ${run.mergesLearned} merges in ${run.roundsRun} rounds")
+    val rows = run.rules.collect()
+    assert(rows.length == run.mergesLearned)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to run.mergesLearned))
+    assert(rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+  }
 }

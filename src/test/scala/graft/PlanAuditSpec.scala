@@ -353,7 +353,9 @@ class PlanAuditSpec extends SparkSpec {
     // training's exchanges happen inside the loop's checkpointed rounds);
     // the visible plan is LocalTableScan + presentation sort
     "q117_bpe_merges" -> 1, "q118_bpe_encode" -> 2,
-    "q119_token_budget_mix" -> 3)
+    "q119_token_budget_mix" -> 3,
+    // q120 is the batched twin of q117: same LocalTableScan + sort shape
+    "q120_bpe_batched" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
