@@ -162,7 +162,9 @@ object SparkEntry {
     "q117_bpe_merges" -> q(t => graft.ext.Bpe.bpeMerges(t)),
     "q118_bpe_encode" -> q(t => graft.ext.Bpe.bpeEncode(t)),
     "q119_token_budget_mix" -> q(t => Sampling.tokenBudgetMix(t)),
-    "q120_bpe_batched" -> q(t => graft.ext.Bpe.bpeMergesBatched(t)))
+    "q120_bpe_batched" -> q(t => graft.ext.Bpe.bpeMergesBatched(t)),
+    "q121_image_near_dups" -> q(t => graft.ext.Multimodal.imageNearDupsFromDocs(t)),
+    "q122_audio_near_dups" -> q(t => graft.ext.Multimodal.audioNearDupsFromDocs(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -192,6 +194,8 @@ object SparkEntry {
     "q118_bpe_encode" -> graft.ext.Bpe.bpeEncodeSql(),
     "q119_token_budget_mix" -> Sampling.tokenBudgetMixSql(),
     "q120_bpe_batched" -> graft.ext.Bpe.bpeMergesBatchedSql(),
+    "q121_image_near_dups" -> graft.ext.Multimodal.imageNearDupsSql(),
+    "q122_audio_near_dups" -> graft.ext.Multimodal.audioNearDupsSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

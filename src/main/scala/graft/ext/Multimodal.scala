@@ -709,4 +709,162 @@ object Multimodal {
   def videoNearDups(media: Dataset[MediaRow], maxHamming: Int = 4,
                     cap: Int = Dedup.DefaultBucketCap): DataFrame =
     bandedHashNearDups(videoHashes(media), maxHamming, cap)
+
+  // ---------------------------------------------------------------------
+  // Documents-seeded media corpora: the oracle bridge for the near-dup
+  // layer. Pixel/sample values are integer formulas over (doc_id, n_chars)
+  // that DuckDB can compute from the documents table, so the REAL pipeline
+  // — encode to PPM/PNG/WAV, decode, fingerprint, banded self-join — is
+  // hash-checked against an independent replay of the fingerprint
+  // arithmetic. A codec or hash bug breaks the match; only the decode step
+  // itself stays Spark-side (it is the identity on these lossless
+  // round-trips, which is exactly what the check pins). Same-n_chars
+  // documents get identical seeds, so the corpus contains genuine
+  // duplicates ACROSS codecs (PPM vs PNG by doc parity) and across gain
+  // levels (audio), plus small-Hamming near-dups via the doc-keyed noise
+  // term — the shapes image/audio dedup exists for.
+  // ---------------------------------------------------------------------
+
+  /** Image corpus seeded by documents: dims from n_chars (so equal-length
+    * docs are duplicate candidates), subpixel j =
+    * `(n_chars·131 + j·7 + noise) mod 256` with `noise = 8` where
+    * `j ≡ doc_id (mod 97)` — a ~1% brightness edit that lands copies a few
+    * Hamming bits apart. Even doc_ids encode PPM, odd PNG: byte-identical
+    * pixels through two different codecs. */
+  def imageCorpusFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nc) =>
+      val w = (8 + nc % 9).toInt
+      val h = (6 + nc % 7).toInt
+      val rgb = Array.tabulate[Byte](w * h * 3) { j =>
+        val noise = if (j % 97 == id % 97) 8L else 0L
+        ((nc * 131 + j.toLong * 7 + noise) % 256).toByte
+      }
+      val payload =
+        if (id % 2 == 0) MediaCodec.encodePpm(w, h, rgb)
+        else MediaCodec.encodePng(w, h, rgb)
+      MediaRow(id, "image", payload, w, h, 0, 1)
+    }
+  }
+
+  /** Audio corpus seeded by documents: clip length and base waveform from
+    * n_chars, re-levelled by a per-doc gain `1 + doc_id mod 3` (the energy
+    * fingerprint must erase it), plus a +500 spike where
+    * `j ≡ doc_id (mod 89)` (the localized edit). Max |sample| =
+    * 4000·3 + 500, safely inside PCM16. */
+  def audioCorpusFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].map { case (id, nc) =>
+      val n = (64 + nc % 128).toInt
+      val gain = 1 + (id % 3)
+      val samples = Array.tabulate[Short](n) { j =>
+        val base = (nc * 37 + j.toLong * 613) % 8001 - 4000
+        val noise = if (j % 89 == id % 89) 500L else 0L
+        (base * gain + noise).toShort
+      }
+      MediaRow(id, "audio", MediaCodec.encodeWav(8000, samples), 0, 0, 8000, 1)
+    }
+  }
+
+  /** q121: image near-duplicate pairs over the documents-seeded corpus —
+    * the full decode → aHash → banded-Hamming pipeline, oracle-replayed. */
+  def imageNearDupsFromDocs(t: graft.core.Tables, maxHamming: Int = 4): DataFrame =
+    imageNearDups(imageCorpusFromDocs(t.documents), maxHamming)
+
+  /** q122: audio near-duplicate pairs over the documents-seeded corpus. */
+  def audioNearDupsFromDocs(t: graft.core.Tables, maxHamming: Int = 4): DataFrame =
+    audioNearDups(audioCorpusFromDocs(t.documents), maxHamming)
+
+  /** DuckDB twin of [[imageNearDupsFromDocs]]: replays [[averageHash]]'s
+    * integer arithmetic (block assignment `(y·8)//h`, cross-multiplied
+    * mean comparison) from the seed formulas, assembles the 64-bit hash as
+    * 4×16-bit bands (BIGINT-safe — bit 63 of a whole hash would overflow
+    * signed SQL arithmetic), and mirrors the banded candidate join +
+    * Hamming filter. */
+  def imageNearDupsSql(maxHamming: Int = 4): String =
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT doc_id, n_chars, 8 + n_chars % 9 AS w, 6 + n_chars % 7 AS h
+       |  FROM documents),
+       |px AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ((y * 8) // h) * 8 + (x * 8) // w AS blk,
+       |    ((n_chars * 131 + ((y * w + x) * 3 + 0) * 7 +
+       |       CASE WHEN ((y * w + x) * 3 + 0) % 97 = doc_id % 97 THEN 8 ELSE 0 END) % 256)
+       |    + ((n_chars * 131 + ((y * w + x) * 3 + 1) * 7 +
+       |       CASE WHEN ((y * w + x) * 3 + 1) % 97 = doc_id % 97 THEN 8 ELSE 0 END) % 256)
+       |    + ((n_chars * 131 + ((y * w + x) * 3 + 2) * 7 +
+       |       CASE WHEN ((y * w + x) * 3 + 2) % 97 = doc_id % 97 THEN 8 ELSE 0 END) % 256)
+       |      AS v
+       |  FROM m, unnest(range(0, h)) AS uy(y), unnest(range(0, w)) AS ux(x)),
+       |blocks AS MATERIALIZED (
+       |  SELECT doc_id, blk, CAST(sum(v) AS BIGINT) AS s, count(*) AS c
+       |  FROM px GROUP BY 1, 2),
+       |tot AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total, CAST(sum(c) AS BIGINT) AS totalc
+       |  FROM blocks GROUP BY 1),
+       |bands AS MATERIALIZED (
+       |  -- explicit doc×band grid: an all-zero band must still exist as a
+       |  -- row (the engine's posexplode always yields 4 bands), or two
+       |  -- blank-band docs would never meet in the candidate join
+       |  SELECT t.doc_id, g.band_id,
+       |    CAST(coalesce(sum(CASE WHEN b.s * t.totalc > t.total * b.c
+       |                  THEN 1 << (b.blk % 16) END), 0) AS BIGINT) AS band_val
+       |  FROM tot t CROSS JOIN unnest(range(0, 4)) AS g(band_id)
+       |  LEFT JOIN blocks b ON b.doc_id = t.doc_id AND b.blk // 16 = g.band_id
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS media_a, r.doc_id AS media_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_val = r.band_val
+       |       AND l.doc_id < r.doc_id)
+       |SELECT c.media_a, c.media_b, CAST(h.hamming AS INTEGER) AS hamming
+       |FROM cand c JOIN (
+       |  SELECT lb.doc_id AS media_a, rb.doc_id AS media_b,
+       |    sum(bit_count(xor(lb.band_val, rb.band_val))) AS hamming
+       |  FROM bands lb JOIN bands rb ON lb.band_id = rb.band_id
+       |  GROUP BY 1, 2) h
+       |  ON h.media_a = c.media_a AND h.media_b = c.media_b
+       |WHERE h.hamming <= $maxHamming
+       |ORDER BY c.media_a, c.media_b""".stripMargin
+
+  /** DuckDB twin of [[audioNearDupsFromDocs]]: replays [[audioHash]]'s
+    * frame-energy arithmetic (frame `f = (j·64)//n`, |amplitude| sums,
+    * cross-multiplied comparison) from the seed formulas — gain and all —
+    * then the same banded join. */
+  def audioNearDupsSql(maxHamming: Int = 4): String =
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT doc_id, n_chars, 64 + n_chars % 128 AS n, 1 + doc_id % 3 AS gain
+       |  FROM documents),
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id, (j * 64) // n AS f,
+       |    abs(((n_chars * 37 + j * 613) % 8001 - 4000) * gain +
+       |        CASE WHEN j % 89 = doc_id % 89 THEN 500 ELSE 0 END) AS a
+       |  FROM m, unnest(range(0, n)) AS u(j)),
+       |frames AS MATERIALIZED (
+       |  SELECT doc_id, f, CAST(sum(a) AS BIGINT) AS s, count(*) AS c
+       |  FROM samp GROUP BY 1, 2),
+       |tot AS MATERIALIZED (
+       |  SELECT doc_id, CAST(sum(s) AS BIGINT) AS total, CAST(sum(c) AS BIGINT) AS totalc
+       |  FROM frames GROUP BY 1),
+       |bands AS MATERIALIZED (
+       |  SELECT t.doc_id, g.band_id,
+       |    CAST(coalesce(sum(CASE WHEN fr.s * t.totalc > t.total * fr.c
+       |                  THEN 1 << (fr.f % 16) END), 0) AS BIGINT) AS band_val
+       |  FROM tot t CROSS JOIN unnest(range(0, 4)) AS g(band_id)
+       |  LEFT JOIN frames fr ON fr.doc_id = t.doc_id AND fr.f // 16 = g.band_id
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS media_a, r.doc_id AS media_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band_id = r.band_id AND l.band_val = r.band_val
+       |       AND l.doc_id < r.doc_id)
+       |SELECT c.media_a, c.media_b, CAST(h.hamming AS INTEGER) AS hamming
+       |FROM cand c JOIN (
+       |  SELECT lb.doc_id AS media_a, rb.doc_id AS media_b,
+       |    sum(bit_count(xor(lb.band_val, rb.band_val))) AS hamming
+       |  FROM bands lb JOIN bands rb ON lb.band_id = rb.band_id
+       |  GROUP BY 1, 2) h
+       |  ON h.media_a = c.media_a AND h.media_b = c.media_b
+       |WHERE h.hamming <= $maxHamming
+       |ORDER BY c.media_a, c.media_b""".stripMargin
 }

@@ -355,7 +355,10 @@ class PlanAuditSpec extends SparkSpec {
     "q117_bpe_merges" -> 1, "q118_bpe_encode" -> 2,
     "q119_token_budget_mix" -> 3,
     // q120 is the batched twin of q117: same LocalTableScan + sort shape
-    "q120_bpe_batched" -> 1)
+    "q120_bpe_batched" -> 1,
+    // media near-dups: salting size-agg + banded self-join + pair dedup +
+    // presentation sort (the checkpointed hash frame reuses one scan)
+    "q121_image_near_dups" -> 4, "q122_audio_near_dups" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
