@@ -727,6 +727,127 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** q123: EXACT maximal duplicated spans of ANY length ≥ `minLen` —
+    * token-resolution extents, closing the gap [[maximalDuplicateSpans]]
+    * documents (its islands are superset-merges at k-window resolution).
+    *
+    * No distributed suffix array. Prefix-class doubling: level j assigns
+    * every (doc, pos) the md5 class of its length-2^j token prefix —
+    * `c_j(p) = md5(c_{j-1}(p) || c_{j-1}(p + 2^{j-1}))`, with a unique
+    * per-position sentinel past the document end — so positions share a
+    * level-j class iff their 2^j-token prefixes are equal (up to md5
+    * collision, the same 128-bit contract as [[duplicateSpans]]). A
+    * position whose level-j class is shared by ≥ 2 positions starts a
+    * length-2^j repeat: interval [pos, pos + 2^j).
+    *
+    * The exactness argument (why power-of-two intervals suffice): every
+    * such interval lies inside a true maximal repeat, and conversely a
+    * true repeat [p, p+r), r ≥ minLen, is fully covered — position p+d
+    * (d ≤ r−minLen) has a repeated prefix of ≥ r−d ≥ minLen tokens, so it
+    * contributes an interval of length ≥ minLen, and at d = r−minLen that
+    * interval reaches exactly p+r. Hence the union of the level-
+    * log2(minLen)..log2(cap) intervals EQUALS the union of all true
+    * maximal repeats of length ≥ minLen — even for repeats far longer
+    * than `cap` (overlapping covers chain across them; proven against an
+    * uncapped brute force in DedupSpec). Interval union per doc is the
+    * running-max-end island merge.
+    *
+    * Scale shape: log2(cap) self-joins on (doc, pos) carrying 32-byte
+    * classes, one class-count window per reported level, one island
+    * window per doc — every stage shuffles narrow rows, never text, and
+    * the round count is log2(cap), independent of corpus size. */
+  def maximalDuplicateSpansExact(t: Tables, minLen: Int = 16,
+                                 cap: Int = 64): DataFrame = {
+    require(minLen >= 2 && (minLen & (minLen - 1)) == 0, s"minLen $minLen must be a power of 2")
+    require(cap >= minLen && (cap & (cap - 1)) == 0, s"cap $cap must be a power of 2 >= minLen")
+    import org.apache.spark.sql.expressions.Window
+    val tks = TextAnalysis.tokens(lower(col("text")))
+    var classes = t.documents
+      .select(col("doc_id"), posexplode(tks).as(Seq("pos", "c")))
+      .localCheckpoint() // both sides of every level join re-read this
+    val levels = Seq.newBuilder[DataFrame]
+    var len = 1
+    while (len < cap) {
+      classes = classes.as("a")
+        .join(classes.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + len,
+          "left")
+        .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+          md5(concat(col("a.c"),
+            coalesce(col("b.c"), concat(lit("E"), col("a.doc_id").cast("string"),
+              lit(":"), col("a.pos").cast("string"))))).as("c"))
+        .localCheckpoint()
+      len *= 2
+      if (len >= minLen) {
+        val l = len
+        levels += classes
+          .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("c"))))
+          .filter(col("occ") > 1)
+          .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(l)).as("e"))
+      }
+    }
+    val intervals = levels.result().reduce(_ unionByName _).distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    intervals
+      .withColumn("pme",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isl", sum(
+        when(col("pme").isNull || col("s") > col("pme"), 1).otherwise(0)).over(w))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"),
+        (col("span_end") - col("span_start")).as("span_tokens"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** The DuckDB mirror of [[maximalDuplicateSpansExact]]: the same md5
+    * class-doubling chain as CTEs, one per level, then the same interval
+    * union. */
+  def maximalDuplicateSpansExactSql(minLen: Int = 16, cap: Int = 64): String = {
+    val shifts = Iterator.iterate(1)(_ * 2).takeWhile(_ < cap).toSeq
+    val chain = shifts.zipWithIndex.map { case (shift, i) =>
+      val prev = if (i == 0) "c0" else s"c$i"
+      s"""c${i + 1} AS MATERIALIZED (
+         |  SELECT a.doc_id, a.pos,
+         |    md5(a.c || coalesce(b.c, 'E' || a.doc_id || ':' || a.pos)) AS c
+         |  FROM $prev a LEFT JOIN $prev b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + $shift)""".stripMargin
+    }
+    val dupArms = shifts.zipWithIndex
+      .filter { case (shift, _) => shift * 2 >= minLen }
+      .map { case (shift, i) =>
+        s"""SELECT doc_id, pos AS s, pos + ${shift * 2} AS e
+           |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY c) AS occ
+           |        FROM c${i + 1})
+           |  WHERE occ > 1""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |c0 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tks[i] AS c
+       |  FROM tk, unnest(range(1, len(tks) + 1)) AS u(i)),
+       |${chain.mkString(",\n")},
+       |iv AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, s, e FROM (
+       |$dupArms)),
+       |marked AS MATERIALIZED (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM iv),
+       |isl AS MATERIALIZED (
+       |  SELECT doc_id, s, e,
+       |    sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+       |  FROM marked)
+       |SELECT doc_id, CAST(min(s) AS INTEGER) AS span_start,
+       |  CAST(max(e) - min(s) AS INTEGER) AS span_tokens
+       |FROM isl GROUP BY doc_id, isl
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   /** n-gram Jaccard similarity over a deterministic candidate sample:
     * consecutive doc_id pairs (a fixed, oracle-expressible pairing that
     * exercises the set-similarity kernel; production candidates come from

@@ -460,4 +460,92 @@ class DedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_windows")).sum == q84Occurrences,
       "island windows do not cover q84's duplicated occurrences")
   }
+
+  /** Brute-force maximal duplicated spans, UNCAPPED: for every (doc, pos)
+    * the true longest repeated prefix (any other (doc, pos) counts as a
+    * partner), intervals with rep ≥ minLen merged. No shared code with the
+    * engine's class-doubling — and no cap, so equality also proves the
+    * power-interval cover reconstructs repeats far longer than cap. */
+  private def bruteForceSpans(docs: Seq[(Long, String)], minLen: Int): Seq[(Long, Int, Int)] = {
+    val toks = docs.map { case (id, tx) => id -> tx.trim.toLowerCase.split("\\s+").toVector }
+    val all = for ((id, ts) <- toks; p <- ts.indices) yield (id, ts, p)
+    def lcp(a: Vector[String], i: Int, b: Vector[String], j: Int): Int = {
+      var l = 0
+      while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+      l
+    }
+    val intervals = for {
+      (id, ts, p) <- all
+      rep = all.iterator.filter { case (id2, _, p2) => (id2, p2) != ((id, p)) }
+        .map { case (_, ts2, p2) => lcp(ts, p, ts2, p2) }.maxOption.getOrElse(0)
+      if rep >= minLen
+    } yield (id, p, p + rep)
+    // merge per doc
+    intervals.groupBy(_._1).toSeq.flatMap { case (id, iv) =>
+      val sorted = iv.map { case (_, s, e) => (s, e) }.sortBy(identity)
+      val out = Seq.newBuilder[(Long, Int, Int)]
+      var cs = -1; var ce = -1
+      sorted.foreach { case (s, e) =>
+        if (cs < 0) { cs = s; ce = e }
+        else if (s > ce) { out += ((id, cs, ce - cs)); cs = s; ce = e }
+        else ce = math.max(ce, e)
+      }
+      if (cs >= 0) out += ((id, cs, ce - cs))
+      out.result()
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("exact spans: class-doubling equals uncapped brute force (incl. repeat > cap)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_exactspans").toFile.getAbsolutePath
+    val long = (1 to 90).map(i => s"s$i").mkString(" ")   // 90-token repeat > cap=64
+    val short = (1 to 17).map(i => s"t$i").mkString(" ")  // just over minLen=16
+    val sub = (1 to 9).map(i => s"u$i").mkString(" ")     // below minLen — must NOT appear
+    val docs = Seq(
+      (0L, s"alpha $long beta $sub gamma"),
+      (1L, s"$long delta $short"),
+      (2L, s"one two $short three $sub four"),
+      (3L, (1 to 50).map(i => s"z$i").mkString(" ")),      // nothing shared
+      (4L, s"pre ${(1 to 30).map(_ => "rep").mkString(" ")} post")) // self-overlap run
+    docs.map { case (id, tx) => (id, tx, "en", "synthetic", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val t = Tables(spark, base)
+    val got = Dedup.maximalDuplicateSpansExact(t, minLen = 16, cap = 64).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_tokens"))).toSeq
+    val expected = bruteForceSpans(docs, minLen = 16)
+    assert(got == expected, s"got=$got\nexpected=$expected")
+    // sanity on the shape: the 90-token repeat reported at full length
+    assert(got.exists { case (id, _, l) => id == 0L && l == 90 })
+    // the sub-threshold 9-token repeat never surfaces
+    assert(got.forall { case (_, _, l) => l >= 16 })
+  }
+
+  test("exact spans: tighter extents than the k-window islands on staggered partners") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_exactspans2").toFile.getAbsolutePath
+    // doc0 carries two 16-token runs back-to-back, duplicated by DIFFERENT
+    // partners; the k-window islands merge them into one 32-token extent
+    // (documented superset behavior) — and so does the exact union (the
+    // whole 32 tokens ARE duplicated material), but a 15-token run
+    // duplicated nowhere as a ≥16 repeat must NOT be glued on
+    val runA = (1 to 16).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 16).map(i => s"b$i").mkString(" ")
+    val runC = (1 to 15).map(i => s"c$i").mkString(" ")  // sub-threshold
+    val docs = Seq(
+      (0L, s"$runA $runB $runC"),
+      (1L, s"x1 x2 $runA y1"),
+      (2L, s"w1 $runB w2 $runC w3"))
+    docs.map { case (id, tx) => (id, tx, "en", "synthetic", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val t = Tables(spark, base)
+    val got = Dedup.maximalDuplicateSpansExact(t, minLen = 16, cap = 64).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_tokens"))).toSeq
+    assert(got == bruteForceSpans(docs, minLen = 16))
+    // doc0: exactly [0, 32) — runC is not glued despite being adjacent
+    assert(got.filter(_._1 == 0L) == Seq((0L, 0, 32)))
+  }
 }

@@ -358,7 +358,11 @@ class PlanAuditSpec extends SparkSpec {
     "q120_bpe_batched" -> 1,
     // media near-dups: salting size-agg + banded self-join + pair dedup +
     // presentation sort (the checkpointed hash frame reuses one scan)
-    "q121_image_near_dups" -> 4, "q122_audio_near_dups" -> 4)
+    "q121_image_near_dups" -> 4, "q122_audio_near_dups" -> 4,
+    // exact spans: 3 class-count windows (levels 16/32/64) + interval
+    // distinct + island window + presentation sort; the level-join chain
+    // is checkpoint-severed (6 narrow joins happen in the lineage jobs)
+    "q123_maximal_spans_exact" -> 6)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
