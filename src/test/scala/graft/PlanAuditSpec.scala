@@ -311,12 +311,12 @@ class PlanAuditSpec extends SparkSpec {
     "q27_tumbling_window" -> 3, "q28_json_parse" -> 1,
     "q29_dedup_exact" -> 2, "q30_text_stats" -> 1, "q31_lang_id" -> 1,
     "q32_fingerprint" -> 1, "q33_minhash_signatures" -> 1,
-    "q34_minhash_dup_pairs" -> 2, "q35_simhash" -> 1,
+    "q34_minhash_dup_pairs" -> 1, "q35_simhash" -> 1,
     "q36_ngram_jaccard" -> 1, "q37_ann_bruteforce" -> 2,
     "q38_ann_lsh" -> 3, "q39_embedding_stats" -> 2,
     "q40_approx_distinct" -> 2, "q41_embedding_near_dups" -> 2,
     "q42_token_counts" -> 1, "q43_ann_ivf" -> 6, "q44_join_bucketed" -> 1,
-    "q45_dup_clusters" -> 7, "q46_asof_join" -> 3, "q47_range_join" -> 1,
+    "q45_dup_clusters" -> 4, "q46_asof_join" -> 3, "q47_range_join" -> 1,
     "q48_dataset_splits" -> 1, "q49_sessionization" -> 2,
     "q50_tfidf_topk" -> 6, "q51_percentiles" -> 2, "q52_histogram" -> 2,
     "q53_pivot" -> 3, "q54_unpivot" -> 4, "q55_bitmap_distinct" -> 2,
@@ -324,7 +324,7 @@ class PlanAuditSpec extends SparkSpec {
     "q59_zone_activity" -> 3, "q60_dict_bitmap_distinct" -> 2,
     "q61_repetition" -> 1, "q62_decontamination" -> 3,
     "q63_pii_redact" -> 1, "q64_vocabulary" -> 2, "q65_cube" -> 2,
-    "q66_set_ops" -> 5, "q67_data_card" -> 2, "q68_dedup_corpus" -> 7,
+    "q66_set_ops" -> 5, "q67_data_card" -> 2, "q68_dedup_corpus" -> 4,
     "q69_sequence_packing" -> 2, "q70_mixture_weights" -> 2,
     "q71_quality_funnel" -> 1, "q72_chunking" -> 1, "q73_source_cap" -> 2,
     "q74_event_funnel" -> 2, "q75_cohort_retention" -> 5,
@@ -339,7 +339,7 @@ class PlanAuditSpec extends SparkSpec {
     "q93_value_trend" -> 2, "q94_inverted_index" -> 3,
     "q95_keyword_search" -> 2, "q96_gap_fill" -> 4,
     "q97_sliding_window" -> 2, "q98_range_frame" -> 2,
-    "q99_incremental_dedup" -> 1, "q100_training_corpus" -> 11,
+    "q99_incremental_dedup" -> 1, "q100_training_corpus" -> 6,
     "q101_data_profile" -> 3, "q102_equidepth_histogram" -> 3,
     "q103_referential_integrity" -> 8,
     "q104_cumulative_approx_distinct" -> 2, "q105_grouped_equidepth" -> 3,
