@@ -165,7 +165,8 @@ object SparkEntry {
     "q120_bpe_batched" -> q(t => graft.ext.Bpe.bpeMergesBatched(t)),
     "q121_image_near_dups" -> q(t => graft.ext.Multimodal.imageNearDupsFromDocs(t)),
     "q122_audio_near_dups" -> q(t => graft.ext.Multimodal.audioNearDupsFromDocs(t)),
-    "q123_maximal_spans_exact" -> q(t => Dedup.maximalDuplicateSpansExact(t)))
+    "q123_maximal_spans_exact" -> q(t => Dedup.maximalDuplicateSpansExact(t)),
+    "q124_bm25_search" -> q(t => TextAnalysis.bm25Search(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -198,6 +199,7 @@ object SparkEntry {
     "q121_image_near_dups" -> graft.ext.Multimodal.imageNearDupsSql(),
     "q122_audio_near_dups" -> graft.ext.Multimodal.audioNearDupsSql(),
     "q123_maximal_spans_exact" -> Dedup.maximalDuplicateSpansExactSql(),
+    "q124_bm25_search" -> TextAnalysis.bm25SearchSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

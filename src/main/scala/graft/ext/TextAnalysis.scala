@@ -382,6 +382,97 @@ object TextAnalysis {
       .orderBy(col("total_tf").desc, col("doc_id"))
       .limit(k)
 
+  /** q124: BM25 ranked retrieval (Robertson/Spärck Jones) — the disjunctive
+    * (OR) ranked complement of q95's conjunctive search, and the standard
+    * lexical-retrieval baseline a RAG/eval pipeline runs next to the ANN
+    * family ([[graft.ext.Similarity]]). Reference scope: the text-serving
+    * surface (the reference serves ranked lookups from its aggregates,
+    * `serving/database.py`); BM25 itself is beyond-reference LLM-pipeline
+    * surface, like q50/q94/q95.
+    *
+    * Shape: doc length rides the explode as `size(tokens)` — a narrow
+    * per-row expression, NOT a second explode+shuffle+join on doc_id (at
+    * 100 TB the length join would re-shuffle the whole exploded corpus; a
+    * `max` inside the (doc, term) aggregate carries the constant for
+    * free). Per-term df and the corpus stats (N, total_dl) ride in as
+    * broadcast aggregate frames — never a driver collect. One final
+    * doc_id aggregate sums the per-term contributions;
+    * [[graft.functions.ExactAgg.dsum]] makes that sum order-independent,
+    * so the score is bit-stable under AQE/partition reordering and
+    * DuckDB-replayable.
+    *
+    * Scoring is the log-free rational BM25 variant: idf = (N - df + 0.5) /
+    * (df + 0.5) (the exponent of the classic log idf — same ordering,
+    * libm-free; `ln` is implementation-dependent, same doctrine as q50's
+    * rational tf-idf). Saturation keeps the textbook form
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/total_dl)) with dl/avgdl
+    * expanded to dl·N/total_dl so every input stays an exact integer until
+    * one fixed chain of IEEE ops — bit-portable across engines. */
+  def bm25Search(t: Tables, terms: Seq[String] = Seq("data", "spark", "query"),
+                 k: Int = 50, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = t.documents
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val dl = base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_dl"))
+    val tf = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // rows of tf are unique per (doc, term), so df is a plain count — no
+    // distinct Expand (same derivation as q50's topTerms)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val sat = col("tf") * lit(k1 + 1) /
+      (col("tf") + lit(k1) *
+        (lit(1 - b) + lit(b) * col("dl") * col("n_docs") / col("total_dl")))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * sat).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(graft.functions.ExactAgg.dsum(col("contrib")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[bm25Search]] — every float op in the same order
+    * with explicit DOUBLE casts (DuckDB's bare numeric literals are
+    * DECIMAL; decimal arithmetic would diverge from Spark's IEEE chain). */
+  def bm25SearchSql(terms: Seq[String] = Seq("data", "spark", "query"),
+                    k: Int = 50): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |   string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM (
+       |    SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |     unnest(toks) AS term FROM base)
+       |  WHERE term IN ($inList) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |contribs AS (
+       |  SELECT tf.doc_id,
+       |   ((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |   * ((CAST(tf AS DOUBLE) * 2.2) /
+       |      (CAST(tf AS DOUBLE) + 1.2 * (0.25 +
+       |       0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
+       |        / CAST(total_dl AS DOUBLE)))) AS contrib
+       |  FROM tf JOIN dfreq USING (term)
+       |  CROSS JOIN stats)
+       |SELECT doc_id, count(*) AS n_terms_hit,
+       | round(${O.dsum("contrib")}, 6) AS bm25
+       |FROM contribs GROUP BY 1
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** TF-IDF top-k terms per document. Classic three-stage shape:
     * explode tokens (narrow) → term frequency per (doc, term) (shuffle on
     * the composite key) → document frequency per term from the tf frame

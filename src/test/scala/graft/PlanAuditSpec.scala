@@ -292,7 +292,8 @@ class PlanAuditSpec extends SparkSpec {
     "q107_equidepth_approx",        // rank-target x crossing-cell band
     "q108_grouped_equidepth_approx",
     "q109_cumulative_quantiles",    // day<=day state merge + quantile targets
-    "q113_zorder_layout")           // 1-row per-dimension (min,max) bounds frame
+    "q113_zorder_layout",           // 1-row per-dimension (min,max) bounds frame
+    "q124_bm25_search")             // 1-row corpus (N, total_dl) stats frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -362,7 +363,11 @@ class PlanAuditSpec extends SparkSpec {
     // exact spans: 3 class-count windows (levels 16/32/64) + interval
     // distinct + island window + presentation sort; the level-join chain
     // is checkpoint-severed (6 narrow joins happen in the lineage jobs)
-    "q123_maximal_spans_exact" -> 6)
+    "q123_maximal_spans_exact" -> 6,
+    // bm25: dl agg + 1-row stats + tf agg + df agg + tf re-key to doc_id;
+    // the final doc_id agg rides the join's partitioning, top-k is
+    // TakeOrdered (no range exchange)
+    "q124_bm25_search" -> 5)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
