@@ -27,7 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dderby.system.home=/tmp/graft-derby",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): the exact-percentile/grid family allocates
+  // single large aggregation buffers; at 8g the r5 bench showed warm-run
+  // degradation with in-suite GC pressure as the prime suspect (q102
+  // dispersion [2.7, 17.9, 19.5]). The machine has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // The 106-query bench generates thousands of whole-stage-codegen classes
   // in one JVM; the JDK default 240 MB code cache fills mid-suite, the JIT
   // shuts off ("CodeCache is full"), and every per-row kernel after that

@@ -166,7 +166,9 @@ object SparkEntry {
     "q121_image_near_dups" -> q(t => graft.ext.Multimodal.imageNearDupsFromDocs(t)),
     "q122_audio_near_dups" -> q(t => graft.ext.Multimodal.audioNearDupsFromDocs(t)),
     "q123_maximal_spans_exact" -> q(t => Dedup.maximalDuplicateSpansExact(t)),
-    "q124_bm25_search" -> q(t => TextAnalysis.bm25Search(t)))
+    "q124_bm25_search" -> q(t => TextAnalysis.bm25Search(t)),
+    "q125_snapshot_diff" -> q(t => graft.sources.Snapshots.diffDemoOrders(t)),
+    "q126_compaction_report" -> q(t => graft.sources.TableIO.compactionReportDemo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -200,6 +202,8 @@ object SparkEntry {
     "q122_audio_near_dups" -> graft.ext.Multimodal.audioNearDupsSql(),
     "q123_maximal_spans_exact" -> Dedup.maximalDuplicateSpansExactSql(),
     "q124_bm25_search" -> TextAnalysis.bm25SearchSql(),
+    "q125_snapshot_diff" -> graft.sources.Snapshots.diffDemoOrdersSql,
+    "q126_compaction_report" -> graft.sources.TableIO.compactionReportDemoSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

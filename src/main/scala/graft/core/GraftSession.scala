@@ -41,12 +41,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
   def lineitem: DataFrame   = t("lineitem")
   def eventsRaw: DataFrame  = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects ([PARQUET_TYPE_ILLEGAL]); read the physical int64 nanos and
-    // floor-divide to microseconds (same truncation DuckDB applies when
-    // formatting ns timestamps at µs precision). NOTE: the legacy flag is
+    // events.ts has shipped as parquet TIMESTAMP(NANOS) in some environments;
+    // Spark's vectorized reader rejects that ([PARQUET_TYPE_ILLEGAL]) unless
+    // the physical int64 nanos are read as long. NOTE: the legacy flag is
     // session-wide and deliberately left set — any later nanos-typed scan in
     // this session reads as long, which is this engine's contract for nanos.
+    // Files whose ts is already µs-precision are unaffected by the flag.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t("events")
   }
@@ -56,8 +56,32 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def nation: DataFrame     = t("nation")
   def region: DataFrame     = t("region")
-  def events: DataFrame =
-    eventsRaw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
+  /** Canonical events relation: `ts` is always a session-TZ `TimestampType`
+    * at µs precision, regardless of how the parquet file encodes it.
+    *
+    * Schema-adaptive on `ts`'s physical type — the explicit-schema discipline
+    * of the reference (`weather_to_iceberg.py:81-85`, SURVEY §1.3) applied to
+    * a source whose upstream producer has changed encodings across drops:
+    *   - int64 (TIMESTAMP(NANOS) read via nanosAsLong) → floor-divide to µs,
+    *     the same truncation DuckDB applies when formatting ns at µs precision;
+    *   - TIMESTAMP_NTZ (µs, isAdjustedToUTC=false)     → reinterpret the wall
+    *     clock as UTC (session TZ is UTC, so this is a pure type relabel);
+    *   - TIMESTAMP (µs, isAdjustedToUTC=true)          → pass through.
+    * Anything else fails fast with the observed type, not 41 queries deep.
+    */
+  def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = eventsRaw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other (expected int64 nanos, timestamp, or timestamp_ntz)")
+    }
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -785,33 +785,46 @@ object Dedup {
     * uncapped brute force in DedupSpec). Interval union per doc is the
     * running-max-end island merge.
     *
-    * Scale shape: log2(cap) self-joins on (doc, pos) carrying 32-byte
-    * classes, one class-count window per reported level, one island
-    * window per doc — every stage shuffles narrow rows, never text, and
-    * the round count is log2(cap), independent of corpus size. */
+    * Scale shape: the `b.pos = a.pos + 2^{j-1}` shift over DENSE positions
+    * is `lead(c, 2^{j-1})` over (doc ordered by pos) — so the whole
+    * doubling chain is ONE shuffle on doc_id (localCheckpoint preserves
+    * the partitioning across rounds; r5 ran it as log2(cap) self-joins,
+    * 2 shuffles each) plus local window passes carrying 32-byte classes,
+    * one class-count shuffle per reported level, one island window per
+    * doc. Rounds = log2(cap), independent of corpus size — and the loop
+    * exits early the first time a level has NO duplicated class (no
+    * repeat of the current length ⇒ none longer), so corpora without
+    * long repeats never pay for the high levels. The exit check rides a
+    * groupBy the size of the distinct-class frame, map-side combined. */
   def maximalDuplicateSpansExact(t: Tables, minLen: Int = 16,
                                  cap: Int = 64): DataFrame = {
     require(minLen >= 2 && (minLen & (minLen - 1)) == 0, s"minLen $minLen must be a power of 2")
     require(cap >= minLen && (cap & (cap - 1)) == 0, s"cap $cap must be a power of 2 >= minLen")
     import org.apache.spark.sql.expressions.Window
     val tks = TextAnalysis.tokens(lower(col("text")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var classes = t.documents
       .select(col("doc_id"), posexplode(tks).as(Seq("pos", "c")))
-      .localCheckpoint() // both sides of every level join re-read this
+      .repartition(col("doc_id")) // the one shuffle every round reuses
+      .localCheckpoint()
     val levels = Seq.newBuilder[DataFrame]
     var len = 1
-    while (len < cap) {
-      classes = classes.as("a")
-        .join(classes.as("b"),
-          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + len,
-          "left")
-        .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
-          md5(concat(col("a.c"),
-            coalesce(col("b.c"), concat(lit("E"), col("a.doc_id").cast("string"),
-              lit(":"), col("a.pos").cast("string"))))).as("c"))
+    var exhausted = false
+    while (len < cap && !exhausted) {
+      classes = classes
+        .withColumn("c",
+          md5(concat(col("c"),
+            coalesce(lead(col("c"), len).over(wDoc),
+              concat(lit("E"), col("doc_id").cast("string"),
+                lit(":"), col("pos").cast("string"))))))
         .localCheckpoint()
       len *= 2
-      if (len >= minLen) {
+      // Early exit: a level with no class of size ≥ 2 means no repeat of
+      // length `len` exists, hence none of any greater length — the
+      // remaining rounds and their interval arms are provably empty.
+      exhausted = classes.groupBy(col("c")).count()
+        .filter(col("count") > 1).isEmpty
+      if (len >= minLen && !exhausted) {
         val l = len
         levels += classes
           .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("c"))))
@@ -819,7 +832,13 @@ object Dedup {
           .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(l)).as("e"))
       }
     }
-    val intervals = levels.result().reduce(_ unionByName _).distinct()
+    val arms = levels.result()
+    val intervals =
+      if (arms.isEmpty)
+        t.documents.sparkSession.emptyDataFrame
+          .select(lit(0L).as("doc_id"), lit(0).as("s"), lit(0).as("e"))
+          .limit(0)
+      else arms.reduce(_ unionByName _).distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     intervals
       .withColumn("pme",

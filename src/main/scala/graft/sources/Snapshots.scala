@@ -151,4 +151,50 @@ object Snapshots {
       .filter(col("_change_type") =!= "unchanged")
       .orderBy(col(key))
   }
+
+  /** q125: [[diff]] driven end-to-end through the snapshot store on a
+    * deterministic fixture — two derived views of `orders` committed as
+    * v1/v2, then CDF'd. Key-residue derivations make every change class
+    * non-empty and DuckDB-replayable from the raw table (the oracle
+    * re-derives both sides in SQL and classifies by direct value compare —
+    * equivalent to the row-hash compare modulo xxhash collisions):
+    * v1 = orders without keys ≡0 (mod 7); v2 = orders without keys ≡0
+    * (mod 5), with totalprice bumped on keys ≡0 (mod 3). So ≡0 (mod 7)
+    * keys surviving the mod-5 cut are inserts, ≡0 (mod 5) keys present in
+    * v1 are deletes, and surviving ≡0 (mod 3) keys are updates. */
+  def diffDemoOrders(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-snapdiff").toString
+    val slim = t.orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val v1 = write(slim.filter(col("o_orderkey") % 7 =!= 0), base)
+    val v2 = write(
+      slim.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice"))),
+      base)
+    diff(t.spark, base, v1, v2, "o_orderkey")
+  }
+
+  /** DuckDB mirror of [[diffDemoOrders]]. */
+  val diffDemoOrdersSql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 <> 0),
+      |a AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 5 <> 0)
+      |SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+      |       WHEN a.o_orderkey IS NULL THEN 'delete'
+      |       ELSE 'update_postimage' END AS _change_type
+      |FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey
+      |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+      |   OR b.o_totalprice <> a.o_totalprice
+      |   OR b.o_custkey <> a.o_custkey
+      |ORDER BY o_orderkey""".stripMargin
 }

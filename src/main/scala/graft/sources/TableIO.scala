@@ -311,6 +311,40 @@ object TableIO {
     CompactionReport(partitions, before, after, rewritten)
   }
 
+  /** q126: [[compactTable]] driven end-to-end on a deterministic fixture,
+    * its [[CompactionReport]] surfaced as an oracle-checkable row. The
+    * fixture fragments `documents` into exactly 16 files (explicit
+    * round-robin repartition — AQE never coalesces a user-set count), so
+    * the binpack outcome is fully determined: one leaf dir, 16 small
+    * files in, ⌈Σbytes/128 MB⌉ = 1 file out, and the table's row count is
+    * conserved (the invariant that matters; asserted from the
+    * post-compaction table itself, not the input). */
+  def compactionReportDemo(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val spark = t.spark
+    val table = s"graft_compact_demo_${(t.dir.hashCode & 0x7fffffff).toHexString}"
+    dropTableAndLocation(spark, table)
+    t.documents.repartition(16)
+      .write.format("parquet").saveAsTable(table)
+    val rep = compactTable(spark, table)
+    spark.table(table)
+      .agg(count(lit(1)).as("rows_after"), max(col("doc_id")).as("max_doc_id"))
+      .select(
+        lit(rep.partitionsCompacted).as("partitions_compacted"),
+        lit(rep.filesBefore).as("files_before"),
+        lit(rep.filesAfter).as("files_after"),
+        col("rows_after"), col("max_doc_id"))
+  }
+
+  /** DuckDB mirror of [[compactionReportDemo]]: the file arithmetic is a
+    * deterministic function of the fixture (16 small files → 1), the row
+    * conservation comes from the data. */
+  val compactionReportDemoSql: String =
+    """SELECT 1 AS partitions_compacted, 16 AS files_before,
+      |  1 AS files_after, count(*) AS rows_after,
+      |  max(doc_id) AS max_doc_id
+      |FROM documents""".stripMargin
+
   /** Storage audit: per-partition file count, byte totals, and small-file
     * share — the table-health report that DECIDES when [[compactTable]]
     * runs (Iceberg keeps this in its manifests; plain parquet has to list

@@ -81,9 +81,10 @@ object ScaleDataGen {
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
 
-    // events: read through the nanos-as-long contract (Tables.eventsRaw);
-    // ts is written back as plain int64 nanos, which Tables.events reads
-    // identically (the div-1000 to micros applies to the long either way)
+    // events: read through Tables.eventsRaw and write `ts` back in whatever
+    // physical encoding the source drop used (int64 nanos stays int64;
+    // µs timestamps stay µs) — Tables.events is schema-adaptive on read,
+    // so the scaled dir round-trips under the same contract as the source
     val ev = t.eventsRaw
     val eventStride = stride(ev, "event_id")
     val userStride = stride(ev, "user_id")

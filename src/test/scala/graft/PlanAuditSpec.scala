@@ -367,7 +367,11 @@ class PlanAuditSpec extends SparkSpec {
     // bm25: dl agg + 1-row stats + tf agg + df agg + tf re-key to doc_id;
     // the final doc_id agg rides the join's partitioning, top-k is
     // TakeOrdered (no range exchange)
-    "q124_bm25_search" -> 5)
+    "q124_bm25_search" -> 5,
+    // snapshot CDF: full-outer join (both sides exchange) + key sort
+    "q125_snapshot_diff" -> 3,
+    // compaction report: one global agg over the compacted table
+    "q126_compaction_report" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

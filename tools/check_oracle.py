@@ -42,6 +42,20 @@ def main(sf_dir, out_dir):
     import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
+    # Queries that errored during Verify never dump a dir, so iterating
+    # dumped dirs alone silently shrinks the gate (r5: 119→83 unnoticed).
+    # _errors.json makes every non-dumped query an explicit failure.
+    err_path = f"{out_dir}/_errors.json"
+    if os.path.exists(err_path):
+        for name, msg in sorted(json.load(open(err_path)).items()):
+            print(f"{name:28s} VERIFY-ERROR {msg[:160]}")
+            failures += 1
+    # Every oracle key must have a dumped dir (or a recorded error above).
+    recorded = set(names) | (set(json.load(open(err_path)))
+                             if os.path.exists(err_path) else set())
+    for name in sorted(set(oracle) - recorded):
+        print(f"{name:28s} MISSING-DUMP (no result dir, no recorded error)")
+        failures += 1
     for name in names:
         spark_rel = con.sql(
             f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
