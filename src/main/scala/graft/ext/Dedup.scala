@@ -819,17 +819,25 @@ object Dedup {
                 lit(":"), col("pos").cast("string"))))))
         .localCheckpoint()
       len *= 2
-      // Early exit: a level with no class of size ≥ 2 means no repeat of
-      // length `len` exists, hence none of any greater length — the
-      // remaining rounds and their interval arms are provably empty.
-      exhausted = classes.groupBy(col("c")).count()
-        .filter(col("count") > 1).isEmpty
-      if (len >= minLen && !exhausted) {
+      if (len >= minLen) {
+        // Materialize the level's interval arm eagerly with its row count
+        // riding an observe() on the materialization (the CC-loop pattern:
+        // the metric costs ZERO extra jobs). An empty arm means no repeat
+        // of length `len` exists, hence none of any greater length — the
+        // remaining rounds are provably empty, exit early. Corpora without
+        // long repeats never pay for the high levels; corpora with them
+        // pay nothing for the check.
         val l = len
-        levels += classes
+        val obs = new org.apache.spark.sql.Observation(
+          s"graft_spans_l${l}_${System.nanoTime()}")
+        val arm = classes
           .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("c"))))
           .filter(col("occ") > 1)
           .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(l)).as("e"))
+          .observe(obs, count(lit(1)).as("n"))
+          .localCheckpoint()
+        if (obs.get("n").asInstanceOf[Long] == 0L) exhausted = true
+        else levels += arm
       }
     }
     val arms = levels.result()

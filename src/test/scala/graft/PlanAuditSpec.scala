@@ -360,10 +360,11 @@ class PlanAuditSpec extends SparkSpec {
     // media near-dups: salting size-agg + banded self-join + pair dedup +
     // presentation sort (the checkpointed hash frame reuses one scan)
     "q121_image_near_dups" -> 4, "q122_audio_near_dups" -> 4,
-    // exact spans: 3 class-count windows (levels 16/32/64) + interval
-    // distinct + island window + presentation sort; the level-join chain
-    // is checkpoint-severed (6 narrow joins happen in the lineage jobs)
-    "q123_maximal_spans_exact" -> 6,
+    // exact spans: interval distinct + island window + presentation sort;
+    // the lead-window doubling chain and the per-level class-count arms
+    // are checkpoint-severed (materialized in the loop's lineage jobs,
+    // one doc_id shuffle + one class shuffle per reported level there)
+    "q123_maximal_spans_exact" -> 3,
     // bm25: dl agg + 1-row stats + tf agg + df agg + tf re-key to doc_id;
     // the final doc_id agg rides the join's partitioning, top-k is
     // TakeOrdered (no range exchange)
