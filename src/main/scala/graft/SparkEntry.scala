@@ -168,7 +168,9 @@ object SparkEntry {
     "q123_maximal_spans_exact" -> q(t => Dedup.maximalDuplicateSpansExact(t)),
     "q124_bm25_search" -> q(t => TextAnalysis.bm25Search(t)),
     "q125_snapshot_diff" -> q(t => graft.sources.Snapshots.diffDemoOrders(t)),
-    "q126_compaction_report" -> q(t => graft.sources.TableIO.compactionReportDemo(t)))
+    "q126_compaction_report" -> q(t => graft.sources.TableIO.compactionReportDemo(t)),
+    "q127_incremental_dedup_served" -> q(t =>
+      Dedup.incrementalDupPairsServedDemo(t, portable = true)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -204,6 +206,9 @@ object SparkEntry {
     "q124_bm25_search" -> TextAnalysis.bm25SearchSql(),
     "q125_snapshot_diff" -> graft.sources.Snapshots.diffDemoOrdersSql,
     "q126_compaction_report" -> graft.sources.TableIO.compactionReportDemoSql,
+    // the served path reconstructs the in-session form's joint salting
+    // exactly, so the same oracle replays both (see the q127 scaladoc)
+    "q127_incremental_dedup_served" -> SketchOracleSql.incrementalDupPairs,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -663,6 +663,40 @@ object Dedup {
       .orderBy(col("doc_new"), col("doc_existing"))
   }
 
+  /** Session-scoped build-once guard for [[incrementalDupPairsServedDemo]]'s
+    * index tables (the [[graft.operators.Bucketed]] pattern). */
+  private val servedIdxBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** q127: the CROSS-SESSION serve path driven end-to-end — the corpus
+    * half (doc_id ≡ 0 mod `split`) is materialized as its own fixture
+    * dir and indexed through [[writeLshIndex]] (bucketed physical index
+    * tables, exactly the production rebuild job), then the incoming half
+    * streams through [[incrementalDupPairsServed]] against that stored
+    * index. Because the joint salting reconstructs the same
+    * union-bucket sizes the in-session form computes directly, the
+    * result is IDENTICAL to [[incrementalDupPairs]] on the same split —
+    * so q99's DuckDB oracle replays this path too, and the index
+    * round-trip (write → bucketed read → co-located join) is under the
+    * hash gate, not just specs. */
+  def incrementalDupPairsServedDemo(t: Tables, minJaccard: Double = 0.2,
+                                    portable: Boolean = false, split: Int = 20,
+                                    cap: Int = DefaultBucketCap): DataFrame = {
+    val spark = t.spark
+    val tag = ((t.dir, portable, split).hashCode & 0x7fffffff).toHexString
+    val prefix = s"graft_lshidx_$tag"
+    val key = s"${System.identityHashCode(spark.sessionState)}:$prefix"
+    val corpus = t.documents.filter(pmod(col("doc_id"), lit(split)) === 0)
+    if (servedIdxBuilt.add(key) || !spark.catalog.tableExists(s"${prefix}_buckets")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_lsh_corpus").toString
+      corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      writeLshIndex(Tables(spark, dir), prefix, portable)
+      servedIdxBuilt.add(key)
+    }
+    val incoming = t.documents.filter(pmod(col("doc_id"), lit(split)) =!= 0)
+    incrementalDupPairsServed(incoming, corpus, prefix, minJaccard, portable, cap)
+  }
+
   /** The shared band-fold: 8 bands × 4 rows over a signature column —
     * factored from [[lshBuckets]] so the served path banding cannot
     * drift. */

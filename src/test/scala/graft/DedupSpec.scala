@@ -342,6 +342,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q127 served demo: index build-once + serve equals q99 on the same split") {
+    val td = sf()
+    val demo = Dedup.incrementalDupPairsServedDemo(td, portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q99 = Dedup.incrementalDupPairs(td, portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(demo.nonEmpty && demo == q99,
+      s"demo=${demo.size} q99=${q99.size} diff=${demo.diff(q99).take(3)}")
+  }
+
   test("served LSH index: persisted-index increments equal the in-memory pairs") {
     val td = sf()
     val existing = td.documents.filter(col("doc_id") % 20 === 0)

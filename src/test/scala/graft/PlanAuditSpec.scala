@@ -372,7 +372,11 @@ class PlanAuditSpec extends SparkSpec {
     // snapshot CDF: full-outer join (both sides exchange) + key sort
     "q125_snapshot_diff" -> 3,
     // compaction report: one global agg over the compacted table
-    "q126_compaction_report" -> 1)
+    "q126_compaction_report" -> 1,
+    // served dedup: candidates AND the shingle sides are all
+    // checkpoint-severed (verify joins broadcast) — the visible plan's
+    // only exchange is the presentation sort
+    "q127_incremental_dedup_served" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
