@@ -532,6 +532,25 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (_, _, l) => l >= 16 })
   }
 
+  test("exact spans: repeat-free corpus exits early with an empty result") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_exactspans_empty").toFile.getAbsolutePath
+    // every token globally unique: no level ever has a duplicated class,
+    // so the first reporting level's arm is empty, the loop exhausts
+    // without adding an arm, and the all-arms-empty branch must produce
+    // a well-formed empty frame (not a union over nothing)
+    val docs = (0L until 5L).map(id =>
+      (id, (1 to 40).map(i => s"d${id}w$i").mkString(" ")))
+    docs.map { case (id, tx) => (id, tx, "en", "synthetic", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val t = Tables(spark, base)
+    val out = Dedup.maximalDuplicateSpansExact(t, minLen = 16, cap = 64)
+    assert(out.columns.toSeq == Seq("doc_id", "span_start", "span_tokens"))
+    assert(out.count() == 0)
+    assert(bruteForceSpans(docs, minLen = 16).isEmpty) // parity on empty too
+  }
+
   test("exact spans: tighter extents than the k-window islands on staggered partners") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_exactspans2").toFile.getAbsolutePath
