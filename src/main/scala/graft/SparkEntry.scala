@@ -170,7 +170,9 @@ object SparkEntry {
     "q125_snapshot_diff" -> q(t => graft.sources.Snapshots.diffDemoOrders(t)),
     "q126_compaction_report" -> q(t => graft.sources.TableIO.compactionReportDemo(t)),
     "q127_incremental_dedup_served" -> q(t =>
-      Dedup.incrementalDupPairsServedDemo(t, portable = true)))
+      Dedup.incrementalDupPairsServedDemo(t, portable = true)),
+    "q128_append_evolution" -> q(t => graft.sources.TableIO.appendEvolutionDemo(t)),
+    "q129_partition_refresh" -> q(t => graft.sources.TableIO.refreshPartitionsDemo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -209,6 +211,8 @@ object SparkEntry {
     // the served path reconstructs the in-session form's joint salting
     // exactly, so the same oracle replays both (see the q127 scaladoc)
     "q127_incremental_dedup_served" -> SketchOracleSql.incrementalDupPairs,
+    "q128_append_evolution" -> graft.sources.TableIO.appendEvolutionDemoSql,
+    "q129_partition_refresh" -> graft.sources.TableIO.refreshPartitionsDemoSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

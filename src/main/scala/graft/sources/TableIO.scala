@@ -345,6 +345,66 @@ object TableIO {
       |  max(doc_id) AS max_doc_id
       |FROM documents""".stripMargin
 
+  /** q128: [[append]]'s merge-schema contract driven end-to-end on a
+    * deterministic fixture — epoch 1 lands even-keyed orders on the
+    * 3-column schema, epoch 2 appends odd-keyed rows CARRYING a new
+    * column, which DDL-evolves the table; pre-evolution rows read the new
+    * column as NULL (the Iceberg merge-schema read semantics). The final
+    * table content is plain SQL over `orders`, so the evolution round-trip
+    * sits under the hash gate, not just TableIOSpec. */
+  def appendEvolutionDemo(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = t.spark
+    val table = s"graft_evolve_demo_${(t.dir.hashCode & 0x7fffffff).toHexString}"
+    dropTableAndLocation(spark, table)
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .write.format("parquet").saveAsTable(table)
+    append(spark, table,
+      t.orders
+        .filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority")))
+    spark.table(table).orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB mirror of [[appendEvolutionDemo]]. */
+  val appendEvolutionDemoSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CASE WHEN o_orderkey % 2 <> 0 THEN o_orderpriority END
+      |    AS o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q129: [[refreshPartitions]] (atomic dynamic partition overwrite)
+    * driven end-to-end — full orders load partitioned by status, then a
+    * refresh of ONLY the 'O' partition with bumped prices; untouched
+    * partitions must survive byte-identical. The final content is plain
+    * SQL over `orders`: the S8 delete-then-append window-refresh
+    * discipline under the hash gate. */
+  def refreshPartitionsDemo(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = t.spark
+    val table = s"graft_refresh_demo_${(t.dir.hashCode & 0x7fffffff).toHexString}"
+    dropTableAndLocation(spark, table)
+    val base = t.orders.select(
+      col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    base.write.format("parquet")
+      .partitionBy("o_orderstatus").saveAsTable(table)
+    refreshPartitions(spark, table,
+      base.filter(col("o_orderstatus") === "O")
+        .withColumn("o_totalprice", col("o_totalprice") + 10))
+    spark.table(table).orderBy(col("o_orderkey"))
+  }
+
+  /** DuckDB mirror of [[refreshPartitionsDemo]]. */
+  val refreshPartitionsDemoSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Storage audit: per-partition file count, byte totals, and small-file
     * share — the table-health report that DECIDES when [[compactTable]]
     * runs (Iceberg keeps this in its manifests; plain parquet has to list

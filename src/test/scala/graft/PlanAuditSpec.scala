@@ -376,7 +376,10 @@ class PlanAuditSpec extends SparkSpec {
     // served dedup: candidates AND the shingle sides are all
     // checkpoint-severed (verify joins broadcast) — the visible plan's
     // only exchange is the presentation sort
-    "q127_incremental_dedup_served" -> 1)
+    "q127_incremental_dedup_served" -> 1,
+    // write-path demos: visible plan is table scan + presentation sort
+    "q128_append_evolution" -> 1,
+    "q129_partition_refresh" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
