@@ -172,7 +172,9 @@ object SparkEntry {
     "q127_incremental_dedup_served" -> q(t =>
       Dedup.incrementalDupPairsServedDemo(t, portable = true)),
     "q128_append_evolution" -> q(t => graft.sources.TableIO.appendEvolutionDemo(t)),
-    "q129_partition_refresh" -> q(t => graft.sources.TableIO.refreshPartitionsDemo(t)))
+    "q129_partition_refresh" -> q(t => graft.sources.TableIO.refreshPartitionsDemo(t)),
+    "q130_ctas" -> q(t => graft.sources.TableIO.ctasDemo(t)),
+    "q131_truncate_reload" -> q(t => graft.sources.TableIO.truncateReloadDemo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -213,6 +215,8 @@ object SparkEntry {
     "q127_incremental_dedup_served" -> SketchOracleSql.incrementalDupPairs,
     "q128_append_evolution" -> graft.sources.TableIO.appendEvolutionDemoSql,
     "q129_partition_refresh" -> graft.sources.TableIO.refreshPartitionsDemoSql,
+    "q130_ctas" -> graft.sources.TableIO.ctasDemoSql,
+    "q131_truncate_reload" -> graft.sources.TableIO.truncateReloadDemoSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -461,4 +461,51 @@ object TableIO {
          |AS SELECT * FROM $view""".stripMargin)
     spark.catalog.dropTempView(view)
   }
+
+  /** q130: [[ctas]] (partitioned CREATE TABLE AS SELECT, the reference's
+    * daily_summary pattern `nyc_taxi_to_iceberg.py:164-184`) driven
+    * end-to-end — a per-(status, priority) order rollup created as a
+    * status-partitioned table, read back through the catalog. The read
+    * path reassembles the partition column from directory names, so the
+    * oracle catches a partition/value mix-up that a same-session frame
+    * compare would not. */
+  def ctasDemo(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import graft.functions.ExactAgg
+    val spark = t.spark
+    val table = s"graft_ctas_demo_${(t.dir.hashCode & 0x7fffffff).toHexString}"
+    ctas(spark, table,
+      t.orders
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          ExactAgg.dsum(col("o_totalprice")).as("sum_price")),
+      Seq("o_orderstatus"))
+    spark.table(table)
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** DuckDB mirror of [[ctasDemo]]. */
+  val ctasDemoSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       |  ${graft.functions.ExactAgg.Sql.dsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1, 2
+       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** q131: [[truncateReload]] (S9, the dimension full-refresh) driven
+    * end-to-end — load a stale nation dimension, then truncate-reload with
+    * the true one; the table must hold exactly the reload, nothing stale
+    * surviving the drop. */
+  def truncateReloadDemo(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val spark = t.spark
+    val table = s"graft_reload_demo_${(t.dir.hashCode & 0x7fffffff).toHexString}"
+    truncateReload(spark, table,
+      t.nation.withColumn("n_name", concat(lit("STALE_"), col("n_name"))))
+    truncateReload(spark, table, t.nation, partitionCols = Seq("n_regionkey"))
+    spark.table(table).orderBy(col("n_nationkey"))
+  }
+
+  /** DuckDB mirror of [[truncateReloadDemo]]. */
+  val truncateReloadDemoSql: String =
+    "SELECT * FROM nation ORDER BY n_nationkey"
 }

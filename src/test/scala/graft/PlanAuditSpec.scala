@@ -379,7 +379,9 @@ class PlanAuditSpec extends SparkSpec {
     "q127_incremental_dedup_served" -> 1,
     // write-path demos: visible plan is table scan + presentation sort
     "q128_append_evolution" -> 1,
-    "q129_partition_refresh" -> 1)
+    "q129_partition_refresh" -> 1,
+    "q130_ctas" -> 1,
+    "q131_truncate_reload" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
