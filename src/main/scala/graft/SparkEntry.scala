@@ -174,7 +174,12 @@ object SparkEntry {
     "q128_append_evolution" -> q(t => graft.sources.TableIO.appendEvolutionDemo(t)),
     "q129_partition_refresh" -> q(t => graft.sources.TableIO.refreshPartitionsDemo(t)),
     "q130_ctas" -> q(t => graft.sources.TableIO.ctasDemo(t)),
-    "q131_truncate_reload" -> q(t => graft.sources.TableIO.truncateReloadDemo(t)))
+    "q131_truncate_reload" -> q(t => graft.sources.TableIO.truncateReloadDemo(t)),
+    "q132_json_roundtrip" -> q(t => graft.sources.Sources.jsonRoundTripDemo(t)),
+    "q133_csv_roundtrip" -> q(t => graft.sources.Sources.csvRoundTripDemo(t)),
+    "q134_orc_roundtrip" -> q(t => graft.sources.Sources.orcRoundTripDemo(t)),
+    "q135_jdbc_roundtrip" -> q(t => graft.sources.Sources.jdbcRoundTripDemo(t)),
+    "q136_embedding_covariance" -> q(t => Similarity.embeddingCovariance(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -217,6 +222,11 @@ object SparkEntry {
     "q129_partition_refresh" -> graft.sources.TableIO.refreshPartitionsDemoSql,
     "q130_ctas" -> graft.sources.TableIO.ctasDemoSql,
     "q131_truncate_reload" -> graft.sources.TableIO.truncateReloadDemoSql,
+    "q132_json_roundtrip" -> graft.sources.Sources.jsonRoundTripDemoSql,
+    "q133_csv_roundtrip" -> graft.sources.Sources.csvRoundTripDemoSql,
+    "q134_orc_roundtrip" -> graft.sources.Sources.orcRoundTripDemoSql,
+    "q135_jdbc_roundtrip" -> graft.sources.Sources.jdbcRoundTripDemoSql,
+    "q136_embedding_covariance" -> Similarity.embeddingCovarianceSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -43,5 +43,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject(ext, "graft_cms_key_hash", classOf[CountMinSketch.CmsKeyHash])(
       exprs => CountMinSketch.CmsKeyHash(exprs.head,
         exprs.lift(1).exists(_.eval().asInstanceOf[Boolean])))
+    inject(ext, "graft_gram_matrix", classOf[GramMatrix.GramAgg])(
+      exprs => GramMatrix.GramAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()))
   }
 }

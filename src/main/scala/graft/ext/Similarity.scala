@@ -457,6 +457,80 @@ object Similarity {
 
   /** Per-label embedding statistics (norms, means) — the sanity-report shape
     * over vector columns. */
+  /** q136: one-pass Gram / covariance matrix over the embedding corpus —
+    * the PCA/whitening preparation step of embedding curation (mean-center
+    * and decorrelate before clustering, SemDeDup, or index training).
+    *
+    * Scale shape: ONE fixed-size matrix buffer per partition
+    * ([[graft.functions.GramMatrix]]) — update is in-place integer
+    * multiply-adds, merge is elementwise addition, and only the ~16 KB
+    * buffer crosses the wire. The naive form explodes each vector into d
+    * rows and self-joins on vec_id (d²/2 shuffle rows PER VECTOR — dead at
+    * 100 TB); here no explode, join, or per-pair row ever exists and the
+    * plan's only exchanges are the single-partition final merge and the
+    * presentation sort. The d(d+1)/2 output rows are unpacked from the one
+    * eval array with a generated pair-index frame (pure expressions).
+    *
+    * Exactness: elements are pre-scaled to micro-unit longs with Spark's
+    * codegen'd round (the [[graft.functions.ExactAgg]] discipline), so
+    * every moment is integer-exact and the DuckDB oracle replays the
+    * identical op chain (including the hi/lo split recombination). */
+  def embeddingCovariance(t: Tables, dim: Int = 64): DataFrame = {
+    import graft.functions.GramMatrix
+    GramMatrix.register(t.spark)
+    val scaled = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000), 0).cast("long"))
+    val g = t.embeddings.agg(GramMatrix.gramState(scaled, dim).as("g"))
+    val pairs = expr(
+      s"flatten(transform(sequence(0, ${dim - 1}), " +
+        s"i -> transform(sequence(i, ${dim - 1}), j -> struct(i, j))))")
+    val iC = col("p.i")
+    val jC = col("p.j")
+    val pairIdx = // i*d - i(i-1)/2 + (j-i), exact in double, cast back
+      (iC * lit(dim) - (iC * (iC - lit(1))).divide(lit(2)) + (jC - iC))
+    val nD = element_at(col("g"), 1)
+    val sAt = (p: Column) =>
+      element_at(col("g"), (p + lit(2)).cast("int")) / lit(1000000.0)
+    val gram = element_at(col("g"),
+      (pairIdx + lit(2 + dim)).cast("int")) / lit(1000000000000.0)
+    g.select(col("g"), explode(pairs).as("p"))
+      .select(
+        iC.as("i"), jC.as("j"),
+        nD.cast("long").as("n"),
+        sAt(iC).as("s_i"), sAt(jC).as("s_j"),
+        gram.as("gram"),
+        ((gram - sAt(iC) * sAt(jC) / nD) / (nD - lit(1.0))).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** DuckDB mirror of [[embeddingCovariance]] — the naive exploded
+    * self-join form (fine at oracle scale), with the identical scaled-long
+    * hi/lo-split arithmetic so every double matches bit-for-bit. */
+  def embeddingCovarianceSql(dim: Int = 64): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+       |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS li
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |nn AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd FROM embeddings),
+       |s AS (SELECT i, CAST(sum(li) AS DOUBLE) AS sraw FROM e GROUP BY 1),
+       |p AS (SELECT a.i AS i, b.i AS j,
+       |        CAST(sum((a.li * b.li) >> 26) AS DOUBLE) * 67108864.0
+       |          + CAST(sum((a.li * b.li) & 67108863) AS DOUBLE) AS graw
+       |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |      GROUP BY 1, 2)
+       |SELECT p.i - 1 AS i, p.j - 1 AS j, nn.n AS n,
+       |  sa.sraw / 1000000.0 AS s_i,
+       |  sb.sraw / 1000000.0 AS s_j,
+       |  p.graw / 1000000000000.0 AS gram,
+       |  (p.graw / 1000000000000.0
+       |     - (sa.sraw / 1000000.0) * (sb.sraw / 1000000.0) / nn.nd)
+       |    / (nn.nd - 1.0) AS cov
+       |FROM p
+       |JOIN s sa ON sa.i = p.i
+       |JOIN s sb ON sb.i = p.j
+       |CROSS JOIN nn
+       |ORDER BY i, j""".stripMargin
+
   def embeddingStats(t: Tables): DataFrame =
     t.embeddings
       .select(

@@ -305,4 +305,186 @@ object Sources {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
+
+  // ─────────────── landing-zone round-trips (oracle-gated demos) ────────────
+
+  /** Clear and return a scratch directory under the warehouse. Same replace
+    * discipline as `TableIO.dropTableAndLocation`: a stale directory from a
+    * previous process must not leak rows into this run's read-back. */
+  private def scratchDir(spark: SparkSession, name: String): String = {
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(path)) fs.delete(path, true)
+    path.toString
+  }
+
+  private def demoSuffix(t: graft.core.Tables): String =
+    (t.dir.hashCode & 0x7fffffff).toHexString
+
+  /** q132: S2 driven end-to-end under the hash gate — documents written as
+    * JSON Lines, read back DISTRIBUTED with the explicit schema (never
+    * inferSchema — SURVEY §1.3), then aggregated per (lang, source). The
+    * oracle replays the aggregate from the parquet originals, so a row or
+    * character lost or mangled in the JSON encode/decode hop breaks the
+    * hash; `sum(length(text))` rides the check so the text payload itself —
+    * not just row counts — is pinned across the escape/unescape cycle.
+    * Ref: `weather_to_iceberg.py:81-85` (JSON landing zone). */
+  def jsonRoundTripDemo(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    val dir = scratchDir(spark, s"graft_json_demo_${demoSuffix(t)}")
+    t.documents.write.mode("overwrite").json(dir)
+    val schema = StructType.fromDDL(
+      "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    readJson(spark, dir, schema, multiLine = false)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** DuckDB mirror of [[jsonRoundTripDemo]] — the same aggregate straight
+    * off the parquet originals (a faithful round-trip is invisible). */
+  val jsonRoundTripDemoSql: String =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  sum(n_chars) AS sum_chars,
+      |  sum(length(text)) AS sum_text_len,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q133: CSV landing-zone round-trip — orders written as quoted CSV with
+    * header, read back via [[readCsv]] (explicit schema, PERMISSIVE with a
+    * `_corrupt_record` quarantine column), aggregated per status. The
+    * quarantine count rides the output: a faithful writer/reader pair
+    * produces zero corrupt rows, and any quoting/escaping defect in either
+    * direction surfaces as a nonzero count (schema drift) or a hash break
+    * (value drift). Doubles survive because Spark writes shortest
+    * round-trip representations. */
+  def csvRoundTripDemo(t: graft.core.Tables): DataFrame = {
+    import graft.functions.ExactAgg
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    val dir = scratchDir(spark, s"graft_csv_demo_${demoSuffix(t)}")
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType.fromDDL(
+      "o_orderkey bigint, o_custkey bigint, o_orderstatus string, " +
+        "o_totalprice double, o_orderpriority string")
+    val back = readCsv(spark, dir, schema)
+    back
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        ExactAgg.dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** DuckDB mirror of [[csvRoundTripDemo]]. */
+  val csvRoundTripDemoSql: String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+       |  ${O.dsum("o_totalprice")} AS sum_price,
+       |  count(DISTINCT o_orderpriority) AS n_priorities,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       |  CAST(0 AS BIGINT) AS n_corrupt
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** q134: ORC landing-zone round-trip — a lineitem projection written as
+    * zstd ORC, read back via [[readOrc]], aggregated per return flag with
+    * the exact decimal kernels. ORC is the one columnar landing format the
+    * suite's tables don't already exercise; SourcesSpec pins its
+    * filter-pushdown parity with parquet, this row pins value fidelity
+    * through the write/read cycle (timestamps included, via the shipdate
+    * year bounds). */
+  def orcRoundTripDemo(t: graft.core.Tables): DataFrame = {
+    import graft.functions.ExactAgg
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    val dir = scratchDir(spark, s"graft_orc_demo_${demoSuffix(t)}")
+    t.lineitem
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_returnflag"), col("l_shipdate"))
+      .write.mode("overwrite").option("compression", "zstd").orc(dir)
+    readOrc(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        ExactAgg.dsum(col("l_quantity")).as("sum_qty"),
+        ExactAgg.dsumRevenue(col("l_extendedprice"), col("l_discount"))
+          .as("sum_revenue"),
+        min(year(col("l_shipdate"))).cast("int").as("min_ship_year"),
+        max(year(col("l_shipdate"))).cast("int").as("max_ship_year"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q135: S6 driven end-to-end under the hash gate — orders published into
+    * an embedded Derby database via [[writeJdbc]] (truncate-overwrite, the
+    * serving-reload contract), read back with [[readJdbcPartitioned]] (4
+    * concurrent range-strided connections — the only JDBC shape that
+    * survives a large table), aggregated per status. Partition bounds come
+    * from the DATABASE (a 1-row min/max aggregate pushed to Derby), not a
+    * Spark pre-scan. The oracle replays the aggregate from the parquet
+    * originals, so type mapping, truncation, or stride drift (a row lost or
+    * doubled at a partition boundary) breaks the hash.
+    * Ref: `serving/database.py:16-24` (the Postgres serving scan). */
+  def jdbcRoundTripDemo(t: graft.core.Tables): DataFrame = {
+    import graft.functions.ExactAgg
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    val url = s"jdbc:derby:memory:graft_jdbc_demo_${demoSuffix(t)};create=true"
+    writeJdbc(
+      t.orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")),
+      url, "orders_serving", mode = "overwrite")
+    // identifiers quoted: Spark's JDBC writer creates case-exact quoted
+    // columns, and Derby uppercases anything unquoted in the pushed query
+    val bounds = readJdbc(spark, url,
+      """(SELECT min("o_orderkey") lo, max("o_orderkey") hi
+        | FROM orders_serving) b""".stripMargin)
+      .collect().head
+    readJdbcPartitioned(spark, url, "orders_serving", "o_orderkey",
+      bounds.getLong(0), bounds.getLong(1), numPartitions = 4)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        ExactAgg.dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** DuckDB mirror of [[jdbcRoundTripDemo]]. */
+  val jdbcRoundTripDemoSql: String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+       |  ${O.dsum("o_totalprice")} AS sum_price,
+       |  count(DISTINCT o_orderpriority) AS n_priorities,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB mirror of [[orcRoundTripDemo]]. */
+  val orcRoundTripDemoSql: String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""SELECT l_returnflag, count(*) AS n_lines,
+       |  ${O.dsum("l_quantity")} AS sum_qty,
+       |  ${O.dsumRevenue("l_extendedprice", "l_discount")} AS sum_revenue,
+       |  CAST(min(year(l_shipdate)) AS INTEGER) AS min_ship_year,
+       |  CAST(max(year(l_shipdate)) AS INTEGER) AS max_ship_year
+       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

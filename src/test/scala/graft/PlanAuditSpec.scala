@@ -381,7 +381,16 @@ class PlanAuditSpec extends SparkSpec {
     "q128_append_evolution" -> 1,
     "q129_partition_refresh" -> 1,
     "q130_ctas" -> 1,
-    "q131_truncate_reload" -> 1)
+    "q131_truncate_reload" -> 1,
+    // landing-zone round-trips: agg + presentation sort over the read-back
+    // (the distinct-agg queries carry one extra partial/final hop)
+    "q132_json_roundtrip" -> 2,
+    "q133_csv_roundtrip" -> 3,
+    "q134_orc_roundtrip" -> 2,
+    "q135_jdbc_roundtrip" -> 3,
+    // one-pass matrix aggregate: the ONLY exchange is the single-partition
+    // final merge — the pair unpack and sort ride the one-row result
+    "q136_embedding_covariance" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
