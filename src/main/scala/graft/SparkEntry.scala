@@ -179,7 +179,11 @@ object SparkEntry {
     "q133_csv_roundtrip" -> q(t => graft.sources.Sources.csvRoundTripDemo(t)),
     "q134_orc_roundtrip" -> q(t => graft.sources.Sources.orcRoundTripDemo(t)),
     "q135_jdbc_roundtrip" -> q(t => graft.sources.Sources.jdbcRoundTripDemo(t)),
-    "q136_embedding_covariance" -> q(t => Similarity.embeddingCovariance(t)))
+    "q136_embedding_covariance" -> q(t => Similarity.embeddingCovariance(t)),
+    "q137_fuzzy_join" -> q(t => graft.ext.FuzzyJoin.fuzzyNameJoin(t)),
+    "q138_sparse_cosine_pairs" -> q(t => Similarity.sparseCosinePairs(t)),
+    "q139_join_cardinality_kmv" -> q(t => Analytics.joinCardinalityKmv(t)),
+    "q140_key_skew_profile" -> q(t => Analytics.keySkewProfile(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -227,6 +231,10 @@ object SparkEntry {
     "q134_orc_roundtrip" -> graft.sources.Sources.orcRoundTripDemoSql,
     "q135_jdbc_roundtrip" -> graft.sources.Sources.jdbcRoundTripDemoSql,
     "q136_embedding_covariance" -> Similarity.embeddingCovarianceSql(),
+    "q137_fuzzy_join" -> graft.ext.FuzzyJoin.fuzzyNameJoinSql(),
+    "q138_sparse_cosine_pairs" -> Similarity.sparseCosinePairsSql(),
+    "q139_join_cardinality_kmv" -> Analytics.joinCardinalityKmvSql(),
+    "q140_key_skew_profile" -> Analytics.keySkewProfileSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -1,0 +1,104 @@
+package graft.ext
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) string matching — the entity-resolution /
+  * data-cleaning half of deduplication: "small ring" vs "small rings" are
+  * different rows to [[Dedup]]'s set-similarity kernels but one typo apart
+  * to a human. Reference anchor: the reference cleans categorical columns
+  * by exact normalization only (`data_cleaning.py` trim/lower); this is the
+  * scale-out generalization a 100 TB catalog actually needs.
+  *
+  * Algorithm: lossless affix blocking + exact Levenshtein verify.
+  *
+  *  - **Pre-aggregate first**: the fact table collapses to DISTINCT values
+  *    with row counts before any pair work — pair-space is vocabulary-sized
+  *    (the same discipline as [[Bpe]]'s word-frequency frame), so the
+  *    corpus is touched exactly once regardless of scale.
+  *  - **Blocking (d = 1)**: a pair at edit distance ≤ 1 differs by one
+  *    substitution, insertion, or deletion at some position p. For strings
+  *    of length ≥ 2k, either p ≥ k (the k-char prefix survives untouched)
+  *    or p ≤ len−k−1 (the k-char suffix survives) — 2k ≤ len guarantees
+  *    the union covers every p, so candidates sharing a `P:prefix` or
+  *    `S:suffix` block key are COMPLETE. Strings shorter than 2k+d fall
+  *    into length-band blocks `L:l .. L:l+d` (any pair within ed ≤ d has
+  *    length difference ≤ d, so the bands overlap); strings in the
+  *    boundary range [2k, 2k+d) emit BOTH key families so cross-regime
+  *    pairs are never lost. The oracle is a brute-force all-pairs
+  *    Levenshtein — the bit-exact compare therefore PROVES losslessness on
+  *    the data, not just in the spec.
+  *  - **Verify**: exact `levenshtein` (codegen'd binary expression) on the
+  *    deduplicated candidate set only.
+  *
+  * Scale posture: blocks shard by affix across the cluster (one shuffle of
+  * the vocabulary frame, exploded ≤ 4 keys/row). The documented worst case
+  * is an identical-affix corpus (every value shares the same prefix AND
+  * suffix — e.g. fixed-format serial numbers), which degrades one block to
+  * quadratic: production mitigations are recursing the blocking on the
+  * remainder after the shared affix, or a Hamming-specialized path for
+  * fixed-width keys. General ed ≤ d needs d+1 pigeonhole segments
+  * (PassJoin); this kernel pins the d = 1 contract and fails fast beyond.
+  */
+object FuzzyJoin {
+
+  /** Blocking keys for one value (see class doc): P/S affix keys for long
+    * strings, L length-band keys for short ones, both in the boundary. */
+  private[ext] def blockingKeys(name: Column, d: Int, k: Int): Column = {
+    val l = length(name)
+    val ps = array(
+      concat(lit("P:"), substring(name, 1, k)),
+      concat(lit("S:"), substring(name, -k, k)))
+    val bands = transform(
+      sequence(l, l + lit(d)),
+      i => concat(lit("L:"), i.cast("string")))
+    when(l >= 2 * k && l < 2 * k + d, concat(ps, bands))
+      .when(l >= 2 * k + d, ps)
+      .otherwise(bands)
+  }
+
+  /** The generic kernel: `names` must have columns (name, n_rows). All
+    * distinct-value pairs within edit distance `d`, blocking-complete (see
+    * class doc). */
+  def fuzzyJoin(names: DataFrame, d: Int = 1, k: Int = 3): DataFrame = {
+    require(d == 1, s"affix blocking is complete for d = 1 only (got $d); " +
+      "d >= 2 needs d+1 pigeonhole segments (PassJoin)")
+    val keyed = names.select(
+      col("name"), col("n_rows"),
+      explode(blockingKeys(col("name"), d, k)).as("bk"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.name") < col("b.name"))
+      .select(
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        col("a.n_rows").as("n_a"), col("b.n_rows").as("n_b"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= d)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  /** All pairs of DISTINCT `part.p_name` values within edit distance `d`
+    * (default 1), with each value's row count — the "merge these catalog
+    * entries?" review queue. Output: (name_a, name_b, dist, n_a, n_b). */
+  def fuzzyNameJoin(t: Tables, d: Int = 1, k: Int = 3): DataFrame =
+    fuzzyJoin(
+      t.part.groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_rows")),
+      d, k)
+
+  /** The DuckDB mirror of [[fuzzyNameJoin]] — deliberately BRUTE FORCE
+    * (all-pairs Levenshtein over the distinct names), so the hash compare
+    * proves the affix blocking loses no pair on the real data. */
+  def fuzzyNameJoinSql(d: Int = 1): String =
+    s"""WITH names AS (
+       |  SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1)
+       |SELECT a.name AS name_a, b.name AS name_b,
+       | CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+       | a.n_rows AS n_a, b.n_rows AS n_b
+       |FROM names a JOIN names b ON a.name < b.name
+       |WHERE levenshtein(a.name, b.name) <= $d
+       |ORDER BY name_a, name_b""".stripMargin
+}

@@ -547,4 +547,114 @@ object Similarity {
         graft.functions.ExactAgg.davg(col("first_dim")).as("avg_first_dim"),
         max(col("dim")).as("dim"))
       .orderBy(col("label"))
+
+  // ── all-pairs sparse (TF-IDF) cosine similarity ─────────────────────
+  //
+  // The SPARSE-vector complement of the dense-embedding near-dup kernels:
+  // documents as TF-IDF bags, all pairs with cosine >= tau. The naive
+  // inverted-index self-join is quadratic in the posting length of every
+  // stopword-class term (df² pairs for "the"), so candidate GENERATION is
+  // df-cut (Elsayed et al.'s APSS pruning, the DISCO/Ture et al. Spark-era
+  // shape): only postings of terms with df <= maxDfFrac·N propose pairs.
+  // Scoring is then EXACT over all shared terms — the candidate frame
+  // (bounded by rare-posting sizes) joins back to the full per-doc weight
+  // vectors on doc_id, never on term, so hot postings never enter
+  // pair-space. Contract (documented recall cut): a pair sharing ONLY
+  // hot terms is not proposed — at 100 TB that pair-space is quadratic in
+  // the corpus and its similarity mass is the low-idf tail by construction.
+  //
+  // Weights w = tf · N/df (the same log-free rational idf as q50, keeping
+  // libm out of the oracle contract); dot and norms fold through the
+  // ExactAgg cents kernels so every sum is order-independent and the
+  // DuckDB twin replays the arithmetic bit-for-bit.
+
+  /** All candidate document pairs with full-vector TF-IDF cosine >= tau;
+    * candidates = pairs sharing at least one term with df <= maxDfFrac·N.
+    * Output: (doc_a, doc_b, n_shared_terms, cosine). */
+  def sparseCosinePairs(t: Tables, maxDfFrac: Double = 0.25,
+                        tau: Double = 0.5): DataFrame = {
+    import graft.functions.ExactAgg
+    val tf = t.documents
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n  = t.documents.select(count(lit(1)).as("n_docs"))
+    val w = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("df"), col("n_docs"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+      .localCheckpoint() // weight frame feeds norms, candidates, and BOTH
+                         // sides of the dot join — materialize once
+
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(ExactAgg.dsumProd(col("w"), col("w"))).as("norm"))
+    val rare = w.filter(col("df") <= col("n_docs") * lit(maxDfFrac))
+      .select(col("doc_id"), col("term"))
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val dots = cand
+      .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(w.as("wb"),
+        col("doc_b") === col("wb.doc_id") && col("wa.term") === col("wb.term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(ExactAgg.dsumProd(col("wa.w"), col("wb.w")).as("dot"),
+        count(lit(1)).as("n_shared"))
+    dots
+      .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("n_shared").cast("int").as("n_shared_terms"),
+        round(col("dot") / (col("na.norm") * col("nb.norm")), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The DuckDB mirror of [[sparseCosinePairs]] — same df-cut candidates,
+    * same ExactAgg cents kernels for dot and norms. */
+  def sparseCosinePairsSql(maxDfFrac: Double = 0.25,
+                           tau: Double = 0.5): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |    FROM documents)
+       |  WHERE length(term) > 0 GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |w AS MATERIALIZED (
+       |  SELECT doc_id, term, df, n_docs,
+       |    CAST(tf AS DOUBLE) * n_docs / df AS w
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |norms AS (
+       |  SELECT doc_id, sqrt(${O.dsumProd("w", "w")}) AS norm
+       |  FROM w GROUP BY doc_id),
+       |rare AS (SELECT doc_id, term FROM w WHERE df <= n_docs * $maxDfFrac),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b
+       |    ON a.term = b.term AND a.doc_id < b.doc_id),
+       |dots AS (
+       |  SELECT doc_a, doc_b,
+       |    ${O.dsumProd("wa.w", "wb.w")} AS dot,
+       |    count(*) AS n_shared
+       |  FROM cand
+       |  JOIN w wa ON cand.doc_a = wa.doc_id
+       |  JOIN w wb ON cand.doc_b = wb.doc_id AND wa.term = wb.term
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_shared AS INTEGER) AS n_shared_terms,
+       |  round(dot / (na.norm * nb.norm), 6) AS cosine
+       |FROM dots
+       |JOIN norms na ON dots.doc_a = na.doc_id
+       |JOIN norms nb ON dots.doc_b = nb.doc_id
+       |WHERE round(dot / (na.norm * nb.norm), 6) >= $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -1343,4 +1343,147 @@ object Analytics {
         .as("cumulative_distinct_users"))
       .orderBy(col("day"))
   }
+
+  /** Join-cardinality estimation from bottom-k (KMV) sketches — the
+    * optimizer-statistics shape: estimate |events ⋈ orders ON user_id =
+    * o_custkey| WITHOUT running the join. Each side pre-aggregates to
+    * (key, count) — one map-side-combined shuffle, the frame is
+    * distinct-key-sized — then keeps the k rows with the smallest portable
+    * key hash (TakeOrdered: per-partition heaps, no full sort). Because
+    * [[graft.functions.KmvSketch.hash31]] is a bijection on [0, M), the
+    * bottom-k of the hash UNION is exactly the union's KMV sketch, and any
+    * union-sampled key present on a side is guaranteed to be in that
+    * side's bottom-k (its hash is below both thresholds) — so per-key
+    * frequencies ride the sketch for free. Estimator:
+    * Ĵ = D̂_union · (Σ_{h ∈ U} c_a(h)·c_b(h)) / |U|, with D̂_union the
+    * classic (k−1)·M/h_(k) (exact when the union has < k keys).
+    *
+    * The output carries the TRUE join size as a verification column —
+    * computed from the two count frames (never the fact tables); at 100 TB
+    * you would drop that column and keep only the sketch path, whose cost
+    * after the per-side pre-aggregation is k-sized. */
+  def joinCardinalityKmv(t: Tables, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch
+    def side(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("key"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("key"), col("c"), KmvSketch.hash31(col("key")).as("h"))
+    val ca = side(t.events, "user_id")
+    val cb = side(t.orders, "o_custkey")
+    val sa = ca.orderBy(col("h")).limit(k)
+    val sb = cb.orderBy(col("h")).limit(k)
+    val u = sa.select(col("h")).union(sb.select(col("h")))
+      .distinct().orderBy(col("h")).limit(k)
+    val sample = u
+      .join(sa.select(col("h"), col("c").as("c_a")), Seq("h"), "left")
+      .join(sb.select(col("h"), col("c").as("c_b")), Seq("h"), "left")
+      .agg(
+        count(lit(1)).as("ku"),
+        max(col("h")).as("tau"),
+        sum(coalesce(col("c_a"), lit(0L)) * coalesce(col("c_b"), lit(0L)))
+          .as("s_ab"))
+    val truth = ca.as("x").join(cb.as("y"), Seq("key"))
+      .agg(sum(col("x.c") * col("y.c")).as("true_join_rows"))
+    val dEst = when(col("ku") < k, col("ku").cast("double"))
+      .otherwise(lit((k - 1).toDouble * KmvSketch.M) / col("tau"))
+    sample.crossJoin(broadcast(truth))
+      .select(
+        lit(k).as("k"),
+        col("ku").cast("int").as("sample_keys"),
+        round(dEst, 2).as("est_distinct_keys"),
+        round(dEst * col("s_ab") / col("ku"), 2).as("est_join_rows"),
+        col("true_join_rows"),
+        round(abs(dEst * col("s_ab") / col("ku") - col("true_join_rows")) /
+          col("true_join_rows"), 4).as("rel_err"))
+  }
+
+  /** The DuckDB mirror of [[joinCardinalityKmv]]. */
+  def joinCardinalityKmvSql(k: Int = 256): String = {
+    import graft.functions.KmvSketch
+    val num = (k - 1).toDouble * KmvSketch.M
+    s"""WITH ca AS (
+       |  SELECT key, c, ${KmvSketch.hash31Sql("key")} AS h FROM (
+       |    SELECT user_id AS key, count(*) AS c FROM events GROUP BY 1)),
+       |cb AS (
+       |  SELECT key, c, ${KmvSketch.hash31Sql("key")} AS h FROM (
+       |    SELECT o_custkey AS key, count(*) AS c FROM orders GROUP BY 1)),
+       |sa AS (SELECT * FROM ca ORDER BY h LIMIT $k),
+       |sb AS (SELECT * FROM cb ORDER BY h LIMIT $k),
+       |u AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+       |      ORDER BY h LIMIT $k),
+       |smp AS (
+       |  SELECT count(*) AS ku, max(u.h) AS tau,
+       |    sum(coalesce(sa.c, 0) * coalesce(sb.c, 0)) AS s_ab
+       |  FROM u LEFT JOIN sa ON u.h = sa.h LEFT JOIN sb ON u.h = sb.h),
+       |tj AS (
+       |  SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS true_join_rows
+       |  FROM ca JOIN cb ON ca.key = cb.key),
+       |est AS (
+       |  SELECT ku, tau, s_ab,
+       |    CASE WHEN ku < $k THEN CAST(ku AS DOUBLE)
+       |         ELSE $num / tau END AS d_est
+       |  FROM smp)
+       |SELECT CAST($k AS INTEGER) AS k, CAST(ku AS INTEGER) AS sample_keys,
+       |  round(d_est, 2) AS est_distinct_keys,
+       |  round(d_est * s_ab / ku, 2) AS est_join_rows,
+       |  true_join_rows,
+       |  round(abs(d_est * s_ab / ku - true_join_rows)
+       |        / true_join_rows, 4) AS rel_err
+       |FROM est CROSS JOIN tj""".stripMargin
+  }
+
+  /** Key-skew profile — the decide-side of [[saltedEventStats]] and
+    * [[graft.functions.Skew.saltedJoin]]: per-key row counts on the join/
+    * group key, the skew ratio (max key count over the mean), and the
+    * top-k heaviest keys with their share of the table. The per-key count
+    * frame is one map-side-combined shuffle; the heavy-key list rides the
+    * bounded [[graft.functions.TopKAgg]] heap (shuffle carries ≤ k pairs
+    * per partition, no sort sees the full key space); the scalar profile
+    * is a 1-row broadcast. This is the report a pipeline runs BEFORE
+    * choosing salting / AQE skew-join settings at 100 TB. */
+  def keySkewProfile(t: Tables, topK: Int = 10): DataFrame = {
+    graft.functions.TopKAgg.register(t.spark)
+    val counts = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // reused by profile and top-k
+    val prof = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      max(col("n")).as("max_n"))
+    val top = counts
+      .agg(graft.functions.TopKAgg.topKBy(col("n"), col("user_id"), topK)
+        .as("top"))
+      .select(posexplode(col("top")))
+      .select(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("user_id"),
+        col("col.ord").as("n_events"))
+    top.crossJoin(broadcast(prof))
+      .select(
+        col("rank"), col("user_id"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_rows"), 6).as("share"),
+        col("n_keys"), col("max_n"),
+        round(col("max_n").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_ratio"))
+      .orderBy(col("rank"))
+  }
+
+  /** The DuckDB mirror of [[keySkewProfile]] (window form of the top-k). */
+  def keySkewProfileSql(topK: Int = 10): String =
+    s"""WITH counts AS (
+       |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+       |prof AS (
+       |  SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+       |         max(n) AS max_n
+       |  FROM counts),
+       |top AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INTEGER)
+       |           AS rank,
+       |         user_id, n AS n_events
+       |  FROM counts QUALIFY rank <= $topK)
+       |SELECT rank, user_id, n_events,
+       |  round(CAST(n_events AS DOUBLE) / n_rows, 6) AS share,
+       |  n_keys, max_n,
+       |  round(CAST(max_n AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio
+       |FROM top CROSS JOIN prof
+       |ORDER BY rank""".stripMargin
 }

@@ -293,7 +293,9 @@ class PlanAuditSpec extends SparkSpec {
     "q108_grouped_equidepth_approx",
     "q109_cumulative_quantiles",    // day<=day state merge + quantile targets
     "q113_zorder_layout",           // 1-row per-dimension (min,max) bounds frame
-    "q124_bm25_search")             // 1-row corpus (N, total_dl) stats frame
+    "q124_bm25_search",             // 1-row corpus (N, total_dl) stats frame
+    "q139_join_cardinality_kmv",    // 1-row sketch-sample x 1-row truth frame
+    "q140_key_skew_profile")        // 1-row scalar profile frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -390,7 +392,11 @@ class PlanAuditSpec extends SparkSpec {
     "q135_jdbc_roundtrip" -> 3,
     // one-pass matrix aggregate: the ONLY exchange is the single-partition
     // final merge — the pair unpack and sort ride the one-row result
-    "q136_embedding_covariance" -> 1)
+    "q136_embedding_covariance" -> 1,
+    "q137_fuzzy_join" -> 3,
+    "q138_sparse_cosine_pairs" -> 4,
+    "q139_join_cardinality_kmv" -> 7,
+    "q140_key_skew_profile" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
