@@ -183,7 +183,11 @@ object SparkEntry {
     "q137_fuzzy_join" -> q(t => graft.ext.FuzzyJoin.fuzzyNameJoin(t)),
     "q138_sparse_cosine_pairs" -> q(t => Similarity.sparseCosinePairs(t)),
     "q139_join_cardinality_kmv" -> q(t => Analytics.joinCardinalityKmv(t)),
-    "q140_key_skew_profile" -> q(t => Analytics.keySkewProfile(t)))
+    "q140_key_skew_profile" -> q(t => Analytics.keySkewProfile(t)),
+    "q141_hard_negatives" -> q(t => Similarity.hardNegatives(t)),
+    "q142_chi_square" -> q(t => Analytics.chiSquareIndependence(t)),
+    "q143_source_overlap" -> q(t => TextAnalysis.sourceOverlap(t)),
+    "q144_neyman_allocation" -> q(t => Sampling.neymanAllocation(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -235,6 +239,10 @@ object SparkEntry {
     "q138_sparse_cosine_pairs" -> Similarity.sparseCosinePairsSql(),
     "q139_join_cardinality_kmv" -> Analytics.joinCardinalityKmvSql(),
     "q140_key_skew_profile" -> Analytics.keySkewProfileSql(),
+    "q141_hard_negatives" -> Similarity.hardNegativesSql(),
+    "q142_chi_square" -> Analytics.chiSquareIndependenceSql,
+    "q143_source_overlap" -> TextAnalysis.sourceOverlapSql,
+    "q144_neyman_allocation" -> Sampling.neymanAllocationSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -497,4 +497,48 @@ object Sampling {
        |WHERE rn <= $k
        |ORDER BY source, pick""".stripMargin
   }
+
+  /** Neyman allocation for a stratified sample of `events` by event_type:
+    * the sampling DESIGN step that decides how many rows to draw from each
+    * stratum before any row is drawn. Optimal allocation puts the budget
+    * where the variance is: n_h = n_target · N_h·S_h / Σ N_h·S_h, with
+    * N_h the stratum size and S_h the stratum's sample stddev of `value`.
+    * One pass over the fact (the [[graft.functions.ExactAgg]] moment
+    * kernels make S_h order-independent, so the plan is bit-reproducible);
+    * the allocation arithmetic runs on the strata-sized frame against a
+    * 1-row broadcast total. Pairs with [[sampleKPerSource]] /
+    * [[capPerSource]] as the execution step: feed n_h in as the per-
+    * stratum cap and the draw stays layout-independent too. */
+  def neymanAllocation(t: Tables, nTarget: Int = 1000): DataFrame = {
+    import graft.functions.ExactAgg
+    val strata = t.events
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_h"),
+        ExactAgg.dstd(col("value")).as("s_h"))
+      .localCheckpoint() // strata frame feeds the total and the allocation
+    val tot = strata.agg(ExactAgg.dsum(col("n_h") * col("s_h")).as("total_ns"))
+    strata.crossJoin(broadcast(tot))
+      .select(
+        col("event_type"), col("n_h"),
+        round(col("s_h"), 6).as("s_h"),
+        round(col("n_h") * col("s_h") / col("total_ns"), 6).as("weight"),
+        round(lit(nTarget) * col("n_h") * col("s_h") / col("total_ns"), 0)
+          .cast("long").as("n_alloc"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The DuckDB mirror of [[neymanAllocation]]. */
+  def neymanAllocationSql(nTarget: Int = 1000): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH strata AS (
+       |  SELECT event_type, count(*) AS n_h, ${O.dstd("value")} AS s_h
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT ${O.dsum("n_h * s_h")} AS total_ns FROM strata)
+       |SELECT event_type, n_h, round(s_h, 6) AS s_h,
+       |  round(n_h * s_h / total_ns, 6) AS weight,
+       |  CAST(round($nTarget * n_h * s_h / total_ns, 0) AS BIGINT) AS n_alloc
+       |FROM strata CROSS JOIN tot
+       |ORDER BY event_type""".stripMargin
+  }
 }

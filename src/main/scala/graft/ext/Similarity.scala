@@ -616,6 +616,65 @@ object Similarity {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * anchor vector, the k most-similar vectors with a DIFFERENT label —
+    * the negatives that actually move a contrastive loss (easy negatives
+    * are already far; same-label neighbors are positives, not negatives).
+    *
+    * This composes the existing ANN surface: exact scoring here (the
+    * oracle-able form); at corpus scale the candidate set comes from
+    * [[ivfTopK]] with an over-fetch (probe k' ≫ k, then label-filter),
+    * so the label filter never rescans the corpus. Ranking uses the
+    * 6-dp-rounded cosine with vec_id tiebreak — deterministic across
+    * engines, like [[bruteForceTopK]]. */
+  def hardNegatives(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val emb = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val queries = emb
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qemb"))
+    val scored = emb
+      .join(broadcast(queries), col("label") =!= col("qlabel"))
+      .select(
+        col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        round(
+          graft.functions.VectorExpressions.cosineSim(col("qemb"), col("embedding")),
+          6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The DuckDB mirror of [[hardNegatives]]. */
+  def hardNegativesSql(nQueries: Int = 8, k: Int = 5): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, label, vec,
+       |    sqrt(list_dot_product(vec, vec)) AS norm FROM emb),
+       |queries AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, vec AS qvec,
+       |    norm AS qnorm
+       |  FROM normed WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT query_id, vec_id, normed.label AS label,
+       |    round(list_dot_product(qvec, vec) / (qnorm * norm), 6) AS cosine
+       |  FROM normed CROSS JOIN queries
+       |  WHERE normed.label <> qlabel),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, label, cosine
+       |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   /** The DuckDB mirror of [[sparseCosinePairs]] — same df-cut candidates,
     * same ExactAgg cents kernels for dot and norms. */
   def sparseCosinePairsSql(maxDfFrac: Double = 0.25,

@@ -770,4 +770,67 @@ object TextAnalysis {
        | ${O.davg("p")} AS avg_p
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Source-overlap matrix: pairwise vocabulary Jaccard between corpus
+    * sources — the "are these two crawls the same thing?" diagnostic a
+    * mixing plan ([[Sampling.mixByStratum]]) consults before assigning
+    * weights to near-identical sources. Build shape: the corpus collapses
+    * to the DISTINCT (source, term) frame in one shuffle (the only pass
+    * over text); the pair work then runs on that vocabulary-sized frame —
+    * an inverted-index join on term proposes source pairs, per-source
+    * vocab sizes broadcast back, |A∪B| = |A|+|B|−|A∩B|. Sources are
+    * few-hundreds at worst, so the output is a tiny matrix; for
+    * high-cardinality vocabularies the per-source sets sketch down to
+    * KMV bottom-k frames (the [[graft.functions.KmvSketch]] union/
+    * intersection estimate) with the same output shape. */
+  def sourceOverlap(t: Tables): DataFrame = {
+    val vocab = t.documents
+      .select(col("source"),
+        explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .localCheckpoint() // (source, term) frame feeds sizes AND the pair join
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n_terms"))
+    val shared = vocab.as("a")
+      .join(vocab.as("b"),
+        col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_terms").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_terms").as("n_b"))), "source_b")
+      .select(
+        col("source_a"), col("source_b"),
+        col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** The DuckDB mirror of [[sourceOverlap]]. */
+  val sourceOverlapSql: String =
+    """WITH vocab AS (
+      |  SELECT DISTINCT source, term FROM (
+      |    SELECT source,
+      |      unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+')))
+      |        AS term
+      |    FROM documents)
+      |  WHERE length(term) > 0),
+      |sizes AS (SELECT source, count(*) AS n_terms FROM vocab GROUP BY 1),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*) AS n_shared
+      |  FROM vocab a JOIN vocab b
+      |    ON a.term = b.term AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT source_a, source_b,
+      |  sa.n_terms AS n_a, sb.n_terms AS n_b, n_shared,
+      |  round(CAST(n_shared AS DOUBLE)
+      |        / (sa.n_terms + sb.n_terms - n_shared), 6) AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON shared.source_a = sa.source
+      |JOIN sizes sb ON shared.source_b = sb.source
+      |ORDER BY source_a, source_b""".stripMargin
 }

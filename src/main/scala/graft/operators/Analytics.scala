@@ -1467,6 +1467,66 @@ object Analytics {
       .orderBy(col("rank"))
   }
 
+  /** Chi-square test of independence on the event_type × day-of-week
+    * contingency grid — the "is behavior uniform across the week?"
+    * data-quality / drift check (the categorical complement of
+    * [[graft.ext.Sampling.splitDrift]]'s TVD on numeric bins). Observed
+    * counts come from ONE map-side-combined shuffle on the (type, dow)
+    * pair; expected counts E = R·C/n and per-cell contributions
+    * (O−E)²/E are broadcast-joined marginals (the grid is
+    * |types|×7 rows — metadata-sized at any corpus scale); the χ²
+    * total folds through the order-independent [[ExactAgg]] sum. All
+    * inputs are exact integers, so every double op is reproduced
+    * bit-for-bit by the oracle. */
+  def chiSquareIndependence(t: Tables): DataFrame = {
+    val cells = t.events
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint() // tiny grid feeds marginals, cells, and the total
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col("dow")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val scored = cells
+      .join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "dow")
+      .crossJoin(broadcast(n))
+      .withColumn("e",
+        col("r").cast("double") * col("c") / col("n"))
+      .withColumn("contrib",
+        (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+    val chi2 = scored.agg(dsum(col("contrib")).as("chi2_total"))
+    scored.crossJoin(broadcast(chi2))
+      .select(
+        col("event_type"), col("dow").cast("int").as("dow"),
+        col("o"), round(col("e"), 6).as("e"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("chi2_total"), 6).as("chi2_total"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  /** The DuckDB mirror of [[chiSquareIndependence]] (dayofweek()+1 maps
+    * DuckDB's 0=Sunday to Spark's 1=Sunday). */
+  def chiSquareIndependenceSql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+       |  FROM events GROUP BY 1, 2),
+       |rt AS (SELECT event_type, sum(o) AS r FROM cells GROUP BY 1),
+       |ct AS (SELECT dow, sum(o) AS c FROM cells GROUP BY 1),
+       |n AS (SELECT sum(o) AS n FROM cells),
+       |scored AS (
+       |  SELECT event_type, dow, o,
+       |    CAST(r AS DOUBLE) * c / n AS e,
+       |    (o - CAST(r AS DOUBLE) * c / n) * (o - CAST(r AS DOUBLE) * c / n)
+       |      / (CAST(r AS DOUBLE) * c / n) AS contrib
+       |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+       |  CROSS JOIN n),
+       |chi2 AS (SELECT ${Sql.dsum("contrib")} AS chi2_total FROM scored)
+       |SELECT event_type, CAST(dow AS INTEGER) AS dow, o,
+       |  round(e, 6) AS e, round(contrib, 6) AS contrib,
+       |  round(chi2_total, 6) AS chi2_total
+       |FROM scored CROSS JOIN chi2
+       |ORDER BY event_type, dow""".stripMargin
+
   /** The DuckDB mirror of [[keySkewProfile]] (window form of the top-k). */
   def keySkewProfileSql(topK: Int = 10): String =
     s"""WITH counts AS (

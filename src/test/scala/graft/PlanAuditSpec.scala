@@ -295,7 +295,10 @@ class PlanAuditSpec extends SparkSpec {
     "q113_zorder_layout",           // 1-row per-dimension (min,max) bounds frame
     "q124_bm25_search",             // 1-row corpus (N, total_dl) stats frame
     "q139_join_cardinality_kmv",    // 1-row sketch-sample x 1-row truth frame
-    "q140_key_skew_profile")        // 1-row scalar profile frame
+    "q140_key_skew_profile",        // 1-row scalar profile frame
+    "q141_hard_negatives",          // broadcast query-vector frame (label !=)
+    "q142_chi_square",              // 1-row n and chi2-total frames
+    "q144_neyman_allocation")       // 1-row allocation-total frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -396,7 +399,11 @@ class PlanAuditSpec extends SparkSpec {
     "q137_fuzzy_join" -> 3,
     "q138_sparse_cosine_pairs" -> 4,
     "q139_join_cardinality_kmv" -> 7,
-    "q140_key_skew_profile" -> 2)
+    "q140_key_skew_profile" -> 2,
+    "q141_hard_negatives" -> 2,
+    "q142_chi_square" -> 8,
+    "q143_source_overlap" -> 4,
+    "q144_neyman_allocation" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
