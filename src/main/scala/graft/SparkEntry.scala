@@ -187,7 +187,8 @@ object SparkEntry {
     "q141_hard_negatives" -> q(t => Similarity.hardNegatives(t)),
     "q142_chi_square" -> q(t => Analytics.chiSquareIndependence(t)),
     "q143_source_overlap" -> q(t => TextAnalysis.sourceOverlap(t)),
-    "q144_neyman_allocation" -> q(t => Sampling.neymanAllocation(t)))
+    "q144_neyman_allocation" -> q(t => Sampling.neymanAllocation(t)),
+    "q145_hilbert_layout" -> q(t => graft.sources.Layout.hilbertPreview(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -243,6 +244,7 @@ object SparkEntry {
     "q142_chi_square" -> Analytics.chiSquareIndependenceSql,
     "q143_source_overlap" -> TextAnalysis.sourceOverlapSql,
     "q144_neyman_allocation" -> Sampling.neymanAllocationSql(),
+    "q145_hilbert_layout" -> graft.sources.Layout.hilbertPreviewSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -86,6 +86,70 @@ object Layout {
       .orderBy(col("event_id"))
   }
 
+  // ── Hilbert-curve clustering (the better-locality sibling of z-order) ──
+
+  private val hCol = "__graft_h"
+
+  /** `df` plus its Hilbert index ([[hCol]]) over two numeric dimensions,
+    * scaled from a broadcast data-derived bounds frame — same bounds
+    * convention as [[withZValue]]; the index itself is the codegen'd
+    * [[graft.functions.HilbertIndex]] loop. */
+  private def withHilbert(df: DataFrame, x: Column, y: Column): DataFrame = {
+    graft.functions.HilbertCurve.register(df.sparkSession)
+    val bounds = df.agg(
+      min(x).cast("long").as("__graft_lox"), (max(x).cast("long") + 1L).as("__graft_hix"),
+      min(y).cast("long").as("__graft_loy"), (max(y).cast("long") + 1L).as("__graft_hiy"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(hCol, graft.functions.HilbertCurve.hilbertIndex(
+        ZOrder.scaleTo16(x, col("__graft_lox"), col("__graft_hix")),
+        ZOrder.scaleTo16(y, col("__graft_loy"), col("__graft_hiy"))))
+      .drop("__graft_lox", "__graft_hix", "__graft_loy", "__graft_hiy")
+  }
+
+  /** [[clusterZOrdered]] on the Hilbert curve: `files` range partitions
+    * along the Hilbert index over two data-scaled dimensions. Same one
+    * range exchange + in-partition sort; consecutive curve cells are
+    * always Manhattan-adjacent, so per-file ranges are tighter than the
+    * Morton curve's at quadrant boundaries. */
+  def clusterHilbert(df: DataFrame, x: Column, y: Column, files: Int): DataFrame =
+    withHilbert(df, x, y)
+      .repartitionByRange(files, col(hCol))
+      .sortWithinPartitions(col(hCol))
+      .drop(hCol)
+
+  /** q145: the Hilbert index assignment over the same two events
+    * dimensions as [[zOrderPreview]] — oracle-checked end to end against
+    * the 16-stage CTE replay of the rotate/reflect loop. */
+  def hilbertPreview(t: Tables): DataFrame = {
+    val hourIdx = floor(unix_timestamp(col("ts")) / 3600L).cast("long") - 473352L
+    val ev = t.events.select(col("event_id"), hourIdx.as("hour_idx"), col("user_id"))
+    withHilbert(ev, col("hour_idx"), col("user_id"))
+      .select(col("event_id"), col("hour_idx"), col("user_id"),
+        col(hCol).as("hvalue"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The DuckDB mirror of [[hilbertPreview]]. */
+  val hilbertPreviewSql: String = {
+    val h = "(CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473352)"
+    val hs = ZOrder.scaleTo16Sql("hour_idx", "lo_h", "hi_h")
+    val us = ZOrder.scaleTo16Sql("user_id", "lo_u", "hi_u")
+    s"""WITH e AS (
+       |  SELECT event_id, $h AS hour_idx, user_id FROM events),
+       |b AS (
+       |  SELECT min(hour_idx) AS lo_h, max(hour_idx) + 1 AS hi_h,
+       |   min(user_id) AS lo_u, max(user_id) + 1 AS hi_u
+       |  FROM e),
+       |scaled AS (
+       |  SELECT event_id, hour_idx, user_id,
+       |    $hs AS x, $us AS y
+       |  FROM e, b),
+       |${graft.functions.HilbertCurve.chainSql("scaled", "event_id, hour_idx, user_id")}
+       |SELECT event_id, hour_idx, user_id, CAST(d AS BIGINT) AS hvalue
+       |FROM h16
+       |ORDER BY event_id""".stripMargin
+  }
+
   /** The DuckDB mirror of [[zOrderPreview]]. */
   val zOrderPreviewSql: String = {
     val h = "(CAST(floor(epoch(ts) / 3600) AS BIGINT) - 473352)"

@@ -181,6 +181,48 @@ object TableIO {
       .saveAsTable(table)
   }
 
+  /** Persist `df` with parquet BLOOM FILTERS on the given columns — the
+    * file-skipping lever for point lookups on HIGH-CARDINALITY keys,
+    * where footer min/max stats (the [[saveClustered]]/[[saveZOrdered]]
+    * mechanism) prune nothing because hash-scattered ids span the whole
+    * domain in every file. The writer packs an SBBF (split block bloom
+    * filter) per row group per column (~1.2 bytes/ndv at the default 1%
+    * FPP); Spark's vectorized reader consults it for `key = x` predicates
+    * automatically under `spark.sql.parquet.filterPushdown`, skipping row
+    * groups that provably lack the key. Storage-side complement of the
+    * query-side [[graft.operators.RuntimeFilter]] bloom semi-join: that
+    * one prunes a join's probe side at runtime, this one prunes the scan
+    * from the file footer before any row is read. `ndv` sizes the filter
+    * (per row group, so pass the PER-FILE distinct estimate — at 100 TB,
+    * from partition stats or a KMV sketch, not a guess). Footer presence
+    * is asserted via the parquet metadata API in TableIOSpec.
+    *
+    * Dictionary encoding is disabled ON THE BLOOM COLUMNS ONLY:
+    * parquet-mr drops the bloom when a chunk stays fully
+    * dictionary-encoded (the dictionary already answers membership
+    * exactly), so whether the filter exists would otherwise depend on
+    * whether this particular file crossed the dictionary-page threshold —
+    * exactly the non-determinism a reader planning on footer skipping
+    * cannot tolerate. Genuinely high-cardinality keys (the bloom use
+    * case) overflow the dictionary anyway, so the override costs nothing
+    * at scale and pins the contract at every file size. */
+  def saveWithBloomFilters(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      bloomCols: Seq[String],
+      ndv: Long,
+      nFiles: Int): Unit = {
+    dropTableAndLocation(spark, table)
+    val base = df.repartition(nFiles)
+      .write.format("parquet").option("compression", "zstd")
+    bloomCols.foldLeft(base) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }.saveAsTable(table)
+  }
+
   /** Persist `df` Z-ORDERED on two columns: each is min-max scaled onto
     * the 16-bit range from a broadcast bounds frame, the scaled values are
     * Morton-interleaved, and the data is range-partitioned + sorted on

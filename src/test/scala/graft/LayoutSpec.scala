@@ -53,6 +53,52 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbert expression matches the single-node reference (codegen path)") {
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (32768L, 32767L), (70000L, 3L), (3L, 70000L))
+    val df = spark.createDataFrame(cases).toDF("x", "y")
+    graft.functions.HilbertCurve.register(spark)
+    df.select(col("x"), col("y"),
+        graft.functions.HilbertCurve.hilbertIndex(col("x"), col("y")).as("h"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) == graft.functions.HilbertCurve.xy2d(r.getLong(0), r.getLong(1)),
+          s"(${r.getLong(0)}, ${r.getLong(1)})")
+      }
+  }
+
+  test("hilbert curve: bijective on the origin subsquare and step-adjacent") {
+    // the order-16 curve starts at (0,0) and fills the quadrant containing
+    // its start completely before leaving it (at every level the (0,0)
+    // quadrant contributes d-digit 0), so the 64x64 origin subsquare must
+    // map EXACTLY onto d in [0, 4096) — and walking d must move one
+    // Manhattan step at a time. This pins the whole rotate/reflect
+    // recursion, not just sampled values.
+    val cells = for (x <- 0 until 64; y <- 0 until 64)
+      yield graft.functions.HilbertCurve.xy2d(x.toLong, y.toLong) -> (x, y)
+    val byD = cells.toMap
+    assert(byD.size == 4096, "curve not bijective on the subsquare")
+    assert(cells.map(_._1).min == 0L && cells.map(_._1).max == 4095L,
+      "origin subsquare does not map onto [0, 4096)")
+    (0L until 4095L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("clusterHilbert bounds BOTH dimensions' per-file spans") {
+    val t = sf("sf0.01")
+    val hourIdx = floor(unix_timestamp(col("ts")) / 3600L).cast("long") - 473352L
+    val events = t.events.select(col("event_id"), hourIdx.as("h"), col("user_id"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hilbert").toString + "/files"
+    Layout.clusterHilbert(events, col("h"), col("user_id"), files = 16)
+      .write.parquet(tmp)
+    val files = spark.read.parquet(tmp)
+    assert(meanSpan(files, "h", 0, 720) < 0.5)
+    assert(meanSpan(files, "user_id", 0, 150) < 0.5)
+    assert(files.count() == events.count())
+  }
+
   /** Mean per-file (max-min) extent of a column, as a fraction of its
     * global extent. */
   private def meanSpan(files: DataFrame, c: String, lo: Long, hi: Long): Double = {

@@ -298,7 +298,8 @@ class PlanAuditSpec extends SparkSpec {
     "q140_key_skew_profile",        // 1-row scalar profile frame
     "q141_hard_negatives",          // broadcast query-vector frame (label !=)
     "q142_chi_square",              // 1-row n and chi2-total frames
-    "q144_neyman_allocation")       // 1-row allocation-total frame
+    "q144_neyman_allocation",       // 1-row allocation-total frame
+    "q145_hilbert_layout")          // 1-row per-dimension (min,max) bounds frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -403,7 +404,8 @@ class PlanAuditSpec extends SparkSpec {
     "q141_hard_negatives" -> 2,
     "q142_chi_square" -> 8,
     "q143_source_overlap" -> 4,
-    "q144_neyman_allocation" -> 2)
+    "q144_neyman_allocation" -> 2,
+    "q145_hilbert_layout" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -148,6 +148,38 @@ class TableIOSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("saveWithBloomFilters packs a bloom per row group on the asked columns") {
+    val t = "graft_bloom_fact"
+    val src = sf().events.select(col("event_id"), col("user_id"), col("value"))
+    TableIO.saveWithBloomFilters(spark, t, src,
+      bloomCols = Seq("user_id"), ndv = 1000, nFiles = 2)
+    try {
+      assert(spark.table(t).count() == src.count())
+      val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val files = new java.io.File(new java.net.URI(loc))
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sparkContext.hadoopConfiguration))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            val byName = block.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c).toMap
+            assert(byName("user_id").getBloomFilterOffset >= 0,
+              s"${f.getName}: no bloom filter on user_id")
+            assert(byName("value").getBloomFilterOffset < 0,
+              s"${f.getName}: unrequested bloom on value")
+          }
+        } finally reader.close()
+      }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("saveZOrdered narrows per-file ranges on BOTH dimensions") {
     val t = "graft_zorder_fact"
     val src = sf().lineitem.select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
