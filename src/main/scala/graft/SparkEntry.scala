@@ -188,7 +188,8 @@ object SparkEntry {
     "q142_chi_square" -> q(t => Analytics.chiSquareIndependence(t)),
     "q143_source_overlap" -> q(t => TextAnalysis.sourceOverlap(t)),
     "q144_neyman_allocation" -> q(t => Sampling.neymanAllocation(t)),
-    "q145_hilbert_layout" -> q(t => graft.sources.Layout.hilbertPreview(t)))
+    "q145_hilbert_layout" -> q(t => graft.sources.Layout.hilbertPreview(t)),
+    "q146_span_removal" -> q(t => Dedup.removeDuplicateSpans(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -245,6 +246,7 @@ object SparkEntry {
     "q143_source_overlap" -> TextAnalysis.sourceOverlapSql,
     "q144_neyman_allocation" -> Sampling.neymanAllocationSql(),
     "q145_hilbert_layout" -> graft.sources.Layout.hilbertPreviewSql,
+    "q146_span_removal" -> Dedup.removeDuplicateSpansSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -967,4 +967,97 @@ object Dedup {
           6).as("jaccard"))
       .orderBy(col("doc_a"))
   }
+
+  /** q146: duplicate-span REMOVAL — the APPLY step of substring dedup
+    * (Lee et al. find the spans; a training pipeline then has to cut
+    * them). Every token covered by a cross-corpus duplicated k-window
+    * (the same detection kernel as [[maximalDuplicateSpans]]/q110) is
+    * dropped from its document — the remove-ALL-occurrences variant, i.e.
+    * boilerplate elimination (keep-one-occurrence is the same plan plus a
+    * canonical min-(doc, pos) exemption join). Output per document:
+    * normalized token count, tokens removed, and the cleaned text
+    * (lowercased, single-spaced — normalization is part of the contract,
+    * the detector already compares normalized tokens).
+    *
+    * Scale shape: detection shuffles (doc, pos, 16-byte hash) rows only;
+    * the covered-position set explodes spans back to positions (ints) and
+    * anti-joins the token stream on (doc_id, pos); the cleaned text is
+    * re-assembled INSIDE the per-doc aggregate (sorted struct list →
+    * join), so full text crosses the wire exactly once, partitioned by
+    * doc_id. */
+  def removeDuplicateSpans(t: Tables, k: Int = 15): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    import org.apache.spark.sql.expressions.Window
+    val tk = t.documents
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("tks"))
+    val positions = tk
+      .filter(size(col("tks")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(graft.functions.ShingleExpression.wordShingles(col("tks"), k)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("span_hash"))
+    val dup = positions
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("span_hash"))))
+      .filter(col("occ") > 1)
+    val covered = dup
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val toks = tk
+      .select(col("doc_id"), posexplode(col("tks")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val keptAgg = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x("tok")),
+          " ").as("cleaned_text"))
+    tk.select(col("doc_id"), size(col("tks")).as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB mirror of [[removeDuplicateSpans]] (the q110 detection
+    * CTEs + covered-position anti-join + ordered re-assembly). */
+  def removeDuplicateSpansSql(k: Int = 15): String =
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |sp AS (
+       |  SELECT doc_id, unnest(range(1, len(tks) - ${k - 2})) AS i, tks
+       |  FROM tk WHERE len(tks) >= $k),
+       |h AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |   md5(array_to_string(tks[i:i+${k - 1}], ' ')) AS span_hash
+       |  FROM sp),
+       |dup AS (
+       |  SELECT doc_id, pos
+       |  FROM (SELECT doc_id, pos,
+       |          count(*) OVER (PARTITION BY span_hash) AS occ FROM h)
+       |  WHERE occ > 1),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, CAST(u.p AS INTEGER) AS pos
+       |  FROM dup, unnest(range(dup.pos, dup.pos + $k)) AS u(p)),
+       |toks AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS INTEGER) AS pos, tks[u.i] AS tok
+       |  FROM tk, unnest(range(1, len(tks) + 1)) AS u(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok
+       |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL)
+       |SELECT tk.doc_id, CAST(len(tk.tks) AS INTEGER) AS n_tokens,
+       |  CAST(len(tk.tks) - count(k.tok) AS INTEGER) AS n_removed,
+       |  coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS cleaned_text
+       |FROM tk LEFT JOIN kept k USING (doc_id)
+       |GROUP BY tk.doc_id, len(tk.tks)
+       |ORDER BY tk.doc_id""".stripMargin
 }

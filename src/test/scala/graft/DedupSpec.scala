@@ -434,6 +434,27 @@ class DedupSpec extends SparkSpec {
     assert(crossDoc.exists(_.getAs[String]("span_hash") == expected))
   }
 
+  test("span removal cuts exactly the duplicated extent, leaves clean docs whole") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_spanrm").toFile.getAbsolutePath
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha bravo charlie $shared delta echo"),
+      (1L, s"zulu $shared yankee xray whiskey victor uniform tango"),
+      (2L, (1 to 40).map(i => s"unique$i").mkString(" ")))
+    docs.map { case (id, tx) => (id, tx, "en", "synthetic", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    val out = Dedup.removeDuplicateSpans(Tables(spark, base)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("cleaned_text"))).toMap
+    assert(out(0L) == ((25, 20, "alpha bravo charlie delta echo")))
+    assert(out(1L) == ((27, 20,
+      "zulu yankee xray whiskey victor uniform tango")))
+    assert(out(2L)._2 == 0 && out(2L)._3 == docs(2)._2)
+  }
+
   test("maximal spans: consecutive duplicated windows merge into one island") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_maxspans").toFile.getAbsolutePath
