@@ -559,9 +559,20 @@ object Similarity {
   // Scoring is then EXACT over all shared terms — the candidate frame
   // (bounded by rare-posting sizes) joins back to the full per-doc weight
   // vectors on doc_id, never on term, so hot postings never enter
-  // pair-space. Contract (documented recall cut): a pair sharing ONLY
-  // hot terms is not proposed — at 100 TB that pair-space is quadratic in
-  // the corpus and its similarity mass is the low-idf tail by construction.
+  // pair-space. Rare postings are additionally under the shared salted
+  // bucket cap ([[Dedup.saltedBuckets]]): a posting of n > cap docs splits
+  // into ⌈n/cap⌉ portable-hash sub-buckets and pairs only within them, so
+  // per-term pair work is n·cap/2 (linear in n), never n²/2 — the sf1
+  // scale-up run caught the uncapped form at 489 s / 7 GB peak task when
+  // the data's one rare term reached a 2,500-doc posting; capped it is
+  // seconds. Contracts (both documented recall cuts, both replayed
+  // bit-exactly by the oracle): a pair sharing ONLY hot terms is not
+  // proposed — at 100 TB that pair-space is quadratic in the corpus and
+  // its similarity mass is the low-idf tail by construction — and a pair
+  // inside an OVERSIZED posting is proposed only when a shared rare term
+  // lands it in the same sub-bucket (like banded LSH, each shared rare
+  // term is an independent chance; the exact no-loss alternative is
+  // Bayardo-style prefix filtering).
   //
   // Weights w = tf · N/df (the same log-free rational idf as q50, keeping
   // libm out of the oracle contract); dot and norms fold through the
@@ -572,7 +583,7 @@ object Similarity {
     * candidates = pairs sharing at least one term with df <= maxDfFrac·N.
     * Output: (doc_a, doc_b, n_shared_terms, cosine). */
   def sparseCosinePairs(t: Tables, maxDfFrac: Double = 0.25,
-                        tau: Double = 0.5): DataFrame = {
+                        tau: Double = 0.5, cap: Int = 256): DataFrame = {
     import graft.functions.ExactAgg
     val tf = t.documents
       .select(col("doc_id"),
@@ -594,9 +605,11 @@ object Similarity {
       .agg(sqrt(ExactAgg.dsumProd(col("w"), col("w"))).as("norm"))
     val rare = w.filter(col("df") <= col("n_docs") * lit(maxDfFrac))
       .select(col("doc_id"), col("term"))
-    val cand = rare.as("a")
-      .join(rare.as("b"),
-        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+    val salted = Dedup.saltedBuckets(rare, Seq("term"), "doc_id", cap)
+    val cand = salted.as("a")
+      .join(salted.as("b"),
+        col("a.term") === col("b.term") && col("a.salt") === col("b.salt") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val dots = cand
@@ -678,7 +691,7 @@ object Similarity {
   /** The DuckDB mirror of [[sparseCosinePairs]] — same df-cut candidates,
     * same ExactAgg cents kernels for dot and norms. */
   def sparseCosinePairsSql(maxDfFrac: Double = 0.25,
-                           tau: Double = 0.5): String = {
+                           tau: Double = 0.5, cap: Int = 256): String = {
     val O = graft.functions.ExactAgg.Sql
     s"""WITH tf AS MATERIALIZED (
        |  SELECT doc_id, term, count(*) AS tf FROM (
@@ -696,10 +709,15 @@ object Similarity {
        |  SELECT doc_id, sqrt(${O.dsumProd("w", "w")}) AS norm
        |  FROM w GROUP BY doc_id),
        |rare AS (SELECT doc_id, term FROM w WHERE df <= n_docs * $maxDfFrac),
+       |rsz AS (SELECT term, count(*) AS bucket_n FROM rare GROUP BY 1),
+       |salted AS (
+       |  SELECT doc_id, term,
+       |    (${Sampling.splitHashSql("doc_id")}) % ((bucket_n + ${cap - 1}) // $cap) AS salt
+       |  FROM rare JOIN rsz USING (term)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM rare a JOIN rare b
-       |    ON a.term = b.term AND a.doc_id < b.doc_id),
+       |  FROM salted a JOIN salted b
+       |    ON a.term = b.term AND a.salt = b.salt AND a.doc_id < b.doc_id),
        |dots AS (
        |  SELECT doc_a, doc_b,
        |    ${O.dsumProd("wa.w", "wb.w")} AS dot,

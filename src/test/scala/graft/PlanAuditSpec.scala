@@ -398,7 +398,9 @@ class PlanAuditSpec extends SparkSpec {
     // final merge — the pair unpack and sort ride the one-row result
     "q136_embedding_covariance" -> 1,
     "q137_fuzzy_join" -> 3,
-    "q138_sparse_cosine_pairs" -> 4,
+    // +2 vs the uncapped form: the posting-size agg + salted re-join that
+    // bound per-term pair work (the sf1-cliff fix) — a cost worth paying
+    "q138_sparse_cosine_pairs" -> 6,
     "q139_join_cardinality_kmv" -> 7,
     "q140_key_skew_profile" -> 2,
     "q141_hard_negatives" -> 2,
