@@ -189,7 +189,8 @@ object SparkEntry {
     "q143_source_overlap" -> q(t => TextAnalysis.sourceOverlap(t)),
     "q144_neyman_allocation" -> q(t => Sampling.neymanAllocation(t)),
     "q145_hilbert_layout" -> q(t => graft.sources.Layout.hilbertPreview(t)),
-    "q146_span_removal" -> q(t => Dedup.removeDuplicateSpans(t)))
+    "q146_span_removal" -> q(t => Dedup.removeDuplicateSpans(t)),
+    "q147_sparse_cosine_exact" -> q(t => Similarity.sparseCosinePairsExact(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -247,6 +248,7 @@ object SparkEntry {
     "q144_neyman_allocation" -> Sampling.neymanAllocationSql(),
     "q145_hilbert_layout" -> graft.sources.Layout.hilbertPreviewSql,
     "q146_span_removal" -> Dedup.removeDuplicateSpansSql(),
+    "q147_sparse_cosine_exact" -> Similarity.sparseCosinePairsExactSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -688,6 +688,153 @@ object Similarity {
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, label, cosine
        |FROM ranked WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  /** EXACT all-pairs sparse cosine — Bayardo et al.'s prefix-filtered
+    * APSS, the no-recall-loss counterpart of [[sparseCosinePairs]]'s
+    * df-cut+cap variant. Guarantee: returns EVERY pair with TF-IDF cosine
+    * >= tau (brute-force set equality pinned in SimilaritySpec; the q147
+    * oracle replays the whole filter bit-for-bit).
+    *
+    * The filter: with normalized weights ŵ = w/‖w‖ and the per-term
+    * corpus maximum maxŵ, order each document's terms by the global
+    * (maxŵ DESC, term) order and compute the tail bound
+    * cum(i) = Σ_{j ≥ i} ŵ[j]·maxŵ[j]. A document INDEXES its term at
+    * position i iff cum(i) >= tau; for any pair with cos >= tau, at
+    * least one shared term is indexed by one side (if all of a's shared
+    * terms sat in a's unindexed tail, cos(a,b) ≤ Σ_tail ŵa·maxŵ < tau
+    * — contradiction). Candidates are therefore indexed-postings ⋈ FULL
+    * postings; only indexed postings pay the pair join, and for
+    * selective tau they are far smaller than the full index.
+    *
+    * Engine-portability of the bound: the tail sum runs on CEIL-scaled
+    * integer micro-units (`ceil(ŵ·maxŵ·1e6)` as long), so the running
+    * sum is integer-exact in any engine — ceiling OVER-estimates the
+    * tail, which can only index MORE terms, never fewer: exactness is
+    * preserved, bit-agreement is guaranteed. Scoring reuses the same
+    * ExactAgg cents kernels as q138; the kernel's scaled-cents rounding
+    * can move a cosine by up to ~0.004 vs the real-valued one, so the
+    * INDEX threshold runs at tau − 0.01 — the margin means every pair
+    * whose REPORTED (kernel) cosine clears tau is provably a candidate,
+    * while the final filter still applies tau itself.
+    *
+    * 100 TB posture: work tracks indexed-posting sizes, which tau
+    * controls (tau→1 indexes almost nothing) — on corpora with a real
+    * Zipfian weight spread. A corpus whose weight distribution defeats
+    * the bound (MANY docs all hitting the same few uniformly-heavy
+    * terms, like this synthetic fixture) degrades toward the full
+    * quadratic — intrinsic to EXACT all-pairs, and measured here: the
+    * fixture at sf0.1 runs the unrestricted form at ~150 s. Hence
+    * `maxDocs`: the REGISTERED query pins exactness on a fixed
+    * deterministic slice (the whole corpus at the sf0.01 oracle gate,
+    * constant work at any larger SF — the q37 nQueries pattern), and
+    * production exact runs shard the corpus or fall back to the capped
+    * [[sparseCosinePairs]], which this function complements, not
+    * replaces. */
+  def sparseCosinePairsExact(t: Tables, tau: Double = 0.9,
+                             maxDocs: Int = 500): DataFrame = {
+    import graft.functions.ExactAgg
+    val tf = t.documents
+      .filter(col("doc_id") < maxDocs)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n  = t.documents.filter(col("doc_id") < maxDocs)
+      .select(count(lit(1)).as("n_docs"))
+    val w = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+      .localCheckpoint()
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(ExactAgg.dsumProd(col("w"), col("w"))).as("norm"))
+    val wn = w.join(norms, "doc_id")
+      .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("wn"))
+      .localCheckpoint() // normalized entries feed maxw, the bound, and scoring
+    val maxw = wn.groupBy(col("term")).agg(max(col("wn")).as("mw"))
+    val tauMicro = math.floor((tau - 0.01) * 1e6).toLong
+    val cumW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("mw").desc, col("term"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val indexed = wn.join(broadcast(maxw), "term")
+      .withColumn("p", ceil(col("wn") * col("mw") * lit(1e6)).cast("long"))
+      .withColumn("cum", sum(col("p")).over(cumW))
+      .filter(col("cum") >= tauMicro)
+      .select(col("doc_id"), col("term"))
+    val cand = indexed.as("a")
+      .join(wn.select(col("doc_id"), col("term")).as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val dots = cand
+      .join(wn.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(wn.as("wb"),
+        col("doc_b") === col("wb.doc_id") && col("wa.term") === col("wb.term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(ExactAgg.dsumProd(col("wa.wn") * lit(100), col("wb.wn") * lit(100))
+        .as("dot4"),
+        count(lit(1)).as("n_shared"))
+    dots
+      .select(col("doc_a"), col("doc_b"),
+        col("n_shared").cast("int").as("n_shared_terms"),
+        round(col("dot4") / lit(10000.0), 6).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The DuckDB mirror of [[sparseCosinePairsExact]]. */
+  def sparseCosinePairsExactSql(tau: Double = 0.9, maxDocs: Int = 500): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val tauMicro = math.floor((tau - 0.01) * 1e6).toLong
+    s"""WITH tf AS MATERIALIZED (
+       |  SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+       |    FROM documents WHERE doc_id < $maxDocs)
+       |  WHERE length(term) > 0 GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < $maxDocs),
+       |w AS MATERIALIZED (
+       |  SELECT doc_id, term, CAST(tf AS DOUBLE) * n_docs / df AS w
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |norms AS (
+       |  SELECT doc_id, sqrt(${O.dsumProd("w", "w")}) AS norm
+       |  FROM w GROUP BY doc_id),
+       |wn AS MATERIALIZED (
+       |  SELECT doc_id, term, w / norm AS wn
+       |  FROM w JOIN norms USING (doc_id)),
+       |maxw AS (SELECT term, max(wn) AS mw FROM wn GROUP BY 1),
+       |bound AS (
+       |  SELECT doc_id, term,
+       |    sum(CAST(ceil(wn * mw * 1e6) AS BIGINT)) OVER (
+       |      PARTITION BY doc_id ORDER BY mw DESC, term
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS cum
+       |  FROM wn JOIN maxw USING (term)),
+       |indexed AS (SELECT doc_id, term FROM bound WHERE cum >= $tauMicro),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+       |    greatest(a.doc_id, b.doc_id) AS doc_b
+       |  FROM indexed a JOIN wn b
+       |    ON a.term = b.term AND a.doc_id <> b.doc_id),
+       |dots AS (
+       |  SELECT doc_a, doc_b,
+       |    ${O.dsumProd("wa.wn * 100", "wb.wn * 100")} AS dot4,
+       |    count(*) AS n_shared
+       |  FROM cand
+       |  JOIN wn wa ON cand.doc_a = wa.doc_id
+       |  JOIN wn wb ON cand.doc_b = wb.doc_id AND wa.term = wb.term
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(n_shared AS INTEGER) AS n_shared_terms,
+       |  round(dot4 / 10000.0, 6) AS cosine
+       |FROM dots
+       |WHERE round(dot4 / 10000.0, 6) >= $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** The DuckDB mirror of [[sparseCosinePairs]] — same df-cut candidates,
     * same ExactAgg cents kernels for dot and norms. */
   def sparseCosinePairsSql(maxDfFrac: Double = 0.25,

@@ -408,7 +408,8 @@ class PlanAuditSpec extends SparkSpec {
     "q143_source_overlap" -> 4,
     "q144_neyman_allocation" -> 2,
     "q145_hilbert_layout" -> 2,
-    "q146_span_removal" -> 4)
+    "q146_span_removal" -> 4,
+    "q147_sparse_cosine_exact" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

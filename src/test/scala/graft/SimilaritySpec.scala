@@ -92,4 +92,59 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS ${prefix}_lists")
     }
   }
+
+  /** Single-node replica of the q147 scoring kernel: tf-idf weights,
+    * cents-kernel norms/dots (the exact long-integer arithmetic of
+    * ExactAgg.dsumProd on wn·100 inputs), 6-dp HALF_UP rounding. */
+  private def bruteExactPairs(tau: Double): Set[(Long, Long, Double)] = {
+    def cents(x: Double): Long = math.floor(x * 100 + 0.5).toLong
+    val docs = sf("sf0.001").documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("text")).as("text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.split("\\s+").filter(_.nonEmpty))
+    val nDocs = docs.length.toDouble
+    val dfm = docs.flatMap { case (_, tks) => tks.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val wByDoc: Map[Long, Map[String, Double]] = docs.map { case (id, tks) =>
+      id -> tks.groupBy(identity).map { case (t, xs) =>
+        t -> xs.length.toDouble * nDocs / dfm(t)
+      }
+    }.toMap
+    val wnByDoc = wByDoc.map { case (id, w) =>
+      // norm via the same cents kernel: sum of round(w·100)^2 / 1e4
+      val q = w.values.map(v => cents(v) * cents(v)).sum.toDouble / 10000.0
+      val norm = math.sqrt(q)
+      id -> w.map { case (t, v) => t -> v / norm }
+    }
+    val ids = wnByDoc.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = wnByDoc(ids(i)); b = wnByDoc(ids(j))
+      shared = a.keySet intersect b.keySet
+      if shared.nonEmpty
+      // dsumProd on wn·100 inputs: round(wn·1e4) products, exact long sum
+      dot4 = shared.toSeq.map(t =>
+        math.floor(a(t) * 10000 + 0.5).toLong *
+          math.floor(b(t) * 10000 + 0.5).toLong).sum.toDouble / 10000.0
+      cos = BigDecimal(dot4 / 10000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cos >= tau
+    } yield (ids(i), ids(j), cos)).toSet
+  }
+
+  test("q147 exact APSS equals brute force at two thresholds") {
+    for (tau <- Seq(0.9, 0.5)) {
+      val got = graft.ext.Similarity.sparseCosinePairsExact(sf("sf0.001"), tau)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Double]("cosine"))).toSet
+      val want = bruteExactPairs(tau)
+      assert(want.nonEmpty, s"tau=$tau: brute force found nothing — bad fixture")
+      assert(got == want,
+        s"tau=$tau missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
 }
