@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables
 import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.functions.ExactAgg.{Sql => O}
-import graft.operators.{Analytics, DictEncode, Ingest, Serving}
+import graft.operators.{Analytics, DictEncode, Incremental, Ingest, Serving}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -190,7 +190,12 @@ object SparkEntry {
     "q144_neyman_allocation" -> q(t => Sampling.neymanAllocation(t)),
     "q145_hilbert_layout" -> q(t => graft.sources.Layout.hilbertPreview(t)),
     "q146_span_removal" -> q(t => Dedup.removeDuplicateSpans(t)),
-    "q147_sparse_cosine_exact" -> q(t => Similarity.sparseCosinePairsExact(t)))
+    "q147_sparse_cosine_exact" -> q(t => Similarity.sparseCosinePairsExact(t)),
+    "q148_hybrid_search" -> q(t => Similarity.hybridSearch(t)),
+    "q149_eps_neighbor_pairs" -> q(t => Similarity.epsNeighborPairs(t)),
+    "q150_inference_batches" -> q(t => Sampling.inferenceBatches(t)),
+    "q151_knn_label_eval" -> q(t => Similarity.knnLabelEval(t)),
+    "q152_view_refresh" -> q(t => Incremental.viewRefreshDemo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -249,6 +254,11 @@ object SparkEntry {
     "q145_hilbert_layout" -> graft.sources.Layout.hilbertPreviewSql,
     "q146_span_removal" -> Dedup.removeDuplicateSpansSql(),
     "q147_sparse_cosine_exact" -> Similarity.sparseCosinePairsExactSql(),
+    "q148_hybrid_search" -> Similarity.hybridSearchSql(),
+    "q149_eps_neighbor_pairs" -> Similarity.epsNeighborPairsSql(),
+    "q150_inference_batches" -> Sampling.inferenceBatchesSql(),
+    "q151_knn_label_eval" -> Similarity.knnLabelEvalSql(),
+    "q152_view_refresh" -> Incremental.viewRefreshDemoSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

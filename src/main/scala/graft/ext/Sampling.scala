@@ -3,6 +3,7 @@ package graft.ext
 import graft.core.Tables
 import graft.functions.KmvSketch
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and dataset splitting for training-data
@@ -541,4 +542,82 @@ object Sampling {
        |FROM strata CROSS JOIN tot
        |ORDER BY event_type""".stripMargin
   }
+
+  /** q150: length-bucketed inference batching with padding-waste
+    * accounting — the batch-construction step of LLM batch inference /
+    * training: documents of similar token length are grouped so each
+    * batch pads to its own max length instead of the corpus max.
+    * Sequence packing (q69) CONCATENATES documents into fixed windows;
+    * this keeps documents whole and PADS, which is what attention-masked
+    * batched forward passes consume.
+    *
+    * Bucketing is by linear length band (`bucketTokens`-wide, capped at
+    * `maxBucket` so the long tail shares one band); within a bucket,
+    * docs are laid out longest-first (minimizing per-batch padding) with
+    * doc_id tiebreak and cut into `batchSize`-doc batches. Output is one
+    * row per batch: size, padded length (= batch max), real tokens,
+    * wasted pad tokens, and fill efficiency.
+    *
+    * Scale: one shuffle keyed on bucket for the layout window, one
+    * aggregate that can ride the same partitioning. The window
+    * partitions by bucket — a constant-cardinality key; at 100 TB this
+    * would salt the window key with a coarse doc_id prefix and stitch
+    * batch ids per salt stripe, the q89 discipline; at the suite's
+    * scales the direct form keeps the demonstration exact. All
+    * arithmetic is integer or single IEEE divisions — bit-portable. */
+  def inferenceBatches(t: Tables, bucketTokens: Int = 64,
+                       maxBucket: Int = 15, batchSize: Int = 32): DataFrame = {
+    val nTokens = size(TextAnalysis.tokens(lower(col("text")))).cast("long")
+    val docs = t.documents
+      .select(col("doc_id"), nTokens.as("n_tokens"))
+      .withColumn("bucket",
+        least(floor(col("n_tokens") / lit(bucketTokens)), lit(maxBucket))
+          .cast("int"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", expr(s"(rn - 1) div $batchSize"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("padded_len"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .select(
+        col("bucket"), col("batch_id"),
+        col("n_docs"), col("padded_len"), col("sum_tokens"),
+        (col("padded_len") * col("n_docs") - col("sum_tokens"))
+          .as("pad_waste"),
+        round(col("sum_tokens").cast("double") /
+          (col("padded_len") * col("n_docs")).cast("double"), 6)
+          .as("fill_efficiency"))
+      .orderBy(col("bucket"), col("batch_id"))
+  }
+
+  /** DuckDB mirror of [[inferenceBatches]]. */
+  def inferenceBatchesSql(bucketTokens: Int = 64, maxBucket: Int = 15,
+                          batchSize: Int = 32): String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |   CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+       |     AS n_tokens
+       |  FROM documents),
+       |bucketed AS (
+       |  SELECT doc_id, n_tokens,
+       |   CAST(least(floor(n_tokens / $bucketTokens), $maxBucket) AS INTEGER)
+       |     AS bucket
+       |  FROM docs),
+       |laid AS (
+       |  SELECT bucket, n_tokens,
+       |   row_number() OVER (
+       |     PARTITION BY bucket ORDER BY n_tokens DESC, doc_id) AS rn
+       |  FROM bucketed)
+       |SELECT bucket, (rn - 1) // $batchSize AS batch_id,
+       | count(*) AS n_docs,
+       | max(n_tokens) AS padded_len,
+       | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       | CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS pad_waste,
+       | round(CAST(sum(n_tokens) AS DOUBLE)
+       |   / CAST(max(n_tokens) * count(*) AS DOUBLE), 6) AS fill_efficiency
+       |FROM laid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

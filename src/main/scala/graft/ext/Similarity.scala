@@ -881,4 +881,247 @@ object Similarity {
        |WHERE round(dot / (na.norm * nb.norm), 6) >= $tau
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  /** q148: hybrid retrieval — reciprocal-rank fusion (RRF) of a lexical
+    * BM25 ranking and a dense cosine ranking, the standard fused-retrieval
+    * shape of RAG serving stacks (Elasticsearch/Vespa hybrid mode; RRF per
+    * Cormack et al., SIGIR'09: score = Σ 1/(K + rank)).
+    *
+    * Each ranker contributes its top-`kEach` only — that cut is what makes
+    * the operator scale: both arms end in `orderBy(...).limit(kEach)`,
+    * which Spark executes as TakeOrderedAndProject (per-partition heaps +
+    * single-partition merge of kEach rows — no global sort of the corpus
+    * ever forms). The rank assignment then windows over a
+    * constant-bounded (≤ kEach) frame, so its single-partition exchange
+    * moves ≤ kEach rows. Fusion is a full-outer join of two ≤ kEach-row
+    * frames: a doc found by only one ranker keeps the other arm's
+    * contribution at 0 (the Cormack formulation).
+    *
+    * Ranks are computed on 6-dp-rounded scores with id tiebreaks, so both
+    * rankings are total orders and the fused output is bit-portable; the
+    * RRF terms 1/(K+rank) are single IEEE divisions (no libm).
+    * The lexical arm scores `documents` ([[TextAnalysis.bm25Scores]]);
+    * the dense arm scores `embeddings` against the `queryId` vector — the
+    * two id spaces are aligned (embeddings is a doc_id-prefix corpus), so
+    * fusion joins on the shared id. */
+  def hybridSearch(t: Tables,
+                   terms: Seq[String] = Seq("data", "spark", "query"),
+                   queryId: Int = 0, kEach: Int = 100, k: Int = 20,
+                   rrfK: Int = 60): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val lexTop = TextAnalysis.bm25Scores(t, terms)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(kEach)
+    val wl = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lexRanked = lexTop
+      .withColumn("lex_rank", row_number().over(wl))
+      .select(col("doc_id").as("id"), col("lex_rank"), col("bm25"))
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val denseTop = emb
+      .join(broadcast(qv), col("vec_id") =!= col("query_id"))
+      .select(col("vec_id"),
+        round(graft.functions.VectorExpressions
+          .cosineSim(col("qemb"), col("embedding")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(kEach)
+    val wd = Window.orderBy(col("cosine").desc, col("vec_id"))
+    val denseRanked = denseTop
+      .withColumn("dense_rank", row_number().over(wd))
+      .select(col("vec_id").as("id"), col("dense_rank"), col("cosine"))
+    lexRanked.join(denseRanked, Seq("id"), "full_outer")
+      .select(
+        col("id").as("doc_id"),
+        col("lex_rank").cast("int").as("lex_rank"),
+        col("dense_rank").cast("int").as("dense_rank"),
+        col("bm25"), col("cosine"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)),
+          6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB mirror of [[hybridSearch]] — BM25 CTEs shared with q124's
+    * oracle, the q37 cosine formulation for the dense arm, ranks and the
+    * 1/(K+rank) fusion replayed with explicit DOUBLE casts. */
+  def hybridSearchSql(terms: Seq[String] = Seq("data", "spark", "query"),
+                      queryId: Int = 0, kEach: Int = 100, k: Int = 20,
+                      rrfK: Int = 60): String =
+    s"""WITH ${TextAnalysis.bm25ScoresSqlCtes(terms)},
+       |lex AS (
+       |  SELECT doc_id, bm25,
+       |   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+       |  FROM scores ORDER BY bm25 DESC, doc_id LIMIT $kEach),
+       |emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+       |  FROM emb),
+       |qv AS (
+       |  SELECT vec AS qvec, norm AS qnorm FROM normed
+       |  WHERE vec_id = $queryId),
+       |dense AS (
+       |  SELECT vec_id,
+       |   round(list_dot_product(qvec, vec) / (qnorm * norm), 6) AS cosine
+       |  FROM normed CROSS JOIN qv WHERE vec_id <> $queryId
+       |  ORDER BY cosine DESC, vec_id LIMIT $kEach),
+       |densed AS (
+       |  SELECT vec_id, cosine,
+       |   row_number() OVER (ORDER BY cosine DESC, vec_id) AS dense_rank
+       |  FROM dense)
+       |SELECT COALESCE(l.doc_id, d.vec_id) AS doc_id,
+       | CAST(l.lex_rank AS INTEGER) AS lex_rank,
+       | CAST(d.dense_rank AS INTEGER) AS dense_rank,
+       | l.bm25, d.cosine,
+       | round(COALESCE(CAST(1 AS DOUBLE) / ($rrfK + l.lex_rank),
+       |                CAST(0 AS DOUBLE))
+       |     + COALESCE(CAST(1 AS DOUBLE) / ($rrfK + d.dense_rank),
+       |                CAST(0 AS DOUBLE)), 6) AS rrf_score
+       |FROM lex l FULL OUTER JOIN densed d ON l.doc_id = d.vec_id
+       |ORDER BY rrf_score DESC, doc_id LIMIT $k""".stripMargin
+
+  /** q149: all pairs within euclidean distance `eps` of each other in the
+    * 2-D projection of the embedding space — the ε-neighborhood self-join
+    * (the candidate step of DBSCAN, and the fixed-radius variant of a
+    * geospatial distance join), solved with GRID BLOCKING: index space is
+    * tiled into eps-sized cells, each point is replicated to its 3×3 cell
+    * neighborhood on the left side only, and the equi-join on cell id
+    * meets every pair whose distance can possibly be ≤ eps (|Δx| ≤ eps
+    * implies adjacent-or-same cell column — the blocking is provably
+    * LOSSLESS, which the brute-force all-pairs oracle verifies
+    * bit-for-bit). Each qualifying pair is met exactly once: the a<b
+    * filter keeps only the replica-of-a-in-b's-home-cell encounter.
+    *
+    * Scale posture: cost is Σ_cell |left ∩ cell|·|right ∩ cell| — linear
+    * in n for bounded point density (vs the O(n²) cross join the naive
+    * form needs). The join is a plain hash equi-join on (cx, cy), so it
+    * shuffles by cell; a pathological all-points-in-one-cell distribution
+    * would concentrate one reducer, the same skew the salted-join family
+    * (q89) handles — eps is a resolution knob, and real workloads pick
+    * eps ≪ data extent (here: eps = 0.01 over a ±0.38 extent, ~76 cells
+    * per axis). All arithmetic (floor(x/eps) cell ids, squared-distance
+    * threshold, correctly-rounded sqrt) is IEEE-portable; eps enters both
+    * engines as the same decimal literal, never a precomputed product. */
+  def epsNeighborPairs(t: Tables, eps: Double = 0.01): DataFrame = {
+    val pts = t.embeddings.select(
+      col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val cells = pts
+      .withColumn("cx", floor(col("x") / lit(eps)).cast("long"))
+      .withColumn("cy", floor(col("y") / lit(eps)).cast("long"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+    val reps = cells.select(
+      col("vec_id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+      explode(array(offsets.map { case (dx, dy) =>
+        struct((col("cx") + lit(dx)).as("cx"), (col("cy") + lit(dy)).as("cy"))
+      }: _*)).as("cell"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+    val home = cells.select(
+      col("vec_id").as("id_b"), col("x").as("xb"), col("y").as("yb"),
+      col("cx"), col("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    reps.join(home, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2", d2)
+      .filter(col("dist2") <= lit(eps) * lit(eps))
+      .select(col("id_a"), col("id_b"),
+        round(sqrt(col("dist2")), 6).as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB mirror of [[epsNeighborPairs]] — deliberately the BRUTE-FORCE
+    * all-pairs form: the hash gate then proves the engine's grid blocking
+    * loses no pair and invents none. */
+  def epsNeighborPairsSql(eps: Double = 0.01): String =
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |   CAST(embedding[1] AS DOUBLE) AS x,
+       |   CAST(embedding[2] AS DOUBLE) AS y
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       | round(sqrt((a.x - b.x) * (a.x - b.x)
+       |          + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+       |FROM p a JOIN p b ON a.vec_id < b.vec_id
+       |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |   <= CAST($eps AS DOUBLE) * CAST($eps AS DOUBLE)
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q151: k-nearest-neighbor label prediction with a confusion matrix —
+    * the EMBEDDING-QUALITY EVAL a training-data pipeline runs after
+    * producing vectors: hold out the first `nEval` vectors as queries,
+    * predict each one's label by majority vote among its `k` nearest
+    * train vectors (cosine), and cross-tabulate predicted vs true.
+    *
+    * Composition of the ANN surface: broadcast query frame against the
+    * train corpus (the q37 kernel), per-query top-k via window on the
+    * bounded query_id key space, then two vocabulary-sized aggregates
+    * (vote counting, majority pick). Majority ties break toward the
+    * smaller label id — deterministic in both engines. The heavy stage
+    * is the scored broadcast join (n_train × nEval dot products, narrow,
+    * codegen'd); everything after is ≤ nEval·k rows. */
+  def knnLabelEval(t: Tables, nEval: Int = 64, k: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    val emb = t.embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qemb"))
+    val train = emb.filter(col("vec_id") >= nEval)
+    val scored = train
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("vec_id"), col("label"),
+        round(graft.functions.VectorExpressions
+          .cosineSim(col("qemb"), col("embedding")), 6).as("cosine"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val votes = scored
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wMaj = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("mrank", row_number().over(wMaj))
+      .filter(col("mrank") === 1)
+      .groupBy(col("true_label"), col("label").as("pred_label"))
+      .agg(count(lit(1)).as("n_queries"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  /** DuckDB mirror of [[knnLabelEval]]. */
+  def knnLabelEvalSql(nEval: Int = 64, k: Int = 10): String =
+    s"""WITH emb AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+       |  FROM embeddings),
+       |normed AS (
+       |  SELECT vec_id, label, vec,
+       |   sqrt(list_dot_product(vec, vec)) AS norm FROM emb),
+       |queries AS (
+       |  SELECT vec_id AS query_id, label AS true_label,
+       |   vec AS qvec, norm AS qnorm
+       |  FROM normed WHERE vec_id < $nEval),
+       |scored AS (
+       |  SELECT query_id, true_label, vec_id, label,
+       |   round(list_dot_product(qvec, vec) / (qnorm * norm), 6) AS cosine
+       |  FROM normed CROSS JOIN queries WHERE vec_id >= $nEval),
+       |topk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, true_label, label, count(*) AS n_votes
+       |  FROM topk WHERE rank <= $k GROUP BY 1, 2, 3),
+       |majority AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY n_votes DESC, label) AS mrank
+       |  FROM votes)
+       |SELECT true_label, label AS pred_label, count(*) AS n_queries
+       |FROM majority WHERE mrank = 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

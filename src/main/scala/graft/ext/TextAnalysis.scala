@@ -409,7 +409,17 @@ object TextAnalysis {
     * expanded to dl·N/total_dl so every input stays an exact integer until
     * one fixed chain of IEEE ops — bit-portable across engines. */
   def bm25Search(t: Tables, terms: Seq[String] = Seq("data", "spark", "query"),
-                 k: Int = 50, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k: Int = 50, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scores(t, terms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
+  /** Per-document BM25 scores for a fixed term set, no ranking cut —
+    * `(doc_id, n_terms_hit, bm25)`, one row per document that hits ≥ 1
+    * query term. The ranked [[bm25Search]] and the hybrid fusion
+    * ([[Similarity.hybridSearch]]) both consume this frame. */
+  def bm25Scores(t: Tables, terms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = t.documents
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
     val dl = base.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -434,18 +444,15 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms_hit"),
         round(graft.functions.ExactAgg.dsum(col("contrib")), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(k)
   }
 
-  /** DuckDB mirror of [[bm25Search]] — every float op in the same order
-    * with explicit DOUBLE casts (DuckDB's bare numeric literals are
-    * DECIMAL; decimal arithmetic would diverge from Spark's IEEE chain). */
-  def bm25SearchSql(terms: Seq[String] = Seq("data", "spark", "query"),
-                    k: Int = 50): String = {
+  /** The shared CTE body of the BM25 oracle — `scores(doc_id,
+    * n_terms_hit, bm25)`, mirroring [[bm25Scores]]'s IEEE chain. Callers
+    * append their own ranking/fusion on top. */
+  def bm25ScoresSqlCtes(terms: Seq[String]): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     val O = graft.functions.ExactAgg.Sql
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id,
        |   string_split_regex(trim(lower(text)), '\\s+') AS toks
        |  FROM documents),
@@ -466,12 +473,22 @@ object TextAnalysis {
        |       0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)
        |        / CAST(total_dl AS DOUBLE)))) AS contrib
        |  FROM tf JOIN dfreq USING (term)
-       |  CROSS JOIN stats)
-       |SELECT doc_id, count(*) AS n_terms_hit,
-       | round(${O.dsum("contrib")}, 6) AS bm25
-       |FROM contribs GROUP BY 1
-       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
+       |  CROSS JOIN stats),
+       |scores AS (
+       |  SELECT doc_id, count(*) AS n_terms_hit,
+       |   round(${O.dsum("contrib")}, 6) AS bm25
+       |  FROM contribs GROUP BY 1)""".stripMargin
   }
+
+  /** DuckDB mirror of [[bm25Search]] — every float op in the same order
+    * with explicit DOUBLE casts (DuckDB's bare numeric literals are
+    * DECIMAL; decimal arithmetic would diverge from Spark's IEEE chain). */
+  def bm25SearchSql(terms: Seq[String] = Seq("data", "spark", "query"),
+                    k: Int = 50): String =
+    s"""WITH ${bm25ScoresSqlCtes(terms)}
+       |SELECT doc_id, n_terms_hit, bm25
+       |FROM scores
+       |ORDER BY bm25 DESC, doc_id LIMIT $k""".stripMargin
 
   /** TF-IDF top-k terms per document. Classic three-stage shape:
     * explode tokens (narrow) → term frequency per (doc, term) (shuffle on

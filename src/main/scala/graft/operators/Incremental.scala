@@ -50,4 +50,52 @@ object Incremental {
     TableIO.refreshPartitions(spark, viewTable, aggOf(scoped))
     affected.count()
   }
+
+  /** q152: [[refreshAggregate]] under the hash gate — incremental view
+    * maintenance proven ≡ full recompute. The view is the daily summary
+    * (day × event_type exact counts/sums, the reference's
+    * `daily_trip_summary` shape, `comprehensive_analytics.py:41-128`);
+    * the demo builds it STALE (last day's facts withheld), lands the
+    * delta, runs the partition-scoped refresh, and returns the read-back
+    * table. The oracle recomputes the summary from the full fact in one
+    * pass — so a hash match proves the incremental path converged to
+    * exactly the from-scratch answer, including the untouched partitions
+    * (whose files were never rewritten).
+    *
+    * The cutoff comes from a 1-row max aggregate (bounded collect, the
+    * suite's scalar-driver convention). Day rides as a string from the
+    * start so the partition column round-trips the catalog with a stable
+    * type. */
+  def viewRefreshDemo(t: graft.core.Tables): DataFrame = {
+    val spark = t.spark
+    val table = s"graft_ivm_demo_${(t.dir.hashCode & 0x7fffffff).toHexString}"
+    TableIO.dropTableAndLocation(spark, table)
+    val fact = t.events.select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("value"))
+    val aggOf: DataFrame => DataFrame = df =>
+      df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(graft.functions.ExactAgg.dsum(col("value")), 6)
+            .as("sum_value"))
+    val cutoff = fact.agg(max(col("day"))).head.getString(0)
+    aggOf(fact.filter(col("day") < cutoff))
+      .write.format("parquet").partitionBy("day").saveAsTable(table)
+    refreshAggregate(spark, table,
+      fact, fact.filter(col("day") >= cutoff), Seq("day"), aggOf)
+    spark.table(table)
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  /** DuckDB mirror of [[viewRefreshDemo]] — the FULL recompute the
+    * incremental refresh must equal. */
+  def viewRefreshDemoSql: String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       | count(*) AS n_events,
+       | round(${O.dsum("value")}, 6) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }

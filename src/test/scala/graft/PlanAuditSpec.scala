@@ -299,7 +299,9 @@ class PlanAuditSpec extends SparkSpec {
     "q141_hard_negatives",          // broadcast query-vector frame (label !=)
     "q142_chi_square",              // 1-row n and chi2-total frames
     "q144_neyman_allocation",       // 1-row allocation-total frame
-    "q145_hilbert_layout")          // 1-row per-dimension (min,max) bounds frame
+    "q145_hilbert_layout",          // 1-row per-dimension (min,max) bounds frame
+    "q148_hybrid_search",           // broadcast 1-row query vector + 1-row BM25 stats
+    "q151_knn_label_eval")          // broadcast nEval-row query-vector frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -409,7 +411,22 @@ class PlanAuditSpec extends SparkSpec {
     "q144_neyman_allocation" -> 2,
     "q145_hilbert_layout" -> 2,
     "q146_span_removal" -> 4,
-    "q147_sparse_cosine_exact" -> 4)
+    "q147_sparse_cosine_exact" -> 4,
+    // hybrid fusion: dl agg + tf agg + df agg + tf re-key (the BM25 arm)
+    // + the constant-bounded rank/fusion frames; both top-kEach cuts are
+    // TakeOrdered (no corpus-wide range exchange ever forms)
+    "q148_hybrid_search" -> 5,
+    // grid blocking: the only exchange is the (cx, cy) hash join key;
+    // replication and the distance filter are narrow
+    "q149_eps_neighbor_pairs" -> 1,
+    // bucket-partitioned layout window + the (bucket, batch) aggregate
+    "q150_inference_batches" -> 2,
+    // per-query top-k window + vote agg + majority window ride query_id;
+    // the confusion agg re-keys to (true, pred)
+    "q151_knn_label_eval" -> 3,
+    // read-back of the refreshed view: scan + presentation sort (the
+    // refresh's own exchanges happen in the write jobs)
+    "q152_view_refresh" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

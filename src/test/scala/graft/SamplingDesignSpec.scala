@@ -78,4 +78,31 @@ class SamplingDesignSpec extends SparkSpec {
     assert(math.abs(alloc - 500L) <= rows.length, s"allocated $alloc of 500")
     rows.foreach(r => assert(r.getAs[Long]("n_alloc") >= 0))
   }
+
+  test("q150: batches bounded, padding accounted, every doc placed once") {
+    import org.apache.spark.sql.functions._
+    val t = sf("sf0.001")
+    val batchSize = 8
+    val rows = graft.ext.Sampling
+      .inferenceBatches(t, bucketTokens = 32, maxBucket = 7, batchSize = batchSize)
+      .collect()
+    val nDocs = t.documents.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "batches must partition the corpus")
+    rows.foreach { r =>
+      val (n, pad, sum, waste) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("padded_len"), r.getAs[Long]("sum_tokens"),
+        r.getAs[Long]("pad_waste"))
+      assert(n <= batchSize, s"overfull batch: $n")
+      assert(waste == pad * n - sum, "padding accounting broken")
+      assert(sum <= pad * n, "a member exceeds the padded length")
+    }
+    // within each bucket, only the LAST batch may be under-full — the
+    // longest-first layout fills batches densely in order
+    rows.groupBy(_.getAs[Int]("bucket")).foreach { case (_, bs) =>
+      val sorted = bs.sortBy(_.getAs[Long]("batch_id"))
+      sorted.dropRight(1).foreach(r =>
+        assert(r.getAs[Long]("n_docs") == batchSize, "non-final batch under-full"))
+    }
+  }
 }

@@ -147,4 +147,80 @@ class SimilaritySpec extends SparkSpec {
         s"tau=$tau missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     }
   }
+
+  test("q149 grid-blocked eps pairs equal brute force, each pair exactly once") {
+    import org.apache.spark.sql.functions._
+    val t = sf("sf0.001")
+    for (eps <- Seq(0.01, 0.03)) {
+      val got = Similarity.epsNeighborPairs(t, eps).collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq
+      // the blocking must not double-report: a pair in the same cell is met
+      // once (a-replica x b-home), the reverse encounter fails id_a < id_b
+      assert(got.distinct.size == got.size, "duplicate pair emitted")
+      val pts = t.embeddings.select(col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      val a = pts.select(col("vec_id").as("id_a"), col("x").as("xa"), col("y").as("ya"))
+      val b = pts.select(col("vec_id").as("id_b"), col("x").as("xb"), col("y").as("yb"))
+      val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")) <= lit(eps) * lit(eps))
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      assert(want.nonEmpty, s"eps=$eps: brute force found nothing — bad fixture")
+      assert(got.toSet == want,
+        s"eps=$eps missed=${(want -- got.toSet).take(3)} extra=${(got.toSet -- want).take(3)}")
+    }
+  }
+
+  test("q148 hybrid RRF: fused scores recompute from the two arm rankings") {
+    import org.apache.spark.sql.functions._
+    val t = sf("sf0.001")
+    val got = Similarity.hybridSearch(t, kEach = 50, k = 15).collect()
+    assert(got.length == 15)
+    // rebuild the two arms' rank maps independently
+    val lex = graft.ext.TextAnalysis.bm25Scores(t, Seq("data", "spark", "query"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .collect().map(_.getAs[Long]("doc_id")).zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    val dense = Similarity.bruteForceTopK(t, nQueries = 1, k = 50)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("rank")).toMap
+    var prev = Double.MaxValue
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expect = BigDecimal(
+        lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf_score") - expect) < 1e-9,
+        s"doc $id: rrf=${r.getAs[Double]("rrf_score")} expect=$expect")
+      assert(r.getAs[Double]("rrf_score") <= prev, "output not rank-ordered")
+      prev = r.getAs[Double]("rrf_score")
+      assert((lex.get(id).isDefined == !r.isNullAt(r.fieldIndex("lex_rank"))) &&
+        (dense.get(id).isDefined == !r.isNullAt(r.fieldIndex("dense_rank"))),
+        s"doc $id: rank nullability disagrees with arm membership")
+    }
+  }
+
+  test("q151 knn eval: every query predicted once; majority hand-checked") {
+    import org.apache.spark.sql.functions._
+    val t = sf("sf0.001")
+    val conf = Similarity.knnLabelEval(t, nEval = 16, k = 5)
+    assert(conf.agg(sum(col("n_queries"))).head.getLong(0) == 16,
+      "confusion matrix must account for every eval query exactly once")
+    // hand-verify query 0's prediction from the brute-force neighbor list
+    // (nEval = 1 ⇒ train is vec_id >= 1, mirrored in the filter below)
+    val q0 = t.embeddings.filter(col("vec_id") === 0).head
+      .getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val neigh = t.embeddings.filter(col("vec_id") >= 1)
+      .select(col("vec_id"), col("label"),
+        round(graft.functions.VectorExpressions.cosineSim(
+          typedLit(q0), col("embedding")), 6).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(5)
+      .collect().map(_.getAs[Int]("label"))
+    val expected = neigh.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (l, n) => (-n, l) }.head._1
+    val got0 = Similarity.knnLabelEval(t, nEval = 1, k = 5).head
+    assert(got0.getAs[Int]("pred_label") == expected,
+      s"query 0: predicted ${got0.getAs[Int]("pred_label")}, majority is $expected")
+  }
 }

@@ -420,4 +420,18 @@ class TableIOSpec extends SparkSpec {
       assert(janState() == janBefore, "untouched partition was rewritten")
     } finally spark.sql(s"DROP TABLE IF EXISTS $view")
   }
+
+  test("q152 view-refresh demo equals the one-pass full recompute") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions._
+    val t = sf("sf0.001")
+    val got = Incremental.viewRefreshDemo(t).collect().map(_.toSeq)
+    val want = t.events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.functions.ExactAgg.dsum(col("value")), 6).as("sum_value"))
+      .orderBy(col("day"), col("event_type")).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq,
+      "incrementally refreshed daily summary diverged from full recompute")
+  }
 }
