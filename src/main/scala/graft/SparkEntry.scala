@@ -195,7 +195,9 @@ object SparkEntry {
     "q149_eps_neighbor_pairs" -> q(t => Similarity.epsNeighborPairs(t)),
     "q150_inference_batches" -> q(t => Sampling.inferenceBatches(t)),
     "q151_knn_label_eval" -> q(t => Similarity.knnLabelEval(t)),
-    "q152_view_refresh" -> q(t => Incremental.viewRefreshDemo(t)))
+    "q152_view_refresh" -> q(t => Incremental.viewRefreshDemo(t)),
+    "q153_label_propagation" -> q(t => Similarity.labelPropagation(t)),
+    "q154_entity_resolution" -> q(t => graft.ext.FuzzyJoin.entityClusters(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -259,6 +261,8 @@ object SparkEntry {
     "q150_inference_batches" -> Sampling.inferenceBatchesSql(),
     "q151_knn_label_eval" -> Similarity.knnLabelEvalSql(),
     "q152_view_refresh" -> Incremental.viewRefreshDemoSql,
+    "q153_label_propagation" -> Similarity.labelPropagationSql(),
+    "q154_entity_resolution" -> graft.ext.FuzzyJoin.entityClustersSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

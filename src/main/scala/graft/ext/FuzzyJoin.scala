@@ -101,4 +101,73 @@ object FuzzyJoin {
        |FROM names a JOIN names b ON a.name < b.name
        |WHERE levenshtein(a.name, b.name) <= $d
        |ORDER BY name_a, name_b""".stripMargin
+
+  /** q154: end-to-end ENTITY RESOLUTION — the composed pipeline every
+    * catalog-cleaning job ships: fuzzy match ([[fuzzyJoin]]'s lossless
+    * blocking + Levenshtein verify) → transitive closure
+    * ([[Dedup.connectedComponentsStar]], O(log n) rounds) → one CANONICAL
+    * record per entity cluster. Entities are the distinct `part` names;
+    * each gets a stable numeric id (min p_partkey of its rows — already
+    * computed by the distinct aggregate, no extra pass), the cluster id
+    * is the component minimum, and the canonical surface form is the
+    * minimum-id member's name. The q45/q68 shape over EDIT-distance
+    * edges instead of shingle-Jaccard edges — the two closures share the
+    * CC kernel.
+    *
+    * Scale: pair work is vocabulary-sized (pre-aggregated names), CC runs
+    * on the match graph only, and the final joins key on the broadcastable
+    * names frame. */
+  def entityClusters(t: Tables, d: Int = 1, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val names = t.part
+      .groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("ent_id"), count(lit(1)).as("n_rows"))
+      .localCheckpoint() // consumed by blocking, two id-mappings, CC nodes
+    val pairs = fuzzyJoin(names.select(col("name"), col("n_rows")), d, k)
+    val ids = names.select(col("name"), col("ent_id"))
+    val edges = pairs
+      .join(broadcast(ids.select(col("name").as("name_a"), col("ent_id").as("src"))), "name_a")
+      .join(broadcast(ids.select(col("name").as("name_b"), col("ent_id").as("dst"))), "name_b")
+      .select(col("src"), col("dst"))
+    // name_a < name_b does not order the ids — leave canonicalization to CC
+    val labels = Dedup.connectedComponentsStar(
+      names.select(col("ent_id").as("id")), edges)
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .join(broadcast(ids.select(col("name"), col("ent_id"))),
+        col("id") === col("ent_id"))
+      .join(broadcast(ids.select(col("name").as("canonical_name"),
+        col("ent_id").as("component"))), Seq("component"))
+      .select(col("name"), col("ent_id"), col("component").as("cluster_id"),
+        col("cluster_size"), col("canonical_name"))
+      .orderBy(col("name"))
+  }
+
+  /** DuckDB mirror of [[entityClusters]] — brute-force match pairs plus
+    * a recursive-CTE closure (the q45 oracle pattern), so the hash gate
+    * proves blocking losslessness AND closure equivalence at once. */
+  def entityClustersSql(d: Int = 1): String =
+    s"""WITH RECURSIVE names AS (
+       |  SELECT p_name AS name, min(p_partkey) AS ent_id, count(*) AS n_rows
+       |  FROM part GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.ent_id AS src, b.ent_id AS dst
+       |  FROM names a JOIN names b ON a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= $d),
+       |edges AS (
+       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT ent_id, ent_id FROM names
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |SELECT n.name, l.id AS ent_id, l.cluster_id, s.cluster_size,
+       | c.name AS canonical_name
+       |FROM labels l
+       |JOIN names n ON n.ent_id = l.id
+       |JOIN sizes s USING (cluster_id)
+       |JOIN names c ON c.ent_id = l.cluster_id
+       |ORDER BY n.name""".stripMargin
 }

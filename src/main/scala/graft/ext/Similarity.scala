@@ -1052,6 +1052,103 @@ object Similarity {
        |   <= CAST($eps AS DOUBLE) * CAST($eps AS DOUBLE)
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q153: semi-supervised label propagation over the ε-neighbor graph —
+    * the label-spreading step of weakly-supervised dataset construction
+    * (a small seed set of labeled examples labels its geometric
+    * neighborhood). The graph is [[epsNeighborPairs]]' lossless
+    * grid-blocked edge set; labels spread for `rounds` synchronous
+    * rounds: an unlabeled node adopts the MAJORITY label among its
+    * currently-labeled neighbors (ties toward the smaller label id) and
+    * keeps it (frozen-once — monotone, so the loop is deterministic,
+    * needs no damping, and unrolls into replayable SQL; seeds are
+    * clamped throughout, the standard LPA constraint).
+    *
+    * Scale: each round is one edge-keyed join against the current label
+    * frame + a bounded (dst, label) vote aggregate — the CC-loop shape
+    * (per-round localCheckpoint severs lineage; rounds is a small
+    * constant, labels converge within graph diameter). Nodes with no
+    * labeled neighbor after `rounds` stay NULL — honest coverage, which
+    * the output reports per node. */
+  def labelPropagation(t: Tables, eps: Double = 0.02, nSeed: Int = 100,
+                       rounds: Int = 3): DataFrame = {
+    val edges0 = epsNeighborPairs(t, eps)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges = edges0
+      .union(edges0.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // reused every round
+    var labels = t.embeddings
+      .select(col("vec_id"), col("label").as("true_label"),
+        when(col("vec_id") < nSeed, col("label")).as("lbl"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels.filter(col("lbl").isNotNull)
+          .select(col("vec_id").as("src_id"), col("lbl").as("src_lbl")),
+          col("src") === col("src_id"))
+        .groupBy(col("dst"), col("src_lbl"))
+        .agg(count(lit(1)).as("n_votes"))
+      val wv = Window.partitionBy(col("dst"))
+        .orderBy(col("n_votes").desc, col("src_lbl"))
+      val winner = votes
+        .withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1)
+        .select(col("dst"), col("src_lbl").as("win_lbl"))
+      labels = labels
+        .join(winner, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"), col("true_label"),
+          coalesce(col("lbl"), col("win_lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(
+      col("vec_id"), (col("vec_id") < nSeed).as("is_seed"),
+      col("true_label"), col("lbl").as("pred_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB mirror of [[labelPropagation]] — rounds unrolled as
+    * MATERIALIZED CTEs (each round reads its predecessor twice; plain
+    * CTE inlining would re-run the brute-force edge build 2^rounds
+    * times, the q117 lesson), over the BRUTE-FORCE edge set so the hash
+    * gate re-proves the grid blocking en route. */
+  def labelPropagationSql(eps: Double = 0.02, nSeed: Int = 100,
+                          rounds: Int = 3): String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT l.vec_id, l.true_label, COALESCE(l.lbl, w.win_lbl) AS lbl
+         |  FROM $prev l LEFT JOIN (
+         |    SELECT dst, src_lbl AS win_lbl FROM (
+         |      SELECT e.dst, s.lbl AS src_lbl, count(*) AS n_votes,
+         |       row_number() OVER (PARTITION BY e.dst
+         |         ORDER BY count(*) DESC, s.lbl) AS rn
+         |      FROM edges e JOIN $prev s
+         |        ON s.vec_id = e.src AND s.lbl IS NOT NULL
+         |      GROUP BY e.dst, s.lbl) z
+         |    WHERE rn = 1) w ON w.dst = l.vec_id)""".stripMargin
+    val chain = (1 to rounds).map(i =>
+      round(if (i == 1) "l0" else s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |   CAST(embedding[1] AS DOUBLE) AS x,
+       |   CAST(embedding[2] AS DOUBLE) AS y
+       |  FROM embeddings),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+       |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |     <= CAST($eps AS DOUBLE) * CAST($eps AS DOUBLE)),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs
+       |  UNION ALL SELECT dst, src FROM pairs),
+       |l0 AS (
+       |  SELECT vec_id, label AS true_label,
+       |   CASE WHEN vec_id < $nSeed THEN label END AS lbl
+       |  FROM embeddings),
+       |$chain
+       |SELECT vec_id, vec_id < $nSeed AS is_seed, true_label,
+       | lbl AS pred_label
+       |FROM l$rounds ORDER BY vec_id""".stripMargin
+  }
+
   /** q151: k-nearest-neighbor label prediction with a confusion matrix —
     * the EMBEDDING-QUALITY EVAL a training-data pipeline runs after
     * producing vectors: hold out the first `nEval` vectors as queries,

@@ -88,4 +88,29 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(r.getAs[String]("name_a") < r.getAs[String]("name_b"))
     }
   }
+
+  test("q154: clusters are closed over match pairs; canonical = min-id member") {
+    val t = sf("sf0.001")
+    val rows = FuzzyJoin.entityClusters(t).collect()
+    val byName = rows.map(r => r.getAs[String]("name") -> r).toMap
+    val byId = rows.map(r => r.getAs[Long]("ent_id") -> r).toMap
+    // cluster id is the minimum member id, and the canonical name is that
+    // member's surface form
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      assert(members.map(_.getAs[Long]("ent_id")).min == cid)
+      val canon = byId(cid).getAs[String]("name")
+      members.foreach { m =>
+        assert(m.getAs[String]("canonical_name") == canon)
+        assert(m.getAs[Long]("cluster_size") == members.length)
+      }
+    }
+    // every fuzzy match pair landed in one cluster (transitive closure ⊇ edges)
+    FuzzyJoin.fuzzyNameJoin(t).collect().foreach { p =>
+      assert(byName(p.getAs[String]("name_a")).getAs[Long]("cluster_id") ==
+        byName(p.getAs[String]("name_b")).getAs[Long]("cluster_id"),
+        s"matched pair split across clusters: ${p.getAs[String]("name_a")}")
+    }
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1),
+      "fixture has no fuzzy matches — q154 would be testing the diagonal")
+  }
 }

@@ -426,7 +426,13 @@ class PlanAuditSpec extends SparkSpec {
     "q151_knn_label_eval" -> 3,
     // read-back of the refreshed view: scan + presentation sort (the
     // refresh's own exchanges happen in the write jobs)
-    "q152_view_refresh" -> 1)
+    "q152_view_refresh" -> 1,
+    // the per-round joins/votes are checkpoint-severed into the loop's
+    // lineage jobs; the visible plan is the final labels frame + sort
+    "q153_label_propagation" -> 1,
+    // blocking-key self-join + candidate distinct + cluster-size window;
+    // id mappings and canonical lookup ride broadcasts
+    "q154_entity_resolution" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

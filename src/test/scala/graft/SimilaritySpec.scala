@@ -223,4 +223,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got0.getAs[Int]("pred_label") == expected,
       s"query 0: predicted ${got0.getAs[Int]("pred_label")}, majority is $expected")
   }
+
+  test("q153 label propagation: seeds clamped, labels valid, coverage monotone") {
+    import org.apache.spark.sql.functions._
+    val t = sf("sf0.001")
+    val eps = 0.03
+    val r3 = Similarity.labelPropagation(t, eps = eps, nSeed = 50, rounds = 3).collect()
+    // seeds keep their true label, always
+    r3.filter(_.getAs[Boolean]("is_seed")).foreach(r =>
+      assert(r.getAs[Int]("pred_label") == r.getAs[Int]("true_label")))
+    // every propagated label is the label of SOME node (validity)
+    val labelSet = r3.map(_.getAs[Int]("true_label")).toSet
+    r3.filter(r => !r.isNullAt(r.fieldIndex("pred_label"))).foreach(r =>
+      assert(labelSet.contains(r.getAs[Int]("pred_label"))))
+    // more rounds never unlabel a node (frozen-once monotonicity)
+    val cover1 = Similarity.labelPropagation(t, eps = eps, nSeed = 50, rounds = 1)
+      .filter(col("pred_label").isNotNull).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val cover3 = r3.filter(r => !r.isNullAt(r.fieldIndex("pred_label")))
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(cover1.subsetOf(cover3), "round-1 coverage lost by round 3")
+    assert(cover3.size > cover1.size || cover1.size == r3.length,
+      "propagation made no progress after round 1 — degenerate fixture?")
+    // a node with no labeled neighbor within eps stays NULL: isolated nodes
+    // exist in the sf0.001 projection at this eps (sanity of the NULL path)
+    assert(r3.exists(r => r.isNullAt(r.fieldIndex("pred_label"))),
+      "no unreached node — eps too large for the NULL-path check")
+  }
 }
