@@ -175,6 +175,33 @@ object SketchOracleSql {
        |FROM labels l JOIN sizes s USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  /** q160: quality-ranked canonical per cluster — the [[dupClusters]]
+    * closure joined to `n_chars`, keeping the longest member (min doc_id
+    * tiebreak) via the same row_number rule as the engine. */
+  val dedupKeepBest: String =
+    s"""WITH RECURSIVE $dupPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM dup_pairs),
+       |reach(doc_id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1),
+       |ranked AS (
+       |  SELECT l.cluster_id, l.doc_id, d.n_chars, s.cluster_size,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+       |  FROM labels l
+       |  JOIN documents d USING (doc_id)
+       |  JOIN sizes s USING (cluster_id))
+       |SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+       |  cluster_size - 1 AS n_dropped
+       |FROM ranked WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   /** q68: canonical survivors of the dedup closure — one row per cluster
     * representative (min doc_id), with how many near-dups it absorbed. */
   val dedupedCorpus: String =

@@ -3,7 +3,7 @@ package graft
 import graft.core.Tables
 import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.functions.ExactAgg.{Sql => O}
-import graft.operators.{Analytics, DictEncode, Incremental, Ingest, Serving}
+import graft.operators.{Analytics, DataQuality, DictEncode, Incremental, Ingest, Serving}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -197,7 +197,14 @@ object SparkEntry {
     "q151_knn_label_eval" -> q(t => Similarity.knnLabelEval(t)),
     "q152_view_refresh" -> q(t => Incremental.viewRefreshDemo(t)),
     "q153_label_propagation" -> q(t => Similarity.labelPropagation(t)),
-    "q154_entity_resolution" -> q(t => graft.ext.FuzzyJoin.entityClusters(t)))
+    "q154_entity_resolution" -> q(t => graft.ext.FuzzyJoin.entityClusters(t)),
+    "q155_grouping_sets" -> q(Analytics.groupingSetsReport),
+    "q156_golden_record" -> q(t => graft.ext.FuzzyJoin.goldenRecords(t)),
+    "q157_dq_audit" -> q(DataQuality.auditReport),
+    "q158_event_transitions" -> q(Analytics.eventTransitions),
+    "q159_gap_interpolate" -> q(Analytics.gapInterpolateHourly),
+    "q160_dedup_keep_best" -> q(t => Dedup.dedupKeepBest(t)),
+    "q161_embedding_standardize" -> q(Similarity.embeddingStandardize))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -263,6 +270,13 @@ object SparkEntry {
     "q152_view_refresh" -> Incremental.viewRefreshDemoSql,
     "q153_label_propagation" -> Similarity.labelPropagationSql(),
     "q154_entity_resolution" -> graft.ext.FuzzyJoin.entityClustersSql(),
+    "q155_grouping_sets" -> Analytics.groupingSetsReportSql,
+    "q156_golden_record" -> graft.ext.FuzzyJoin.goldenRecordsSql(),
+    "q157_dq_audit" -> DataQuality.auditReportSql,
+    "q158_event_transitions" -> Analytics.eventTransitionsSql,
+    "q159_gap_interpolate" -> Analytics.gapInterpolateHourlySql,
+    "q160_dedup_keep_best" -> SketchOracleSql.dedupKeepBest,
+    "q161_embedding_standardize" -> Similarity.embeddingStandardizeSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -513,6 +513,31 @@ object Dedup {
       .select(col("doc_id"), (col("cluster_size") - 1).as("n_dropped"))
       .orderBy(col("doc_id"))
 
+  /** q160: QUALITY-RANKED canonical selection — q68 keeps the min-id
+    * member of each near-dup cluster (cheap, arbitrary); production dedup
+    * keeps the BEST copy (near-dups differ: one is truncated, one carries
+    * boilerplate — "longest member" is the standard most-complete-version
+    * rule, with min doc_id only as the tiebreak). One broadcast-free join
+    * of the cluster labels back to the documents' `n_chars` (both sides
+    * already keyed by doc_id) and a row_number pick per cluster — the
+    * selection adds one exchange on cluster_id to the clustering itself,
+    * independent of the ranking rule's complexity. */
+  def dedupKeepBest(t: Tables, minJaccard: Double = 0.2,
+                    portable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = dupClusters(t, minJaccard, portable)
+      .join(t.documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+    ranked
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("n_chars").as("kept_n_chars"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Incremental (cross-corpus) near-dup detection: candidate pairs
     * between an INCOMING document set and an EXISTING corpus — the
     * production dedup flow, where each new crawl is checked against the

@@ -170,4 +170,98 @@ object FuzzyJoin {
        |JOIN sizes s USING (cluster_id)
        |JOIN names c ON c.ent_id = l.cluster_id
        |ORDER BY n.name""".stripMargin
+
+  /** q156: GOLDEN-RECORD SURVIVORSHIP — the apply step of entity
+    * resolution ([[entityClusters]] decides which rows are the same
+    * entity; this MERGES their attributes into one master record, the
+    * MDM "survivorship rules" stage). Per entity cluster, over ALL
+    * underlying `part` rows of its member names:
+    *   - `canonical_name`: the cluster representative (min-id member);
+    *   - `mode_brand`: most frequent brand, ties broken lexically — a
+    *     two-level aggregate (cluster×brand counts, then a row_number
+    *     pick over the brand-cardinality-sized frame), never a
+    *     collect_list;
+    *   - completeness-style aggregates: row/variant counts, exact
+    *     min/max size, decimal-kernel avg price.
+    *
+    * Scale: the cluster map is vocabulary-sized by construction
+    * (distinct names), hence broadcastable — the catalog rows never
+    * shuffle to meet it. The merge is two grouped passes over the
+    * catalog (brand-mode counts; everything else), each reducing to a
+    * cluster-sized frame with map-side partials; all remaining joins and
+    * windows run on those small frames. */
+  def goldenRecords(t: Tables, d: Int = 1, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.ExactAgg.davg
+    val clusters = entityClusters(t, d, k)
+      .select(col("name"), col("cluster_id"), col("canonical_name"))
+    val rows = t.part.join(broadcast(clusters), col("p_name") === col("name"))
+    val brandCounts = rows
+      .groupBy(col("cluster_id"), col("p_brand"))
+      .agg(count(lit(1)).as("n"))
+    val modeBrand = brandCounts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("n").desc, col("p_brand"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("p_brand").as("mode_brand"))
+    rows
+      .groupBy(col("cluster_id"), col("canonical_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("name")).as("n_variants"),
+        min(col("p_partkey")).as("golden_key"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"),
+        davg(col("p_retailprice")).as("avg_price"))
+      .join(modeBrand, Seq("cluster_id"))
+      .select(col("cluster_id"), col("canonical_name"), col("golden_key"),
+        col("n_rows"), col("n_variants"), col("mode_brand"),
+        col("min_size"), col("max_size"), col("avg_price"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB mirror of [[goldenRecords]] — the [[entityClustersSql]]
+    * closure plus the same two-level mode and survivorship aggregates. */
+  def goldenRecordsSql(d: Int = 1): String = {
+    import graft.functions.ExactAgg.{Sql => O}
+    s"""WITH RECURSIVE names AS (
+       |  SELECT p_name AS name, min(p_partkey) AS ent_id, count(*) AS n_rows
+       |  FROM part GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.ent_id AS src, b.ent_id AS dst
+       |  FROM names a JOIN names b ON a.name < b.name
+       |  WHERE levenshtein(a.name, b.name) <= $d),
+       |edges AS (
+       |  SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+       |reach(id, label) AS (
+       |  SELECT ent_id, ent_id FROM names
+       |  UNION
+       |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+       |labels AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY 1),
+       |clusters AS (
+       |  SELECT n.name, l.cluster_id, c.name AS canonical_name
+       |  FROM labels l
+       |  JOIN names n ON n.ent_id = l.id
+       |  JOIN names c ON c.ent_id = l.cluster_id),
+       |rows_ AS (
+       |  SELECT p.*, cl.cluster_id, cl.canonical_name
+       |  FROM part p JOIN clusters cl ON cl.name = p.p_name),
+       |mode_brand AS (
+       |  SELECT cluster_id, p_brand AS mode_brand
+       |  FROM (SELECT cluster_id, p_brand, count(*) AS n FROM rows_ GROUP BY 1, 2)
+       |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY n DESC, p_brand) = 1)
+       |SELECT r.cluster_id, r.canonical_name,
+       |  min(r.p_partkey) AS golden_key,
+       |  count(*) AS n_rows,
+       |  count(DISTINCT r.p_name) AS n_variants,
+       |  any_value(m.mode_brand) AS mode_brand,
+       |  CAST(min(r.p_size) AS INTEGER) AS min_size,
+       |  CAST(max(r.p_size) AS INTEGER) AS max_size,
+       |  ${O.davg("r.p_retailprice")} AS avg_price
+       |FROM rows_ r JOIN mode_brand m USING (cluster_id)
+       |GROUP BY 1, 2
+       |ORDER BY r.cluster_id""".stripMargin
+  }
 }

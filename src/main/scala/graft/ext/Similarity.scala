@@ -1221,4 +1221,92 @@ object Similarity {
        |SELECT true_label, label AS pred_label, count(*) AS n_queries
        |FROM majority WHERE mrank = 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q161: per-dimension FEATURE STANDARDIZATION profile — the z-score
+    * scaling pass (and its audit) every embedding-consuming trainer runs
+    * before distance math: per dimension, exact mean and sample std from
+    * one aggregate over the exploded vectors, then a second pass scores
+    * every element z = (x−μ)/σ and folds the outlier profile
+    * (|z| > 3 count, min/max z). Two fact passes, both aggregating to
+    * dim-sized frames; the stats join back is a broadcast of `dim` rows.
+    *
+    * Portability: elements ride the micro-unit long scaling of
+    * [[embeddingCovariance]]; the sum of squares uses the same hi/lo
+    * split-sum (exact integer partials; the double recombination rounds
+    * identically in both engines), mean/std/z are then the identical IEEE
+    * expression tree on both sides — sqrt is exactly rounded by IEEE 754,
+    * so even it is bit-portable. At 100 TB the per-dim partial aggregate
+    * is 3 longs × dim — the shuffle is centroid-sized, never data-sized. */
+  def embeddingStandardize(t: Tables): DataFrame = {
+    val scaled = t.embeddings
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"),
+        round(col("x").cast("double") * lit(1000000), 0).cast("long").as("li"))
+    val p = col("li") * col("li")
+    val stats = scaled
+      .groupBy(col("i"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("li")).as("sraw"),
+        (sum(shiftright(p, 26)).cast("double") * lit(67108864.0) +
+          sum(p.bitwiseAND(lit(67108863L))).cast("double")).as("ssraw"))
+      .select(col("i"), col("n"),
+        ((col("sraw").cast("double") / lit(1000000.0)) / col("n").cast("double"))
+          .as("mean"),
+        sqrt(
+          ((col("ssraw") / lit(1000000000000.0)) -
+            (col("sraw").cast("double") / lit(1000000.0)) *
+              (col("sraw").cast("double") / lit(1000000.0)) /
+              col("n").cast("double")) /
+            (col("n").cast("double") - lit(1.0))).as("std"))
+    val zs = scaled
+      .join(broadcast(stats), Seq("i"))
+      .select(col("i"),
+        (((col("li").cast("double") / lit(1000000.0)) - col("mean")) / col("std"))
+          .as("z"))
+      .groupBy(col("i"))
+      .agg(
+        sum((abs(col("z")) > lit(3.0)).cast("long")).as("n_outliers_3sd"),
+        min(col("z")).as("min_z"),
+        max(col("z")).as("max_z"))
+    stats.join(zs, Seq("i"))
+      .select(col("i"), col("n"),
+        round(col("mean"), 6).as("mean"),
+        round(col("std"), 6).as("std"),
+        col("n_outliers_3sd"),
+        round(col("min_z"), 6).as("min_z"),
+        round(col("max_z"), 6).as("max_z"))
+      .orderBy(col("i"))
+  }
+
+  /** DuckDB mirror of [[embeddingStandardize]] — identical micro-unit
+    * scaling, hi/lo split sum-of-squares, and IEEE mean/std/z tree. */
+  def embeddingStandardizeSql(): String =
+    """WITH e AS (
+      |  SELECT CAST(u.i AS INTEGER) - 1 AS i,
+      |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+      |      AS li
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |stats AS (
+      |  SELECT i, count(*) AS n,
+      |    (CAST(sum(li) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)
+      |      AS mean,
+      |    sqrt((((CAST(sum((li * li) >> 26) AS DOUBLE) * 67108864.0
+      |        + CAST(sum((li * li) & 67108863) AS DOUBLE)) / 1000000000000.0)
+      |      - (CAST(sum(li) AS DOUBLE) / 1000000.0)
+      |        * (CAST(sum(li) AS DOUBLE) / 1000000.0)
+      |        / CAST(count(*) AS DOUBLE))
+      |      / (CAST(count(*) AS DOUBLE) - 1.0)) AS std
+      |  FROM e GROUP BY 1),
+      |zs AS (
+      |  SELECT e.i,
+      |    sum(CASE WHEN abs(((CAST(e.li AS DOUBLE) / 1000000.0) - s.mean)
+      |        / s.std) > 3.0 THEN 1 ELSE 0 END) AS n_outliers_3sd,
+      |    min(((CAST(e.li AS DOUBLE) / 1000000.0) - s.mean) / s.std) AS min_z,
+      |    max(((CAST(e.li AS DOUBLE) / 1000000.0) - s.mean) / s.std) AS max_z
+      |  FROM e JOIN stats s USING (i) GROUP BY 1)
+      |SELECT s.i, s.n, round(s.mean, 6) AS mean, round(s.std, 6) AS std,
+      |  z.n_outliers_3sd, round(z.min_z, 6) AS min_z, round(z.max_z, 6) AS max_z
+      |FROM stats s JOIN zs z USING (i)
+      |ORDER BY s.i""".stripMargin
 }

@@ -1546,4 +1546,186 @@ object Analytics {
        |  round(CAST(max_n AS DOUBLE) * n_keys / n_rows, 4) AS skew_ratio
        |FROM top CROSS JOIN prof
        |ORDER BY rank""".stripMargin
+
+  /** q155: ARBITRARY grouping sets — the third member of the multi-level
+    * aggregate family (q57 ROLLUP = hierarchical prefixes, q65 CUBE = all
+    * 2ⁿ margins). Real reporting marts need NON-hierarchical set lists —
+    * here (year, returnflag), (returnflag, linestatus), and the grand
+    * total, which neither rollup nor cube expresses without computing
+    * unwanted sets. Same physical shape as the other two: ONE Expand (one
+    * replica per grouping set — 3 here, vs 8 for the 2³-set cube) feeding
+    * a single hash aggregate with map-side partials, so the fact is read
+    * and shuffled once regardless of how many sets are requested.
+    * `grouping_id` (bit = column aggregated away, first-listed column =
+    * MSB — the Postgres/DuckDB GROUPING() convention too) labels each
+    * row's set. */
+  def groupingSetsReport(t: Tables): DataFrame =
+    t.lineitem
+      .select(
+        year(col("l_shipdate")).as("year"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .groupingSets(
+        Seq(
+          Seq(col("year"), col("l_returnflag")),
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq.empty),
+        col("year"), col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("gid"),
+        col("year").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** DuckDB mirror of [[groupingSetsReport]] — GROUPING SETS with the
+    * GROUPING() bitmask, identical set list and exact-decimal kernels. */
+  val groupingSetsReportSql: String =
+    s"""SELECT CAST(grouping(year(l_shipdate), l_returnflag, l_linestatus)
+       |   AS INTEGER) AS gid,
+       | CAST(year(l_shipdate) AS INTEGER) AS year,
+       | l_returnflag, l_linestatus,
+       | count(*) AS n_rows,
+       | ${Sql.dsum("l_quantity")} AS sum_qty,
+       | ${Sql.dsumRevenue("l_extendedprice", "l_discount")} AS revenue
+       |FROM lineitem
+       |GROUP BY GROUPING SETS (
+       |  (year(l_shipdate), l_returnflag),
+       |  (l_returnflag, l_linestatus),
+       |  ())
+       |ORDER BY gid, year NULLS FIRST, l_returnflag NULLS FIRST,
+       |  l_linestatus NULLS FIRST""".stripMargin
+
+  /** q158: event-type TRANSITION MATRIX — first-order Markov counts and
+    * probabilities over each user's event sequence (the user-journey /
+    * "what happens after a click" shape; also the sequence prior a
+    * session-based recommender trains on). `lead` over ONE hash exchange
+    * of user_id (with event_id tiebreak for deterministic order on ts
+    * ties) pairs each event with its successor; the pair aggregate and
+    * the per-source normalizing window both run on transition-matrix-
+    * sized frames (|event types|² rows), so the fact is shuffled exactly
+    * once at any scale. Probabilities divide exact longs → bit-portable. */
+  def eventTransitions(t: Tables): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = t.events
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(seq).as("to_type"))
+      .filter(col("to_type").isNotNull)
+    steps
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** DuckDB mirror of [[eventTransitions]]. */
+  val eventTransitionsSql: String =
+    """WITH steps AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_type, to_type, count(*) AS n_transitions
+      |  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |  round(CAST(n_transitions AS DOUBLE) /
+      |    sum(n_transitions) OVER (PARTITION BY from_type), 6) AS p_transition
+      |FROM counts
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** q159: LINEAR INTERPOLATION through time-series gaps — the numeric
+    * completion of q96's LOCF gap fill (LOCF answers "what was the last
+    * known state"; interpolation answers "what was the value probably
+    * doing", the form feature stores feed to models). Same densified
+    * grid (groups × hours, built from a broadcast 1-row span — never a
+    * driver collect); the fill layer is two IGNORE-NULLS window passes
+    * per group partition — last observed (value, hour) looking back,
+    * first observed looking forward — then pure arithmetic:
+    * v = v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀) on epoch seconds. Observed hours
+    * keep their exact aggregate; hours outside a group's observed span
+    * have no bracketing pair and stay NULL (extrapolation is a modeling
+    * decision, not an engine default). Both windows share one exchange
+    * of event_type; sums ride the exact-decimal kernel and the
+    * interpolation is the same IEEE expression tree in both engines. */
+  def gapInterpolateHourly(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(dsum(col("value")).as("sum_value"))
+    val span = t.events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = t.events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val back = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsHour = when(col("sum_value").isNotNull, col("hour_ts"))
+    val joined = grid.join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts"),
+        col("sum_value").isNotNull.as("observed"), col("sum_value"),
+        last(col("sum_value"), ignoreNulls = true).over(back).as("v0"),
+        unix_timestamp(last(obsHour, ignoreNulls = true).over(back)).as("t0"),
+        first(col("sum_value"), ignoreNulls = true).over(fwd).as("v1"),
+        unix_timestamp(first(obsHour, ignoreNulls = true).over(fwd)).as("t1"))
+    joined
+      .select(
+        col("event_type"),
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("observed"),
+        round(when(col("observed"), col("sum_value"))
+          .otherwise(col("v0") +
+            (col("v1") - col("v0")) *
+              ((unix_timestamp(col("hour_ts")) - col("t0")).cast("double") /
+                (col("t1") - col("t0")).cast("double"))), 6)
+          .as("value_interp"))
+      .orderBy(col("event_type"), col("hour_ts"))
+  }
+
+  /** DuckDB mirror of [[gapInterpolateHourly]] — identical grid, IGNORE
+    * NULLS windows, and IEEE interpolation arithmetic. */
+  val gapInterpolateHourlySql: String = {
+    val v = Sql.dsum("value")
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, $v AS sum_value
+       |  FROM events GROUP BY 1, 2),
+       |span AS (
+       |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+       |  FROM events),
+       |grid AS (
+       |  SELECT g.event_type, u.hour_ts
+       |  FROM (SELECT DISTINCT event_type FROM events) g
+       |  CROSS JOIN span, unnest(generate_series(span.h0, span.h1, INTERVAL 1 HOUR))
+       |    AS u(hour_ts)),
+       |filled AS (
+       |  SELECT g.event_type, g.hour_ts,
+       |    h.sum_value IS NOT NULL AS observed, h.sum_value,
+       |    last_value(h.sum_value IGNORE NULLS) OVER back AS v0,
+       |    epoch(last_value(CASE WHEN h.sum_value IS NOT NULL THEN g.hour_ts END
+       |      IGNORE NULLS) OVER back) AS t0,
+       |    first_value(h.sum_value IGNORE NULLS) OVER fwd AS v1,
+       |    epoch(first_value(CASE WHEN h.sum_value IS NOT NULL THEN g.hour_ts END
+       |      IGNORE NULLS) OVER fwd) AS t1
+       |  FROM grid g LEFT JOIN hourly h USING (event_type, hour_ts)
+       |  WINDOW back AS (PARTITION BY g.event_type ORDER BY g.hour_ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    fwd AS (PARTITION BY g.event_type ORDER BY g.hour_ts
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT event_type, strftime(hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       |  observed,
+       |  round(CASE WHEN observed THEN sum_value
+       |    ELSE v0 + (v1 - v0) *
+       |      (CAST(epoch(hour_ts) - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) END,
+       |    6) AS value_interp
+       |FROM filled
+       |ORDER BY event_type, hour_ts""".stripMargin
+  }
 }

@@ -285,6 +285,7 @@ class PlanAuditSpec extends SparkSpec {
     "q90_split_drift",              // 1-row global split shares
     "q92_sliding_distinct",         // day-window state-merge band
     "q96_gap_fill",                 // 1-row (min,max) time bounds
+    "q159_gap_interpolate",         // 1-row (min,max) time bounds
     "q102_equidepth_histogram",     // 1-row exact edge array
     "q103_referential_integrity",   // 1-row count x 1-row count
     "q104_cumulative_approx_distinct", // day<=day KMV-merge band
@@ -432,7 +433,11 @@ class PlanAuditSpec extends SparkSpec {
     "q153_label_propagation" -> 1,
     // blocking-key self-join + candidate distinct + cluster-size window;
     // id mappings and canonical lookup ride broadcasts
-    "q154_entity_resolution" -> 4)
+    "q154_entity_resolution" -> 4,
+    "q155_grouping_sets" -> 2, "q156_golden_record" -> 10,
+    "q157_dq_audit" -> 6, "q158_event_transitions" -> 4,
+    "q159_gap_interpolate" -> 4, "q160_dedup_keep_best" -> 4,
+    "q161_embedding_standardize" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

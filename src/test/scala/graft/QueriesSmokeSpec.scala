@@ -513,4 +513,119 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(nexts.length == rs.length - 1) // exactly one partition tail null
     }
   }
+
+  test("q155 grouping sets: exactly the 3 requested sets, margins consistent") {
+    val rows = SparkEntry.queries("q155_grouping_sets")(spark, dir).collect()
+    // gid bits (MSB = year): (year,flag) → status gone → 1;
+    // (flag,status) → year gone → 4; grand total → 7. Nothing else.
+    assert(rows.map(_.getAs[Int]("gid")).toSet == Set(1, 4, 7))
+    val grand = rows.filter(_.getAs[Int]("gid") == 7)
+    assert(grand.length == 1)
+    // each set's n_rows partitions the fact: both sets sum to the total
+    val total = grand.head.getAs[Long]("n_rows")
+    assert(rows.filter(_.getAs[Int]("gid") == 1).map(_.getAs[Long]("n_rows")).sum == total)
+    assert(rows.filter(_.getAs[Int]("gid") == 4).map(_.getAs[Long]("n_rows")).sum == total)
+  }
+
+  test("q156 golden record: partitions the catalog, mode is a member brand") {
+    val t = sf()
+    val rows = SparkEntry.queries("q156_golden_record")(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == t.part.count())
+    // canonical name is one of the cluster's member names and mode_brand
+    // one of its member brands — verify against a recomputed membership map
+    val members = graft.ext.FuzzyJoin.entityClusters(t).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (cid, rs) => cid -> rs.map(_.getAs[String]("name")).toSet }
+    val brandsByName = t.part.select(col("p_name"), col("p_brand")).collect()
+      .groupBy(_.getString(0)).map { case (n, rs) => n -> rs.map(_.getString(1)).toSet }
+    rows.foreach { r =>
+      val names = members(r.getAs[Long]("cluster_id"))
+      assert(names.contains(r.getAs[String]("canonical_name")))
+      assert(names.flatMap(brandsByName).contains(r.getAs[String]("mode_brand")))
+    }
+  }
+
+  test("q157 dq audit: rule 5 fails by design, the rest pass, metrics in [0,1]") {
+    val rows = SparkEntry.queries("q157_dq_audit")(spark, dir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val m = r.getAs[Double]("metric")
+      assert(m >= 0.0 && m <= 1.0)
+      assert(r.getAs[Boolean]("passed") == (m >= r.getAs[Double]("threshold")))
+    }
+    val failed = rows.filter(!_.getAs[Boolean]("passed")).map(_.getAs[Int]("rule_id"))
+    assert(failed.toSeq == Seq(5), s"expected only rule 5 to fail, got $failed")
+  }
+
+  test("q158 transitions: counts conserve sequences, probabilities normalize") {
+    val t = sf()
+    val rows = SparkEntry.queries("q158_event_transitions")(spark, dir).collect()
+    // each user with n events contributes n-1 transitions
+    val expected = t.events.count() -
+      t.events.select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == expected)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, rs) =>
+      val p = rs.map(_.getAs[Double]("p_transition")).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"probabilities sum to $p") // round(_,6) slack
+    }
+  }
+
+  test("q159 interpolation: observed hours exact, gap interiors filled, edges null") {
+    val t = sf()
+    val rows = SparkEntry.queries("q159_gap_interpolate")(spark, dir).collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+    // independently recompute one observed hour's exact sum
+    val direct = t.events
+      .groupBy(col("event_type"), date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour_ts"))
+      .agg(graft.functions.ExactAgg.dsum(col("value")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("v")).toMap
+    byType.foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_.getAs[String]("hour_ts"))
+      val obsIdx = sorted.zipWithIndex.filter(_._1.getAs[Boolean]("observed")).map(_._2)
+      // every hour strictly between two observations is non-null;
+      // hours before the first / after the last observation are null
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val v = Option(r.getAs[Any]("value_interp"))
+        if (i < obsIdx.head || i > obsIdx.last) assert(v.isEmpty)
+        else {
+          assert(v.nonEmpty)
+          if (r.getAs[Boolean]("observed"))
+            assert(math.abs(v.get.asInstanceOf[Double] -
+              direct((et, r.getAs[String]("hour_ts")))) < 1e-6)
+        }
+      }
+    }
+  }
+
+  test("q160 keep-best: keeps each cluster's longest member (min-id tiebreak)") {
+    val t = sf()
+    val kept = SparkEntry.queries("q160_dedup_keep_best")(spark, dir).collect()
+    val clusters = graft.ext.Dedup.dupClusters(t).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    assert(kept.length == clusters.size)
+    val chars = t.documents.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.foreach { r =>
+      val memberIds = clusters(r.getAs[Long]("cluster_id")).map(_.getAs[Long]("doc_id"))
+      val best = memberIds.map(id => (-chars(id), id)).min._2
+      assert(r.getAs[Long]("kept_doc_id") == best)
+      assert(r.getAs[Long]("n_dropped") == memberIds.length - 1)
+    }
+  }
+
+  test("q161 standardization: dim-complete, centered, outliers bounded") {
+    val t = sf()
+    val rows = SparkEntry.queries("q161_embedding_standardize")(spark, dir).collect()
+    val nVec = t.embeddings.count()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == nVec)
+      assert(r.getAs[Double]("std") > 0.0)
+      // z is mean-centered: some mass on both sides
+      assert(r.getAs[Double]("min_z") < 0.0 && r.getAs[Double]("max_z") > 0.0)
+      assert(r.getAs[Long]("n_outliers_3sd") <= nVec)
+    }
+  }
 }
