@@ -204,7 +204,12 @@ object SparkEntry {
     "q158_event_transitions" -> q(Analytics.eventTransitions),
     "q159_gap_interpolate" -> q(Analytics.gapInterpolateHourly),
     "q160_dedup_keep_best" -> q(t => Dedup.dedupKeepBest(t)),
-    "q161_embedding_standardize" -> q(Similarity.embeddingStandardize))
+    "q161_embedding_standardize" -> q(Similarity.embeddingStandardize),
+    "q162_association_rules" -> q(t => graft.operators.Associations.brandRules(t)),
+    "q163_pca_power_iteration" -> q(t => graft.ext.Spectral.pcaPowerIteration(t)),
+    "q164_audience_overlap" -> q(t => Analytics.audienceOverlap(t)),
+    "q165_event_paths" -> q(t => Analytics.eventPaths(t)),
+    "q166_anova" -> q(Analytics.anovaByType))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -277,6 +282,11 @@ object SparkEntry {
     "q159_gap_interpolate" -> Analytics.gapInterpolateHourlySql,
     "q160_dedup_keep_best" -> SketchOracleSql.dedupKeepBest,
     "q161_embedding_standardize" -> Similarity.embeddingStandardizeSql(),
+    "q162_association_rules" -> graft.operators.Associations.brandRulesSql(),
+    "q163_pca_power_iteration" -> graft.ext.Spectral.pcaPowerIterationSql(),
+    "q164_audience_overlap" -> Analytics.audienceOverlapSql(),
+    "q165_event_paths" -> Analytics.eventPathsSql(),
+    "q166_anova" -> Analytics.anovaByTypeSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -1,0 +1,124 @@
+package graft.ext
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dominant principal component of the embedding covariance by power
+  * iteration — the spectral primitive behind embedding whitening, ABBA
+  * drift direction detection, and SVD-based index build (the first step
+  * of "what single direction explains this corpus"). Reference scope ends
+  * at scalar aggregates; this is the natural linear-algebra extension of
+  * q136's covariance.
+  *
+  * Bit-portability doctrine (same as [[graft.operators.Graph]] PageRank):
+  * floating-point mat-vec sums are partition-order-dependent, so the
+  * iteration runs entirely in fixed-point BIGINTs — the covariance
+  * quantized to 1e-9 units, the vector carried at 1e6 scale, every
+  * round's renormalization an exact integer sign/abs/div — and DuckDB
+  * replays the unrolled rounds bit-for-bit. Magnitudes bounded:
+  * |m| ≤ ~1e9·|cov|, |v| ≤ ~1e6, |w| ≤ dim·|m|·|v| < 2^57 for dim 64.
+  *
+  * Scale posture: the corpus is touched exactly once (q136's one-pass
+  * Gram aggregate); the iteration runs on the dim²-sized matrix frame —
+  * driver rounds over vocabulary-sized data, the BPE/PageRank shape. At
+  * 100 TB the embedding count grows; dim² does not.
+  */
+object Spectral {
+
+  val VecScale = 1000000L  // 10^6 fixed-point eigenvector components
+  val CovScale = 1000000000L // 10^9 quantized covariance entries
+
+  /** sign(x) as an exact integer CASE (Spark signum returns double). */
+  private def isign(c: Column): Column =
+    when(c < 0, lit(-1L)).when(c > 0, lit(1L)).otherwise(lit(0L))
+
+  /** q163: `iters` synchronous power-iteration rounds from the all-ones
+    * start vector. Output: one row per dimension with the scaled
+    * component, the unit-ish double component, and the dominant
+    * eigenvalue estimate (max |Cv| of the final round, descaled). */
+  def pcaPowerIteration(t: Tables, dim: Int = 64, iters: Int = 12): DataFrame = {
+    val cov = Similarity.embeddingCovariance(t, dim)
+      .select(col("i"), col("j"),
+        round(col("cov") * CovScale, 0).cast("long").as("m"))
+    // mirror the upper triangle to the full symmetric matrix
+    val m = cov.unionByName(
+        cov.filter(col("i") =!= col("j"))
+          .select(col("j").as("i"), col("i").as("j"), col("m")))
+      .localCheckpoint() // iterated over
+
+    var v = m.select(col("i").as("j")).distinct()
+      .withColumn("v", lit(VecScale))
+      .localCheckpoint()
+    var lastMax: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = m.join(v, "j")
+        .groupBy(col("i"))
+        .agg(sum(col("m") * col("v")).as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mx"))
+      lastMax = mx
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          (isign(col("w")) *
+            expr(s"abs(w) div greatest(mx div $VecScale, 1L)")).as("v"))
+        .localCheckpoint() // cut the iterated lineage
+    }
+    v.crossJoin(broadcast(lastMax))
+      .select(
+        col("j").as("dim"), col("v").as("v_scaled"),
+        round(col("v").cast("double") / VecScale, 6).as("component"),
+        round(col("mx").cast("double") / (VecScale * CovScale).toDouble, 6)
+          .as("eigenvalue_est"))
+      .orderBy(col("dim"))
+  }
+
+  /** DuckDB mirror of [[pcaPowerIteration]] — q136's covariance CTE, the
+    * same 1e-9 quantization, and the rounds unrolled as MATERIALIZED CTE
+    * chains (each round is referenced by the next twice — materialize or
+    * inlining goes exponential, the q117 BPE lesson). DuckDB promotes
+    * BIGINT sums to HUGEINT; all values stay < 2^63 so the arithmetic is
+    * identical, with one final cast back to BIGINT. */
+  def pcaPowerIterationSql(dim: Int = 64, iters: Int = 12): String = {
+    val rounds = (1 to iters).map { r =>
+      val pv = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (
+         |  SELECT m.i, sum(m.m * v.v) AS w
+         |  FROM m JOIN $pv v ON v.j = m.j GROUP BY 1),
+         |x$r AS MATERIALIZED (SELECT max(abs(w)) AS mx FROM w$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i AS j,
+         |    (CASE WHEN w < 0 THEN -1 WHEN w > 0 THEN 1 ELSE 0 END)
+         |      * (abs(w) // greatest(mx // $VecScale, 1)) AS v
+         |  FROM w$r CROSS JOIN x$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+       |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS li
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |nn AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd FROM embeddings),
+       |s AS (SELECT i, CAST(sum(li) AS DOUBLE) AS sraw FROM e GROUP BY 1),
+       |p AS (SELECT a.i AS i, b.i AS j,
+       |        CAST(sum((a.li * b.li) >> 26) AS DOUBLE) * 67108864.0
+       |          + CAST(sum((a.li * b.li) & 67108863) AS DOUBLE) AS graw
+       |      FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+       |      GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT p.i - 1 AS i, p.j - 1 AS j,
+       |    CAST(round((p.graw / 1000000000000.0
+       |        - (sa.sraw / 1000000.0) * (sb.sraw / 1000000.0) / nn.nd)
+       |      / (nn.nd - 1.0) * $CovScale, 0) AS BIGINT) AS m
+       |  FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+       |  CROSS JOIN nn),
+       |m AS MATERIALIZED (
+       |  SELECT i, j, m FROM cov
+       |  UNION ALL SELECT j AS i, i AS j, m FROM cov WHERE i <> j),
+       |v0 AS (SELECT DISTINCT i AS j, CAST($VecScale AS BIGINT) AS v FROM m),
+       |$rounds
+       |SELECT v.j AS dim, CAST(v.v AS BIGINT) AS v_scaled,
+       |  round(CAST(v.v AS DOUBLE) / $VecScale, 6) AS component,
+       |  round(CAST(x.mx AS DOUBLE) / ${(VecScale * CovScale).toDouble}, 6)
+       |    AS eigenvalue_est
+       |FROM v$iters v CROSS JOIN x$iters x
+       |ORDER BY dim""".stripMargin
+  }
+}

@@ -1728,4 +1728,192 @@ object Analytics {
        |FROM filled
        |ORDER BY event_type, hour_ts""".stripMargin
   }
+
+  /** q164: pairwise audience overlap between event types via KMV set
+    * operations — "how many users do segments A and B share" without ever
+    * materializing the user sets (the sketch-algebra question every
+    * audience/retention dashboard asks; Beyer et al., SIGMOD'07). One fact
+    * pass builds a bottom-k state per type; pair work runs on the
+    * type-count-sized state frame (merge of two states = the union
+    * sketch, exact bottom-k of the union), and the intersection rides
+    * inclusion–exclusion. DuckDB replays because bottom-k-of-union is
+    * order-independent and [[graft.functions.KmvSketch.hash31]] is plain
+    * modular arithmetic. */
+  def audienceOverlap(t: Tables, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch
+    KmvSketch.register(t.spark)
+    val states = t.events
+      .select(col("event_type"), KmvSketch.hash31(col("user_id")).as("hv"))
+      .groupBy(col("event_type"))
+      .agg(KmvSketch.kmvState(col("hv"), k).as("st"),
+        KmvSketch.kmvDistinctNative(col("hv"), k).as("est"))
+      .localCheckpoint() // type-count-sized; feeds both pair sides
+    val pairs = states.as("a")
+      .join(states.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(
+        col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        col("a.est").as("est_a"), col("b.est").as("est_b"),
+        explode(array(col("a.st"), col("b.st"))).as("st"))
+    pairs
+      .groupBy(col("type_a"), col("type_b"), col("est_a"), col("est_b"))
+      .agg(KmvSketch.kmvMerge(col("st"), k).as("est_union"))
+      .select(
+        col("type_a"), col("type_b"),
+        round(col("est_a"), 6).as("est_a"),
+        round(col("est_b"), 6).as("est_b"),
+        round(col("est_union"), 6).as("est_union"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 6).as("est_intersection"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)) / col("est_union"), 6).as("jaccard_est"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** DuckDB mirror of [[audienceOverlap]] — per-type and per-pair
+    * estimates from the same bottom-k-of-distinct-hashes arithmetic (the
+    * oracle re-reads the fact per pair; the engine's state algebra is the
+    * scale path). */
+  def audienceOverlapSql(k: Int = 256): String = {
+    import graft.functions.KmvSketch
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT event_type, ${KmvSketch.hash31Sql("user_id")} AS hv
+       |  FROM events),
+       |est AS (
+       |  SELECT event_type, ${KmvSketch.estimateSql("hv", k)} AS est
+       |  FROM hashed GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b
+       |  FROM est a JOIN est b ON a.event_type < b.event_type),
+       |u AS (
+       |  SELECT p.type_a, p.type_b, ${KmvSketch.estimateSql("h.hv", k)}
+       |    AS est_union
+       |  FROM pairs p JOIN hashed h
+       |    ON h.event_type IN (p.type_a, p.type_b)
+       |  GROUP BY 1, 2)
+       |SELECT u.type_a, u.type_b,
+       |  round(ea.est, 6) AS est_a, round(eb.est, 6) AS est_b,
+       |  round(u.est_union, 6) AS est_union,
+       |  round(greatest(ea.est + eb.est - u.est_union, 0.0), 6)
+       |    AS est_intersection,
+       |  round(greatest(ea.est + eb.est - u.est_union, 0.0) / u.est_union, 6)
+       |    AS jaccard_est
+       |FROM u
+       |JOIN est ea ON ea.event_type = u.type_a
+       |JOIN est eb ON eb.event_type = u.type_b
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
+  /** q165: top event-type trigram paths — the "what do users do next,
+    * twice removed" sequence question (clickstream path analysis; the
+    * length-3 extension of q158's transition matrix). Two leads over the
+    * per-user time order share ONE window sort; counting is a single
+    * shuffle on the path key; the top-k plans as TakeOrderedAndProject,
+    * never a global sort. */
+  def eventPaths(t: Tables, topK: Int = 25): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("step1"))
+      .withColumn("step2", lead(col("step1"), 1).over(w))
+      .withColumn("step3", lead(col("step1"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(topK)
+  }
+
+  /** DuckDB mirror of [[eventPaths]] — same (ts, event_id) total order,
+    * same deterministic tiebreak. */
+  def eventPathsSql(topK: Int = 25): String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS step1,
+       |    lead(event_type, 1) OVER w AS step2,
+       |    lead(event_type, 2) OVER w AS step3
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT step1, step2, step3, count(*) AS n_paths
+       |FROM seq WHERE step3 IS NOT NULL
+       |GROUP BY 1, 2, 3
+       |ORDER BY n_paths DESC, step1, step2, step3
+       |LIMIT $topK""".stripMargin
+
+  /** q166: one-way ANOVA of `value` across event types — "does the metric
+    * actually differ between segments" with variance accounted for (the
+    * continuous complement of q142's categorical χ²; Fisher 1925). One
+    * grouped pass collects exact moments (the [[graft.functions.ExactAgg]]
+    * micro-unit kernels, so sums are partition-order-independent); SSB/SSW
+    * and F fold on the group-count-sized frame. Per-group diagnostic rows
+    * carry the shared F so the report reads standalone. */
+  def anovaByType(t: Tables): DataFrame = {
+    val g = t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_g"),
+        dsum(col("value")).as("s_g"),
+        dsum(col("value") * col("value")).as("q_g"))
+      .localCheckpoint() // group-count-sized; feeds totals and the report
+    val tot = g.agg(
+      sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+      dsum(col("s_g")).as("s"))
+    val f = g.crossJoin(broadcast(tot))
+      .select(
+        col("event_type"), col("n_g"), col("s_g"), col("q_g"),
+        col("n"), col("k"),
+        // Σ s_g²/n_g − S²/n and Σ(q_g − s_g²/n_g): each term a fixed
+        // expression of exact sums; the outer Σ re-enters dsum so the
+        // fold stays order-independent
+        (col("s_g") * col("s_g") / col("n_g")).as("cm_g"))
+    val parts = f.agg(
+      first(col("n")).as("n"), first(col("k")).as("k"),
+      dsum(col("cm_g")).as("cm"),
+      dsum(col("q_g")).as("q"))
+      .crossJoin(broadcast(tot.select(col("s"))))
+      .select(col("n"), col("k"),
+        (col("cm") - col("s") * col("s") / col("n")).as("ssb"),
+        (col("q") - col("cm")).as("ssw"))
+      .select(col("n"), col("k"), col("ssb"), col("ssw"),
+        ((col("ssb") / (col("k") - 1)) /
+          (col("ssw") / (col("n") - col("k")))).as("f_stat"))
+    g.crossJoin(broadcast(parts))
+      .select(
+        col("event_type"), col("n_g"),
+        round(col("s_g") / col("n_g"), 6).as("mean_g"),
+        round((col("q_g") - col("s_g") * col("s_g") / col("n_g")) /
+          (col("n_g") - 1), 6).as("var_g"),
+        round(col("ssb"), 6).as("ssb"),
+        round(col("ssw"), 6).as("ssw"),
+        round(col("f_stat"), 6).as("f_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB mirror of [[anovaByType]] — the identical exact-moment and
+    * division order. */
+  def anovaByTypeSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, count(*) AS n_g,
+       |    ${Sql.dsum("value")} AS s_g,
+       |    ${Sql.dsum("value * value")} AS q_g
+       |  FROM events GROUP BY 1),
+       |tot AS (
+       |  SELECT sum(n_g) AS n, count(*) AS k, ${Sql.dsum("s_g")} AS s
+       |  FROM g),
+       |f AS (
+       |  SELECT g.*, tot.n, tot.k, s_g * s_g / n_g AS cm_g
+       |  FROM g CROSS JOIN tot),
+       |parts0 AS (
+       |  SELECT any_value(n) AS n, any_value(k) AS k,
+       |    ${Sql.dsum("cm_g")} AS cm, ${Sql.dsum("q_g")} AS q
+       |  FROM f),
+       |parts AS (
+       |  SELECT n, k, cm - s * s / n AS ssb, q - cm AS ssw
+       |  FROM parts0 CROSS JOIN (SELECT s FROM tot) t)
+       |SELECT g.event_type, g.n_g,
+       |  round(g.s_g / g.n_g, 6) AS mean_g,
+       |  round((g.q_g - g.s_g * g.s_g / g.n_g) / (g.n_g - 1), 6) AS var_g,
+       |  round(p.ssb, 6) AS ssb,
+       |  round(p.ssw, 6) AS ssw,
+       |  round((p.ssb / (p.k - 1)) / (p.ssw / (p.n - p.k)), 6) AS f_stat
+       |FROM g CROSS JOIN parts p
+       |ORDER BY event_type""".stripMargin
 }

@@ -302,7 +302,11 @@ class PlanAuditSpec extends SparkSpec {
     "q144_neyman_allocation",       // 1-row allocation-total frame
     "q145_hilbert_layout",          // 1-row per-dimension (min,max) bounds frame
     "q148_hybrid_search",           // broadcast 1-row query vector + 1-row BM25 stats
-    "q151_knn_label_eval")          // broadcast nEval-row query-vector frame
+    "q151_knn_label_eval",          // broadcast nEval-row query-vector frame
+    "q162_association_rules",       // 1-row basket-count frame
+    "q163_pca_power_iteration",     // 1-row max|Cv| renormalizer frame
+    "q164_audience_overlap",        // type < type pair join of the 5-row state frame
+    "q166_anova")                   // 1-row totals / F frames
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -437,7 +441,15 @@ class PlanAuditSpec extends SparkSpec {
     "q155_grouping_sets" -> 2, "q156_golden_record" -> 10,
     "q157_dq_audit" -> 6, "q158_event_transitions" -> 4,
     "q159_gap_interpolate" -> 4, "q160_dedup_keep_best" -> 4,
-    "q161_embedding_standardize" -> 4)
+    "q161_embedding_standardize" -> 4,
+    // distinct + basket self-join + pair agg + output sort; item counts
+    // and basket total ride broadcasts off the checkpointed basket frame
+    "q162_association_rules" -> 6,
+    // covariance Gram pass feeds the checkpointed matrix; per-round
+    // mat-vec aggs are checkpoint-truncated out of the final plan
+    "q163_pca_power_iteration" -> 3,
+    "q164_audience_overlap" -> 2, "q165_event_paths" -> 2,
+    "q166_anova" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -628,4 +628,128 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(r.getAs[Long]("n_outliers_3sd") <= nVec)
     }
   }
+
+  test("q162 rules: counts recount directly, lift identity holds") {
+    val t = sf()
+    val rows = SparkEntry.queries("q162_association_rules")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent recount of one pair's support from raw baskets
+    val baskets = t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("b"), col("p_brand").as("i"))
+      .distinct().collect()
+      .groupBy(_.getAs[Long]("b")).map { case (_, rs) => rs.map(_.getString(1)).toSet }
+    val n = baskets.size.toDouble
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("item_a"), r.getAs[String]("item_b"))
+      assert(a < b)
+      val nab = baskets.count(s => s(a) && s(b))
+      assert(r.getAs[Long]("n_ab") == nab)
+      assert(r.getAs[Long]("n_a") == baskets.count(_(a)))
+      assert(nab <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      // lift = conf(a→b) / P(b)
+      val expLift = r.getAs[Double]("conf_a_to_b") /
+        (r.getAs[Long]("n_b") / n)
+      assert(math.abs(r.getAs[Double]("lift") - expLift) < 1e-4)
+    }
+  }
+
+  test("q163 power iteration: distributed ≡ single-node integer reference") {
+    val t = sf()
+    val rows = SparkEntry.queries("q163_pca_power_iteration")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("dim"))
+    assert(rows.length == 64)
+    val v = rows.map(_.getAs[Long]("v_scaled"))
+    assert(v.map(math.abs).max > 900000L) // renormalized to ~VecScale
+    // replicate the exact fixed-point iteration single-node from the
+    // same quantized covariance: every component must match bit-for-bit
+    val covRows = graft.ext.Similarity.embeddingCovariance(t).collect()
+    val m = Array.ofDim[Long](64, 64)
+    covRows.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      // Spark's Round on doubles goes through BigDecimal.valueOf
+      val q = java.math.BigDecimal.valueOf(r.getAs[Double]("cov") * 1e9)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      m(i)(j) = q; m(j)(i) = q
+    }
+    var ref = Array.fill(64)(1000000L)
+    for (_ <- 1 to 12) {
+      val w = (0 until 64).map(i =>
+        (0 until 64).map(j => m(i)(j) * ref(j)).sum).toArray
+      val mx = w.map(math.abs).max
+      val d = math.max(mx / 1000000L, 1L)
+      ref = w.map(x => math.signum(x) * (math.abs(x) / d))
+    }
+    assert(v.toSeq == ref.toSeq)
+    // and the result is directionally an eigenvector (12 rounds against
+    // this fixture's ~0.93 eigen-ratio: loose bound, exactness above)
+    val vd = v.map(_.toDouble)
+    val w = (0 until 64).map(i => (0 until 64).map(j => m(i)(j) * vd(j)).sum)
+    val cos = w.zip(vd).map(p => p._1 * p._2).sum /
+      (math.sqrt(w.map(x => x * x).sum) * math.sqrt(vd.map(x => x * x).sum))
+    assert(math.abs(cos) > 0.99, s"not near an eigenvector: |cos|=$cos")
+  }
+
+  test("q164 overlap: union bounds hold, estimates near exact truth") {
+    val t = sf()
+    val rows = SparkEntry.queries("q164_audience_overlap")(spark, dir).collect()
+    val users = t.events.select(col("event_type"), col("user_id")).distinct()
+      .collect().groupBy(_.getString(0))
+      .map { case (et, rs) => et -> rs.map(_.getAs[Long]("user_id")).toSet }
+    assert(rows.length == users.size * (users.size - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      val (ea, eb, eu) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+        r.getAs[Double]("est_union"))
+      assert(eu <= ea + eb + 1e-9)
+      assert(eu >= math.max(ea, eb) - 1e-9) // bottom-k of union dominates
+      val truth = (users(a) ++ users(b)).size.toDouble
+      assert(math.abs(eu - truth) / truth < 0.2, s"$a/$b union $eu vs $truth")
+    }
+  }
+
+  test("q165 paths: top trigrams match an independent rank-join recount") {
+    val t = sf()
+    val rows = SparkEntry.queries("q165_event_paths")(spark, dir).collect()
+    // recount via explicit rank self-joins (different mechanism than lead)
+    val ranked = t.events.select(col("user_id"), col("event_type"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id")))
+          .as("rn"))
+      .collect().groupBy(_.getAs[Long]("user_id"))
+    val counts = scala.collection.mutable.Map[(String, String, String), Long]()
+    ranked.values.foreach { rs =>
+      val seq = rs.sortBy(_.getAs[Int]("rn")).map(_.getString(1))
+      seq.sliding(3).filter(_.length == 3).foreach { tri =>
+        val k = (tri(0), tri(1), tri(2)); counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(rows.length)
+    val got = rows.map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+      r.getAs[Long]("n_paths"))).toSeq
+    assert(got == expected)
+  }
+
+  test("q166 anova: partition identity SSB+SSW = total SS, F recomputes") {
+    val t = sf()
+    val rows = SparkEntry.queries("q166_anova")(spark, dir).collect()
+    val vals = t.events.select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val n = vals.length.toDouble
+    val totalSS = vals.map(v => v._2 * v._2).sum -
+      math.pow(vals.map(_._2).sum, 2) / n
+    val (ssb, ssw) = (rows.head.getAs[Double]("ssb"), rows.head.getAs[Double]("ssw"))
+    assert(math.abs(ssb + ssw - totalSS) / totalSS < 1e-6)
+    assert(rows.map(_.getAs[Double]("f_stat")).distinct.length == 1)
+    val k = rows.length
+    val expF = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(rows.head.getAs[Double]("f_stat") - expF) < 1e-3)
+    // per-group means match a direct recount
+    rows.foreach { r =>
+      val g = vals.filter(_._1 == r.getAs[String]("event_type")).map(_._2)
+      assert(r.getAs[Long]("n_g") == g.length)
+      assert(math.abs(r.getAs[Double]("mean_g") - g.sum / g.length) < 1e-4)
+    }
+  }
 }
