@@ -209,7 +209,9 @@ object SparkEntry {
     "q163_pca_power_iteration" -> q(t => graft.ext.Spectral.pcaPowerIteration(t)),
     "q164_audience_overlap" -> q(t => Analytics.audienceOverlap(t)),
     "q165_event_paths" -> q(t => Analytics.eventPaths(t)),
-    "q166_anova" -> q(Analytics.anovaByType))
+    "q166_anova" -> q(Analytics.anovaByType),
+    "q167_seasonal_decompose" -> q(Analytics.seasonalDecompose),
+    "q168_attribution" -> q(Analytics.conversionAttribution))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -287,6 +289,8 @@ object SparkEntry {
     "q164_audience_overlap" -> Analytics.audienceOverlapSql(),
     "q165_event_paths" -> Analytics.eventPathsSql(),
     "q166_anova" -> Analytics.anovaByTypeSql,
+    "q167_seasonal_decompose" -> Analytics.seasonalDecomposeSql,
+    "q168_attribution" -> Analytics.conversionAttributionSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

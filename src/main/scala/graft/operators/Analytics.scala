@@ -1887,6 +1887,163 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** q167: additive seasonal decomposition of the hourly event-volume
+    * series — observed = trend + seasonal + residual (the classical
+    * moving-average decomposition every capacity/anomaly dashboard runs;
+    * Cleveland's STL simplified to the MA form). Volume rides the DENSE
+    * hour grid (missing hours are real zeros for a count series), trend
+    * is a 25-hour centered moving average (exact integer sum / 25, only
+    * full windows — edges stay null), the seasonal profile is the
+    * hour-of-day mean of the detrended series re-centered to sum ≈ 0,
+    * and the residual is what remains. One window sort over the grid +
+    * one 24-row profile join; every mean is an exact-sum single
+    * division, so DuckDB matches bit-for-bit. */
+  def seasonalDecompose(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hour_ts")).rowsBetween(-12, 12)
+    val hourly = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = t.events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = bounds
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("hour_ts"))
+    val dense = grid.join(hourly, Seq("hour_ts"), "left")
+      .select(col("hour_ts"), coalesce(col("n"), lit(0L)).as("n"))
+    val trended = dense
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("trend",
+        when(col("w_n") === 25,
+          sum(col("n")).over(w).cast("double") / 25.0))
+      .withColumn("detrended", col("n") - col("trend"))
+      .localCheckpoint() // feeds the profile agg and the final join
+    val profile = trended
+      .filter(col("trend").isNotNull)
+      .groupBy(hour(col("hour_ts")).as("hod"))
+      .agg((dsum(col("detrended")) / count(lit(1))).as("s_raw"))
+    val sMean = profile.agg((dsum(col("s_raw")) / count(lit(1))).as("s_mean"))
+    val seasonal = profile.crossJoin(broadcast(sMean))
+      .select(col("hod"), (col("s_raw") - col("s_mean")).as("seasonal"))
+    trended
+      .join(broadcast(seasonal), hour(col("hour_ts")) === col("hod"))
+      .select(
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("n").as("n_events"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("detrended") - col("seasonal"), 6).as("residual"))
+      .orderBy(col("hour_ts"))
+  }
+
+  /** DuckDB mirror of [[seasonalDecompose]] — identical grid, window
+    * frame, and exact-sum division order. */
+  def seasonalDecomposeSql: String =
+    s"""WITH hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |span AS (
+       |  SELECT date_trunc('hour', min(ts)) AS h0,
+       |         date_trunc('hour', max(ts)) AS h1
+       |  FROM events),
+       |grid AS (
+       |  SELECT u.hour_ts FROM span,
+       |    unnest(generate_series(span.h0, span.h1, INTERVAL 1 HOUR))
+       |      AS u(hour_ts)),
+       |dense AS (
+       |  SELECT g.hour_ts, coalesce(h.n, 0) AS n
+       |  FROM grid g LEFT JOIN hourly h USING (hour_ts)),
+       |trended AS (
+       |  SELECT hour_ts, n,
+       |    CASE WHEN count(*) OVER w = 25
+       |      THEN CAST(sum(n) OVER w AS DOUBLE) / 25.0 END AS trend
+       |  FROM dense
+       |  WINDOW w AS (ORDER BY hour_ts
+       |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+       |det AS (
+       |  SELECT *, n - trend AS detrended FROM trended),
+       |profile AS (
+       |  SELECT hour(hour_ts) AS hod,
+       |    ${Sql.dsum("detrended")} / count(*) AS s_raw
+       |  FROM det WHERE trend IS NOT NULL GROUP BY 1),
+       |sm AS (SELECT ${Sql.dsum("s_raw")} / count(*) AS s_mean FROM profile),
+       |seasonal AS (
+       |  SELECT hod, s_raw - s_mean AS seasonal
+       |  FROM profile CROSS JOIN sm)
+       |SELECT strftime(d.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       |  d.n AS n_events,
+       |  round(d.trend, 6) AS trend,
+       |  round(s.seasonal, 6) AS seasonal,
+       |  round(d.detrended - s.seasonal, 6) AS residual
+       |FROM det d JOIN seasonal s ON hour(d.hour_ts) = s.hod
+       |ORDER BY hour_ts""".stripMargin
+
+  /** q168: first-touch vs last-touch conversion attribution — which
+    * channel gets credit for each purchase (the marketing-analytics
+    * question every funnel report ends with; Shapley's simplest two
+    * endpoints). Both touch assignments ride ONE per-user window sort
+    * (running first/last non-purchase event up to 1 row back); credit
+    * aggregation is channel-count-sized. Purchases with no prior touch
+    * credit 'none' — conservation is pinned in the spec. */
+  def conversionAttribution(t: Tables): DataFrame = {
+    val base = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val w = base.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, -1)
+    val credited = t.events
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"))
+      .localCheckpoint() // purchase-count-sized; read by both credit aggs
+    val n = credited.agg(count(lit(1)).cast("double").as("n"))
+    val ft = credited.groupBy(col("first_touch").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    val lt = credited.groupBy(col("last_touch").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    ft.join(lt, Seq("channel"), "full_outer")
+      .crossJoin(broadcast(n))
+      .select(
+        col("channel"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"),
+        round(coalesce(col("n_first_touch"), lit(0L)) / col("n"), 6)
+          .as("share_first"),
+        round(coalesce(col("n_last_touch"), lit(0L)) / col("n"), 6)
+          .as("share_last"))
+      .orderBy(col("channel"))
+  }
+
+  /** DuckDB mirror of [[conversionAttribution]]. */
+  def conversionAttributionSql: String =
+    s"""WITH credited AS (
+       |  SELECT
+       |    coalesce(first_value(CASE WHEN event_type <> 'purchase'
+       |      THEN event_type END IGNORE NULLS) OVER w, 'none') AS first_touch,
+       |    coalesce(last_value(CASE WHEN event_type <> 'purchase'
+       |      THEN event_type END IGNORE NULLS) OVER w, 'none') AS last_touch,
+       |    event_type
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |p AS (SELECT * FROM credited WHERE event_type = 'purchase'),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM p),
+       |ft AS (SELECT first_touch AS channel, count(*) AS n_first_touch
+       |       FROM p GROUP BY 1),
+       |lt AS (SELECT last_touch AS channel, count(*) AS n_last_touch
+       |       FROM p GROUP BY 1)
+       |SELECT channel,
+       |  coalesce(n_first_touch, 0) AS n_first_touch,
+       |  coalesce(n_last_touch, 0) AS n_last_touch,
+       |  round(coalesce(n_first_touch, 0) / n.n, 6) AS share_first,
+       |  round(coalesce(n_last_touch, 0) / n.n, 6) AS share_last
+       |FROM ft FULL OUTER JOIN lt USING (channel) CROSS JOIN n
+       |ORDER BY channel""".stripMargin
+
   /** DuckDB mirror of [[anovaByType]] — the identical exact-moment and
     * division order. */
   def anovaByTypeSql: String =

@@ -306,7 +306,9 @@ class PlanAuditSpec extends SparkSpec {
     "q162_association_rules",       // 1-row basket-count frame
     "q163_pca_power_iteration",     // 1-row max|Cv| renormalizer frame
     "q164_audience_overlap",        // type < type pair join of the 5-row state frame
-    "q166_anova")                   // 1-row totals / F frames
+    "q166_anova",                   // 1-row totals / F frames
+    "q167_seasonal_decompose",      // 1-row seasonal-mean re-centering frame
+    "q168_attribution")             // 1-row purchase-total frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -449,7 +451,8 @@ class PlanAuditSpec extends SparkSpec {
     // mat-vec aggs are checkpoint-truncated out of the final plan
     "q163_pca_power_iteration" -> 3,
     "q164_audience_overlap" -> 2, "q165_event_paths" -> 2,
-    "q166_anova" -> 4)
+    "q166_anova" -> 4,
+    "q167_seasonal_decompose" -> 4, "q168_attribution" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

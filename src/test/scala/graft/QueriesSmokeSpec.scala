@@ -752,4 +752,47 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("mean_g") - g.sum / g.length) < 1e-4)
     }
   }
+
+  test("q167 decomposition: components re-add to observed, profile centered") {
+    val rows = SparkEntry.queries("q167_seasonal_decompose")(spark, dir).collect()
+    // dense grid: one row per hour across the span, no holes
+    assert(rows.length >= 24)
+    val withTrend = rows.filter(r => !r.isNullAt(r.fieldIndex("trend")))
+    // exactly 24 edge rows lack a full 25-hour window (12 each side)
+    assert(rows.length - withTrend.length == 24)
+    withTrend.foreach { r =>
+      val recon = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(recon - r.getAs[Long]("n_events")) < 1e-4)
+    }
+    // seasonal profile (24 distinct values) sums to ~0 after re-centering
+    val profile = withTrend.map(r => r.getAs[String]("hour_ts").substring(11, 13) ->
+      r.getAs[Double]("seasonal")).distinct
+    assert(profile.length == 24)
+    assert(math.abs(profile.map(_._2).sum) < 1e-3)
+  }
+
+  test("q168 attribution: both credit columns conserve the purchase count") {
+    val t = sf()
+    val rows = SparkEntry.queries("q168_attribution")(spark, dir).collect()
+    val nPurch = t.events.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_first_touch")).sum == nPurch)
+    assert(rows.map(_.getAs[Long]("n_last_touch")).sum == nPurch)
+    assert(math.abs(rows.map(_.getAs[Double]("share_first")).sum - 1.0) < 1e-4)
+    // hand-check one user's earliest purchase: its last_touch must be the
+    // event immediately before it in (ts, event_id) order
+    val ev = t.events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("ts"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(e => (e._2.getTime, e._3)))
+    // conservation of 'none': purchases whose user has no earlier non-purchase
+    val expectedNone = byUser.values.map { es =>
+      es.zipWithIndex.count { case (e, i) =>
+        e._4 == "purchase" && !es.take(i).exists(_._4 != "purchase")
+      }
+    }.sum
+    val noneRow = rows.find(_.getAs[String]("channel") == "none")
+    assert(noneRow.map(_.getAs[Long]("n_last_touch")).getOrElse(0L) == expectedNone)
+  }
 }
