@@ -149,6 +149,32 @@ object SketchOracleSql {
        |WHERE jaccard >= 0.2
        |ORDER BY doc_new, doc_existing""".stripMargin
 
+  /** q169: banding precision/recall vs exact-Jaccard truth on the fixed
+    * 64-doc slice — mirrors [[graft.ext.Dedup.dedupEval]] (truth from the
+    * full shingle sets, predictions from the salted candidate stage). */
+  val dedupEval: String =
+    s"""WITH $dupPairsCtes,
+       |truth AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS j
+       |    FROM sets a JOIN sets b ON a.doc_id < 64 AND a.doc_id < b.doc_id)
+       |  WHERE j >= 0.2),
+       |pred AS (SELECT doc_a, doc_b FROM cand WHERE doc_a < 64),
+       |nt AS (SELECT count(*) AS n_truth FROM truth),
+       |np AS (SELECT count(*) AS n_candidates FROM pred),
+       |nh AS (SELECT count(*) AS n_hit
+       |       FROM pred JOIN truth USING (doc_a, doc_b))
+       |SELECT CAST(0.2 AS DOUBLE) AS tau, CAST(64 AS INTEGER) AS slice_n,
+       |  n_truth, n_candidates, n_hit,
+       |  CASE WHEN n_candidates > 0
+       |    THEN round(CAST(n_hit AS DOUBLE) / n_candidates, 6) END
+       |    AS "precision",
+       |  CASE WHEN n_truth > 0
+       |    THEN round(CAST(n_hit AS DOUBLE) / n_truth, 6) END AS recall
+       |FROM nt CROSS JOIN np CROSS JOIN nh""".stripMargin
+
   /** q34: the near-dup pair list. */
   val minhashDupPairs: String =
     s"""WITH $dupPairsCtes

@@ -211,7 +211,8 @@ object SparkEntry {
     "q165_event_paths" -> q(t => Analytics.eventPaths(t)),
     "q166_anova" -> q(Analytics.anovaByType),
     "q167_seasonal_decompose" -> q(Analytics.seasonalDecompose),
-    "q168_attribution" -> q(Analytics.conversionAttribution))
+    "q168_attribution" -> q(Analytics.conversionAttribution),
+    "q169_dedup_eval" -> q(t => Dedup.dedupEval(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -291,6 +292,7 @@ object SparkEntry {
     "q166_anova" -> Analytics.anovaByTypeSql,
     "q167_seasonal_decompose" -> Analytics.seasonalDecomposeSql,
     "q168_attribution" -> Analytics.conversionAttributionSql,
+    "q169_dedup_eval" -> SketchOracleSql.dedupEval,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -538,6 +538,51 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** q169: precision/recall evaluation of the banded-LSH candidate stage
+    * against exact shingle-Jaccard truth — the measurement every dedup
+    * deployment owes its corpus before trusting the bands (are the
+    * band/row/salt choices recalling the real near-dups, and how much
+    * junk do they propose?). Truth is restricted to pairs with an
+    * endpoint in a FIXED `sliceN`-document slice, so truth work is
+    * slice × corpus — linear in the corpus at any scale (the q37
+    * nQueries pattern), while candidates are evaluated exactly where
+    * they overlap that slice. Candidates here are PRE-verification
+    * (banding + salting only): precision measures band selectivity,
+    * recall measures band + salt-cap loss. */
+  def dedupEval(t: Tables, tau: Double = 0.2, sliceN: Int = 64,
+                cap: Int = DefaultBucketCap): DataFrame = {
+    val (_, candidates, _) = lshCandidateArtifacts(t, portable = true, cap)
+    graft.functions.ShingleExpression.register(t.spark)
+    val sets = t.documents.select(col("doc_id"), array_distinct(
+      graft.functions.ShingleExpression.wordShingles(
+        TextAnalysis.tokens(col("text")))).as("shset"))
+    val j = round(
+      size(array_intersect(col("a.shset"), col("b.shset"))).cast("double") /
+        size(array_distinct(concat(col("a.shset"), col("b.shset")))), 6)
+    val truth = broadcast(sets.filter(col("doc_id") < sliceN).as("a"))
+      .join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        j.as("j"))
+      .filter(col("j") >= tau)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // slice-pair-sized; read by hit join + count
+    val pred = candidates.filter(col("doc_a") < sliceN)
+    val nT = truth.agg(count(lit(1)).as("n_truth"))
+    val nP = pred.agg(count(lit(1)).as("n_candidates"))
+    val nH = pred.join(truth, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    nT.crossJoin(nP).crossJoin(nH)
+      .select(
+        lit(tau).as("tau"), lit(sliceN).as("slice_n"),
+        col("n_truth"), col("n_candidates"), col("n_hit"),
+        when(col("n_candidates") > 0,
+          round(col("n_hit").cast("double") / col("n_candidates"), 6))
+          .as("precision"),
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 6))
+          .as("recall"))
+  }
+
   /** Incremental (cross-corpus) near-dup detection: candidate pairs
     * between an INCOMING document set and an EXISTING corpus — the
     * production dedup flow, where each new crawl is checked against the

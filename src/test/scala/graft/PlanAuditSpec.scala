@@ -308,7 +308,8 @@ class PlanAuditSpec extends SparkSpec {
     "q164_audience_overlap",        // type < type pair join of the 5-row state frame
     "q166_anova",                   // 1-row totals / F frames
     "q167_seasonal_decompose",      // 1-row seasonal-mean re-centering frame
-    "q168_attribution")             // 1-row purchase-total frame
+    "q168_attribution",             // 1-row purchase-total frame
+    "q169_dedup_eval")              // broadcast 64-doc truth slice (a.id < b.id)
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -452,7 +453,8 @@ class PlanAuditSpec extends SparkSpec {
     "q163_pca_power_iteration" -> 3,
     "q164_audience_overlap" -> 2, "q165_event_paths" -> 2,
     "q166_anova" -> 4,
-    "q167_seasonal_decompose" -> 4, "q168_attribution" -> 4)
+    "q167_seasonal_decompose" -> 4, "q168_attribution" -> 4,
+    "q169_dedup_eval" -> 5)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -795,4 +795,28 @@ class QueriesSmokeSpec extends SparkSpec {
     val noneRow = rows.find(_.getAs[String]("channel") == "none")
     assert(noneRow.map(_.getAs[Long]("n_last_touch")).getOrElse(0L) == expectedNone)
   }
+
+  test("q169 dedup eval: hit bounds hold and truth recounts brute-force") {
+    val t = sf()
+    val r = SparkEntry.queries("q169_dedup_eval")(spark, dir).collect().head
+    val (nT, nC, nH) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_candidates"),
+      r.getAs[Long]("n_hit"))
+    assert(nH <= math.min(nT, nC))
+    assert(nT > 0) // the fixture plants near-dups in every id range
+    // brute-force truth recount over the slice (token-set Jaccard >= 0.2
+    // on 3-shingles, same rounding)
+    val sh = t.documents.select(col("doc_id"),
+        array_distinct(graft.ext.Dedup.shingles(col("text"))).as("s"))
+      .collect().map(r2 => r2.getAs[Long]("doc_id") ->
+        r2.getSeq[String](1).toSet).toMap
+    val truth = for {
+      a <- sh.keys.filter(_ < 64).toSeq; b <- sh.keys.toSeq if a < b
+      j = BigDecimal(sh(a).intersect(sh(b)).size.toDouble /
+        (sh(a) ++ sh(b)).size).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      if j >= BigDecimal("0.2")
+    } yield (a, b)
+    assert(nT == truth.length)
+    r.getAs[Double]("precision") match { case p => assert(p >= 0.0 && p <= 1.0) }
+    assert(r.getAs[Double]("recall") <= 1.0)
+  }
 }
