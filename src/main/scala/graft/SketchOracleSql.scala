@@ -154,13 +154,20 @@ object SketchOracleSql {
     * full shingle sets, predictions from the salted candidate stage). */
   val dedupEval: String =
     s"""WITH $dupPairsCtes,
+       |sp AS (
+       |  SELECT doc_id AS doc_a, len(shset) AS n_a, u.s
+       |  FROM sets, unnest(shset) AS u(s) WHERE doc_id < 64),
+       |cp AS (
+       |  SELECT doc_id AS doc_b, len(shset) AS n_b, u.s
+       |  FROM sets, unnest(shset) AS u(s)),
        |truth AS (
        |  SELECT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |      round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-       |        / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS j
-       |    FROM sets a JOIN sets b ON a.doc_id < 64 AND a.doc_id < b.doc_id)
-       |  WHERE j >= 0.2),
+       |    SELECT doc_a, doc_b, count(*) AS n_common,
+       |      any_value(n_a) AS n_a, any_value(n_b) AS n_b
+       |    FROM sp JOIN cp USING (s) WHERE doc_a < doc_b
+       |    GROUP BY 1, 2)
+       |  WHERE round(CAST(n_common AS DOUBLE)
+       |    / (n_a + n_b - n_common), 6) >= 0.2),
        |pred AS (SELECT doc_a, doc_b FROM cand WHERE doc_a < 64),
        |nt AS (SELECT count(*) AS n_truth FROM truth),
        |np AS (SELECT count(*) AS n_candidates FROM pred),

@@ -556,14 +556,27 @@ object Dedup {
     val sets = t.documents.select(col("doc_id"), array_distinct(
       graft.functions.ShingleExpression.wordShingles(
         TextAnalysis.tokens(col("text")))).as("shset"))
-    val j = round(
-      size(array_intersect(col("a.shset"), col("b.shset"))).cast("double") /
-        size(array_distinct(concat(col("a.shset"), col("b.shset")))), 6)
-    val truth = broadcast(sets.filter(col("doc_id") < sliceN).as("a"))
-      .join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        j.as("j"))
-      .filter(col("j") >= tau)
+    // Truth by POSTING-LIST join, never per-pair set intersection: a pair
+    // with jaccard ≥ τ > 0 shares ≥ 1 shingle, so slice postings
+    // (broadcast, slice-sized) ⋈ corpus postings finds every truth pair,
+    // |A∩B| falls out of the (a, b) group count, and |A∪B| = |A|+|B|−|A∩B|
+    // with the set sizes riding the explode (the q124 dl pattern). The
+    // corpus is never joined all-pairs and never shuffled whole — only
+    // postings that hit a slice shingle reach the pair aggregate.
+    val slicePost = sets.filter(col("doc_id") < sliceN)
+      .select(col("doc_id").as("doc_a"), size(col("shset")).as("n_a"),
+        explode(col("shset")).as("s"))
+    val corpusPost = sets
+      .select(col("doc_id").as("doc_b"), size(col("shset")).as("n_b"),
+        explode(col("shset")).as("s"))
+    val truth = broadcast(slicePost)
+      .join(corpusPost, Seq("s"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .filter(round(col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")), 6) >= tau)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint() // slice-pair-sized; read by hit join + count
     val pred = candidates.filter(col("doc_a") < sliceN)

@@ -309,7 +309,7 @@ class PlanAuditSpec extends SparkSpec {
     "q166_anova",                   // 1-row totals / F frames
     "q167_seasonal_decompose",      // 1-row seasonal-mean re-centering frame
     "q168_attribution",             // 1-row purchase-total frame
-    "q169_dedup_eval")              // broadcast 64-doc truth slice (a.id < b.id)
+    "q169_dedup_eval")              // 1-row truth/cand/hit count crossJoins
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
