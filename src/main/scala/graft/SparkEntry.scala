@@ -212,7 +212,8 @@ object SparkEntry {
     "q166_anova" -> q(Analytics.anovaByType),
     "q167_seasonal_decompose" -> q(Analytics.seasonalDecompose),
     "q168_attribution" -> q(Analytics.conversionAttribution),
-    "q169_dedup_eval" -> q(t => Dedup.dedupEval(t)))
+    "q169_dedup_eval" -> q(t => Dedup.dedupEval(t)),
+    "q170_perplexity_filter" -> q(t => TextAnalysis.perplexityFilter(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -293,6 +294,7 @@ object SparkEntry {
     "q167_seasonal_decompose" -> Analytics.seasonalDecomposeSql,
     "q168_attribution" -> Analytics.conversionAttributionSql,
     "q169_dedup_eval" -> SketchOracleSql.dedupEval,
+    "q170_perplexity_filter" -> TextAnalysis.perplexityFilterSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

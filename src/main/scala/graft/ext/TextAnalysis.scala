@@ -788,6 +788,117 @@ object TextAnalysis {
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q170: perplexity-style quality FILTERING — the APPLY step of q83's
+    * model-based scoring (how a CCNet-shaped pipeline actually uses a
+    * corpus language model: score every document, cut the worst tail).
+    * Threshold = the 10th-percentile score edge from the bounded-memory
+    * grid-quantile machinery ([[graft.operators.Analytics.gridQuantileEdges]],
+    * the q107 production path — O(grid) counters, never a full-column
+    * percentile buffer); documents scoring STRICTLY below the edge are
+    * dropped, ties at the edge kept (value-threshold semantics: the cut is
+    * a reusable constant, not an exact-k rank — what a production filter
+    * pins in config). Documents too short to score (< 2 tokens, so no
+    * bigrams) are reported as `n_unscored`, outside the percentile
+    * population — a filter must say what it could not judge.
+    *
+    * Shape at scale: scoring is q83's join (model is vocab²-bounded,
+    * occurrences shuffle as key+doc_id pairs); the per-doc score frame is
+    * localCheckpoint'd (doc-count rows of (id, double)) so threshold
+    * search, verdicts, and the report all reuse one materialization; the
+    * threshold rides back as a broadcast 1-row frame; the report is one
+    * source-keyed aggregate. */
+  def perplexityFilter(t: Tables, grid: Int = 4096): DataFrame = {
+    val scored = bigramFluency(t)
+      .select(col("doc_id"), col("avg_p").cast("double").as("score"))
+      .localCheckpoint()
+    val edges = graft.operators.Analytics
+      .gridQuantileEdges(scored, "score", Nil, buckets = 10, grid = grid)
+      .select(col("e1").as("threshold"))
+    val verdicts = scored.crossJoin(broadcast(edges))
+      .select(col("doc_id"),
+        (col("score") < col("threshold")).cast("int").as("dropped"))
+    t.documents.select(col("doc_id"), col("source"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(col("dropped")).as("n_scored"),
+        (count(lit(1)) - count(col("dropped"))).as("n_unscored"),
+        coalesce(sum(col("dropped")), lit(0L)).cast("long").as("n_dropped"))
+      .withColumn("n_kept", col("n_scored") - col("n_dropped"))
+      .crossJoin(broadcast(edges))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[perplexityFilter]]: q83's scoring CTEs, then
+    * the grid-quantile edge chain written with the same IEEE expression
+    * shapes as [[graft.SketchOracleSql.gridEquiDepth]] (targets i=1..9,
+    * list_sort, es[1] = the p10 edge), then the left-join report. */
+  def perplexityFilterSql(grid: Int = 4096): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+       |    i -> tks[i] || ' ' || tks[i+1])) AS bigram
+       |  FROM tk),
+       |c2 AS (
+       |  SELECT bigram, count(*) AS c2,
+       |   string_split(bigram, ' ')[1] AS left_word
+       |  FROM bg GROUP BY 1),
+       |c1 AS (SELECT left_word, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |model AS (
+       |  SELECT bigram, CAST(c2 AS DOUBLE) / c1 AS p
+       |  FROM c2 JOIN c1 USING (left_word)),
+       |docavg AS (
+       |  SELECT doc_id, ${O.davg("p")} AS avg_p
+       |  FROM (SELECT doc_id, p FROM bg JOIN model USING (bigram)) GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(avg_p AS DOUBLE) AS score FROM docavg),
+       |mm AS (
+       |  SELECT min(score) AS mn, max(score) AS mx,
+       |   CAST(count(*) AS DOUBLE) AS n
+       |  FROM sc),
+       |hist AS (
+       |  SELECT
+       |   CASE WHEN mm.mx = mm.mn THEN 0
+       |    ELSE LEAST(CAST(floor((score - mm.mn) / (mm.mx - mm.mn)
+       |      * $grid.0) AS INTEGER), ${grid - 1}) END AS bin,
+       |   count(*) AS c, max(mm.mn) AS mn, max(mm.mx) AS mx, max(mm.n) AS n
+       |  FROM sc CROSS JOIN mm
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT *, COALESCE(SUM(c) OVER (ORDER BY bin
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM hist),
+       |targets AS (SELECT CAST(range AS INTEGER) AS i FROM range(1, 10)),
+       |edge_rows AS (
+       |  SELECT
+       |   cum.mn + (CAST(cum.bin AS DOUBLE)
+       |     + (CAST(t.i AS DOUBLE) * cum.n / 10.0 - CAST(cum.cb AS DOUBLE))
+       |       / CAST(cum.c AS DOUBLE))
+       |     * ((cum.mx - cum.mn) / $grid.0) AS edge
+       |  FROM cum JOIN targets t
+       |    ON CAST(cum.cb AS DOUBLE) <= CAST(t.i AS DOUBLE) * cum.n / 10.0
+       |   AND CAST(cum.cb + cum.c AS DOUBLE) > CAST(t.i AS DOUBLE) * cum.n / 10.0),
+       |es0 AS (SELECT list_sort(list(edge)) AS es FROM edge_rows),
+       |edge AS (SELECT es[1] AS threshold FROM es0),
+       |verdict AS (
+       |  SELECT doc_id,
+       |   CASE WHEN score < threshold THEN 1 ELSE 0 END AS dropped
+       |  FROM sc CROSS JOIN edge)
+       |SELECT d.source,
+       | count(*) AS n_docs,
+       | count(v.dropped) AS n_scored,
+       | count(*) - count(v.dropped) AS n_unscored,
+       | CAST(COALESCE(sum(v.dropped), 0) AS BIGINT) AS n_dropped,
+       | CAST(count(v.dropped) - COALESCE(sum(v.dropped), 0) AS BIGINT)
+       |   AS n_kept,
+       | (SELECT threshold FROM edge) AS threshold
+       |FROM documents d LEFT JOIN verdict v USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Source-overlap matrix: pairwise vocabulary Jaccard between corpus
     * sources — the "are these two crawls the same thing?" diagnostic a
     * mixing plan ([[Sampling.mixByStratum]]) consults before assigning

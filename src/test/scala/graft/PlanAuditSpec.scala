@@ -309,7 +309,8 @@ class PlanAuditSpec extends SparkSpec {
     "q166_anova",                   // 1-row totals / F frames
     "q167_seasonal_decompose",      // 1-row seasonal-mean re-centering frame
     "q168_attribution",             // 1-row purchase-total frame
-    "q169_dedup_eval")              // 1-row truth/cand/hit count crossJoins
+    "q169_dedup_eval",              // 1-row truth/cand/hit count crossJoins
+    "q170_perplexity_filter")       // 1-row threshold + grid mm/edge frames
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -454,7 +455,10 @@ class PlanAuditSpec extends SparkSpec {
     "q164_audience_overlap" -> 2, "q165_event_paths" -> 2,
     "q166_anova" -> 4,
     "q167_seasonal_decompose" -> 4, "q168_attribution" -> 4,
-    "q169_dedup_eval" -> 5)
+    "q169_dedup_eval" -> 5,
+    // checkpoint-truncated score frame; grid mm/hist/cum/edge chain +
+    // left-join report + output sort
+    "q170_perplexity_filter" -> 8)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -819,4 +819,31 @@ class QueriesSmokeSpec extends SparkSpec {
     r.getAs[Double]("precision") match { case p => assert(p >= 0.0 && p <= 1.0) }
     assert(r.getAs[Double]("recall") <= 1.0)
   }
+
+  test("q170 perplexity filter: counts conserve, threshold cuts ~p10 strictly below") {
+    val t = sf()
+    val rows = SparkEntry.queries("q170_perplexity_filter")(spark, dir).collect()
+    assert(rows.length > 1) // one row per source
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_scored") + r.getAs[Long]("n_unscored"))
+      assert(r.getAs[Long]("n_scored") ==
+        r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped"))
+    }
+    val thresholds = rows.map(_.getAs[Double]("threshold")).distinct
+    assert(thresholds.length == 1) // one global cut, repeated per row
+    val nScored = rows.map(_.getAs[Long]("n_scored")).sum
+    val nDropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    assert(nDropped > 0) // the synthetic corpus has a scorable low tail
+    // value-threshold semantics: strictly-below-the-p10-edge drops at most
+    // ~10% plus the occupancy of the one grid cell the edge interpolates in
+    assert(nDropped <= nScored / 10 + 64)
+    // the verdict recomputes: docs strictly below the threshold, from the
+    // same scoring frame the filter used
+    val scored = graft.ext.TextAnalysis.bigramFluency(t)
+      .select(col("doc_id"), col("avg_p").cast("double").as("score")).collect()
+    val below = scored.count(_.getAs[Double]("score") < thresholds.head)
+    assert(below.toLong == nDropped)
+    assert(scored.length.toLong == nScored)
+  }
 }
