@@ -1138,7 +1138,7 @@ object SparkEntry {
         |ORDER BY order_id, line_number""".stripMargin,
     "q24_case_encode" ->
       """SELECT event_id, event_type, value,
-        | CASE WHEN event_type = 'purchase' THEN 1.0
+        | CASE WHEN event_type = 'purchase' THEN CAST(1.0 AS DOUBLE)
         |      WHEN event_type = 'click' THEN 0.8
         |      WHEN event_type = 'view' THEN 0.6
         |      WHEN event_type = 'signup' THEN 0.4

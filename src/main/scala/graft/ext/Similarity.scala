@@ -1300,8 +1300,8 @@ object Similarity {
       |  FROM e GROUP BY 1),
       |zs AS (
       |  SELECT e.i,
-      |    sum(CASE WHEN abs(((CAST(e.li AS DOUBLE) / 1000000.0) - s.mean)
-      |        / s.std) > 3.0 THEN 1 ELSE 0 END) AS n_outliers_3sd,
+      |    CAST(sum(CASE WHEN abs(((CAST(e.li AS DOUBLE) / 1000000.0) - s.mean)
+      |        / s.std) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers_3sd,
       |    min(((CAST(e.li AS DOUBLE) / 1000000.0) - s.mean) / s.std) AS min_z,
       |    max(((CAST(e.li AS DOUBLE) / 1000000.0) - s.mean) / s.std) AS max_z
       |  FROM e JOIN stats s USING (i) GROUP BY 1)

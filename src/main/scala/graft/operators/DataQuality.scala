@@ -138,7 +138,7 @@ object DataQuality {
       |  SELECT 1 AS rule_id, 'orders' AS scope,
       |    'completeness(o_totalprice)' AS rule,
       |    round(CAST(n_price AS DOUBLE) / CAST(n AS DOUBLE), 6) AS metric,
-      |    1.0 AS threshold FROM o
+      |    CAST(1.0 AS DOUBLE) AS threshold FROM o
       |  UNION ALL SELECT 2, 'orders', 'uniqueness(o_orderkey)',
       |    round(CAST(n_keys AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM o
       |  UNION ALL SELECT 3, 'orders', 'domain(o_orderstatus in {O,F,P})',

@@ -352,8 +352,8 @@ object Sources {
     * off the parquet originals (a faithful round-trip is invisible). */
   val jsonRoundTripDemoSql: String =
     """SELECT lang, source, count(*) AS n_docs,
-      |  sum(n_chars) AS sum_chars,
-      |  sum(length(text)) AS sum_text_len,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
       |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

@@ -1,13 +1,25 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle SQL in
 DuckDB over the raw testdata parquet and compare against the Spark result
-parquet dumped by graft.Verify. Compares schema (column names), row count,
-and values (sorted by all columns; doubles with 1e-9 tolerance).
+parquet dumped by graft.Verify.
+
+Round-7 hardening (VERDICT r6 "What's wrong" #2): the r6 local gate compared
+Python-coerced values, which cannot see DuckDB HUGEINT vs Spark BIGINT or
+-0.0 vs 0.0 — both of which the driver's type/bit-sensitive hash rejects
+(q132/q161 shipped red while the local gate said ALL OK). This version:
+  * compares each oracle column's DuckDB result type against the type DuckDB
+    assigns the Spark-written parquet column (TYPE-MISMATCH; catches HUGEINT
+    from un-cast integer sum(), width and decimal-precision drift);
+  * fetches rows via fetchall() (no pandas coercion of ints-with-NULLs to
+    float);
+  * compares doubles by IEEE-754 bit pattern via struct.pack('>d', ...)
+    (catches -0.0 vs 0.0 and any formatting-level drift).
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json
 import math
+import struct
 import sys
 
 import duckdb
@@ -16,20 +28,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+def bits(x):
+    """IEEE-754 bit pattern of a float; NaNs collapse to one token so any
+    NaN equals any NaN (Spark and DuckDB may emit different NaN payloads)."""
+    if math.isnan(x):
+        return b"NaN"
+    return struct.pack(">d", x)
 
 
 def values_equal(a, b):
-    a, b = norm(a), norm(b)
-    if isinstance(a, float) and isinstance(b, float):
-        # exact: the driver hashes values, so bit-identity is the bar
-        return a == b or (math.isnan(a) and math.isnan(b))
+    if isinstance(a, float) or isinstance(b, float):
+        # Bit-identity is the driver's bar. A float on one side and a
+        # non-float on the other is itself a (value-level) type break.
+        if not (isinstance(a, float) and isinstance(b, float)):
+            return False
+        return bits(a) == bits(b)
     return a == b
+
+
+def sort_token(v):
+    if isinstance(v, float):
+        return "f:" + bits(v).hex()
+    return str(v)
+
+
+def type_mismatch(spark_t, duck_t):
+    """True when the DuckDB type of the oracle column differs from the type
+    DuckDB assigns the Spark parquet column. Strict by design: HUGEINT vs
+    BIGINT, INTEGER vs BIGINT, DECIMAL precision drift are exactly the
+    defects the driver's hash rejects."""
+    return spark_t != duck_t
 
 
 def main(sf_dir, out_dir):
@@ -44,7 +72,6 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
-    import os
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     # Queries that errored during Verify never dump a dir, so iterating
@@ -93,13 +120,29 @@ def main(sf_dir, out_dir):
             print(f"{name:28s} SCHEMA-MISMATCH spark={scols} duck={dcols}")
             failures += 1
             continue
-        srows = spark_rel.df()[scols].values.tolist()
-        drows = duck.df()[dcols].values.tolist()
+        # Type gate: the DuckDB type of each oracle column must match the
+        # type DuckDB assigns the Spark-written parquet column.
+        stypes = {c.lower(): str(t) for c, t in
+                  zip(spark_rel.columns, spark_rel.types)}
+        dtypes = {c.lower(): str(t) for c, t in zip(duck.columns, duck.types)}
+        tbad = [(c, stypes[c], dtypes[c]) for c in sorted(stypes)
+                if type_mismatch(stypes[c], dtypes[c])]
+        if tbad:
+            c, st, dt = tbad[0]
+            print(f"{name:28s} TYPE-MISMATCH col={c} spark={st} duck={dt}"
+                  f"{' (+%d more)' % (len(tbad) - 1) if len(tbad) > 1 else ''}")
+            failures += 1
+            continue
+        # fetchall(): native Python objects, no pandas int→float coercion.
+        sidx = [spark_rel.columns.index(c) for c in scols]
+        didx = [duck.columns.index(c) for c in dcols]
+        srows = [[r[i] for i in sidx] for r in spark_rel.fetchall()]
+        drows = [[r[i] for i in didx] for r in duck.fetchall()]
         if len(srows) != len(drows):
             print(f"{name:28s} ROWCOUNT spark={len(srows)} duck={len(drows)}")
             failures += 1
             continue
-        key = lambda r: tuple(str(norm(v)) for v in r)
+        key = lambda r: tuple(sort_token(v) for v in r)
         srows.sort(key=key)
         drows.sort(key=key)
         bad = None
