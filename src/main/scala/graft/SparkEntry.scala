@@ -213,7 +213,9 @@ object SparkEntry {
     "q167_seasonal_decompose" -> q(Analytics.seasonalDecompose),
     "q168_attribution" -> q(Analytics.conversionAttribution),
     "q169_dedup_eval" -> q(t => Dedup.dedupEval(t)),
-    "q170_perplexity_filter" -> q(t => TextAnalysis.perplexityFilter(t)))
+    "q170_perplexity_filter" -> q(t => TextAnalysis.perplexityFilter(t)),
+    "q171_snapshot_time_travel" -> q(t => graft.sources.Snapshots.timeTravelDemo(t)),
+    "q172_storage_audit" -> q(t => graft.sources.TableIO.storageAuditDemo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -295,6 +297,8 @@ object SparkEntry {
     "q168_attribution" -> Analytics.conversionAttributionSql,
     "q169_dedup_eval" -> SketchOracleSql.dedupEval,
     "q170_perplexity_filter" -> TextAnalysis.perplexityFilterSql(),
+    "q171_snapshot_time_travel" -> graft.sources.Snapshots.timeTravelDemoSql,
+    "q172_storage_audit" -> graft.sources.TableIO.storageAuditDemoSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

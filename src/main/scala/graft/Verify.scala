@@ -12,9 +12,12 @@ object Verify {
       args.lift(2).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // input-size-aware (clamps to the core count at local fixture sizes)
+    val shuffleParts = graft.core.GraftSession.shufflePartitionsFor(
+      graft.core.GraftSession.inputBytes(sfDir), cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

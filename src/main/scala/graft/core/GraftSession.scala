@@ -30,6 +30,43 @@ object GraftSession {
   /** Session for tests: small core count, derby metastore in a temp dir. */
   def local(cores: Int = 4): SparkSession =
     builder(s"local[$cores]", shufflePartitions = cores).getOrCreate()
+
+  /** Input-size-aware shuffle-partition count: one shuffle partition per
+    * `targetBytes` of input (the parquet-scan split convention,
+    * `spark.sql.files.maxPartitionBytes`' 128 MB default), clamped to
+    * [cores, 4×cores] so tiny fixtures keep every core busy and huge ones
+    * don't drown the scheduler — AQE coalesces the post-shuffle tail
+    * downward at runtime, so the cost of the upper clamp is metadata, not
+    * extra passes. This makes the knob follow the DATA: the same binary
+    * sized for sf0.01 local runs computes 4×cores on a 100 TB input
+    * instead of silently funneling it through `cores` reducers (SCALE.md's
+    * open 100 TB note). */
+  def shufflePartitionsFor(inputBytes: Long, cores: Int,
+                           targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(cores > 0, s"cores must be positive, got $cores")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val byBytes = (inputBytes + targetBytes - 1) / targetBytes
+    math.min(math.max(byBytes, cores.toLong), 4L * cores).toInt
+  }
+
+  /** Total file bytes under `dir`, recursive — the input-scale probe for
+    * [[shufflePartitionsFor]]. Local-filesystem metadata walk only (the
+    * fixture dirs); on a cluster the same number comes from the
+    * catalog/FileIndex statistics. */
+  def inputBytes(dir: String): Long = {
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
+      else f.length
+    sz(new java.io.File(dir))
+  }
+}
+
+object Tables {
+  /** Calendar year the events fixture spans (TESTDATA.md: `ts` covers
+    * 2024). Freshness-style rules and their DuckDB mirrors derive their
+    * window from this single constant, so a fixture regen with a new date
+    * span is a one-line change here — not a silent audit/test break. */
+  val EventsFixtureYear = 2024
 }
 
 /** Parquet-backed star-schema tables (TESTDATA.md). Plain `spark.read

@@ -47,6 +47,20 @@ object Spectral {
           .select(col("j").as("i"), col("i").as("j"), col("m")))
       .localCheckpoint() // iterated over
 
+    // Overflow guard — fail loudly instead of corrupting the iteration:
+    // each round bounds |w| ≤ dim·max|m|·max|v| with max|v| ≤ VecScale (the
+    // renormalization divides back to ≤ 10^6), so the LongType accumulator
+    // is safe iff dim·max|m|·VecScale < 2^63. One 1-row aggregate over the
+    // dim²-sized matrix frame — bounded driver work, not a data collect.
+    val maxAbsRow = m.agg(max(abs(col("m")))).head()
+    val maxAbsM = if (maxAbsRow.isNullAt(0)) 0L else maxAbsRow.getLong(0)
+    require(
+      maxAbsM <= Long.MaxValue / VecScale / math.max(dim.toLong, 1L),
+      s"pcaPowerIteration: dim=$dim with max|cov_scaled|=$maxAbsM would " +
+        s"overflow the BIGINT mat-vec accumulator " +
+        s"(dim*max|m|*$VecScale >= 2^63); coarsen CovScale or split the " +
+        "accumulation into hi/lo halves as embeddingCovariance does")
+
     var v = m.select(col("i").as("j")).distinct()
       .withColumn("v", lit(VecScale))
       .localCheckpoint()

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * when the parent is dimension-sized). Output is rule-count-sized. */
 object DataQuality {
 
+  /** Freshness window = the fixture's actual date span (single source of
+    * truth: [[graft.core.Tables.EventsFixtureYear]]) — a fixture regen with
+    * different dates moves the rule and its mirror together. */
+  private val FreshYear = graft.core.Tables.EventsFixtureYear
+
   /** q157: the audit over the star schema's contract — completeness,
     * key uniqueness, value domain, numeric range, and two referential-
     * integrity rules. One aggregate per scoped table + one anti-join per
@@ -89,12 +94,13 @@ object DataQuality {
 
     val freshness = t.events.agg(
       count(lit(1)).as("n"),
-      sum((col("ts") >= lit("2024-01-01").cast("timestamp") &&
-        col("ts") < lit("2025-01-01").cast("timestamp")).cast("long"))
+      sum((col("ts") >= lit(s"$FreshYear-01-01").cast("timestamp") &&
+        col("ts") < lit(s"${FreshYear + 1}-01-01").cast("timestamp"))
+        .cast("long"))
         .as("n_window"))
       .select(
         lit(8).as("rule_id"), lit("events").as("scope"),
-        lit("freshness(ts in 2024)").as("rule"),
+        lit(s"freshness(ts in $FreshYear)").as("rule"),
         frac(col("n_window"), col("n")).as("metric"),
         lit(1.0).as("threshold"))
 
@@ -110,7 +116,7 @@ object DataQuality {
   /** DuckDB mirror of [[auditReport]] — same rules, same exact-count
     * fractions. */
   val auditReportSql: String =
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT count(*) AS n, count(o_totalprice) AS n_price,
       |    count(DISTINCT o_orderkey) AS n_keys,
       |    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END)
@@ -131,8 +137,9 @@ object DataQuality {
       |  FROM customer cu LEFT JOIN nation na ON cu.c_nationkey = na.n_nationkey),
       |e AS (
       |  SELECT count(*) AS n,
-      |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-01'
-      |      AND ts < TIMESTAMP '2025-01-01' THEN 1 ELSE 0 END) AS n_window
+      |    sum(CASE WHEN ts >= TIMESTAMP '$FreshYear-01-01'
+      |      AND ts < TIMESTAMP '${FreshYear + 1}-01-01' THEN 1 ELSE 0 END)
+      |      AS n_window
       |  FROM events),
       |rules AS (
       |  SELECT 1 AS rule_id, 'orders' AS scope,
@@ -151,7 +158,7 @@ object DataQuality {
       |    round(CAST(n_matched AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM lo
       |  UNION ALL SELECT 7, 'customer->nation', 'referential(c_nationkey)',
       |    round(CAST(n_matched AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM cn
-      |  UNION ALL SELECT 8, 'events', 'freshness(ts in 2024)',
+      |  UNION ALL SELECT 8, 'events', 'freshness(ts in $FreshYear)',
       |    round(CAST(n_window AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM e)
       |SELECT rule_id, scope, rule, metric, threshold,
       |  metric >= threshold AS passed

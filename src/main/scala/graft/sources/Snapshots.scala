@@ -178,6 +178,57 @@ object Snapshots {
     diff(t.spark, base, v1, v2, "o_orderkey")
   }
 
+  /** q171: [[read]]`(version)` + [[rollback]] driven end-to-end through the
+    * snapshot store — two derived views of `orders` committed as v1/v2, the
+    * pointer rolled back to v1, then BOTH views read: the current pointer
+    * (which must resolve to v1 again, proving rollback is a pure pointer
+    * move) and an explicit version-pinned read of v2 (proving the newer
+    * snapshot stays readable after rollback — time travel FORWARD of the
+    * pointer). Each side is summarized with order-independent exact
+    * aggregates (counts, min/max, integer sum) so the whole mechanism sits
+    * under the driver's hash gate. (Reference recovery workflow leans on
+    * Iceberg snapshot rollback: `nyc_taxi_to_iceberg.py:57-70`.) */
+  def timeTravelDemo(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-snaptravel").toString
+    val slim = t.orders.select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+    val v1 = write(slim.filter(col("o_orderkey") % 7 =!= 0), base)
+    val v2 = write(slim.filter(col("o_orderkey") % 5 =!= 0), base)
+    rollback(spark, base, v1)
+    require(currentVersion(spark, base).contains(v1),
+      s"rollback did not move the pointer to v=$v1")
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(col("o_orderkey")).as("sum_key"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+        .select(lit(tag).as("snapshot_view"), col("*"))
+    summarize(read(spark, base), "current_after_rollback")
+      .unionByName(summarize(read(spark, base, Some(v2)), "v2_time_travel"))
+      .orderBy(col("snapshot_view"))
+  }
+
+  /** DuckDB mirror of [[timeTravelDemo]]: current-after-rollback replays as
+    * the v1 derivation, the version-pinned read as the v2 derivation. */
+  val timeTravelDemoSql: String =
+    """SELECT 'current_after_rollback' AS snapshot_view, count(*) AS n,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  count(DISTINCT o_orderstatus) AS n_status
+      |FROM orders WHERE o_orderkey % 7 <> 0
+      |UNION ALL
+      |SELECT 'v2_time_travel', count(*),
+      |  min(o_orderkey), max(o_orderkey),
+      |  CAST(sum(o_orderkey) AS BIGINT),
+      |  count(DISTINCT o_orderstatus)
+      |FROM orders WHERE o_orderkey % 5 <> 0
+      |ORDER BY snapshot_view""".stripMargin
+
   /** DuckDB mirror of [[diffDemoOrders]]. */
   val diffDemoOrdersSql: String =
     """WITH b AS (

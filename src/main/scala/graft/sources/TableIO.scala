@@ -484,6 +484,62 @@ object TableIO {
       .orderBy(col("partition"))
   }
 
+  /** q172: [[storageAudit]] driven end-to-end on a deterministic layout —
+    * a status-partitioned catalog table built by three single-task appends,
+    * where append b (b=0,1,2) carries the keys ≡b (mod 3) of the statuses
+    * ranked ≥ b (O=0, F=1, P=2). Each append's `coalesce(1)` writes exactly
+    * one file into every partition it touches, so the audited per-partition
+    * file count is rank+1 by construction and the row count is plain SQL
+    * over `orders` — the whole small-file diagnostic sits under the hash
+    * gate. Byte-size columns are projected away: parquet file sizes are not
+    * replayable from raw data. (Reference maintenance concern:
+    * `nyc_taxi_to_iceberg.py` relies on Iceberg's file-size metadata tables
+    * for the same audit.) */
+  def storageAuditDemo(t: graft.core.Tables): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    val table = s"graft_audit_demo_${(t.dir.hashCode & 0x7fffffff).toHexString}"
+    dropTableAndLocation(spark, table)
+    val ranked = t.orders
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .withColumn("status_rank",
+        when(col("o_orderstatus") === "O", 0)
+          .when(col("o_orderstatus") === "F", 1)
+          .otherwise(2))
+    (0 to 2).foreach { b =>
+      val slice = ranked
+        .filter(col("o_orderkey") % 3 === b && col("status_rank") >= b)
+        .drop("status_rank")
+        .coalesce(1)
+      slice.write.format("parquet").partitionBy("o_orderstatus")
+        .mode(if (b == 0) "errorifexists" else "append").saveAsTable(table)
+    }
+    val audit = storageAudit(spark, table)
+      .select(col("partition"), col("n_files"), col("n_small_files"))
+    val rows = spark.table(table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        concat(lit("o_orderstatus="), col("o_orderstatus")).as("partition"),
+        col("n_rows"))
+    audit.join(rows, Seq("partition")).orderBy(col("partition"))
+  }
+
+  /** DuckDB mirror of [[storageAuditDemo]]: file counts are the rank+1
+    * construction constants; row counts replay from `orders`. */
+  val storageAuditDemoSql: String =
+    """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+      |  CAST(CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 3 END
+      |    AS BIGINT) AS n_files,
+      |  CAST(CASE o_orderstatus WHEN 'O' THEN 1 WHEN 'F' THEN 2 ELSE 3 END
+      |    AS BIGINT) AS n_small_files,
+      |  count(*) AS n_rows
+      |FROM orders
+      |WHERE o_orderkey % 3 <=
+      |  CASE o_orderstatus WHEN 'O' THEN 0 WHEN 'F' THEN 1 ELSE 2 END
+      |GROUP BY o_orderstatus
+      |ORDER BY partition""".stripMargin
+
   /** S10: CTAS with partitioning (`nyc_taxi_to_iceberg.py:164-184`). */
   def ctas(
       spark: SparkSession,

@@ -306,6 +306,70 @@ object TaxiServing {
     obs.get("n_rows").asInstanceOf[Long]
   }
 
+  /** The HTTP boundary's parameter contract (`serving/api.py:82-338`):
+    * every endpoint validates its paging/window params BEFORE any query
+    * runs (FastAPI `Query(ge=…, le=…)` → 422) and bounds its response
+    * size. These wrappers are that layer over the Spark surface — a
+    * driver of this library gets the same rejection the HTTP layer gives,
+    * and no endpoint can return an unbounded frame, however large the
+    * lake. Bounds are the reference's own constants, cited per method. */
+  object Api {
+    private[taxi] def bound(name: String, v: Int, lo: Int, hi: Int): Int = {
+      require(v >= lo && v <= hi,
+        s"$name=$v out of bounds [$lo, $hi] (api.py Query(ge=$lo, le=$hi))")
+      v
+    }
+
+    /** `/api/v1/trips/recent` (`api.py:82-83`): limit∈[1,1000],
+      * hours_back∈[1,168]. */
+    def recentTrips(trips: DataFrame, now: Timestamp,
+                    limit: Int = 100, hoursBack: Int = 24): DataFrame =
+      TaxiServing.recentTrips(trips, now,
+        bound("limit", limit, 1, 1000),
+        bound("hours_back", hoursBack, 1, 168))
+
+    /** `/api/v1/analytics/zones` (`api.py:122`): limit∈[1,500], applied
+      * on top of the metric query (the reference pages in the endpoint). */
+    def zoneMetrics(trips: DataFrame, zones: DataFrame, start: Timestamp,
+                    end: Timestamp, limit: Int = 50): DataFrame =
+      TaxiServing.zoneMetrics(trips, zones, start, end)
+        .limit(bound("limit", limit, 1, 500))
+
+    /** `/api/v1/analytics/time-series` (`api.py:196-197`): metric from a
+      * closed vocabulary, days_back∈[1,30]; output is the (timestamp,
+      * value) series shape the charts consume. */
+    def timeSeries(trips: DataFrame, now: Timestamp,
+                   metric: String = "trip_count",
+                   daysBack: Int = 7): DataFrame = {
+      val metricCol = metric match {
+        case "trip_count" => "trip_count"
+        case "revenue"    => "total_revenue"
+        case "avg_fare"   => "avg_fare"
+        case other => throw new IllegalArgumentException(
+          s"metric=$other not in {trip_count, revenue, avg_fare} (api.py:196)")
+      }
+      TaxiServing
+        .hourlyTripCounts(trips, now, bound("days_back", daysBack, 1, 30))
+        .select(col("hour").as("timestamp"),
+          col(metricCol).cast("double").as("value"))
+    }
+
+    /** `/api/v1/predictions/demand` (`api.py:258-259,286`):
+      * hours_ahead∈[1,168], top_zones∈[1,100]; the endpoint returns
+      * `head(top_zones * min(hours_ahead, 24))` rows. */
+    def demandPredictions(trips: DataFrame, zones: DataFrame, now: Timestamp,
+                          hoursAhead: Int = 24, topZones: Int = 20): DataFrame =
+      TaxiServing.demandPrediction(trips, zones, now,
+          bound("hours_ahead", hoursAhead, 1, 168))
+        .limit(bound("top_zones", topZones, 1, 100) * math.min(hoursAhead, 24))
+
+    /** `/api/v1/realtime/activity` (`api.py:299`): minutes_back∈[5,240]. */
+    def realTimeActivity(trips: DataFrame, zones: DataFrame, now: Timestamp,
+                         minutesBack: Int = 60): DataFrame =
+      TaxiServing.realTimeActivity(trips, zones, now,
+        bound("minutes_back", minutesBack, 5, 240))
+  }
+
   /** The last hop of the reference's batch lifecycle (E1): publish a
     * derived lakehouse table into the serving database the API reads
     * (ETL → Postgres in `serving/database.py`'s world). Key-matched upsert

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.GraftSession.{inputBytes, shufflePartitionsFor}
+
+/** Pins the input-size-aware shuffle-partition sizing (VERDICT r6 item 4):
+  * the knob must follow the data — clamp to the core count on the tiny
+  * local fixtures, grow one-partition-per-128MB in the scaling region, and
+  * cap at 4×cores so a 100 TB input can't drown the scheduler. No Spark
+  * session needed: the function is pure and the fixture probe is a
+  * filesystem walk. */
+class ShufflePartitionsSpec extends AnyFunSuite {
+
+  private val cores = 32
+
+  test("fixture dirs: both local scales clamp to the core count") {
+    val tiny = inputBytes("/root/testdata/sf0.001")
+    val small = inputBytes("/root/testdata/sf0.01")
+    assert(tiny > 0L && small > tiny,
+      s"fixture probe broken: sf0.001=$tiny sf0.01=$small")
+    assert(shufflePartitionsFor(tiny, cores) === cores)
+    assert(shufflePartitionsFor(small, cores) === cores)
+  }
+
+  test("scaling region: one partition per targetBytes, ceil-divided") {
+    val gb = 1024L * 1024 * 1024
+    // 10 GB / 128 MB = 80 — above cores, below the 4×cores cap
+    assert(shufflePartitionsFor(10 * gb, cores) === 80)
+    // ceil, not floor: one byte past a boundary adds a partition
+    assert(shufflePartitionsFor(128L * 1024 * 1024 * 80 + 1, cores) === 81)
+  }
+
+  test("upper clamp: huge inputs cap at 4×cores") {
+    val tb = 1024L * 1024 * 1024 * 1024
+    assert(shufflePartitionsFor(tb, cores) === 4 * cores)
+    assert(shufflePartitionsFor(100 * tb, cores) === 4 * cores)
+  }
+
+  test("degenerate inputs: zero bytes clamps up, bad args fail loudly") {
+    assert(shufflePartitionsFor(0L, cores) === cores)
+    intercept[IllegalArgumentException](shufflePartitionsFor(1L, 0))
+    intercept[IllegalArgumentException](shufflePartitionsFor(1L, 4, 0L))
+  }
+
+  test("target override: coarser target yields fewer partitions") {
+    val gb = 1024L * 1024 * 1024
+    assert(shufflePartitionsFor(10 * gb, cores, targetBytes = 512L * 1024 * 1024) === cores)
+  }
+}
