@@ -218,4 +218,28 @@ class BpeSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq == (1 to run.mergesLearned))
     assert(rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
   }
+
+  test("batched at realistic width: interaction thinning stays small " +
+    "(tools/BpeScaleRun's 1k-merge regime)") {
+    import org.apache.spark.sql.functions._
+    // the raw fixture's 31-word vocabulary exhausts BPE at ~91 merges (the
+    // correct outcome); the bigram derivation (vocab ≈ 31² words of ~10
+    // chars) is the >1k-merge regime BpeScaleRun pins at sf0.1. Here: the
+    // wide batch must KEEP most of its budget — a regression in the
+    // interaction filter (over-rejecting) would push the realistic run
+    // from ~19 rounds toward one-merge-per-round economics.
+    val docs = sf().documents.select(concat_ws(" ", expr(
+      "transform(sequence(1, size(split(lower(text), ' ')) - 1), i -> " +
+        "concat(split(lower(text), ' ')[i - 1], '_', " +
+        "split(lower(text), ' ')[i]))")).as("text"))
+    val run = Bpe.trainBatched(docs, rounds = 4, batchSize = 32,
+      windowSize = 256)
+    assert(run.roundsRun == 4)
+    assert(run.mergesLearned >= 4 * 24,
+      s"only ${run.mergesLearned} merges in 4 rounds — batch yield " +
+        s"${run.mergesLearned / 4.0}/32 suggests interaction over-rejection")
+    val rows = run.rules.collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to run.mergesLearned))
+    assert(rows.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+  }
 }
