@@ -368,6 +368,43 @@ object TaxiServing {
                          minutesBack: Int = 60): DataFrame =
       TaxiServing.realTimeActivity(trips, zones, now,
         bound("minutes_back", minutesBack, 5, 240))
+
+    /** Read-through TTL cache — the serving layer's 300 s result cache
+      * (`serving/config.py:55`, `serving/dashboard.py:36`): dashboard
+      * polls (10 s client timeout) re-read the cached result instead of
+      * queueing identical aggregate jobs on the lake. Keys are
+      * caller-chosen (endpoint + parameters); entries expire after
+      * `ttlMs`; the map is bounded (expired-sweep at 1024 entries, the
+      * endpoint-parameter space is enum-sized by the bounds above).
+      * `nowMs` is injectable so the expiry contract is spec-testable. */
+    private val resultCache =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Any)]()
+
+    def cached[T](key: String, ttlMs: Long = 300000L,
+                  nowMs: () => Long = () => System.currentTimeMillis())
+                 (compute: => T): T = {
+      require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+      val t = nowMs()
+      resultCache.get(key) match {
+        case (born, v) if t - born < ttlMs => v.asInstanceOf[T]
+        case _ =>
+          if (resultCache.size() > 1024)
+            resultCache.entrySet().removeIf(e => t - e.getValue._1 >= ttlMs)
+          val v = compute
+          resultCache.put(key, (t, v))
+          v
+      }
+    }
+
+    /** [[TaxiServing.dashboardStats]] behind the 300 s cache window — the
+      * `/api/v1/dashboard/stats` read path as the reference deploys it. */
+    def cachedDashboardStats(spark: SparkSession, trips: DataFrame,
+                             zones: DataFrame, now: Timestamp,
+                             ttlMs: Long = 300000L,
+                             nowMs: () => Long = () => System.currentTimeMillis())
+        : DashboardStats =
+      cached(s"dashboard_stats/$now", ttlMs, nowMs)(
+        dashboardStats(spark, trips, zones, now))
   }
 
   /** The last hop of the reference's batch lifecycle (E1): publish a

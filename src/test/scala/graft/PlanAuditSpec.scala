@@ -458,7 +458,12 @@ class PlanAuditSpec extends SparkSpec {
     "q169_dedup_eval" -> 5,
     // checkpoint-truncated score frame; grid mm/hist/cum/edge chain +
     // left-join report + output sort
-    "q170_perplexity_filter" -> 8)
+    "q170_perplexity_filter" -> 8,
+    // two global aggregates (one per snapshot view), each paying a
+    // partial/final pair for the count-distinct rewrite
+    "q171_snapshot_time_travel" -> 4,
+    // per-partition row-count groupBy + the audit⋈counts join
+    "q172_storage_audit" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -62,6 +62,31 @@ class ServingApiSpec extends SparkSpec {
       Api.demandPredictions(trips, zones, now, hoursAhead = 169))
   }
 
+  test("result cache: hit inside the TTL window, recompute after expiry") {
+    var clock = 1000L
+    var computes = 0
+    def get(): Int = Api.cached("k", ttlMs = 300000L, nowMs = () => clock) {
+      computes += 1; computes
+    }
+    assert(get() == 1 && computes == 1)
+    clock += 299999L // still inside the 300 s window
+    assert(get() == 1 && computes == 1, "in-window read must not recompute")
+    clock += 2L // past expiry
+    assert(get() == 2 && computes == 2, "post-TTL read must recompute")
+    // distinct keys never share entries
+    assert(Api.cached("k2", nowMs = () => clock)(42) == 42)
+    assert(get() == 2 && computes == 2)
+  }
+
+  test("cached dashboard stats: one lake read per TTL window") {
+    var clock = 5000L
+    val a = Api.cachedDashboardStats(spark, trips, zones, now,
+      nowMs = () => clock)
+    val b = Api.cachedDashboardStats(spark, trips, zones, now,
+      nowMs = () => clock + 1000L)
+    assert(a eq b, "in-window poll must return the cached result object")
+  }
+
   test("real-time activity: minutes_back in [5,240]") {
     assert(Api.realTimeActivity(trips, zones, now, minutesBack = 60).count() >= 0)
     intercept[IllegalArgumentException](
