@@ -215,7 +215,10 @@ object SparkEntry {
     "q169_dedup_eval" -> q(t => Dedup.dedupEval(t)),
     "q170_perplexity_filter" -> q(t => TextAnalysis.perplexityFilter(t)),
     "q171_snapshot_time_travel" -> q(t => graft.sources.Snapshots.timeTravelDemo(t)),
-    "q172_storage_audit" -> q(t => graft.sources.TableIO.storageAuditDemo(t)))
+    "q172_storage_audit" -> q(t => graft.sources.TableIO.storageAuditDemo(t)),
+    "q173_line_dedup" -> q(t => Dedup.lineDedupReport(t)),
+    "q174_containment_pairs" -> q(t => Dedup.containmentPairs(t)),
+    "q175_kmeans" -> q(t => graft.ext.Spectral.kmeansReport(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -299,6 +302,9 @@ object SparkEntry {
     "q170_perplexity_filter" -> TextAnalysis.perplexityFilterSql(),
     "q171_snapshot_time_travel" -> graft.sources.Snapshots.timeTravelDemoSql,
     "q172_storage_audit" -> graft.sources.TableIO.storageAuditDemoSql,
+    "q173_line_dedup" -> Dedup.lineDedupReportSql(),
+    "q174_containment_pairs" -> Dedup.containmentPairsSql(),
+    "q175_kmeans" -> graft.ext.Spectral.kmeansReportSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

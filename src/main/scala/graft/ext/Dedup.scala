@@ -1143,4 +1143,177 @@ object Dedup {
        |FROM tk LEFT JOIN kept k USING (doc_id)
        |GROUP BY tk.doc_id, len(tk.tks)
        |ORDER BY tk.doc_id""".stripMargin
+
+  /** q173: corpus-level LINE deduplication report — the C4/RefinedWeb
+    * boilerplate-removal recipe ("drop any line that occurs verbatim in
+    * ≥ N distinct documents": nav bars, cookie banners, license footers).
+    * The fixture's documents carry no newlines, so "lines" are the
+    * deterministic stand-in segmentation of consecutive non-overlapping
+    * `lineWords`-word windows ([[TextAnalysis.chunkDocuments]] with
+    * overlap 0 — a real corpus splits on `\n` and everything downstream
+    * is identical). Output: the per-source removal accounting a cleaning
+    * pipeline publishes before committing the drop.
+    *
+    * Scale shape: segmentation is a narrow explode (linear); line
+    * document-frequency is ONE shuffle keyed by the line; the flag join
+    * back re-keys the same frame once more; the report is a source-sized
+    * aggregate. Nothing is quadratic and no driver action runs. Lines
+    * here group on raw text (exact, and the fixture's lines are tiny); at
+    * 100 TB the group key becomes the 16-byte content hash with text
+    * carried as `min(line)` — the [[exact]] doctrine. */
+  def lineDedupReport(t: Tables, lineWords: Int = 8, minDocs: Int = 3): DataFrame = {
+    val tks = TextAnalysis.tokens(col("text"))
+    val lines = t.documents
+      .select(col("doc_id"), col("source"), tks.as("tks"))
+      .select(col("doc_id"), col("source"), col("tks"),
+        greatest(
+          (size(col("tks")) + lit(lineWords - 1)).cast("long") / lit(lineWords),
+          lit(1L).cast("double")).cast("long").as("n_lines"))
+      .select(col("doc_id"), col("source"), col("tks"),
+        explode(sequence(lit(0L), col("n_lines") - 1)).as("i"))
+      .select(col("doc_id"), col("source"),
+        array_join(
+          slice(col("tks"), (col("i") * lineWords + 1).cast("int"), lit(lineWords)),
+          " ").as("line"))
+    val df = lines
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("line_df"))
+    lines
+      .join(df, Seq("line"))
+      .withColumn("boiler", col("line_df") >= minDocs)
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_lines"),
+        sum(col("boiler").cast("long")).as("n_boiler_lines"),
+        countDistinct(when(col("boiler"), col("line"))).as("n_distinct_boiler"),
+        sum(length(col("line")).cast("long")).as("chars_total"),
+        sum(when(col("boiler"), length(col("line")).cast("long"))
+          .otherwise(lit(0L))).as("chars_removed"))
+      .withColumn("pct_chars_removed",
+        round(col("chars_removed").cast("double") / col("chars_total"), 6))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[lineDedupReport]]. */
+  def lineDedupReportSql(lineWords: Int = 8, minDocs: Int = 3): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS tks
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, source, tks,
+       |    greatest((len(tks) + ${lineWords - 1}) // $lineWords, 1) AS n_lines
+       |  FROM tk),
+       |l AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    array_to_string(
+       |      tks[u.i * $lineWords + 1 : u.i * $lineWords + $lineWords], ' ') AS line
+       |  FROM n, unnest(range(0, n_lines)) AS u(i)),
+       |df AS (
+       |  SELECT line, count(DISTINCT doc_id) AS line_df FROM l GROUP BY 1),
+       |fl AS (
+       |  SELECT l.doc_id, l.source, l.line, (df.line_df >= $minDocs) AS boiler
+       |  FROM l JOIN df USING (line))
+       |SELECT source,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+       |  count(DISTINCT CASE WHEN boiler THEN line END) AS n_distinct_boiler,
+       |  CAST(sum(length(line)) AS BIGINT) AS chars_total,
+       |  CAST(sum(CASE WHEN boiler THEN length(line) ELSE 0 END) AS BIGINT)
+       |    AS chars_removed,
+       |  round(CAST(sum(CASE WHEN boiler THEN length(line) ELSE 0 END) AS DOUBLE)
+       |    / sum(length(line)), 6) AS pct_chars_removed
+       |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
+  /** q174: near-CONTAINMENT pairs — the asymmetric dup relation Jaccard
+    * dedup structurally misses: an article embedded in a longer page, a
+    * doc plus appended boilerplate, quote-heavy reposts. Detected by
+    * max-direction set containment |A∩B| / min(|A|,|B|) over the distinct
+    * word-shingle sets; the emitted `jaccard` column shows exactly how far
+    * below a symmetric threshold each caught pair sits.
+    *
+    * Candidate generation is a document-frequency-cut posting self-join:
+    * shingles appearing in more than `dfCap` documents are dropped from
+    * candidate generation (ubiquitous boilerplate shingles — the pairs
+    * they alone would propose are noise), bounding per-shingle join work
+    * at C(dfCap, 2) so candidate volume is linear in distinct shingles.
+    * A pair sharing ONLY above-cap shingles is missed — the documented
+    * recall contract, same as [[saltedBuckets]]' cap. Verification then
+    * computes exact intersection on candidate pairs only (the
+    * [[incrementalDupPairs]] verify pattern). */
+  def containmentPairs(t: Tables, tau: Double = 0.8, dfCap: Int = 64): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    val sets = t.documents
+      .select(col("doc_id"), array_distinct(
+        graft.functions.ShingleExpression.wordShingles(
+          TextAnalysis.tokens(col("text")))).as("shset"))
+      .localCheckpoint() // read by postings and by the verify join
+    val post = sets.select(col("doc_id"), explode(col("shset")).as("s"))
+    val rare = post.groupBy(col("s"))
+      .agg(count(lit(1)).as("s_df"))
+      .filter(col("s_df") <= dfCap)
+      .select(col("s"))
+    val fp = post.join(rare, Seq("s"), "left_semi")
+    val cand = fp.as("a")
+      .join(fp.as("b"), col("a.s") === col("b.s") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint() // candidate-pair-sized; read twice by the verify
+    cand
+      .join(sets.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(sets.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(col("da.shset")).cast("long").as("n_a"),
+        size(col("db.shset")).cast("long").as("n_b"),
+        size(array_intersect(col("da.shset"), col("db.shset"))).cast("long")
+          .as("n_common"))
+      .select(
+        col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("containment"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"),
+        when(col("n_a") <= col("n_b"), lit("a_in_b")).otherwise(lit("b_in_a"))
+          .as("direction"))
+      .filter(col("containment") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The DuckDB mirror of [[containmentPairs]]. */
+  def containmentPairsSql(tau: Double = 0.8, dfCap: Int = 64): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tks) < 3 THEN [array_to_string(tks, ' ')]
+       |         ELSE list_transform(range(1, len(tks) - 1),
+       |                i -> array_to_string(tks[i:i+2], ' ')) END AS shingles
+       |  FROM tk),
+       |sets AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(shingles) AS shset FROM sh),
+       |post AS MATERIALIZED (
+       |  SELECT doc_id, u.s FROM sets, unnest(shset) AS u(s)),
+       |rare AS (SELECT s FROM post GROUP BY s HAVING count(*) <= $dfCap),
+       |fp AS (SELECT p.doc_id, p.s FROM post p JOIN rare USING (s)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fp a JOIN fp b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |v AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(a.shset) AS BIGINT) AS n_a,
+       |    CAST(len(b.shset) AS BIGINT) AS n_b,
+       |    CAST(len(list_intersect(a.shset, b.shset)) AS BIGINT) AS n_common
+       |  FROM cand JOIN sets a ON doc_a = a.doc_id
+       |            JOIN sets b ON doc_b = b.doc_id)
+       |SELECT doc_a, doc_b, n_a, n_b, n_common,
+       |  round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 6) AS containment,
+       |  round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard,
+       |  CASE WHEN n_a <= n_b THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+       |FROM v
+       |WHERE round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 6) >= $tau
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.core.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dominant principal component of the embedding covariance by power
@@ -134,5 +135,152 @@ object Spectral {
        |    AS eigenvalue_est
        |FROM v$iters v CROSS JOIN x$iters x
        |ORDER BY dim""".stripMargin
+  }
+
+  /** Squared Euclidean distance between two equal-length long arrays —
+    * exact integer arithmetic, order-free (commutative adds). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+
+  /** q175: k-means clustering report — Lloyd's algorithm over the
+    * embedding corpus, run entirely in 1e6-scale fixed-point BIGINTs (the
+    * [[pcaPowerIteration]] portability doctrine applied to clustering):
+    * integer squared-Euclidean assignment with (distance, centroid-id)
+    * tiebreak, integer floor-division centroid means, empty clusters
+    * keeping their previous centroid. Seeds are the deterministic
+    * id-strided coverage sample ([[Similarity.ivfBuildIndexRefined]]'s
+    * seeding; the one driver-side `count()` is the index-build boundary).
+    * Output: per-cluster cardinality, exact inertia (reassembled from a
+    * hi/lo 26-bit split so the BIGINT sum can never overflow — the
+    * embeddingCovariance pattern), and mean member distance.
+    *
+    * Scale shape: each round is one broadcast of k centroid arrays against
+    * the corpus (narrow n·k distance evaluation, one row_number window
+    * keyed by vec_id) plus one (cid, dim)-keyed aggregate — rounds × two
+    * shuffles, nothing quadratic, centroid state always k·dim rows. The
+    * quantized corpus is localCheckpoint'd once and re-read per round. */
+  def kmeansReport(t: Tables, k: Int = 8, iters: Int = 3): DataFrame = {
+    val qv = t.embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * VecScale, 0).cast("long")).as("qv"))
+      .localCheckpoint() // iterated over; avoid re-reading parquet per round
+    // Index-build boundary: one pass for the seed stride + the overflow
+    // guard (|dist| ≤ dim·(2·max|q|)² and |mean-sum| ≤ n·max|q| must stay
+    // inside BIGINT — fail loudly, the pcaPowerIteration contract).
+    val head = qv
+      .agg(count(lit(1)).as("n"),
+        max(aggregate(col("qv"), lit(0L), (m, x) => greatest(m, abs(x))))
+          .as("maxq"),
+        max(size(col("qv"))).as("dim"))
+      .head()
+    val n = head.getLong(0)
+    val maxQ = if (head.isNullAt(1)) 0L else head.getLong(1)
+    val dim = if (head.isNullAt(2)) 1 else head.getInt(2)
+    require(maxQ <= 0 || (maxQ < math.sqrt(Long.MaxValue.toDouble / (4.0 * dim))
+      && maxQ < Long.MaxValue / math.max(n, 1L)),
+      s"kmeansReport: max|q|=$maxQ at dim=$dim, n=$n would overflow the " +
+        "BIGINT distance/mean accumulators; coarsen VecScale")
+    val stride = math.max(1L, n / k)
+    var cents = qv.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")) // bare limit() is partition-order dependent
+      .limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      .localCheckpoint()
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      qv.crossJoin(broadcast(c)) // k rows — a broadcast nested loop by design
+        .select(col("vec_id"), col("qv"), col("cid"),
+          sqDist(col("qv"), col("cv")).as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+    for (_ <- 1 to iters) {
+      val means = assign(cents)
+        .select(col("cid"), posexplode(col("qv")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("c"))
+        // portable floor division: (s − pmod(s, c)) is exactly divisible
+        .select(col("cid"), col("pos"),
+          expr("(s - pmod(s, c)) div c").as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("newcv"))
+      cents = cents.as("c").join(means.as("u"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("u.newcv"), col("c.cv")).as("cv"))
+        .localCheckpoint() // cut the iterated lineage
+    }
+    assign(cents)
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(shiftright(col("dist"), 26)).as("hi"),
+        sum(col("dist").bitwiseAND(lit(67108863L))).as("lo"))
+      .select(col("cid"), col("n_members"),
+        (col("hi").cast("double") * lit(67108864.0) + col("lo").cast("double"))
+          .as("inertia"))
+      .withColumn("mean_dist",
+        round(col("inertia") / col("n_members").cast("double") /
+          lit((VecScale * VecScale).toDouble), 6))
+      .orderBy(col("cid"))
+  }
+
+  /** DuckDB mirror of [[kmeansReport]] — the quantized per-dimension
+    * frame, the same strided seed, and the Lloyd rounds unrolled as
+    * MATERIALIZED CTE chains (assignment → means → coalesced centroids).
+    * DuckDB's HUGEINT promotion is cast back at every boundary; all
+    * magnitudes stay < 2^63 so the arithmetic is identical. */
+  def kmeansReportSql(k: Int = 8, iters: Int = 3): String = {
+    val rounds = (1 to iters).map { r =>
+      val pc = s"c${r - 1}"
+      s"""d$r AS (
+         |  SELECT e.vec_id, c.cid,
+         |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
+         |  FROM eq e JOIN $pc c ON c.i = e.i GROUP BY 1, 2),
+         |a$r AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d$r) WHERE rn = 1),
+         |m$r AS (
+         |  SELECT a.cid, e.i, CAST(sum(e.q) AS BIGINT) AS s, count(*) AS c
+         |  FROM a$r a JOIN eq e USING (vec_id) GROUP BY 1, 2),
+         |c$r AS MATERIALIZED (
+         |  SELECT p.cid, p.i,
+         |    coalesce(CAST((m.s - ((m.s % m.c + m.c) % m.c)) // m.c AS BIGINT),
+         |             p.c) AS c
+         |  FROM $pc p LEFT JOIN m$r m ON m.cid = p.cid AND m.i = p.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+       |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * $VecScale, 0) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |seed AS (
+       |  SELECT vec_id AS cid FROM embeddings CROSS JOIN nn
+       |  WHERE vec_id % greatest(nn.n // $k, 1) = 0
+       |  ORDER BY vec_id LIMIT $k),
+       |c0 AS MATERIALIZED (
+       |  SELECT s.cid, e.i, e.q AS c FROM seed s JOIN eq e ON e.vec_id = s.cid),
+       |$rounds,
+       |fd AS (
+       |  SELECT e.vec_id, c.cid,
+       |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
+       |  FROM eq e JOIN c$iters c ON c.i = e.i GROUP BY 1, 2),
+       |fa AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM fd) WHERE rn = 1),
+       |rep AS (
+       |  SELECT cid, count(*) AS n_members,
+       |    CAST(sum(dist >> 26) AS DOUBLE) * 67108864.0
+       |      + CAST(sum(dist & 67108863) AS DOUBLE) AS inertia
+       |  FROM fa GROUP BY 1)
+       |SELECT cid, n_members, inertia,
+       |  round(inertia / CAST(n_members AS DOUBLE)
+       |    / ${(VecScale * VecScale).toDouble}, 6) AS mean_dist
+       |FROM rep ORDER BY cid""".stripMargin
   }
 }

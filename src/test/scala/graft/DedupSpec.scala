@@ -598,4 +598,80 @@ class DedupSpec extends SparkSpec {
     // doc0: exactly [0, 32) — runC is not glued despite being adjacent
     assert(got.filter(_._1 == 0L) == Seq((0L, 0, 32)))
   }
+
+  test("q173 line dedup: per-source report equals an independent recount") {
+    val lineWords = 8
+    val minDocs = 3
+    val docs = sf().documents
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // brute segmentation: consecutive non-overlapping 8-word windows
+    val lines = docs.flatMap { case (id, src, text) =>
+      val tks = text.trim.split("\\s+")
+      val nLines = math.max((tks.length + lineWords - 1) / lineWords, 1)
+      (0 until nLines).map(i =>
+        (id, src, tks.slice(i * lineWords, i * lineWords + lineWords).mkString(" ")))
+    }
+    val df = lines.groupBy(_._3).map { case (l, g) =>
+      (l, g.map(_._1).distinct.size)
+    }
+    val expected = lines.groupBy(_._2).map { case (src, g) =>
+      val boiler = g.filter(x => df(x._3) >= minDocs)
+      (src, (
+        g.map(_._1).distinct.size.toLong,                  // n_docs
+        g.length.toLong,                                   // n_lines
+        boiler.length.toLong,                              // n_boiler_lines
+        boiler.map(_._3).distinct.size.toLong,             // n_distinct_boiler
+        g.map(_._3.length.toLong).sum,                     // chars_total
+        boiler.map(_._3.length.toLong).sum))               // chars_removed
+    }
+    val got = Dedup.lineDedupReport(sf(), lineWords, minDocs).collect()
+    assert(got.map(_.getString(0)).toSeq == expected.keys.toSeq.sorted)
+    for (r <- got) {
+      val e = expected(r.getString(0))
+      val t = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      assert(t == e, s"${r.getString(0)}: got $t expected $e")
+      assert(r.getDouble(7) ==
+        BigDecimal(e._6.toDouble / e._5).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }
+    // the fixture's planted exact-duplicate docs guarantee boilerplate exists
+    assert(got.map(_.getLong(3)).sum > 0, "no boilerplate lines found at all")
+  }
+
+  test("q174 containment: emitted pairs match brute force; rare-shingle recall holds") {
+    val tau = 0.8
+    val dfCap = 64
+    val docs = sf().documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingleSet(text: String): Set[String] = {
+      val tks = text.trim.split("\\s+")
+      if (tks.length < 3) Set(tks.mkString(" "))
+      else tks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, tx) => id -> shingleSet(tx) }.toMap
+    val shDf = sets.values.flatten.groupBy(identity).map { case (s, g) => (s, g.size) }
+    val rare = shDf.filter(_._2 <= dfCap).keySet
+    val ids = docs.map(_._1).sorted
+    val brute = for {
+      (a, ai) <- ids.zipWithIndex; b <- ids.drop(ai + 1)
+      inter = (sets(a) & sets(b)).size
+      if inter > 0 && (sets(a) & sets(b)).exists(rare) // candidate-reachable
+      cont = inter.toDouble / math.min(sets(a).size, sets(b).size)
+      if BigDecimal(cont).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau
+    } yield ((a, b), inter.toLong)
+    val bruteMap = brute.toMap
+    val got = Dedup.containmentPairs(sf(), tau, dfCap).collect()
+    val gotMap = got.map(r =>
+      ((r.getLong(0), r.getLong(1)), r.getAs[Long]("n_common"))).toMap
+    assert(gotMap == bruteMap,
+      s"pair sets differ: extra=${gotMap.keySet -- bruteMap.keySet} " +
+        s"missing=${bruteMap.keySet -- gotMap.keySet}")
+    assert(got.nonEmpty, "fixture's planted duplicates must surface pairs")
+    // asymmetry is the point: at least one caught pair sits below the
+    // symmetric threshold (jaccard < containment)
+    for (r <- got)
+      assert(r.getAs[Double]("jaccard") <= r.getAs[Double]("containment") + 1e-12)
+  }
 }

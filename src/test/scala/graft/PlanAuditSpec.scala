@@ -310,7 +310,8 @@ class PlanAuditSpec extends SparkSpec {
     "q167_seasonal_decompose",      // 1-row seasonal-mean re-centering frame
     "q168_attribution",             // 1-row purchase-total frame
     "q169_dedup_eval",              // 1-row truth/cand/hit count crossJoins
-    "q170_perplexity_filter")       // 1-row threshold + grid mm/edge frames
+    "q170_perplexity_filter",       // 1-row threshold + grid mm/edge frames
+    "q175_kmeans")                  // broadcast k-row centroid-array frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -463,7 +464,16 @@ class PlanAuditSpec extends SparkSpec {
     // partial/final pair for the count-distinct rewrite
     "q171_snapshot_time_travel" -> 4,
     // per-partition row-count groupBy + the audit⋈counts join
-    "q172_storage_audit" -> 2)
+    "q172_storage_audit" -> 2,
+    // line-df groupBy + the flag join (both sides keyed by line) + the
+    // per-source report aggregate pair + output sort
+    "q173_line_dedup" -> 5,
+    // candidate/set frames are localCheckpoint-truncated; the verify join
+    // plan pays one output sort
+    "q174_containment_pairs" -> 1,
+    // final-assignment window keyed by vec_id + per-cluster report
+    // aggregate pair (rounds hide behind per-round checkpoints)
+    "q175_kmeans" -> 3)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -690,6 +690,62 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(math.abs(cos) > 0.99, s"not near an eigenvector: |cos|=$cos")
   }
 
+  test("q175 k-means: distributed ≡ single-node integer reference; inertia monotone") {
+    val t = sf()
+    val k = 8
+    // single-node replica of the exact fixed-point Lloyd iteration
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x =>
+          java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toArray))
+      .sortBy(_._1)
+    val stride = math.max(1L, vecs.length.toLong / k)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def run(iters: Int): Map[Long, (Long, Double)] = {
+      var cents: Seq[(Long, Array[Long])] =
+        vecs.filter(_._1 % stride == 0).take(k).map(v => (v._1, v._2))
+      def assign(): Array[(Long, Long, Long)] = // (vec, cid, dist)
+        vecs.map { case (vid, qv) =>
+          val (cid, d) = cents.map(c => (c._1, dist(qv, c._2)))
+            .minBy(p => (p._2, p._1))
+          (vid, cid, d)
+        }
+      for (_ <- 1 to iters) {
+        val byC = assign().groupBy(_._2)
+        cents = cents.map { case (cid, old) =>
+          byC.get(cid) match {
+            case None => (cid, old) // empty cluster keeps its centroid
+            case Some(members) =>
+              val qs = members.map(m => vecs.find(_._1 == m._1).get._2)
+              (cid, old.indices.map(i =>
+                Math.floorDiv(qs.map(_(i)).sum, qs.length.toLong)).toArray)
+          }
+        }
+      }
+      assign().groupBy(_._2).map { case (cid, ms) =>
+        val hi = ms.map(_._3 >> 26).sum
+        val lo = ms.map(_._3 & 67108863L).sum
+        cid -> (ms.length.toLong, hi.toDouble * 67108864.0 + lo.toDouble)
+      }
+    }
+    val got = graft.ext.Spectral.kmeansReport(t, k, iters = 3).collect()
+    val ref = run(3)
+    assert(got.map(_.getLong(1)).sum == vecs.length.toLong, "members not conserved")
+    assert(got.length == ref.size)
+    for (r <- got) {
+      val (nRef, inRef) = ref(r.getLong(0))
+      assert(r.getLong(1) == nRef, s"cluster ${r.getLong(0)} size mismatch")
+      assert(r.getDouble(2) == inRef, s"cluster ${r.getLong(0)} inertia mismatch")
+    }
+    // Lloyd contract: total inertia non-increasing in the round count
+    val inertias = (1 to 3).map(i =>
+      graft.ext.Spectral.kmeansReport(t, k, i).collect().map(_.getDouble(2)).sum)
+    assert(inertias.sliding(2).forall(p => p(1) <= p(0) + 1e-6),
+      s"inertia not monotone: $inertias")
+  }
+
   test("q164 overlap: union bounds hold, estimates near exact truth") {
     val t = sf()
     val rows = SparkEntry.queries("q164_audience_overlap")(spark, dir).collect()
