@@ -218,7 +218,11 @@ object SparkEntry {
     "q172_storage_audit" -> q(t => graft.sources.TableIO.storageAuditDemo(t)),
     "q173_line_dedup" -> q(t => Dedup.lineDedupReport(t)),
     "q174_containment_pairs" -> q(t => Dedup.containmentPairs(t)),
-    "q175_kmeans" -> q(t => graft.ext.Spectral.kmeansReport(t)))
+    "q175_kmeans" -> q(t => graft.ext.Spectral.kmeansReport(t)),
+    "q176_importance_resample" -> q(t => Sampling.importanceResample(t)),
+    "q177_collocations" -> q(t => TextAnalysis.collocations(t)),
+    "q178_jl_distortion" -> q(t => Similarity.jlDistortion(t)),
+    "q179_vocab_growth" -> q(t => TextAnalysis.vocabGrowth(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -305,6 +309,10 @@ object SparkEntry {
     "q173_line_dedup" -> Dedup.lineDedupReportSql(),
     "q174_containment_pairs" -> Dedup.containmentPairsSql(),
     "q175_kmeans" -> graft.ext.Spectral.kmeansReportSql(),
+    "q176_importance_resample" -> Sampling.importanceResampleSql(),
+    "q177_collocations" -> TextAnalysis.collocationsSql(),
+    "q178_jl_distortion" -> Similarity.jlDistortionSql(),
+    "q179_vocab_growth" -> TextAnalysis.vocabGrowthSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -620,4 +620,129 @@ object Sampling {
        | round(CAST(sum(n_tokens) AS DOUBLE)
        |   / CAST(max(n_tokens) * count(*) AS DOUBLE), 6) AS fill_efficiency
        |FROM laid GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q176: DSIR-style importance resampling — selecting the raw-pool
+    * documents most distributionally similar to a target domain (here:
+    * the `lang = targetLang` slice), the hashed-n-gram importance
+    * weighting of the DSIR recipe (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling").
+    *
+    * Features are hashed word unigrams: token → portable 30-bit hash →
+    * one of `buckets` feature buckets ([[graft.functions.PortableHash]]
+    * so the oracle replays every bucket id). Two add-one-smoothed
+    * categorical distributions are estimated over the SAME bucket space —
+    * p_t from target-slice occurrences, p_s from the rest — and each
+    * bucket gets a bounded rational "target-leaning" score
+    * r = (p_t − p_s)/(p_t + p_s) ∈ (−1, 1): the sign of the log-ratio
+    * the paper uses with the same zero crossing and ordering intuition,
+    * but built from IEEE-exact divides only (no libm log — the q111/q83
+    * portability doctrine). A document's importance weight is its mean
+    * per-occurrence leaning, accumulated through the decimal
+    * [[graft.functions.ExactAgg.dsum]] kernel (order-independent,
+    * bit-portable), and the resample keeps the top `k` non-target
+    * documents by (weight, doc_id).
+    *
+    * Shape at scale: one corpus-sized shuffle to (doc, bucket) counts —
+    * localCheckpoint'd and reused by both the model estimate and the
+    * scoring pass, so the corpus is tokenized ONCE; the bucket model is
+    * `buckets` rows (constant), broadcast back; selection is
+    * orderBy+limit = TakeOrdered (per-partition top-k, then a k-sized
+    * merge — never a global sort); the rank decorates the k survivors
+    * only. */
+  def importanceResample(t: Tables, targetLang: String = "en",
+                         buckets: Int = 512, k: Int = 100): DataFrame = {
+    graft.functions.CountMinSketch.register(t.spark)
+    import graft.functions.CountMinSketch.keyHash
+    val b = buckets.toLong
+    val tks = TextAnalysis.tokens(lower(col("text")))
+    val docBucket = t.documents
+      .select(col("doc_id"), (col("lang") === targetLang).as("is_target"),
+        explode(tks).as("tok"))
+      .groupBy(col("doc_id"), col("is_target"),
+        pmod(keyHash(col("tok"), portable = true), lit(b)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // reused: model estimate + scoring pass
+    val w = Window.partitionBy()
+    val pt = (col("ct") + lit(1L)).cast("double") /
+      (col("nt") + lit(b)).cast("double")
+    val ps = (col("cs") + lit(1L)).cast("double") /
+      (col("ns") + lit(b)).cast("double")
+    val model = docBucket
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("is_target"), col("c")).otherwise(0L)).as("ct"),
+        sum(when(!col("is_target"), col("c")).otherwise(0L)).as("cs"))
+      .withColumn("nt", sum(col("ct")).over(w))
+      .withColumn("ns", sum(col("cs")).over(w))
+      .select(col("bucket"), round((pt - ps) / (pt + ps), 6).as("r6"))
+    val scored = docBucket.filter(!col("is_target"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_occ"),
+        graft.functions.ExactAgg
+          .dsum(col("c").cast("double") * col("r6")).as("wsum"))
+      // NO round(·, 6) on the mean: wsum is 1e-6-quantized, so the
+      // quotient lands exactly on x.xxxxxx5 whenever n_occ divides the
+      // last digit — Spark HALF_UP vs DuckDB float rounding then disagree
+      // (the q83 lesson, reproduced here at sf0.01 row 68). The raw
+      // quotient of exact operands is bit-portable.
+      .select(col("doc_id"), col("n_occ"),
+        (col("wsum") / col("n_occ")).as("weight"))
+    val topk = scored
+      .orderBy(col("weight").desc, col("doc_id")).limit(k)
+    broadcast(topk) // k rows vs the corpus-sized dims: broadcast the winners
+      .join(t.documents.select(col("doc_id"), col("source"), col("lang")),
+        Seq("doc_id"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("source"), col("lang"),
+        col("n_occ"), col("weight"))
+      .orderBy(col("rank"))
+  }
+
+  /** The DuckDB mirror of [[importanceResample]]. */
+  def importanceResampleSql(targetLang: String = "en",
+                            buckets: Int = 512, k: Int = 100): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val h = graft.functions.PortableHash.hash32Sql("tok")
+    val pt = s"(CAST(ct + 1 AS DOUBLE) / CAST(nt + $buckets AS DOUBLE))"
+    val ps = s"(CAST(cs + 1 AS DOUBLE) / CAST(ns + $buckets AS DOUBLE))"
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang = '$targetLang' AS is_target,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |db AS (
+       |  SELECT doc_id, is_target, ($h) % $buckets AS bucket,
+       |   count(*) AS c
+       |  FROM tk GROUP BY 1, 2, 3),
+       |st AS (
+       |  SELECT bucket,
+       |   CAST(sum(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS ct,
+       |   CAST(sum(CASE WHEN NOT is_target THEN c ELSE 0 END) AS BIGINT) AS cs
+       |  FROM db GROUP BY 1),
+       |st2 AS (
+       |  SELECT bucket, ct, cs,
+       |   CAST(sum(ct) OVER () AS BIGINT) AS nt,
+       |   CAST(sum(cs) OVER () AS BIGINT) AS ns
+       |  FROM st),
+       |model AS (
+       |  SELECT bucket,
+       |   round(($pt - $ps) / ($pt + $ps), 6) AS r6
+       |  FROM st2),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_occ,
+       |   ${O.dsum("CAST(c AS DOUBLE) * r6")} AS wsum
+       |  FROM db JOIN model USING (bucket)
+       |  WHERE NOT is_target GROUP BY 1),
+       |topk AS (
+       |  SELECT doc_id, n_occ, wsum / n_occ AS weight
+       |  FROM sc ORDER BY weight DESC, doc_id LIMIT $k)
+       |SELECT
+       | CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INTEGER)
+       |   AS rank,
+       | doc_id, source, lang, n_occ, weight
+       |FROM topk JOIN documents USING (doc_id)
+       |ORDER BY rank""".stripMargin
+  }
 }

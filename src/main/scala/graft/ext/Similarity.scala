@@ -1309,4 +1309,88 @@ object Similarity {
       |  z.n_outliers_3sd, round(z.min_z, 6) AS min_z, round(z.max_z, 6) AS max_z
       |FROM stats s JOIN zs z USING (i)
       |ORDER BY s.i""".stripMargin
+
+  /** q178: Johnson–Lindenstrauss random-projection distortion report —
+    * project the 64-dim embeddings down to `kDims` dims with a ±1 sign
+    * matrix (Achlioptas 2003's database-friendly JL variant) and measure
+    * how much pairwise cosine structure survives, binned by error size.
+    * This is the audit a pipeline runs before swapping full-width vectors
+    * for cheap projections in clustering/dedup candidate generation
+    * (SemDeDup/ANN pre-passes): it prices the dimensionality cut in
+    * recall terms before committing the corpus to it.
+    *
+    * The sign matrix is never materialized: s(i,j) = ±1 from the parity
+    * of the portable [[Sampling.splitHash]] of the cell index — any
+    * engine (and any executor, with no broadcast of model state at all)
+    * regenerates the identical matrix from arithmetic alone. Projection
+    * is a fixed-order left fold per output dim (IEEE-deterministic,
+    * DuckDB replays it as the same fold); cosines on both the full and
+    * projected vectors use the q37-proven fold/`list_dot_product` parity
+    * shape, 6-dp rounded.
+    *
+    * Shape at scale: the projection is a NARROW per-row map (64·kDims
+    * mults) — corpus-linear, no shuffle; the distortion eval self-joins a
+    * fixed `nVecs` slice (C(nVecs,2) pairs against a broadcast 40-row
+    * frame — the audit is constant-cost by design, the projection is the
+    * part that scales). The fold kernel is a HOF (CodegenFallback,
+    * interpreted per element): fine for the bounded audit; if the
+    * projection itself became the hot path the fold moves into a codegen
+    * Expression exactly like [[graft.functions.CosineSimilarity]]. */
+  def jlDistortion(t: Tables, kDims: Int = 16, nVecs: Int = 40): DataFrame = {
+    val sign: (Column, Column) => Column = (i, j) =>
+      when(pmod(Sampling.splitHash(i * lit(kDims) + j), lit(2L)) === 0,
+        lit(1.0)).otherwise(lit(-1.0))
+    val proj = transform(sequence(lit(0), lit(kDims - 1)), j =>
+      aggregate(sequence(lit(0), lit(63)), lit(0.0),
+        (acc, i) => acc + element_at(col("vd"), i + 1) * sign(i, j)))
+    val p = t.embeddings.filter(col("vec_id") < nVecs)
+      .select(col("vec_id"), toDouble(col("embedding")).as("vd"))
+      .withColumn("proj", proj)
+      .localCheckpoint() // both join sides reuse one projection pass
+    def cos(a: Column, b: Column): Column =
+      round(dot(a, b) / (l2Norm(a) * l2Norm(b)), 6)
+    val pairs = p.as("a")
+      .join(broadcast(p.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        cos(col("a.vd"), col("b.vd")).as("cos_exact"),
+        cos(col("a.proj"), col("b.proj")).as("cos_proj"))
+      .select(round(abs(col("cos_exact") - col("cos_proj")), 6).as("err"))
+    pairs
+      .groupBy(least(floor(col("err") * 10), lit(9L)).as("err_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        graft.functions.ExactAgg.davg(col("err")).as("avg_err"),
+        max(col("err")).as("max_err"))
+      .orderBy(col("err_band"))
+  }
+
+  /** The DuckDB mirror of [[jlDistortion]]. */
+  def jlDistortionSql(kDims: Int = 16, nVecs: Int = 40): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val h = Sampling.splitHashSql(s"(i * $kDims + j)")
+    def cosSql(a: String, b: String): String =
+      s"round(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+       |  FROM embeddings WHERE vec_id < $nVecs),
+       |p AS (
+       |  SELECT vec_id, vd,
+       |   list_transform(range(0, $kDims), j ->
+       |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |       list_transform(range(0, 64), i -> vd[i + 1] *
+       |         (CASE WHEN ($h) % 2 = 0
+       |               THEN 1.0 ELSE -1.0 END))),
+       |       (acc, x) -> acc + x)) AS proj
+       |  FROM emb),
+       |pr AS (
+       |  SELECT ${cosSql("a.vd", "b.vd")} AS cos_exact,
+       |         ${cosSql("a.proj", "b.proj")} AS cos_proj
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id),
+       |e AS (SELECT round(abs(cos_exact - cos_proj), 6) AS err FROM pr)
+       |SELECT CAST(least(floor(err * 10), 9) AS BIGINT) AS err_band,
+       | count(*) AS n_pairs,
+       | ${O.davg("err")} AS avg_err,
+       | max(err) AS max_err
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -961,4 +961,167 @@ object TextAnalysis {
       |JOIN sizes sa ON shared.source_a = sa.source
       |JOIN sizes sb ON shared.source_b = sb.source
       |ORDER BY source_a, source_b""".stripMargin
+
+  /** q177: PMI collocations — the top word pairs that co-occur adjacently
+    * far more often than their unigram frequencies predict, the classic
+    * collocation-extraction statistic (Church & Hanks 1990) every corpus
+    * card reports and tokenizer audits lean on (multi-word units the
+    * vocabulary should perhaps own).
+    *
+    * Association is the RATIONAL lift `P(w₁w₂) / (P(w₁)·P(w₂))`
+    * rather than its log (PMI = log lift — same ordering, same ≥1
+    * "associated" threshold, no libm): with unigram total N₁ and bigram
+    * total N₂ it expands to `c₁₂·N₁/c₁/c₂·N₁/N₂`, evaluated in exactly
+    * that left-to-right IEEE order on both engines. A `minCount` support
+    * floor cuts the hapax noise PMI is notorious for (rare pairs
+    * otherwise dominate with huge but meaningless lifts).
+    *
+    * Shape at scale: unigram and bigram counts are vocab-/pair-bounded
+    * aggregates of one corpus pass each; corpus totals ride a broadcast
+    * 1-row frame (never a window over the vocab — no single-partition
+    * chokepoint); the two unigram joins hit only the support-filtered
+    * pair table; top-k is orderBy+limit = TakeOrdered. */
+  def collocations(t: Tables, minCount: Int = 5, k: Int = 20): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    val tks = tokens(lower(col("text")))
+    val totals = t.documents
+      .select(size(tks).cast("long").as("len"))
+      .agg(sum(col("len")).as("n1"),
+        sum(greatest(col("len") - 1, lit(0L))).as("n2"))
+    val uni = t.documents.select(explode(tks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = t.documents
+      .select(explode(
+        when(size(tks) >= 2,
+          graft.functions.ShingleExpression.wordShingles(tks, 2))
+          .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val lift = round(
+      col("c12").cast("double") * col("n1") / col("c1") / col("c2")
+        * col("n1") / col("n2"), 6)
+    val scored = pairs
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+        lift.as("lift"))
+      .orderBy(col("lift").desc, col("bigram")).limit(k)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lift").desc, col("bigram"))))
+      .select(col("rank"), col("bigram"), col("c12"), col("c1"), col("c2"),
+        col("lift"))
+      .orderBy(col("rank"))
+  }
+
+  /** The DuckDB mirror of [[collocations]]. */
+  def collocationsSql(minCount: Int = 5, k: Int = 20): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |totals AS (
+       |  SELECT CAST(sum(len(tks)) AS BIGINT) AS n1,
+       |   CAST(sum(greatest(len(tks) - 1, 0)) AS BIGINT) AS n2
+       |  FROM tk),
+       |uni AS (
+       |  SELECT unnest(tks) AS tok FROM tk),
+       |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tks)),
+       |    i -> tks[i] || ' ' || tks[i+1])) AS bigram
+       |  FROM tk),
+       |pc AS (
+       |  SELECT bigram, count(*) AS c12,
+       |   string_split(bigram, ' ')[1] AS w1,
+       |   string_split(bigram, ' ')[2] AS w2
+       |  FROM bg GROUP BY 1 HAVING count(*) >= $minCount),
+       |scored AS (
+       |  SELECT bigram, c12, u1.c AS c1, u2.c AS c2,
+       |   round(CAST(c12 AS DOUBLE) * n1 / u1.c / u2.c * n1 / n2, 6)
+       |     AS lift
+       |  FROM pc
+       |  JOIN uc u1 ON pc.w1 = u1.tok
+       |  JOIN uc u2 ON pc.w2 = u2.tok
+       |  CROSS JOIN totals
+       |  ORDER BY lift DESC, bigram LIMIT $k)
+       |SELECT
+       | CAST(row_number() OVER (ORDER BY lift DESC, bigram) AS INTEGER)
+       |   AS rank,
+       | bigram, c12, c1, c2, lift
+       |FROM scored ORDER BY rank""".stripMargin
+
+  /** q179: vocabulary-growth (Heaps'-law) curve — cumulative distinct-word
+    * count against cumulative corpus size at ten ingestion checkpoints,
+    * the curve a corpus card plots to show how fast new vocabulary is
+    * still arriving (V(N) ≈ K·N^β; a flattening curve says more crawl
+    * buys little new vocabulary — a tokenizer/dedup planning signal).
+    *
+    * The naive form recomputes distinct-over-prefix per checkpoint —
+    * quadratic in corpus size. This one is a single word-keyed pass:
+    * each word contributes exactly its FIRST document (min doc_id), a
+    * checkpoint's new-word count is a bucket count over those firsts,
+    * and the cumulative curve is a running sum over the 10-row
+    * checkpoint frame. Corpus totals ride a broadcast 1-row frame;
+    * the only corpus-sized shuffle is the word→min(doc_id) aggregate. */
+  def vocabGrowth(t: Tables): DataFrame = {
+    val tks = tokens(lower(col("text")))
+    val n = t.documents.agg(count(lit(1)).as("n_docs"))
+    def decileOf(docCol: Column): Column =
+      least(floor(docCol * lit(10.0) / col("n_docs")), lit(9L))
+    val perDoc = t.documents
+      .select(col("doc_id"), size(tks).cast("long").as("n_toks"))
+      .crossJoin(broadcast(n))
+      .groupBy(decileOf(col("doc_id")).as("decile"))
+      .agg(count(lit(1)).as("n_docs_b"), sum(col("n_toks")).as("n_toks_b"))
+    val firsts = t.documents
+      .select(col("doc_id"), explode(tks).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(n))
+      .groupBy(decileOf(col("first_doc")).as("decile"))
+      .agg(count(lit(1)).as("new_words"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // LEFT join: a checkpoint where no word appears for the first time is
+    // a legitimate (fully-flattened-curve) decile — it must report 0, not
+    // vanish (the whole point of the plot is seeing the curve go flat)
+    perDoc.join(firsts, Seq("decile"), "left")
+      .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
+      .select(col("decile"),
+        sum(col("n_docs_b")).over(wc).as("docs_cum"),
+        sum(col("n_toks_b")).over(wc).as("tokens_cum"),
+        col("new_words"),
+        sum(col("new_words")).over(wc).as("vocab_cum"))
+      .orderBy(col("decile"))
+  }
+
+  /** The DuckDB mirror of [[vocabGrowth]]. */
+  val vocabGrowthSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |per AS (
+       |  SELECT CAST(least(floor(doc_id * 10.0 / n_docs), 9) AS BIGINT)
+       |    AS decile,
+       |   count(*) AS n_docs_b, CAST(sum(len(tks)) AS BIGINT) AS n_toks_b
+       |  FROM tk CROSS JOIN n GROUP BY 1),
+       |firsts AS (
+       |  SELECT tok, min(doc_id) AS first_doc
+       |  FROM (SELECT doc_id, unnest(tks) AS tok FROM tk) GROUP BY 1),
+       |nw AS (
+       |  SELECT CAST(least(floor(first_doc * 10.0 / n_docs), 9) AS BIGINT)
+       |    AS decile, count(*) AS new_words
+       |  FROM firsts CROSS JOIN n GROUP BY 1)
+       |SELECT decile,
+       | CAST(sum(n_docs_b) OVER w AS BIGINT) AS docs_cum,
+       | CAST(sum(n_toks_b) OVER w AS BIGINT) AS tokens_cum,
+       | coalesce(new_words, 0) AS new_words,
+       | CAST(sum(coalesce(new_words, 0)) OVER w AS BIGINT) AS vocab_cum
+       |FROM per LEFT JOIN nw USING (decile)
+       |WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+       |  AND CURRENT ROW)
+       |ORDER BY decile""".stripMargin
 }

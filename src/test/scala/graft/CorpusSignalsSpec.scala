@@ -1,0 +1,144 @@
+package graft
+
+import graft.core.Tables
+import graft.ext.{Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the corpus-signal wave (q176–q179): DSIR-style importance
+  * resampling, PMI collocations, JL projection distortion, and the
+  * Heaps'-law vocabulary-growth curve. Bit-parity with DuckDB is the
+  * oracle gate's job; these tests pin the SEMANTICS on constructed
+  * corpora where the right answer is known by hand.
+  */
+class CorpusSignalsSpec extends SparkSpec {
+
+  /** Write a synthetic documents table (schema-identical to the fixture)
+    * and return a Tables bound to it. */
+  private def docsTable(rows: Seq[(Long, String, String, String)]): Tables = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("corpus_sig").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  // ── q176 importance resampling ──────────────────────────────────────
+
+  test("q176: target-like documents outrank source-like ones; target rows excluded") {
+    // target domain (en) speaks "alpha"; the raw pool has a pure-alpha
+    // doc (most target-like), a mixed doc, and a pure-beta doc
+    val t = docsTable(Seq(
+      (0L, "alpha alpha alpha alpha", "en", "tgt"),
+      (1L, "alpha alpha beta alpha", "en", "tgt"),
+      (10L, "alpha alpha alpha alpha", "xx", "raw"),
+      (11L, "alpha alpha beta beta", "xx", "raw"),
+      (12L, "beta beta beta beta", "xx", "raw")))
+    val got = Sampling.importanceResample(t, targetLang = "en", k = 10)
+      .collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L),
+      "expected target-likeness ordering 10 > 11 > 12")
+    assert(got.forall(_.getString(3) == "xx"), "target-lang rows must not be resampled")
+    assert(got.map(_.getInt(0)).toSeq == (1 to 3), "ranks must be dense from 1")
+    val ws = got.map(_.getDouble(5))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "weights non-increasing")
+    assert(ws.forall(w => w > -1.0 && w < 1.0), "mean leaning is bounded in (-1, 1)")
+  }
+
+  test("q176 fixture run: k rows, dense ranks, no target-lang rows") {
+    val got = Sampling.importanceResample(sf(), k = 50).collect()
+    assert(got.length == 50)
+    assert(got.map(_.getInt(0)).toSeq == (1 to 50))
+    assert(got.forall(_.getString(3) != "en"))
+  }
+
+  // ── q177 collocations ───────────────────────────────────────────────
+
+  test("q177: lift matches the hand formula; support floor cuts rare pairs") {
+    // "new york" always adjacent (6x); "of the" frequent but predictable;
+    // "rare pair" appears 4x — below the default minCount=5
+    val ny = Seq.fill(6)("new york").mkString(" ")
+    val t = docsTable(Seq(
+      (0L, ny, "en", "s"),
+      (1L, "of the of the of the of the of the of the", "en", "s"),
+      (2L, "rare pair rare pair rare pair rare pair", "en", "s")))
+    val rows = TextAnalysis.collocations(t, minCount = 5, k = 10).collect()
+    val byBigram = rows.map(r => r.getString(1) -> r).toMap
+    assert(!byBigram.contains("rare pair"), "minCount floor must cut the 4x pair")
+    // hand counts: n1 = 12+12+8 = 32 tokens, n2 = 11+11+7 = 29 bigrams,
+    // c12(new york)=6, c1(new)=6, c2(york)=6
+    val expected = 6.0.toDouble * 32 / 6 / 6 * 32 / 29
+    val gotLift = byBigram("new york").getDouble(5)
+    assert(math.abs(gotLift - (math.rint(expected * 1e6) / 1e6)) < 1e-9,
+      s"lift $gotLift != hand-computed $expected")
+    // within-sentence adjacency: "york new" also occurs (5x) — lower lift
+    // than "new york" (6x) at identical unigram counts
+    assert(!byBigram.contains("york new") ||
+      byBigram("york new").getDouble(5) < gotLift)
+  }
+
+  test("q177 fixture run: k rows, ranks dense, lift non-increasing, support >= floor") {
+    val rows = TextAnalysis.collocations(sf(), minCount = 5, k = 20).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 20))
+    val lifts = rows.map(_.getDouble(5))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getLong(2) >= 5L))
+  }
+
+  // ── q178 JL distortion ──────────────────────────────────────────────
+
+  test("q178: all C(nVecs,2) pairs accounted for; wider projections distort less") {
+    def wMeanErr(kDims: Int): (Long, Double) = {
+      val rows = Similarity.jlDistortion(sf(), kDims = kDims).collect()
+      val n = rows.map(_.getLong(1)).sum
+      val werr = rows.map(r => r.getLong(1) * r.getDouble(2)).sum / n
+      (n, werr)
+    }
+    val (n16, e16) = wMeanErr(16)
+    val (n4, e4) = wMeanErr(4)
+    assert(n16 == 780L && n4 == 780L, "expected C(40,2) = 780 pairs in every band sum")
+    assert(e16 < e4,
+      s"16-dim projection ($e16) should preserve cosine better than 4-dim ($e4)")
+  }
+
+  test("q178: deterministic across invocations (hash-generated sign matrix)") {
+    val a = Similarity.jlDistortion(sf()).collect().map(_.toSeq).toSeq
+    val b = Similarity.jlDistortion(sf()).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  // ── q179 vocabulary growth ──────────────────────────────────────────
+
+  test("q179: per-decile new-word and cumulative counts on a constructed corpus") {
+    // 20 docs; doc i contributes its own word w<i> plus the shared word
+    // "common" — so decile 0 introduces 3 words (w0, w1, common) and every
+    // later decile exactly its 2 fresh ones
+    val t = docsTable((0 until 20).map(i =>
+      (i.toLong, s"w$i common", "en", "s")))
+    val rows = TextAnalysis.vocabGrowth(t).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 9L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(3L) ++ Seq.fill(9)(2L))
+    assert(rows.map(_.getLong(1)).toSeq == (1 to 10).map(_ * 2L)) // docs_cum
+    assert(rows.map(_.getLong(2)).toSeq == (1 to 10).map(_ * 4L)) // tokens_cum
+    assert(rows.last.getLong(4) == 21L) // vocab_cum = 20 + "common"
+  }
+
+  test("q179 fixture run: totals reconcile with direct distinct/token counts") {
+    val t = sf()
+    val rows = TextAnalysis.vocabGrowth(t).collect()
+    assert(rows.length == 10)
+    val tks = TextAnalysis.tokens(lower(col("text")))
+    val vocab = t.documents.select(explode(tks).as("tok"))
+      .agg(countDistinct(col("tok"))).collect()(0).getLong(0)
+    val toks = t.documents.select(size(tks).cast("long").as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(rows.last.getLong(4) == vocab, "final vocab_cum must equal countDistinct")
+    assert(rows.last.getLong(2) == toks, "final tokens_cum must equal total tokens")
+    assert(rows.last.getLong(1) == t.documents.count())
+    // monotone curves
+    def mono(i: Int) = { val c = rows.map(_.getLong(i)); c.zip(c.tail).forall { case (a, b) => a <= b } }
+    assert(mono(1) && mono(2) && mono(4))
+  }
+}

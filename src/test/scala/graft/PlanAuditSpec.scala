@@ -311,7 +311,10 @@ class PlanAuditSpec extends SparkSpec {
     "q168_attribution",             // 1-row purchase-total frame
     "q169_dedup_eval",              // 1-row truth/cand/hit count crossJoins
     "q170_perplexity_filter",       // 1-row threshold + grid mm/edge frames
-    "q175_kmeans")                  // broadcast k-row centroid-array frame
+    "q175_kmeans",                  // broadcast k-row centroid-array frame
+    "q177_collocations",            // 1-row corpus (N1, N2) totals frame
+    "q178_jl_distortion",           // vec_id < vec_id over the broadcast nVecs-row slice
+    "q179_vocab_growth")            // 1-row corpus doc-count frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -473,7 +476,20 @@ class PlanAuditSpec extends SparkSpec {
     "q174_containment_pairs" -> 1,
     // final-assignment window keyed by vec_id + per-cluster report
     // aggregate pair (rounds hide behind per-round checkpoints)
-    "q175_kmeans" -> 3)
+    "q175_kmeans" -> 3,
+    // (doc, is_target, bucket) count agg pair feeds both the broadcast
+    // model and the scoring agg off one checkpointed frame; TakeOrdered
+    // top-k + the k-row rank window/sort
+    "q176_importance_resample" -> 4,
+    // unigram agg + pair agg + the two vocab-keyed count joins; totals
+    // ride a broadcast 1-row frame; top-k is TakeOrdered
+    "q177_collocations" -> 4,
+    // checkpoint-truncated projection frame; band aggregate pair +
+    // output sort
+    "q178_jl_distortion" -> 2,
+    // word→min(doc_id) agg + two decile aggs + decile join + the 10-row
+    // cumulative window
+    "q179_vocab_growth" -> 6)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
