@@ -222,7 +222,10 @@ object SparkEntry {
     "q176_importance_resample" -> q(t => Sampling.importanceResample(t)),
     "q177_collocations" -> q(t => TextAnalysis.collocations(t)),
     "q178_jl_distortion" -> q(t => Similarity.jlDistortion(t)),
-    "q179_vocab_growth" -> q(t => TextAnalysis.vocabGrowth(t)))
+    "q179_vocab_growth" -> q(t => TextAnalysis.vocabGrowth(t)),
+    "q180_tokenizer_fertility" -> q(t => graft.ext.Bpe.fertilityBySource(t)),
+    "q181_winnowing_overlap" -> q(t => TextAnalysis.winnowingOverlap(t)),
+    "q182_kcenter_coreset" -> q(t => graft.ext.Spectral.kcenterCoreset(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -313,6 +316,9 @@ object SparkEntry {
     "q177_collocations" -> TextAnalysis.collocationsSql(),
     "q178_jl_distortion" -> Similarity.jlDistortionSql(),
     "q179_vocab_growth" -> TextAnalysis.vocabGrowthSql,
+    "q180_tokenizer_fertility" -> graft.ext.Bpe.fertilityBySourceSql(),
+    "q181_winnowing_overlap" -> TextAnalysis.winnowingOverlapSql(),
+    "q182_kcenter_coreset" -> graft.ext.Spectral.kcenterCoresetSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -409,6 +409,73 @@ object Bpe {
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** q180: tokenizer fertility audit — the per-SOURCE roll-up of [[bpeEncode]],
+    * the number a tokenizer build is actually reviewed on (fertility =
+    * BPE tokens per word; multilingual tokenizer papers report exactly this
+    * per language/domain, because a vocabulary trained on one slice taxes
+    * the others with more tokens per word). Unknown words fall back to
+    * character count (the zero-merges floor), so the audit also surfaces
+    * which sources live furthest from the training distribution.
+    *
+    * Scale shape: training cost is [[train]]'s (word-table-sized rounds);
+    * the audit itself is one narrow explode over the corpus, a broadcast
+    * join against the word→token-count vocabulary, and a source-keyed
+    * aggregate — the per-doc frame is never materialized, and the only
+    * full-width shuffle key is `source` (low-cardinality; map-side combine
+    * does the heavy lifting). Fertility/chars-per-token are single IEEE
+    * divisions of exact BIGINT sums — bit-portable. */
+  def fertilityBySource(t: Tables, merges: Int = 8): DataFrame = {
+    val model = train(t.documents, merges)
+    val docCounts = t.documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    t.documents
+      .select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(model.wordTokens), Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_chars"), length(col("word"))).cast("long"))
+          .as("n_chars"),
+        sum(coalesce(col("n_toks"), length(col("word"))).cast("long"))
+          .as("n_tokens"))
+      .join(broadcast(docCounts), Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[fertilityBySource]]: the q117 training rounds
+    * unrolled, then the corpus word stream joined to the final vocabulary
+    * state and rolled up per source. */
+  def fertilityBySourceSql(merges: Int = 8): String =
+    s"""WITH ${trainingCtesSql(merges)},
+       |dw AS (
+       |  SELECT d.source, d.word
+       |  FROM (SELECT source,
+       |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |        FROM documents) d
+       |  WHERE length(d.word) > 0),
+       |dc AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+       |SELECT w.source, dc.n_docs,
+       | count(*) AS n_words,
+       | CAST(sum(coalesce(length(t.word), length(w.word))) AS BIGINT) AS n_chars,
+       | CAST(sum(coalesce(len(t.toks), length(w.word))) AS BIGINT) AS n_tokens,
+       | round(CAST(sum(coalesce(len(t.toks), length(w.word))) AS DOUBLE)
+       |   / count(*), 6) AS fertility,
+       | round(CAST(sum(coalesce(length(t.word), length(w.word))) AS DOUBLE)
+       |   / sum(coalesce(len(t.toks), length(w.word))), 6) AS chars_per_token
+       |FROM dw w
+       |LEFT JOIN t$merges t USING (word)
+       |JOIN dc ON dc.source = w.source
+       |GROUP BY w.source, dc.n_docs
+       |ORDER BY w.source""".stripMargin
+
   /** The DuckDB mirror of [[bpeMerges]]: the shared training CTE chain
     * plus one SELECT arm per learned rule. */
   def bpeMergesSql(merges: Int = 8): String = {

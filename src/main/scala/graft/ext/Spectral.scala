@@ -283,4 +283,133 @@ object Spectral {
        |    / ${(VecScale * VecScale).toDouble}, 6) AS mean_dist
        |FROM rep ORDER BY cid""".stripMargin
   }
+  /** q182: k-center greedy coreset — farthest-point sampling over the
+    * embedding corpus (the Gonzalez 2-approximation to the k-center
+    * problem; the selection rule behind coreset-based data pruning and
+    * active-learning batch selection, e.g. Sener & Savarese 2018): start
+    * from the minimum vec_id, then k-1 times pick the point FARTHEST from
+    * everything selected so far. Output: the k selected rows in selection
+    * order with their selection distance (the max-min distance at the
+    * moment of selection) and the final coverage radius (max distance of
+    * any remaining point to the selected set - the 2-approx bound on the
+    * optimal k-center radius).
+    *
+    * Versus the neighbors: [[kmeansReport]] partitions mass (centroids
+    * drift to density), k-center covers GEOMETRY (picks extremes) - the
+    * right shape when the goal is "every point has a nearby exemplar",
+    * i.e. eval-set seeding and diversity pruning.
+    *
+    * Bit-portability: the [[pcaPowerIteration]] doctrine - squared
+    * Euclidean distances entirely in 1e6-scale fixed-point BIGINTs,
+    * argmax tiebroken on vec_id, so DuckDB replays every pick.
+    *
+    * Scale shape: state is one (vec_id, qv, mind) corpus-sized frame,
+    * localCheckpoint'd per round; each round is ONE broadcast of the
+    * single picked vector (narrow min-update) plus one TakeOrdered
+    * argmax - k rounds, zero shuffles of full text, nothing quadratic.
+    * The selected frame stays k rows. */
+  def kcenterCoreset(t: Tables, k: Int = 8): DataFrame = {
+    val qv = t.embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * VecScale, 0).cast("long")).as("qv"))
+      .localCheckpoint() // iterated over; avoid re-reading parquet per round
+    // Overflow guard (the kmeansReport contract): per-pair squared
+    // distance is bounded by dim*(2*max|q|)^2 and must stay inside BIGINT.
+    val head = qv
+      .agg(max(aggregate(col("qv"), lit(0L), (m, x) => greatest(m, abs(x))))
+          .as("maxq"),
+        max(size(col("qv"))).as("dim"))
+      .head()
+    val maxQ = if (head.isNullAt(0)) 0L else head.getLong(0)
+    val dim = if (head.isNullAt(1)) 1 else head.getInt(1)
+    require(maxQ <= 0 ||
+      maxQ < math.sqrt(Long.MaxValue.toDouble / (4.0 * dim)),
+      s"kcenterCoreset: max|q|=$maxQ at dim=$dim would overflow the " +
+        "BIGINT distance accumulator; coarsen VecScale")
+
+    val seed = qv.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("sel_id"), col("qv").as("sv"))
+      .localCheckpoint()
+    var picks = Vector[DataFrame](
+      seed.select(col("sel_id").as("vec_id"), lit(1).as("rank"),
+        lit(0L).as("mind")))
+    var state = qv.crossJoin(broadcast(seed)) // 1 selected row by design
+      .filter(col("vec_id") =!= col("sel_id"))
+      .select(col("vec_id"), col("qv"),
+        sqDist(col("qv"), col("sv")).as("mind"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val pick = state.orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("sel_id"), col("qv").as("sv"),
+          col("mind").as("pmind"))
+        .localCheckpoint()
+      picks :+= pick.select(col("sel_id").as("vec_id"), lit(r).as("rank"),
+        col("pmind").as("mind"))
+      state = state.crossJoin(broadcast(pick)) // 1 selected row by design
+        .filter(col("vec_id") =!= col("sel_id"))
+        .select(col("vec_id"), col("qv"),
+          least(col("mind"), sqDist(col("qv"), col("sv"))).as("mind"))
+        .localCheckpoint() // cut the iterated lineage
+    }
+    val radius = state.agg(max(col("mind")).as("radius_q"))
+    val denom = (VecScale * VecScale).toDouble
+    broadcast(picks.reduce(_ unionByName _))
+      .join(t.embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .crossJoin(broadcast(radius)) // 1-row scalar frame
+      .select(col("rank"), col("vec_id"), col("label"),
+        round(col("mind").cast("double") / denom, 6).as("dist_sel"),
+        round(col("radius_q").cast("double") / denom, 6)
+          .as("coverage_radius"))
+      .orderBy(col("rank"))
+  }
+
+  /** DuckDB mirror of [[kcenterCoreset]] - the quantized per-dimension
+    * frame, the min-vec_id seed, and the k-1 greedy rounds unrolled as
+    * MATERIALIZED CTE chains (argmax pick -> distance-to-pick -> min-fold,
+    * picked row dropped from the state). */
+  def kcenterCoresetSql(k: Int = 8): String = {
+    val denom = (VecScale * VecScale).toDouble
+    val rounds = (2 to k).map { r =>
+      val ps = s"st${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id, mind FROM $ps ORDER BY mind DESC, vec_id LIMIT 1),
+         |d$r AS (
+         |  SELECT e.vec_id,
+         |    CAST(sum((e.q - s.q) * (e.q - s.q)) AS BIGINT) AS dist
+         |  FROM eq e JOIN eq s ON s.i = e.i
+         |  JOIN p$r ON s.vec_id = p$r.vec_id
+         |  GROUP BY 1),
+         |st$r AS MATERIALIZED (
+         |  SELECT t.vec_id, least(t.mind, d.dist) AS mind
+         |  FROM $ps t JOIN d$r d USING (vec_id)
+         |  JOIN p$r ON t.vec_id <> p$r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val arms = (2 to k)
+      .map(r => s"SELECT $r AS rank, vec_id, mind FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH eq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+       |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * $VecScale, 0) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |s1 AS MATERIALIZED (SELECT min(vec_id) AS sel FROM eq),
+       |d1 AS (
+       |  SELECT e.vec_id,
+       |    CAST(sum((e.q - s.q) * (e.q - s.q)) AS BIGINT) AS dist
+       |  FROM eq e JOIN eq s ON s.i = e.i JOIN s1 ON s.vec_id = s1.sel
+       |  GROUP BY 1),
+       |st1 AS MATERIALIZED (
+       |  SELECT d.vec_id, d.dist AS mind
+       |  FROM d1 d JOIN s1 ON d.vec_id <> s1.sel),
+       |$rounds,
+       |rad AS (SELECT max(mind) AS radius_q FROM st$k),
+       |sel AS (
+       |  SELECT 1 AS rank, s1.sel AS vec_id, CAST(0 AS BIGINT) AS mind FROM s1
+       |  UNION ALL $arms)
+       |SELECT sel.rank, sel.vec_id, e.label,
+       |  round(CAST(sel.mind AS DOUBLE) / $denom, 6) AS dist_sel,
+       |  round(CAST(rad.radius_q AS DOUBLE) / $denom, 6) AS coverage_radius
+       |FROM sel JOIN embeddings e USING (vec_id) CROSS JOIN rad
+       |ORDER BY rank""".stripMargin
+  }
 }

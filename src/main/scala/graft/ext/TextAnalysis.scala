@@ -184,6 +184,109 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q181: winnowing fingerprint overlap — the MOSS local-fingerprinting
+    * recipe (Schleimer, Wilkerson & Aiken, SIGMOD 2003) applied to corpus
+    * near-dup detection: hash every word k-shingle with the portable q32
+    * rolling hash, slide a window of `w` consecutive shingle hashes over
+    * each document and keep each window's MINIMUM — the selected set is
+    * tiny (≈ 2/(w+1) of all shingles) yet GUARANTEES any shared run of
+    * ≥ w+k−1 tokens leaves at least one common fingerprint in both
+    * documents. Pairs sharing ≥ `minShared` selected fingerprints are
+    * reported with an overlap estimate (shared / min selected).
+    *
+    * Versus the full-shingle families: q32 is one global hash (whole-doc
+    * identity), q34/q36 estimate set resemblance — winnowing is the
+    * guaranteed-detection LOCAL form (find docs sharing any long-enough
+    * passage) at a fraction of the posting volume.
+    *
+    * Scale shape: selection is a narrow per-document HOF chain (no
+    * shuffle); the posting table is the SELECTED fingerprints only, then
+    * the q174 df-cut posting self-join doctrine bounds per-fingerprint
+    * pair work at C(dfCap, 2) — linear in corpus size. The df-cut is the
+    * usual recall contract: a fingerprint shared by > dfCap docs
+    * (boilerplate) stops voting, so `n_shared` under-counts exactly when
+    * prefixes are corpus-stopwords. Docs with fewer than w shingles keep
+    * ALL their hashes (the window would cover the whole doc). */
+  def winnowingOverlap(t: Tables, k: Int = 3, w: Int = 4,
+                       dfCap: Int = 64, minShared: Int = 2): DataFrame = {
+    val p = 1000000007L
+    val m = size(col("hs"))
+    val selected = t.documents
+      .select(col("doc_id"), tokens(col("text")).as("tks"))
+      .filter(size(col("tks")) >= k)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), size(col("tks")) - lit(k)), i =>
+          aggregate(slice(col("tks"), i + lit(1), lit(k)), lit(0L),
+            (acc, tk) =>
+              pmod(acc * lit(131L) +
+                (ascii(tk) * lit(31) + length(tk)).cast("long"), lit(p))))
+          .as("hs"))
+      .select(col("doc_id"),
+        array_distinct(
+          when(m >= w,
+            transform(sequence(lit(0), m - lit(w)), j =>
+              array_min(slice(col("hs"), j + lit(1), lit(w)))))
+            .otherwise(col("hs"))).as("sel"))
+    val postings = selected
+      .select(col("doc_id"), size(col("sel")).cast("long").as("n_sel"),
+        explode(col("sel")).as("fp"))
+    val df = postings.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+    val kept = postings
+      .join(df.filter(col("fp_df") <= dfCap).select(col("fp")), Seq("fp"))
+    kept.as("a").join(kept.as("b"), Seq("fp"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sel").as("n_sel_a"), col("b.n_sel").as("n_sel_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_sel_a"), col("n_sel_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_sel_a"), col("n_sel_b")), 6).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** The DuckDB mirror of [[winnowingOverlap]]: the same HOF chain via
+    * list_transform/list_reduce/list_min, then the df-cut posting
+    * self-join. */
+  def winnowingOverlapSql(k: Int = 3, w: Int = 4,
+                          dfCap: Int = 64, minShared: Int = 2): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tks
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(tks) - $k + 2), i ->
+       |      list_reduce(
+       |        list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(tks[i:i + $k - 1],
+       |            tk -> CAST(ascii(tk) * 31 + length(tk) AS BIGINT))),
+       |        (acc, x) -> (acc * 131 + x) % 1000000007)) AS hs
+       |  FROM tk WHERE len(tks) >= $k),
+       |sel AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(hs) >= $w
+       |      THEN list_transform(range(1, len(hs) - $w + 2), j ->
+       |             list_min(hs[j:j + $w - 1]))
+       |      ELSE hs END) AS sel
+       |  FROM hs),
+       |post AS (
+       |  SELECT doc_id, len(sel) AS n_sel, unnest(sel) AS fp FROM sel),
+       |keep AS (
+       |  SELECT p.* FROM post p
+       |  JOIN (SELECT fp FROM post GROUP BY fp HAVING count(*) <= $dfCap) d
+       |  USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(*) AS n_shared,
+       |  a.n_sel AS n_sel_a, b.n_sel AS n_sel_b,
+       |  round(CAST(count(*) AS DOUBLE) / least(a.n_sel, b.n_sel), 6)
+       |    AS overlap
+       |FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2, 4, 5
+       |HAVING count(*) >= $minShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q61: intra-document repetition ratio — the fraction of word 3-shingles
     * that are repeats of an earlier shingle in the same document. The
     * standard pretraining quality signal for boilerplate/spam (the

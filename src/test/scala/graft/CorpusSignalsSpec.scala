@@ -125,6 +125,127 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(rows.last.getLong(4) == 21L) // vocab_cum = 20 + "common"
   }
 
+  // ── q180 tokenizer fertility ────────────────────────────────────────
+
+  test("q180: per-source roll-up reconciles with the per-doc q118 encode") {
+    val t = sf()
+    val got = graft.ext.Bpe.fertilityBySource(t).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val enc = graft.ext.Bpe.bpeEncode(t)
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("w"), sum(col("n_word_chars")).as("c"),
+        sum(col("n_bpe_tokens")).as("tk"))
+      .collect()
+    assert(enc.nonEmpty && enc.length == got.size)
+    for (r <- enc) {
+      val g = got(r.getString(0))
+      assert(g.getLong(2) == r.getLong(1), s"${r.getString(0)} words")
+      assert(g.getLong(3) == r.getLong(2), s"${r.getString(0)} chars")
+      assert(g.getLong(4) == r.getLong(3), s"${r.getString(0)} tokens")
+      assert(g.getDouble(5) >= 1.0, "fertility is >= 1 token per word")
+      assert(g.getDouble(6) >= 1.0, "BPE tokens never exceed chars")
+    }
+    assert(got.values.map(_.getLong(1)).sum == t.documents.count())
+  }
+
+  // ── q181 winnowing overlap ──────────────────────────────────────────
+
+  test("q181: shared passages >= w+k-1 tokens are guaranteed detected") {
+    // A/B identical; C shares an 8-token passage with A (>= w+k-1 = 6);
+    // D shares nothing
+    val passage = "one two three four five six seven eight"
+    val t = docsTable(Seq(
+      (0L, s"$passage alpha beta gamma", "en", "s"),
+      (1L, s"$passage alpha beta gamma", "en", "s"),
+      (2L, s"zz yy xx $passage ww vv", "en", "s"),
+      (3L, "p q r s t u v w x y z pp qq rr ss tt", "en", "s")))
+    val rows = TextAnalysis.winnowingOverlap(t, minShared = 1).collect()
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(pairs.contains((0L, 1L)), "identical docs must pair")
+    assert(pairs((0L, 1L)).getDouble(5) == 1.0, "identical docs overlap 1.0")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "the shared 8-token passage must leave a common fingerprint (MOSS guarantee)")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc must not pair")
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("q181 fixture run: full parity with a single-node winnowing replica") {
+    val t = sf()
+    val (k, w, dfCap, minShared) = (3, 4, 64, 2)
+    val rows = TextAnalysis.winnowingOverlap(t, k, w, dfCap, minShared).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0))
+    // single-node replica: tokenize, shingle-hash, window-min, df-cut,
+    // pair-count — the whole recipe recomputed without Spark
+    val p = 1000000007L
+    val sel: Map[Long, Set[Long]] = t.documents
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val tks = r.getString(1).trim.split("\\s+")
+        val hs = (0 to tks.length - k).map(i =>
+          tks.slice(i, i + k).foldLeft(0L)((acc, tk) =>
+            (acc * 131 + (tk.headOption.map(_.toLong).getOrElse(0L) * 31
+              + tk.length)) % p))
+        val s =
+          if (hs.length >= w) (0 to hs.length - w).map(j => hs.slice(j, j + w).min)
+          else hs
+        r.getLong(0) -> s.toSet
+      }.filter(_._2.nonEmpty).toMap
+    val df = sel.values.flatten.groupBy(identity).map { case (fp, o) => fp -> o.size }
+    val ids = sel.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      shared = sel(a).intersect(sel(b)).count(fp => df(fp) <= dfCap)
+      if shared >= minShared
+    } yield (a, b) -> (shared.toLong, sel(a).size.toLong, sel(b).size.toLong)).toMap
+    val got = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected, s"pair sets differ: got=${got.size} exp=${expected.size}")
+  }
+
+  // ── q182 k-center coreset ───────────────────────────────────────────
+
+  test("q182: distributed ≡ single-node integer greedy; radius covers") {
+    val t = sf()
+    val k = 8
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x =>
+          java.math.BigDecimal.valueOf(x.toDouble * 1e6)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue()).toArray))
+      .sortBy(_._1)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // single-node greedy: seed = min id, then argmax of min-dist
+    var sel = Vector((vecs.head._1, 0L))
+    var mind = vecs.map(v => v._1 -> dist(v._2, vecs.head._2)).toMap - vecs.head._1
+    for (_ <- 2 to k) {
+      val (pid, pd) = mind.toSeq.maxBy { case (id, d) => (d, -id) }
+      sel :+= ((pid, pd))
+      val pv = vecs.find(_._1 == pid).get._2
+      mind = (mind - pid).map { case (id, d) =>
+        id -> math.min(d, dist(vecs.find(_._1 == id).get._2, pv)) }
+    }
+    val radius = mind.values.max
+    val got = graft.ext.Spectral.kcenterCoreset(t, k).collect()
+    assert(got.length == k)
+    assert(got.map(_.getInt(0)).toSeq == (1 to k))
+    assert(got.map(_.getLong(1)).toSeq == sel.map(_._1),
+      "selection order must match the single-node greedy")
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    for ((r, (_, d)) <- got.zip(sel))
+      assert(r.getDouble(3) == r6(d.toDouble / 1e12),
+        s"rank ${r.getInt(0)} dist_sel mismatch")
+    assert(got.forall(_.getDouble(4) == r6(radius.toDouble / 1e12)))
+    // greedy contract: selection distances non-increasing from rank 2
+    val ds = got.drop(1).map(_.getDouble(3))
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a + 1e-9 })
+    assert(got.map(_.getLong(1)).distinct.length == k, "no re-selection")
+  }
+
   test("q179 fixture run: totals reconcile with direct distinct/token counts") {
     val t = sf()
     val rows = TextAnalysis.vocabGrowth(t).collect()

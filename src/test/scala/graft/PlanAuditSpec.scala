@@ -314,7 +314,8 @@ class PlanAuditSpec extends SparkSpec {
     "q175_kmeans",                  // broadcast k-row centroid-array frame
     "q177_collocations",            // 1-row corpus (N1, N2) totals frame
     "q178_jl_distortion",           // vec_id < vec_id over the broadcast nVecs-row slice
-    "q179_vocab_growth")            // 1-row corpus doc-count frame
+    "q179_vocab_growth",            // 1-row corpus doc-count frame
+    "q182_kcenter_coreset")         // 1-row radius + broadcast k-row selection
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -489,7 +490,16 @@ class PlanAuditSpec extends SparkSpec {
     "q178_jl_distortion" -> 2,
     // word→min(doc_id) agg + two decile aggs + decile join + the 10-row
     // cumulative window
-    "q179_vocab_growth" -> 6)
+    "q179_vocab_growth" -> 6,
+    // training word-table agg + the source roll-up agg pair; the
+    // vocabulary rides a broadcast
+    "q180_tokenizer_fertility" -> 3,
+    // df-cut semi side + posting self-join + pair agg + output sort;
+    // fingerprint selection is a narrow HOF chain
+    "q181_winnowing_overlap" -> 4,
+    // rank-join of the broadcast k-row selection + output sort; greedy
+    // rounds hide behind per-round checkpoints
+    "q182_kcenter_coreset" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
