@@ -225,7 +225,10 @@ object SparkEntry {
     "q179_vocab_growth" -> q(t => TextAnalysis.vocabGrowth(t)),
     "q180_tokenizer_fertility" -> q(t => graft.ext.Bpe.fertilityBySource(t)),
     "q181_winnowing_overlap" -> q(t => TextAnalysis.winnowingOverlap(t)),
-    "q182_kcenter_coreset" -> q(t => graft.ext.Spectral.kcenterCoreset(t)))
+    "q182_kcenter_coreset" -> q(t => graft.ext.Spectral.kcenterCoreset(t)),
+    "q183_cluster_exemplars" -> q(t => graft.ext.Spectral.clusterExemplars(t)),
+    "q184_snapshot_drift" -> q(t => TextAnalysis.snapshotDrift(t)),
+    "q185_signal_corr" -> q(t => TextAnalysis.qualitySignalCorr(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -319,6 +322,9 @@ object SparkEntry {
     "q180_tokenizer_fertility" -> graft.ext.Bpe.fertilityBySourceSql(),
     "q181_winnowing_overlap" -> TextAnalysis.winnowingOverlapSql(),
     "q182_kcenter_coreset" -> graft.ext.Spectral.kcenterCoresetSql(),
+    "q183_cluster_exemplars" -> graft.ext.Spectral.clusterExemplarsSql(),
+    "q184_snapshot_drift" -> TextAnalysis.snapshotDriftSql(),
+    "q185_signal_corr" -> TextAnalysis.qualitySignalCorrSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -159,7 +159,26 @@ object Spectral {
     * keyed by vec_id) plus one (cid, dim)-keyed aggregate — rounds × two
     * shuffles, nothing quadratic, centroid state always k·dim rows. The
     * quantized corpus is localCheckpoint'd once and re-read per round. */
-  def kmeansReport(t: Tables, k: Int = 8, iters: Int = 3): DataFrame = {
+  def kmeansReport(t: Tables, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssign(t, k, iters)
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(shiftright(col("dist"), 26)).as("hi"),
+        sum(col("dist").bitwiseAND(lit(67108863L))).as("lo"))
+      .select(col("cid"), col("n_members"),
+        (col("hi").cast("double") * lit(67108864.0) + col("lo").cast("double"))
+          .as("inertia"))
+      .withColumn("mean_dist",
+        round(col("inertia") / col("n_members").cast("double") /
+          lit((VecScale * VecScale).toDouble), 6))
+      .orderBy(col("cid"))
+
+  /** The final Lloyd assignment frame (vec_id, qv, cid, dist) after
+    * `iters` rounds — the shared core of [[kmeansReport]] (q175, which
+    * rolls it up per cluster) and [[clusterExemplars]] (q183, which ranks
+    * within each cluster). Same plan as the pre-split q175 body. */
+  def kmeansAssign(t: Tables, k: Int = 8, iters: Int = 3): DataFrame = {
     val qv = t.embeddings
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -212,18 +231,33 @@ object Spectral {
         .localCheckpoint() // cut the iterated lineage
     }
     assign(cents)
-      .groupBy(col("cid"))
-      .agg(
-        count(lit(1)).as("n_members"),
-        sum(shiftright(col("dist"), 26)).as("hi"),
-        sum(col("dist").bitwiseAND(lit(67108863L))).as("lo"))
-      .select(col("cid"), col("n_members"),
-        (col("hi").cast("double") * lit(67108864.0) + col("lo").cast("double"))
-          .as("inertia"))
-      .withColumn("mean_dist",
-        round(col("inertia") / col("n_members").cast("double") /
-          lit((VecScale * VecScale).toDouble), 6))
-      .orderBy(col("cid"))
+  }
+
+  /** q183: cluster exemplar selection — the m most CENTRAL members of
+    * every k-means cluster (smallest distance to the final centroid,
+    * vec_id tiebreak). The prototype-picking step of cluster-then-curate
+    * pipelines (SemDeDup-style semantic curation, eval-set seeding,
+    * per-cluster labeling budgets): k·m exemplars that summarize the
+    * corpus geometry, each annotated with its distance and label.
+    *
+    * Scale shape: [[kmeansAssign]]'s rounds (broadcast k-row centroids +
+    * one (cid,dim) aggregate each) plus ONE rank window keyed by cid and a
+    * broadcast join of the k·m winners back to the labels — nothing new
+    * touches the corpus more than once. */
+  def clusterExemplars(t: Tables, k: Int = 8, iters: Int = 3,
+                       m: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("cid")).orderBy(col("dist"), col("vec_id"))
+    val ex = kmeansAssign(t, k, iters)
+      .select(col("vec_id"), col("cid"), col("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+    t.embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(ex), Seq("vec_id")) // k·m rows
+      .select(col("cid"), col("rk").as("rank_in_cluster"), col("vec_id"),
+        col("label"),
+        round(col("dist").cast("double") /
+          lit((VecScale * VecScale).toDouble), 6).as("dist_centroid"))
+      .orderBy(col("cid"), col("rank_in_cluster"))
   }
 
   /** DuckDB mirror of [[kmeansReport]] — the quantized per-dimension
@@ -231,7 +265,38 @@ object Spectral {
     * MATERIALIZED CTE chains (assignment → means → coalesced centroids).
     * DuckDB's HUGEINT promotion is cast back at every boundary; all
     * magnitudes stay < 2^63 so the arithmetic is identical. */
-  def kmeansReportSql(k: Int = 8, iters: Int = 3): String = {
+  def kmeansReportSql(k: Int = 8, iters: Int = 3): String =
+    s"""WITH ${kmeansCtesSql(k, iters)},
+       |rep AS (
+       |  SELECT cid, count(*) AS n_members,
+       |    CAST(sum(dist >> 26) AS DOUBLE) * 67108864.0
+       |      + CAST(sum(dist & 67108863) AS DOUBLE) AS inertia
+       |  FROM fa GROUP BY 1)
+       |SELECT cid, n_members, inertia,
+       |  round(inertia / CAST(n_members AS DOUBLE)
+       |    / ${(VecScale * VecScale).toDouble}, 6) AS mean_dist
+       |FROM rep ORDER BY cid""".stripMargin
+
+  /** DuckDB mirror of [[clusterExemplars]]: the shared Lloyd CTE chain,
+    * one rank window over the final assignment, labels joined back. */
+  def clusterExemplarsSql(k: Int = 8, iters: Int = 3, m: Int = 3): String =
+    s"""WITH ${kmeansCtesSql(k, iters)},
+       |rk AS (
+       |  SELECT vec_id, cid, dist,
+       |    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rk
+       |  FROM fa)
+       |SELECT r.cid, CAST(r.rk AS INTEGER) AS rank_in_cluster, r.vec_id,
+       |  e.label,
+       |  round(CAST(r.dist AS DOUBLE) / ${(VecScale * VecScale).toDouble}, 6)
+       |    AS dist_centroid
+       |FROM rk r JOIN embeddings e USING (vec_id)
+       |WHERE r.rk <= $m
+       |ORDER BY cid, rank_in_cluster""".stripMargin
+
+  /** The quantized frame, strided seed, and Lloyd rounds through the final
+    * assignment `fa` (vec_id, cid, dist) — shared by [[kmeansReportSql]]
+    * and [[clusterExemplarsSql]]. */
+  private def kmeansCtesSql(k: Int, iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val pc = s"c${r - 1}"
       s"""d$r AS (
@@ -252,7 +317,7 @@ object Spectral {
          |             p.c) AS c
          |  FROM $pc p LEFT JOIN m$r m ON m.cid = p.cid AND m.i = p.i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH eq AS MATERIALIZED (
+    s"""eq AS MATERIALIZED (
        |  SELECT vec_id, CAST(u.i AS INTEGER) AS i,
        |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * $VecScale, 0) AS BIGINT) AS q
        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
@@ -272,17 +337,9 @@ object Spectral {
        |  SELECT vec_id, cid, dist FROM (
        |    SELECT vec_id, cid, dist,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |    FROM fd) WHERE rn = 1),
-       |rep AS (
-       |  SELECT cid, count(*) AS n_members,
-       |    CAST(sum(dist >> 26) AS DOUBLE) * 67108864.0
-       |      + CAST(sum(dist & 67108863) AS DOUBLE) AS inertia
-       |  FROM fa GROUP BY 1)
-       |SELECT cid, n_members, inertia,
-       |  round(inertia / CAST(n_members AS DOUBLE)
-       |    / ${(VecScale * VecScale).toDouble}, 6) AS mean_dist
-       |FROM rep ORDER BY cid""".stripMargin
+       |    FROM fd) WHERE rn = 1)""".stripMargin
   }
+
   /** q182: k-center greedy coreset — farthest-point sampling over the
     * embedding corpus (the Gonzalez 2-approximation to the k-center
     * problem; the selection rule behind coreset-based data pruning and

@@ -209,24 +209,17 @@ object TextAnalysis {
     * ALL their hashes (the window would cover the whole doc). */
   def winnowingOverlap(t: Tables, k: Int = 3, w: Int = 4,
                        dfCap: Int = 64, minShared: Int = 2): DataFrame = {
-    val p = 1000000007L
-    val m = size(col("hs"))
+    // Selection runs in the native WinnowedFingerprints expression — the
+    // composable transform/aggregate/slice chain is semantically identical
+    // but interpreted per element (Catalyst HOFs are CodegenFallback) and
+    // measured 359 s at sf0.1 vs well under a second native. Hot per-row
+    // kernels belong in expressions: the MinHashExpression doctrine.
+    graft.functions.WinnowExpression.register(t.spark)
     val selected = t.documents
       .select(col("doc_id"), tokens(col("text")).as("tks"))
       .filter(size(col("tks")) >= k)
       .select(col("doc_id"),
-        transform(sequence(lit(0), size(col("tks")) - lit(k)), i =>
-          aggregate(slice(col("tks"), i + lit(1), lit(k)), lit(0L),
-            (acc, tk) =>
-              pmod(acc * lit(131L) +
-                (ascii(tk) * lit(31) + length(tk)).cast("long"), lit(p))))
-          .as("hs"))
-      .select(col("doc_id"),
-        array_distinct(
-          when(m >= w,
-            transform(sequence(lit(0), m - lit(w)), j =>
-              array_min(slice(col("hs"), j + lit(1), lit(w)))))
-            .otherwise(col("hs"))).as("sel"))
+        graft.functions.WinnowExpression.winnow(col("tks"), k, w).as("sel"))
     val postings = selected
       .select(col("doc_id"), size(col("sel")).cast("long").as("n_sel"),
         explode(col("sel")).as("fp"))
@@ -1155,6 +1148,203 @@ object TextAnalysis {
        |   AS rank,
        | bigram, c12, c1, c2, lift
        |FROM scored ORDER BY rank""".stripMargin
+
+  /** q184: corpus snapshot drift — total-variation and Hellinger distance
+    * between the hashed-unigram token distributions of two corpus
+    * snapshots (here the deterministic doc_id-parity split: v1 = even,
+    * v2 = odd; in production, yesterday's crawl vs today's), reported per
+    * source. The regression gate a corpus rebuild runs before training:
+    * "did this source's token distribution move?". The distances are
+    * chosen for bit-portability: TV = (1/2)*SUM(|p1-p2|) and Hellinger =
+    * sqrt((1/2)*SUM((sqrt(p1)-sqrt(p2))^2)) need only +,-,*,/ and the
+    * IEEE-correctly-rounded sqrt — no libm log (the KL/JS stand-in, same
+    * ordering for small drifts, and bounded in [0,1] unlike KL). No
+    * rounding on the outputs: halving and sqrt of exact operands are
+    * bit-portable, while round(.,6) on a 1e-6-quantized sum is the q176
+    * HALF_UP trap.
+    *
+    * Scale shape: ONE corpus-sized (source, bucket) count aggregate
+    * (map-side combined, buckets bound the frame at sources x B rows);
+    * all distance math runs on that bounded frame — the per-source totals
+    * are a window over it, and the dsum decimal kernels keep the final
+    * sums order-independent. */
+  def snapshotDrift(t: Tables, buckets: Int = 256): DataFrame = {
+    graft.functions.CountMinSketch.register(t.spark)
+    import graft.functions.CountMinSketch.keyHash
+    // snapshot assignment by the portable id hash (the q48 split
+    // doctrine), NOT raw doc_id parity: the fixture assigns source by
+    // doc_id modulo, so parity would leave half the sources one-sided
+    val counts = t.documents
+      .select(col("source"),
+        (pmod(Sampling.splitHash(col("doc_id")), lit(2L)) === 0).as("v1"),
+        explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"),
+        pmod(keyHash(col("tok"), portable = true), lit(buckets.toLong))
+          .as("bucket"))
+      .agg(
+        sum(when(col("v1"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("v1"), 1L).otherwise(0L)).as("c2"))
+    val w = Window.partitionBy(col("source"))
+    val p1 = col("c1").cast("double") / col("n1")
+    val p2 = col("c2").cast("double") / col("n2")
+    val sd = sqrt(p1) - sqrt(p2)
+    val bothSides = col("n1") > 0 && col("n2") > 0
+    counts
+      .withColumn("n1", sum(col("c1")).over(w))
+      .withColumn("n2", sum(col("c2")).over(w))
+      .select(col("source"), col("n1"), col("n2"),
+        // one-sided sources would put NaN (0/0) into the decimal sum
+        // kernel; park them at 0 — the report emits NULL for them anyway
+        when(bothSides, abs(p1 - p2)).otherwise(lit(0.0)).as("ad"),
+        when(bothSides, sd * sd).otherwise(lit(0.0)).as("hd"))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n1")).as("n_tokens_v1"),
+        max(col("n2")).as("n_tokens_v2"),
+        graft.functions.ExactAgg.dsum(col("ad")).as("tvsum"),
+        graft.functions.ExactAgg.dsum(col("hd")).as("hsum"))
+      .select(col("source"), col("n_tokens_v1"), col("n_tokens_v2"),
+        // a source entirely inside one snapshot has no defined drift
+        when(col("n_tokens_v1") > 0 && col("n_tokens_v2") > 0,
+          col("tvsum") / 2.0).as("tv_distance"),
+        when(col("n_tokens_v1") > 0 && col("n_tokens_v2") > 0,
+          sqrt(col("hsum") / 2.0)).as("hellinger"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[snapshotDrift]]. */
+  def snapshotDriftSql(buckets: Int = 256): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val h = graft.functions.PortableHash.hash32Sql("tok")
+    val sh = graft.ext.Sampling.splitHashSql("doc_id")
+    val p1 = "(CAST(c1 AS DOUBLE) / n1)"
+    val p2 = "(CAST(c2 AS DOUBLE) / n2)"
+    s"""WITH tk AS (
+       |  SELECT source, ($sh) % 2 = 0 AS v1,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |  FROM documents),
+       |cb AS (
+       |  SELECT source, ($h) % $buckets AS bucket,
+       |   CAST(sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |   CAST(sum(CASE WHEN NOT v1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM tk GROUP BY 1, 2),
+       |wb AS (
+       |  SELECT source, c1, c2,
+       |   CAST(sum(c1) OVER (PARTITION BY source) AS BIGINT) AS n1,
+       |   CAST(sum(c2) OVER (PARTITION BY source) AS BIGINT) AS n2
+       |  FROM cb),
+       |pd AS (
+       |  SELECT source, n1, n2,
+       |   CASE WHEN n1 > 0 AND n2 > 0 THEN abs($p1 - $p2) ELSE 0.0e0 END AS ad,
+       |   CASE WHEN n1 > 0 AND n2 > 0
+       |     THEN (sqrt($p1) - sqrt($p2)) * (sqrt($p1) - sqrt($p2))
+       |     ELSE 0.0e0 END AS hd
+       |  FROM wb)
+       |SELECT source,
+       | max(n1) AS n_tokens_v1, max(n2) AS n_tokens_v2,
+       | CASE WHEN max(n1) > 0 AND max(n2) > 0
+       |   THEN ${O.dsum("ad")} / 2.0 END AS tv_distance,
+       | CASE WHEN max(n1) > 0 AND max(n2) > 0
+       |   THEN sqrt(${O.dsum("hd")} / 2.0) END AS hellinger
+       |FROM pd GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** q185: quality-signal correlation audit — pairwise Pearson correlation
+    * across the per-document quality signals (token count, average token
+    * length, distinct-token ratio, stopword ratio, 3-shingle repetition
+    * ratio: the q30/q61 surfaces), the redundancy check run before
+    * composing filter thresholds — two signals correlated at 0.9 are one
+    * filter, not two. ONE corpus pass computes the signal frame and ONE
+    * global aggregate computes every C(5,2) pair's exact decimal moments
+    * (the q115 one-scan matrix shape); `stack` unpivots the single result
+    * row to (sig_x, sig_y, corr) rows. */
+  def qualitySignalCorr(t: Tables): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    import graft.functions.ExactAgg.dcorr
+    val tks = tokens(col("text"))
+    val sh = graft.functions.ShingleExpression.wordShingles(tks)
+    // The ratio signals are scaled ×10⁴ before the moment kernels:
+    // Pearson correlation is affine-invariant, so the result is
+    // unchanged — but ExactAgg's product kernel quantizes factors at
+    // cents (1e-2, its money heritage), which on a [0,1] ratio would be
+    // two significant digits. At ×10⁴ the 6-dp-rounded ratios are
+    // integral in cents, so the moments are EXACT (both engines apply
+    // the identical scaling — bit parity holds either way; accuracy vs
+    // the unquantized correlation is what the scaling buys).
+    val S = 10000.0
+    val sig = t.documents.select(
+      size(tks).cast("double").as("n_tokens"),
+      round(length(col("text")).cast("double") / size(tks), 4)
+        .multiply(S).as("avg_token_len"),
+      round(size(array_distinct(tks)).cast("double") / size(tks), 6)
+        .multiply(S).as("distinct_ratio"),
+      round(size(filter(tks, tk => tk.isin(stopwords.map(lit(_)): _*)))
+        .cast("double") / size(tks), 6).multiply(S).as("stopword_ratio"),
+      when(size(sh) === 0, lit(0.0)).otherwise(
+        round((size(sh) - size(array_distinct(sh))).cast("double") /
+          size(sh), 6)).multiply(S).as("repetition_ratio"))
+    val pairs = for {
+      i <- signalCols.indices; j <- i + 1 until signalCols.length
+    } yield (signalCols(i), signalCols(j))
+    val aggs = pairs.map { case (x, y) =>
+      dcorr(col(x), col(y)).as(s"${x}__$y") } :+ count(lit(1)).as("n_docs")
+    val stackArgs = pairs
+      .map { case (x, y) => s"'$x', '$y', `${x}__$y`" }.mkString(", ")
+    sig.agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(${pairs.length}, $stackArgs) AS (sig_x, sig_y, corr)"),
+        col("n_docs"))
+      .orderBy(col("sig_x"), col("sig_y"))
+  }
+
+  private val signalCols = Seq("n_tokens", "avg_token_len",
+    "distinct_ratio", "stopword_ratio", "repetition_ratio")
+
+  /** The DuckDB mirror of [[qualitySignalCorr]] — the q30/q61 signal
+    * expressions (incl. the repetitionStats shingle CTE), then the q115
+    * one-aggregate moment matrix unpivoted via UNION arms. */
+  def qualitySignalCorrSql: String = {
+    val O = graft.functions.ExactAgg.Sql
+    val pairs = for {
+      i <- signalCols.indices; j <- i + 1 until signalCols.length
+    } yield (signalCols(i), signalCols(j))
+    val sums = pairs
+      .map { case (x, y) => s"${O.dcorr(x, y)} AS ${x}__$y" }
+      .mkString(",\n   ")
+    val arms = pairs
+      .map { case (x, y) =>
+        s"SELECT '$x' AS sig_x, '$y' AS sig_y, ${x}__$y AS corr, n_docs FROM a" }
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH tk AS (
+       |  SELECT doc_id, length(text) AS n_chars,
+       |   string_split_regex(trim(text), '\\s+') AS tks FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tks) < 3 THEN [array_to_string(tks, ' ')]
+       |         ELSE list_transform(range(1, len(tks) - 1),
+       |                i -> array_to_string(tks[i:i+2], ' ')) END AS shingles
+       |  FROM tk),
+       |sig AS (
+       |  SELECT CAST(len(t.tks) AS DOUBLE) AS n_tokens,
+       |   round(CAST(t.n_chars AS DOUBLE) / len(t.tks), 4) * 10000.0
+       |     AS avg_token_len,
+       |   round(CAST(len(list_distinct(t.tks)) AS DOUBLE) / len(t.tks), 6)
+       |     * 10000.0 AS distinct_ratio,
+       |   round(CAST(len(list_filter(t.tks,
+       |       tk -> tk IN ('the','a','of','and','to','in'))) AS DOUBLE)
+       |     / len(t.tks), 6) * 10000.0 AS stopword_ratio,
+       |   (CASE WHEN len(s.shingles) = 0 THEN 0.0e0
+       |     ELSE round(CAST(len(s.shingles) - len(list_distinct(s.shingles))
+       |       AS DOUBLE) / len(s.shingles), 6) END) * 10000.0
+       |     AS repetition_ratio
+       |  FROM tk t JOIN sh s USING (doc_id)),
+       |a AS (
+       |  SELECT $sums,
+       |   count(*) AS n_docs
+       |  FROM sig)$arms
+       |ORDER BY sig_x, sig_y""".stripMargin
+  }
+
 
   /** q179: vocabulary-growth (Heaps'-law) curve — cumulative distinct-word
     * count against cumulative corpus size at ten ingestion checkpoints,

@@ -246,6 +246,95 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).distinct.length == k, "no re-selection")
   }
 
+  // ── q183 cluster exemplars ──────────────────────────────────────────
+
+  test("q183: ranks dense, distances sorted, counts reconcile with q175") {
+    val t = sf()
+    val (k, iters, m) = (8, 3, 3)
+    val got = graft.ext.Spectral.clusterExemplars(t, k, iters, m).collect()
+    val report = graft.ext.Spectral.kmeansReport(t, k, iters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val byCid = got.groupBy(_.getLong(0))
+    assert(byCid.keySet == report.keySet, "every cluster must have exemplars")
+    assert(got.map(_.getLong(2)).distinct.length == got.length, "no dup vecs")
+    for ((cid, rows) <- byCid) {
+      val (nMembers, meanDist) = report(cid)
+      assert(rows.length == math.min(m.toLong, nMembers),
+        s"cluster $cid exemplar count")
+      assert(rows.map(_.getInt(1)).toSeq.sorted == (1 to rows.length),
+        s"cluster $cid ranks not dense")
+      val ds = rows.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"cluster $cid distances not sorted")
+      assert(ds.head <= meanDist + 1e-9,
+        s"cluster $cid most-central exemplar above the cluster mean distance")
+    }
+  }
+
+  // ── q184 snapshot drift ─────────────────────────────────────────────
+
+  test("q184: identical snapshots drift 0; disjoint snapshots drift 1") {
+    import spark.implicits._
+    // which hash-split side each doc_id lands on (the query's own split)
+    val sides = (0L until 16L).toDF("id")
+      .select(col("id"),
+        (pmod(Sampling.splitHash(col("id")), lit(2L)) === 0).as("v1"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(sides.values.toSet.size == 2, "both snapshot sides populated")
+    // all docs carry identical text → p1 == p2 in every bucket
+    val same = docsTable((0L until 16L).map(i => (i, "alpha beta gamma", "en", "s")))
+    val sameRows = TextAnalysis.snapshotDrift(same).collect()
+    assert(sameRows.length == 1)
+    assert(sameRows(0).getDouble(3) == 0.0 && sameRows(0).getDouble(4) == 0.0)
+    // v1 docs speak only "evenword", v2 docs only "oddword" → disjoint
+    // supports (the two words land in different hash buckets)
+    val disj = docsTable((0L until 16L).map(i =>
+      (i, if (sides(i)) "evenword evenword" else "oddword oddword", "en", "s")))
+    val dRows = TextAnalysis.snapshotDrift(disj).collect()
+    assert(dRows.length == 1)
+    assert(dRows(0).getDouble(3) == 1.0, s"disjoint TV ${dRows(0).getDouble(3)}")
+    assert(dRows(0).getDouble(4) == 1.0, s"disjoint Hellinger ${dRows(0).getDouble(4)}")
+  }
+
+  test("q184 fixture run: token conservation and [0,1] bounds per source") {
+    val t = sf()
+    val rows = TextAnalysis.snapshotDrift(t).collect()
+    assert(rows.nonEmpty)
+    val totals = t.documents
+      .select(col("source"), size(TextAnalysis.tokens(lower(col("text"))))
+        .cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      assert(r.getLong(1) + r.getLong(2) == totals(r.getString(0)),
+        s"${r.getString(0)} token conservation")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  // ── q185 quality-signal correlation ─────────────────────────────────
+
+  test("q185: all C(5,2) pairs, |corr| <= 1, parity with Spark's corr()") {
+    val t = sf()
+    val rows = TextAnalysis.qualitySignalCorr(t).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    assert(rows.map(_.getLong(3)).distinct.toSeq == Seq(t.documents.count()))
+    // independent recompute: Spark's built-in corr over the same signals
+    val tks = TextAnalysis.tokens(col("text"))
+    val sig = t.documents.select(
+      size(tks).cast("double").as("n_tokens"),
+      round(size(array_distinct(tks)).cast("double") / size(tks), 6)
+        .as("distinct_ratio"))
+    val expected = sig.agg(corr(col("n_tokens"), col("distinct_ratio")))
+      .collect()(0).getDouble(0)
+    val gotPair = rows.find(r =>
+      r.getString(0) == "n_tokens" && r.getString(1) == "distinct_ratio").get
+    assert(math.abs(gotPair.getDouble(2) - expected) < 1e-3,
+      s"exact-decimal corr ${gotPair.getDouble(2)} vs Spark corr $expected")
+  }
+
   test("q179 fixture run: totals reconcile with direct distinct/token counts") {
     val t = sf()
     val rows = TextAnalysis.vocabGrowth(t).collect()

@@ -315,7 +315,8 @@ class PlanAuditSpec extends SparkSpec {
     "q177_collocations",            // 1-row corpus (N1, N2) totals frame
     "q178_jl_distortion",           // vec_id < vec_id over the broadcast nVecs-row slice
     "q179_vocab_growth",            // 1-row corpus doc-count frame
-    "q182_kcenter_coreset")         // 1-row radius + broadcast k-row selection
+    "q182_kcenter_coreset",         // 1-row radius + broadcast k-row selection
+    "q183_cluster_exemplars")       // broadcast k-row centroid-array frame (q175's core)
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -499,7 +500,14 @@ class PlanAuditSpec extends SparkSpec {
     "q181_winnowing_overlap" -> 4,
     // rank-join of the broadcast k-row selection + output sort; greedy
     // rounds hide behind per-round checkpoints
-    "q182_kcenter_coreset" -> 2)
+    "q182_kcenter_coreset" -> 2,
+    // final-assignment window keyed by vec_id + the cid rank window +
+    // output sort; Lloyd rounds hide behind per-round checkpoints
+    "q183_cluster_exemplars" -> 3,
+    // (source, bucket) count agg pair + the source-keyed window/report agg
+    "q184_snapshot_drift" -> 3,
+    // ONE global moment aggregate (q115 shape) + the 10-row output sort
+    "q185_signal_corr" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
