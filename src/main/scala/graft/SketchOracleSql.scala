@@ -187,13 +187,56 @@ object SketchOracleSql {
     s"""WITH $dupPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM dup_pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** `CASE` expression labeling an id column with its deterministic
+    * train/val/test split — the SQL twin of
+    * [[graft.ext.Sampling.splitColumn]] (80/10/10 by portable hash). */
+  private def splitCaseSql(x: String): String = {
+    val b = s"(${graft.ext.Sampling.splitHashSql(x)}) % 100"
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+  }
+
+  /** q186: cross-split duplicate-leakage audit — mirrors
+    * [[graft.ext.Dedup.splitLeakage]] (q34's dup pairs + q48's split
+    * labels, oriented lo→hi by split rank, doc_a on ties). */
+  val splitLeakage: String = {
+    def rk(c: String) = s"CASE $c WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+    s"""WITH $dupPairsCtes,
+       |lab AS (
+       |  SELECT doc_a, doc_b,
+       |    ${splitCaseSql("doc_a")} AS spa,
+       |    ${splitCaseSql("doc_b")} AS spb
+       |  FROM dup_pairs),
+       |orient AS (
+       |  SELECT
+       |    CASE WHEN ${rk("spa")} <= ${rk("spb")} THEN spa ELSE spb END AS split_lo,
+       |    CASE WHEN ${rk("spa")} <= ${rk("spb")} THEN spb ELSE spa END AS split_hi,
+       |    CASE WHEN ${rk("spa")} <= ${rk("spb")} THEN doc_a ELSE doc_b END AS doc_lo,
+       |    CASE WHEN ${rk("spa")} <= ${rk("spb")} THEN doc_b ELSE doc_a END AS doc_hi
+       |  FROM lab),
+       |tot AS (
+       |  SELECT ${splitCaseSql("doc_id")} AS split_hi, count(*) AS n_split_hi
+       |  FROM documents GROUP BY 1),
+       |agg AS (
+       |  SELECT split_lo, split_hi, count(*) AS n_pairs,
+       |    count(DISTINCT doc_lo) AS n_docs_lo,
+       |    count(DISTINCT doc_hi) AS n_docs_hi
+       |  FROM orient GROUP BY 1, 2)
+       |SELECT a.split_lo, a.split_hi, a.n_pairs, a.n_docs_lo, a.n_docs_hi,
+       |  t.n_split_hi,
+       |  round(CAST(a.n_docs_hi AS DOUBLE) / t.n_split_hi, 6) AS pct_hi_leaked
+       |FROM agg a JOIN tot t USING (split_hi)
+       |ORDER BY ${rk("a.split_lo")}, ${rk("a.split_hi")}""".stripMargin
+  }
+
   /** q45: connected components over the near-dup pairs — every document
     * labeled with the smallest doc_id reachable through the (undirected)
     * dup relation, plus cluster size. The recursive CTE computes full
     * reachability and takes the min label, which is exactly the fixpoint
     * the engine's min-label propagation converges to. */
-  val dupClusters: String =
-    s"""WITH RECURSIVE $dupPairsCtes,
+  /** The clustering chain through per-cluster sizes — shared by
+    * [[dupClusters]] (q45) and [[duplicationProfile]] (q191). */
+  private val dupClusterCtes: String =
+    s"""$dupPairsCtes,
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
        |  UNION ALL
@@ -203,10 +246,29 @@ object SketchOracleSql {
        |  UNION
        |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id),
        |labels AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY 1),
-       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1)""".stripMargin
+
+  val dupClusters: String =
+    s"""WITH RECURSIVE $dupClusterCtes
        |SELECT l.doc_id, l.cluster_id, s.cluster_size
        |FROM labels l JOIN sizes s USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** q191: duplication-factor profile — mirrors
+    * [[graft.ext.Dedup.duplicationProfile]] (the cluster-size
+    * distribution over q45's clustering). */
+  val duplicationProfile: String =
+    s"""WITH RECURSIVE $dupClusterCtes,
+       |prof AS (
+       |  SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_docs_total FROM documents)
+       |SELECT cluster_size, n_clusters,
+       |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       |  CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable,
+       |  round(CAST(cluster_size * n_clusters AS DOUBLE) / n_docs_total, 6)
+       |    AS pct_docs
+       |FROM prof CROSS JOIN tot
+       |ORDER BY cluster_size""".stripMargin
 
   /** q160: quality-ranked canonical per cluster — the [[dupClusters]]
     * closure joined to `n_chars`, keeping the longest member (min doc_id

@@ -228,7 +228,13 @@ object SparkEntry {
     "q182_kcenter_coreset" -> q(t => graft.ext.Spectral.kcenterCoreset(t)),
     "q183_cluster_exemplars" -> q(t => graft.ext.Spectral.clusterExemplars(t)),
     "q184_snapshot_drift" -> q(t => TextAnalysis.snapshotDrift(t)),
-    "q185_signal_corr" -> q(t => TextAnalysis.qualitySignalCorr(t)))
+    "q185_signal_corr" -> q(t => TextAnalysis.qualitySignalCorr(t)),
+    "q186_split_leakage" -> q(t => Dedup.splitLeakage(t)),
+    "q187_pq_ann" -> q(t => graft.ext.Spectral.pqTopK(t)),
+    "q188_ngram_novelty" -> q(t => TextAnalysis.ngramNovelty(t)),
+    "q189_embedding_split_leakage" -> q(t => Similarity.embeddingSplitLeakage(t)),
+    "q190_truncation_audit" -> q(t => Sampling.truncationAudit(t)),
+    "q191_duplication_profile" -> q(t => Dedup.duplicationProfile(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -325,6 +331,12 @@ object SparkEntry {
     "q183_cluster_exemplars" -> graft.ext.Spectral.clusterExemplarsSql(),
     "q184_snapshot_drift" -> TextAnalysis.snapshotDriftSql(),
     "q185_signal_corr" -> TextAnalysis.qualitySignalCorrSql,
+    "q186_split_leakage" -> SketchOracleSql.splitLeakage,
+    "q187_pq_ann" -> graft.ext.Spectral.pqTopKSql(),
+    "q188_ngram_novelty" -> TextAnalysis.ngramNoveltySql(),
+    "q189_embedding_split_leakage" -> Similarity.embeddingSplitLeakageSql(),
+    "q190_truncation_audit" -> Sampling.truncationAuditSql(),
+    "q191_duplication_profile" -> SketchOracleSql.duplicationProfile,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -500,6 +500,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q191: duplication-factor PROFILE — the distribution of near-dup
+    * cluster sizes: for each size, how many clusters, how many documents
+    * they hold, what share of the corpus that is, and how many documents a
+    * keep-one policy would delete. This is the one-page answer to "how
+    * duplicated is this corpus" that decides whether dedup is worth a
+    * pipeline stage at all (a profile dominated by size 1 says no; a fat
+    * tail says the q68/q160 deletion step pays for itself) — and the
+    * before/after artifact a dedup run publishes.
+    *
+    * Scale shape: [[dupClusters]]' capped LSH + CC work, then one
+    * cluster-keyed aggregate and a size-keyed roll-up whose cardinality is
+    * the number of DISTINCT sizes (≪ corpus), with a broadcast 1-row total
+    * for the share column. */
+  def duplicationProfile(t: Tables, minJaccard: Double = 0.2): DataFrame = {
+    val clusters = dupClusters(t, minJaccard, portable = true)
+    val tot = t.documents.agg(count(lit(1)).as("n_docs_total"))
+    clusters
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(count(lit(1)).as("n")) // one row per cluster
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("n_removable"),
+        round(col("n_docs").cast("double") / col("n_docs_total"), 6)
+          .as("pct_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** q68: the deletion step a dedup pipeline actually ships — keep ONE
     * canonical document per near-dup cluster (the minimum doc_id,
     * [[dupClusters]]' representative), drop the rest. `n_dropped` records
@@ -1316,4 +1348,58 @@ object Dedup {
        |FROM v
        |WHERE round(CAST(n_common AS DOUBLE) / least(n_a, n_b), 6) >= $tau
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q186: cross-split duplicate-LEAKAGE audit — near-dup pairs that
+    * straddle the deterministic train/val/test boundary. A near-duplicate
+    * of a training document sitting in val/test silently inflates every
+    * eval metric (the contamination the split itself cannot prevent,
+    * because hash splits ignore content); this is the audit a training-data
+    * release runs AFTER splitting and BEFORE publishing eval numbers.
+    * Reference anchor: the split discipline of q48
+    * ([[graft.ext.Sampling.splitColumn]]) applied to q34's near-dup
+    * relation ([[minhashDupPairs]]).
+    *
+    * Output: one row per (split_lo, split_hi) combination present among
+    * the near-dup pairs (splits ordered train < val < test; within a pair,
+    * `lo` is the side whose split ranks lower, doc_a on ties). `n_docs_hi`
+    * counts distinct hi-side documents — for train↔eval rows that is
+    * exactly "eval documents with a near-dup in train", and
+    * `pct_hi_leaked` normalizes it by the hi split's total size.
+    *
+    * Scale shape: split labels are pure hash arithmetic on the pair's own
+    * ids (ZERO joins back to the corpus — the labeling is narrow on the
+    * pair frame); the only corpus-touching work is q34's capped candidate
+    * stage, and the final aggregate is on the at-most-6-row combo frame
+    * plus one broadcast join against the 3-row split totals. */
+  def splitLeakage(t: Tables, minJaccard: Double = 0.2): DataFrame = {
+    import graft.ext.Sampling.splitColumn
+    def rk(s: Column): Column =
+      when(s === "train", 0).when(s === "val", 1).otherwise(2)
+    val pairs = minhashDupPairsUnsorted(t, minJaccard, portable = true)
+      .select(col("doc_a"), col("doc_b"),
+        splitColumn(col("doc_a")).as("spa"),
+        splitColumn(col("doc_b")).as("spb"))
+    val aIsLo = rk(col("spa")) <= rk(col("spb"))
+    val oriented = pairs.select(
+      when(aIsLo, col("spa")).otherwise(col("spb")).as("split_lo"),
+      when(aIsLo, col("spb")).otherwise(col("spa")).as("split_hi"),
+      when(aIsLo, col("doc_a")).otherwise(col("doc_b")).as("doc_lo"),
+      when(aIsLo, col("doc_b")).otherwise(col("doc_a")).as("doc_hi"))
+    val totals = t.documents
+      .groupBy(splitColumn(col("doc_id")).as("split_hi"))
+      .agg(count(lit(1)).as("n_split_hi"))
+    oriented
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_lo")).as("n_docs_lo"),
+        countDistinct(col("doc_hi")).as("n_docs_hi"))
+      .join(broadcast(totals), Seq("split_hi")) // 3-row dim
+      .select(
+        col("split_lo"), col("split_hi"), col("n_pairs"),
+        col("n_docs_lo"), col("n_docs_hi"), col("n_split_hi"),
+        round(col("n_docs_hi").cast("double") / col("n_split_hi"), 6)
+          .as("pct_hi_leaked"))
+      .orderBy(rk(col("split_lo")), rk(col("split_hi")))
+  }
 }

@@ -745,4 +745,68 @@ object Sampling {
        |FROM topk JOIN documents USING (doc_id)
        |ORDER BY rank""".stripMargin
   }
+
+  /** q190: context-window TRUNCATION audit — for each candidate window
+    * size, how much of the corpus a truncate-at-window policy throws away
+    * (vs the packing policies of q69/q150 that keep it): documents over
+    * the window, tokens lost to the cut, and the share both represent.
+    * This is the measurement that decides a context-length/packing
+    * trade-off before a training run commits to one.
+    *
+    * Scale shape: ONE narrow pass computes per-doc token counts; the
+    * window sweep is an explode against the literal window list (rows =
+    * docs × |windows|, still narrow); one |windows|-row aggregate with a
+    * broadcast 1-row corpus-total frame for the percentages. */
+  def truncationAudit(t: Tables,
+                      windows: Seq[Int] = Seq(64, 256, 1024)): DataFrame = {
+    val perDoc = t.documents
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val tot = perDoc.agg(
+      count(lit(1)).as("n_docs_total"),
+      sum(col("n_tokens")).as("n_tokens_total"))
+    perDoc
+      .select(col("n_tokens"),
+        explode(array(windows.map(lit): _*)).as("window"))
+      .groupBy(col("window"))
+      .agg(
+        sum(when(col("n_tokens") > col("window"), 1L).otherwise(0L))
+          .as("n_docs_over"),
+        sum(greatest(col("n_tokens") - col("window"), lit(0L)))
+          .as("tokens_lost"))
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .select(col("window"), col("n_docs_over"),
+        round(col("n_docs_over").cast("double") / col("n_docs_total"), 6)
+          .as("pct_docs_over"),
+        col("tokens_lost"),
+        round(col("tokens_lost").cast("double") / col("n_tokens_total"), 6)
+          .as("pct_tokens_lost"))
+      .orderBy(col("window"))
+  }
+
+  /** The DuckDB mirror of [[truncationAudit]]. */
+  def truncationAuditSql(windows: Seq[Int] = Seq(64, 256, 1024)): String = {
+    val wlist = windows.mkString(", ")
+    s"""WITH per AS (
+       |  SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    AS n_tokens
+       |  FROM documents),
+       |tot AS (
+       |  SELECT count(*) AS n_docs_total,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+       |  FROM per),
+       |sweep AS (
+       |  SELECT CAST(u.w AS INTEGER) AS "window",
+       |    CAST(sum(CASE WHEN n_tokens > u.w THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_docs_over,
+       |    CAST(sum(greatest(n_tokens - u.w, 0)) AS BIGINT) AS tokens_lost
+       |  FROM per, unnest([$wlist]) AS u(w)
+       |  GROUP BY 1)
+       |SELECT "window", n_docs_over,
+       |  round(CAST(n_docs_over AS DOUBLE) / n_docs_total, 6) AS pct_docs_over,
+       |  tokens_lost,
+       |  round(CAST(tokens_lost AS DOUBLE) / n_tokens_total, 6)
+       |    AS pct_tokens_lost
+       |FROM sweep CROSS JOIN tot
+       |ORDER BY "window"""".stripMargin
+  }
 }

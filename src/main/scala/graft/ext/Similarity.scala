@@ -1052,6 +1052,98 @@ object Similarity {
        |   <= CAST($eps AS DOUBLE) * CAST($eps AS DOUBLE)
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q189: embedding-space split-LEAKAGE audit — the semantic twin of the
+    * lexical q186: ε-neighbor vector pairs ([[epsNeighborPairs]]' lossless
+    * grid blocking) that straddle the deterministic train/val/test
+    * boundary. Near-identical embeddings across the split are exactly the
+    * contamination SemDeDup-style curation worries about: an eval item
+    * whose vector twin was trained on scores as memorization, not
+    * generalization — and shingle-based audits can't see it when the
+    * surface text differs (paraphrase, translation, re-encode).
+    *
+    * Output shape matches q186 (split_lo/split_hi by rank, distinct
+    * hi-side vectors, hi-split totals) so the two audits read side by
+    * side. Split labels are pure hash arithmetic on the pair's own ids —
+    * zero joins back to the corpus; the roll-up runs on the ≤6-row combo
+    * frame plus a broadcast of the 3-row split totals. */
+  def embeddingSplitLeakage(t: Tables, eps: Double = 0.01): DataFrame = {
+    import graft.ext.Sampling.splitColumn
+    def rk(s: Column): Column =
+      when(s === "train", 0).when(s === "val", 1).otherwise(2)
+    val pairs = epsNeighborPairs(t, eps)
+      .select(col("id_a"), col("id_b"),
+        splitColumn(col("id_a")).as("spa"),
+        splitColumn(col("id_b")).as("spb"))
+    val aIsLo = rk(col("spa")) <= rk(col("spb"))
+    val oriented = pairs.select(
+      when(aIsLo, col("spa")).otherwise(col("spb")).as("split_lo"),
+      when(aIsLo, col("spb")).otherwise(col("spa")).as("split_hi"),
+      when(aIsLo, col("id_a")).otherwise(col("id_b")).as("vec_lo"),
+      when(aIsLo, col("id_b")).otherwise(col("id_a")).as("vec_hi"))
+    val totals = t.embeddings
+      .groupBy(splitColumn(col("vec_id")).as("split_hi"))
+      .agg(count(lit(1)).as("n_split_hi"))
+    oriented
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("vec_lo")).as("n_vecs_lo"),
+        countDistinct(col("vec_hi")).as("n_vecs_hi"))
+      .join(broadcast(totals), Seq("split_hi")) // 3-row dim
+      .select(
+        col("split_lo"), col("split_hi"), col("n_pairs"),
+        col("n_vecs_lo"), col("n_vecs_hi"), col("n_split_hi"),
+        round(col("n_vecs_hi").cast("double") / col("n_split_hi"), 6)
+          .as("pct_hi_leaked"))
+      .orderBy(rk(col("split_lo")), rk(col("split_hi")))
+  }
+
+  /** DuckDB mirror of [[embeddingSplitLeakage]] — brute-force ε pairs
+    * (proving the grid blocking again, now under the audit) + the split
+    * CASE of [[graft.ext.Sampling.splitHashSql]]. */
+  def embeddingSplitLeakageSql(eps: Double = 0.01): String = {
+    def splitCase(x: String): String = {
+      val b = s"(${graft.ext.Sampling.splitHashSql(x)}) % 100"
+      s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+    }
+    def rk(c: String) = s"CASE $c WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |   CAST(embedding[1] AS DOUBLE) AS x,
+       |   CAST(embedding[2] AS DOUBLE) AS y
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+       |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       |     <= CAST($eps AS DOUBLE) * CAST($eps AS DOUBLE)),
+       |lab AS (
+       |  SELECT id_a, id_b,
+       |    ${splitCase("id_a")} AS spa,
+       |    ${splitCase("id_b")} AS spb
+       |  FROM pairs),
+       |orient AS (
+       |  SELECT
+       |    CASE WHEN ${rk("spa")} <= ${rk("spb")} THEN spa ELSE spb END AS split_lo,
+       |    CASE WHEN ${rk("spa")} <= ${rk("spb")} THEN spb ELSE spa END AS split_hi,
+       |    CASE WHEN ${rk("spa")} <= ${rk("spb")} THEN id_a ELSE id_b END AS vec_lo,
+       |    CASE WHEN ${rk("spa")} <= ${rk("spb")} THEN id_b ELSE id_a END AS vec_hi
+       |  FROM lab),
+       |tot AS (
+       |  SELECT ${splitCase("vec_id")} AS split_hi, count(*) AS n_split_hi
+       |  FROM embeddings GROUP BY 1),
+       |agg AS (
+       |  SELECT split_lo, split_hi, count(*) AS n_pairs,
+       |    count(DISTINCT vec_lo) AS n_vecs_lo,
+       |    count(DISTINCT vec_hi) AS n_vecs_hi
+       |  FROM orient GROUP BY 1, 2)
+       |SELECT a.split_lo, a.split_hi, a.n_pairs, a.n_vecs_lo, a.n_vecs_hi,
+       |  t.n_split_hi,
+       |  round(CAST(a.n_vecs_hi AS DOUBLE) / t.n_split_hi, 6) AS pct_hi_leaked
+       |FROM agg a JOIN tot t USING (split_hi)
+       |ORDER BY ${rk("a.split_lo")}, ${rk("a.split_hi")}""".stripMargin
+  }
+
   /** q153: semi-supervised label propagation over the ε-neighbor graph —
     * the label-spreading step of weakly-supervised dataset construction
     * (a small seed set of labeled examples labels its geometric

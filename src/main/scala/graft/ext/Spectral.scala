@@ -469,4 +469,227 @@ object Spectral {
        |FROM sel JOIN embeddings e USING (vec_id) CROSS JOIN rad
        |ORDER BY rank""".stripMargin
   }
+
+  /** q187: product-quantization ANN (PQ + ADC — Jégou et al. 2011, the
+    * codebook scheme behind IVF-PQ indexes): the embedding is cut into
+    * `m` contiguous subspaces, each subspace gets its own `k`-centroid
+    * Lloyd codebook, and every vector compresses to `m` code bytes.
+    * Queries scan those codes with an Asymmetric Distance Computation: a
+    * per-query (sub, cid) distance TABLE of m·k entries is precomputed
+    * once, and each candidate's approximate distance is m table lookups —
+    * the memory story (m bytes/vector vs dim floats) that lets a
+    * 100 TB-corpus index fit in RAM. Completes the quantization family:
+    * q78 (scalar SQ8), q43 (IVF partitions), this (codebook compression).
+    *
+    * Codebook training is ONE Lloyd loop keyed by (sub, cid) — all `m`
+    * subspaces train simultaneously in the same rounds (same plan shape
+    * as [[kmeansAssign]], composite keys instead of a per-subspace loop).
+    * All arithmetic in 1e6-scale fixed-point BIGINTs (the q163/q175
+    * doctrine) so DuckDB replays training, encoding, and the ADC scan
+    * bit-for-bit. Output: per query, the `topK` ADC neighbors with their
+    * approximate and exact distances and an exact-top-k membership flag —
+    * the recall evidence next to the compression.
+    *
+    * Scale shape: training rounds touch the (vec_id, sub) frame (n·m
+    * narrow rows) with k·m-row broadcast centroids; encoding IS the final
+    * assignment; the ADC scan is one broadcast of the Q·m·k distance
+    * table against the codes frame. The brute-force exact arm (recall
+    * truth) is the only corpus×Q work — the q37 eval-queries pattern. */
+  def pqTopK(t: Tables, m: Int = 4, k: Int = 16, iters: Int = 2,
+             nQueries: Int = 4, topK: Int = 10): DataFrame = {
+    val qv = t.embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * VecScale, 0).cast("long")).as("qv"))
+      .localCheckpoint() // read by training, encoding, and the exact arm
+    val head = qv
+      .agg(count(lit(1)).as("n"),
+        max(aggregate(col("qv"), lit(0L), (mx, x) => greatest(mx, abs(x))))
+          .as("maxq"),
+        max(size(col("qv"))).as("dim"))
+      .head()
+    val n = head.getLong(0)
+    val maxQ = if (head.isNullAt(1)) 0L else head.getLong(1)
+    val dim = if (head.isNullAt(2)) m else head.getInt(2)
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible into $m subspaces")
+    require(maxQ <= 0 || (maxQ < math.sqrt(Long.MaxValue.toDouble / (4.0 * dim))
+      && maxQ < Long.MaxValue / math.max(n, 1L)),
+      s"pqTopK: max|q|=$maxQ at dim=$dim, n=$n would overflow the BIGINT " +
+        "distance/mean accumulators; coarsen VecScale")
+    val w = dim / m
+    val subs = qv
+      .select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("qv"), col("sub") * w + 1, lit(w)).as("sv"))
+      .localCheckpoint() // iterated over by the Lloyd rounds
+    val stride = math.max(1L, n / k)
+    val seeds = qv.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")) // bare limit() is partition-order dependent
+      .limit(k)
+      .select(col("vec_id").as("cid"))
+    var cents = subs.join(broadcast(seeds), col("vec_id") === col("cid"))
+      .select(col("sub"), col("cid"), col("sv").as("cv"))
+      .localCheckpoint() // k·m rows
+    def assign(c: DataFrame): DataFrame = {
+      val win = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("dist"), col("cid"))
+      subs.join(broadcast(c), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("cid"),
+          sqDist(col("sv"), col("cv")).as("dist"))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
+    for (_ <- 1 to iters) {
+      val means = assign(cents)
+        .select(col("sub"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("c"))
+        // portable floor division: (s − pmod(s, c)) is exactly divisible
+        .select(col("sub"), col("cid"), col("pos"),
+          expr("(s - pmod(s, c)) div c").as("mv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv")).as("newcv"))
+      cents = cents.as("c").join(means.as("u"), Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("u.newcv"), col("c.cv")).as("cv"))
+        .localCheckpoint() // cut the iterated lineage
+    }
+    val codes = assign(cents).select(col("vec_id"), col("sub"), col("cid"))
+    // ADC distance table: Q·m·k rows, broadcast against the codes frame.
+    val qsubs = subs.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv").as("qsv"))
+    val dt = qsubs.join(cents, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid"),
+        sqDist(col("qsv"), col("cv")).as("qd"))
+    val adcWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_q"), col("vec_id"))
+    val winners = codes.join(broadcast(dt), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adc_q"))
+      .withColumn("rank", row_number().over(adcWin))
+      .filter(col("rank") <= topK)
+    // Exact arm (recall truth): the q37 brute pattern, integer distances.
+    val queries = qv.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val scored = qv.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        sqDist(col("qv"), col("qqv")).as("ed"))
+      .localCheckpoint() // read by the rank window and the winners join
+    val exWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("ed"), col("vec_id"))
+    val exTop = scored.withColumn("rn", row_number().over(exWin))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    val denom = (VecScale * VecScale).toDouble
+    winners
+      .join(scored, Seq("query_id", "vec_id"))
+      .join(exTop, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("adc_q").cast("double") / denom, 6).as("adc_dist"),
+        round(col("ed").cast("double") / denom, 6).as("exact_dist"),
+        coalesce(col("hit"), lit(0)).as("in_exact_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[pqTopK]]: the per-(sub, j) quantized frame, the
+    * shared strided seed, the Lloyd rounds with (sub, cid) keys unrolled
+    * as MATERIALIZED CTEs, then codes → ADC table → scan → exact arm. */
+  def pqTopKSql(m: Int = 4, k: Int = 16, iters: Int = 2,
+                nQueries: Int = 4, topK: Int = 10): String = {
+    val rounds = (1 to iters).map { r =>
+      val pc = s"pc${r - 1}"
+      s"""pd$r AS (
+         |  SELECT e.vec_id, e.sub, c.cid,
+         |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
+         |  FROM sq e JOIN $pc c ON c.sub = e.sub AND c.j = e.j
+         |  GROUP BY 1, 2, 3),
+         |pa$r AS MATERIALIZED (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      row_number() OVER (PARTITION BY vec_id, sub
+         |        ORDER BY dist, cid) AS rn
+         |    FROM pd$r) WHERE rn = 1),
+         |pm$r AS (
+         |  SELECT a.sub, a.cid, e.j, CAST(sum(e.q) AS BIGINT) AS s,
+         |    count(*) AS c
+         |  FROM pa$r a JOIN sq e ON e.vec_id = a.vec_id AND e.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |pc$r AS MATERIALIZED (
+         |  SELECT p.sub, p.cid, p.j,
+         |    coalesce(CAST((m.s - ((m.s % m.c + m.c) % m.c)) // m.c AS BIGINT),
+         |             p.c) AS c
+         |  FROM $pc p LEFT JOIN pm$r m
+         |    ON m.sub = p.sub AND m.cid = p.cid AND m.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    val denom = (VecScale * VecScale).toDouble
+    s"""WITH eq AS MATERIALIZED (
+       |  SELECT vec_id, CAST(u.i AS INTEGER) AS i,
+       |    CAST(round(CAST(embedding[u.i] AS DOUBLE) * $VecScale, 0) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |dimw AS (SELECT (max(i) // $m) AS w FROM eq),
+       |sq AS MATERIALIZED (
+       |  SELECT vec_id, CAST((i - 1) // w AS INTEGER) AS sub,
+       |    CAST((i - 1) % w AS INTEGER) AS j, q
+       |  FROM eq CROSS JOIN dimw),
+       |nn AS (SELECT count(*) AS n FROM embeddings),
+       |seed AS (
+       |  SELECT vec_id AS cid FROM embeddings CROSS JOIN nn
+       |  WHERE vec_id % greatest(nn.n // $k, 1) = 0
+       |  ORDER BY vec_id LIMIT $k),
+       |pc0 AS MATERIALIZED (
+       |  SELECT q.sub, s.cid, q.j, q.q AS c
+       |  FROM seed s JOIN sq q ON q.vec_id = s.cid),
+       |$rounds,
+       |cfd AS (
+       |  SELECT e.vec_id, e.sub, c.cid,
+       |    CAST(sum((e.q - c.c) * (e.q - c.c)) AS BIGINT) AS dist
+       |  FROM sq e JOIN pc$iters c ON c.sub = e.sub AND c.j = e.j
+       |  GROUP BY 1, 2, 3),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT vec_id, sub, cid,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist, cid) AS rn
+       |    FROM cfd) WHERE rn = 1),
+       |dt AS MATERIALIZED (
+       |  SELECT qs.vec_id AS query_id, c.sub, c.cid,
+       |    CAST(sum((qs.q - c.c) * (qs.q - c.c)) AS BIGINT) AS qd
+       |  FROM sq qs JOIN pc$iters c ON c.sub = qs.sub AND c.j = qs.j
+       |  WHERE qs.vec_id < $nQueries
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT d.query_id, cd.vec_id, CAST(sum(d.qd) AS BIGINT) AS adc_q
+       |  FROM codes cd JOIN dt d ON d.sub = cd.sub AND d.cid = cd.cid
+       |  WHERE cd.vec_id <> d.query_id
+       |  GROUP BY 1, 2),
+       |win AS (
+       |  SELECT query_id, vec_id, adc_q,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_q, vec_id) AS rank
+       |  FROM adc),
+       |ex AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, e.vec_id,
+       |    CAST(sum((e.q - q.q) * (e.q - q.q)) AS BIGINT) AS ed
+       |  FROM eq e JOIN eq q ON q.i = e.i
+       |  WHERE q.vec_id < $nQueries AND e.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |exr AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ed, vec_id) AS rn
+       |    FROM ex) WHERE rn <= $topK)
+       |SELECT w.query_id, CAST(w.rank AS INTEGER) AS rank, w.vec_id,
+       |  round(CAST(w.adc_q AS DOUBLE) / $denom, 6) AS adc_dist,
+       |  round(CAST(x.ed AS DOUBLE) / $denom, 6) AS exact_dist,
+       |  CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact_topk
+       |FROM win w JOIN ex x USING (query_id, vec_id)
+       |LEFT JOIN exr r USING (query_id, vec_id)
+       |WHERE w.rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

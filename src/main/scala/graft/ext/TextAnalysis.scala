@@ -1417,4 +1417,87 @@ object TextAnalysis {
        |WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
        |  AND CURRENT ROW)
        |ORDER BY decile""".stripMargin
+
+  /** q188: train→eval n-gram NOVELTY — for each n ∈ [1, maxN] and each
+    * eval split (val, test), the fraction of the split's DISTINCT n-grams
+    * never seen in the train split. Low novelty at high n means the eval
+    * text is largely recombined training text (memorization risk and
+    * soft contamination the pair-level leakage audit, q186, can't see:
+    * this catches phrase-level overlap even between documents that are
+    * nowhere near duplicates). The same measurement, run train→benchmark,
+    * is the n-gram decontamination gate (q62's relation, made a rate).
+    *
+    * Scale shape: ONE corpus pass explodes all n-gram sizes at once
+    * (n·maxN rows per token, narrow); one (n, gram)-keyed aggregate
+    * OR-folds the three split-membership flags (map-side partial, the
+    * distinct never materializes per prefix); the final roll-up is on the
+    * maxN·3-row frame. Nothing is ever joined per-document. */
+  def ngramNovelty(t: Tables, maxN: Int = 3): DataFrame = {
+    val grams = (1 to maxN).map { n =>
+      // sequence(1, len-n+1) DESCENDS when len < n — guard to empty.
+      when(size(col("tks")) >= n,
+        transform(
+          sequence(lit(1), size(col("tks")) - lit(n - 1)),
+          i => struct(lit(n).as("n"),
+            array_join(slice(col("tks"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    }.reduce(concat(_, _))
+    t.documents
+      .select(graft.ext.Sampling.splitColumn(col("doc_id")).as("split"),
+        tokens(col("text")).as("tks"))
+      .select(col("split"), explode(grams).as("g"))
+      .groupBy(col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(
+        max(when(col("split") === "train", 1).otherwise(0)).as("in_train"),
+        max(when(col("split") === "val", 1).otherwise(0)).as("in_val"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("in_test"))
+      .select(col("n"), col("in_train"),
+        explode(array(
+          struct(lit("val").as("split"), col("in_val").as("in_eval")),
+          struct(lit("test").as("split"), col("in_test").as("in_eval"))))
+          .as("e"))
+      .filter(col("e.in_eval") === 1)
+      .groupBy(col("n"), col("e.split").as("split"))
+      .agg(
+        count(lit(1)).as("n_eval_distinct"),
+        sum(col("in_train").cast("long")).as("n_seen_in_train"))
+      .select(col("n"), col("split"), col("n_eval_distinct"),
+        col("n_seen_in_train"),
+        round(lit(1.0) - col("n_seen_in_train").cast("double") /
+          col("n_eval_distinct"), 6).as("novelty_rate"))
+      .orderBy(col("n"),
+        when(col("split") === "val", 0).otherwise(1))
+  }
+
+  /** The DuckDB mirror of [[ngramNovelty]]. */
+  def ngramNoveltySql(maxN: Int = 3): String = {
+    val b = s"(${graft.ext.Sampling.splitHashSql("doc_id")}) % 100"
+    val gramArms = (1 to maxN).map { n =>
+      s"""SELECT split, $n AS n, array_to_string(tks[i:i+${n - 1}], ' ') AS gram
+         |FROM tk, unnest(range(1, len(tks) - (${n - 2}))) AS u(i)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tk AS (
+       |  SELECT CASE WHEN $b < 80 THEN 'train'
+       |              WHEN $b < 90 THEN 'val' ELSE 'test' END AS split,
+       |    string_split_regex(trim(text), '\\s+') AS tks
+       |  FROM documents),
+       |g AS ($gramArms),
+       |fl AS (
+       |  SELECT n, gram,
+       |    max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+       |    max(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+       |    max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+       |  FROM g GROUP BY 1, 2),
+       |ev AS (
+       |  SELECT n, 'val' AS split, in_train FROM fl WHERE in_val = 1
+       |  UNION ALL
+       |  SELECT n, 'test' AS split, in_train FROM fl WHERE in_test = 1)
+       |SELECT CAST(n AS INTEGER) AS n, split,
+       |  count(*) AS n_eval_distinct,
+       |  CAST(sum(in_train) AS BIGINT) AS n_seen_in_train,
+       |  round(1.0 - CAST(sum(in_train) AS DOUBLE) / count(*), 6)
+       |    AS novelty_rate
+       |FROM ev GROUP BY 1, 2
+       |ORDER BY n, CASE split WHEN 'val' THEN 0 ELSE 1 END""".stripMargin
+  }
 }

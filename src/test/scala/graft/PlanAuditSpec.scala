@@ -316,7 +316,9 @@ class PlanAuditSpec extends SparkSpec {
     "q178_jl_distortion",           // vec_id < vec_id over the broadcast nVecs-row slice
     "q179_vocab_growth",            // 1-row corpus doc-count frame
     "q182_kcenter_coreset",         // 1-row radius + broadcast k-row selection
-    "q183_cluster_exemplars")       // broadcast k-row centroid-array frame (q175's core)
+    "q183_cluster_exemplars",       // broadcast k-row centroid-array frame (q175's core)
+    "q190_truncation_audit",        // 1-row corpus-totals frame
+    "q191_duplication_profile")     // 1-row corpus doc-count frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -507,7 +509,16 @@ class PlanAuditSpec extends SparkSpec {
     // (source, bucket) count agg pair + the source-keyed window/report agg
     "q184_snapshot_drift" -> 3,
     // ONE global moment aggregate (q115 shape) + the 10-row output sort
-    "q185_signal_corr" -> 1)
+    "q185_signal_corr" -> 1,
+    // q186/q189: capped candidate gen + pair roll-up + 3-row totals join
+    "q186_split_leakage" -> 4,
+    // post-checkpoint codes/ADC/exact stages (training rounds and the
+    // scored frame are checkpoint-severed index builds)
+    "q187_pq_ann" -> 9,
+    "q188_ngram_novelty" -> 3,
+    "q189_embedding_split_leakage" -> 4,
+    "q190_truncation_audit" -> 3,
+    "q191_duplication_profile" -> 6)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
