@@ -254,6 +254,34 @@ object SketchOracleSql {
        |FROM labels l JOIN sizes s USING (cluster_id)
        |ORDER BY l.doc_id""".stripMargin
 
+  /** q194: contamination-safe eval sampling — mirrors
+    * [[graft.ext.Dedup.cleanEvalSample]] (non-train docs with no
+    * near-dup in train, k per split in portable hash order; the heap's
+    * (ord DESC, payload ASC) total order replays as (hash, doc_id)). */
+  def cleanEvalSample(k: Int = 16): String =
+    s"""WITH $dupPairsCtes,
+       |leak AS (
+       |  SELECT DISTINCT d FROM (
+       |    SELECT doc_a AS d, doc_b AS o FROM dup_pairs
+       |    UNION ALL
+       |    SELECT doc_b, doc_a FROM dup_pairs)
+       |  WHERE ${splitCaseSql("d")} <> 'train'
+       |    AND ${splitCaseSql("o")} = 'train'),
+       |ev AS (
+       |  SELECT doc_id, ${splitCaseSql("doc_id")} AS split
+       |  FROM documents
+       |  WHERE ${splitCaseSql("doc_id")} <> 'train'
+       |    AND doc_id NOT IN (SELECT d FROM leak)),
+       |rk AS (
+       |  SELECT split, doc_id,
+       |    row_number() OVER (PARTITION BY split
+       |      ORDER BY (${graft.ext.Sampling.splitHashSql("doc_id")}), doc_id)
+       |      AS pick
+       |  FROM ev)
+       |SELECT split, CAST(pick AS INTEGER) AS pick, doc_id
+       |FROM rk WHERE pick <= $k
+       |ORDER BY split, pick""".stripMargin
+
   /** q191: duplication-factor profile — mirrors
     * [[graft.ext.Dedup.duplicationProfile]] (the cluster-size
     * distribution over q45's clustering). */

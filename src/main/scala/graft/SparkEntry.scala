@@ -234,7 +234,10 @@ object SparkEntry {
     "q188_ngram_novelty" -> q(t => TextAnalysis.ngramNovelty(t)),
     "q189_embedding_split_leakage" -> q(t => Similarity.embeddingSplitLeakage(t)),
     "q190_truncation_audit" -> q(t => Sampling.truncationAudit(t)),
-    "q191_duplication_profile" -> q(t => Dedup.duplicationProfile(t)))
+    "q191_duplication_profile" -> q(t => Dedup.duplicationProfile(t)),
+    "q192_shard_layout" -> q(t => Sampling.shardLayout(t)),
+    "q193_mixture_solver" -> q(t => Sampling.mixtureSolver(t)),
+    "q194_clean_eval_sample" -> q(t => Dedup.cleanEvalSample(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -337,6 +340,9 @@ object SparkEntry {
     "q189_embedding_split_leakage" -> Similarity.embeddingSplitLeakageSql(),
     "q190_truncation_audit" -> Sampling.truncationAuditSql(),
     "q191_duplication_profile" -> SketchOracleSql.duplicationProfile,
+    "q192_shard_layout" -> Sampling.shardLayoutSql(),
+    "q193_mixture_solver" -> Sampling.mixtureSolverSql(),
+    "q194_clean_eval_sample" -> SketchOracleSql.cleanEvalSample(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

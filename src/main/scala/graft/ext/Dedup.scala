@@ -532,6 +532,44 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  /** q194: contamination-SAFE eval sampling — the APPLY step of q186's
+    * leakage audit: draw a deterministic k-per-split eval sample from the
+    * non-train documents that have NO near-duplicate in train. This is
+    * how an eval set is actually cut after the audit finds leakage —
+    * exclude the leaked docs, then sample uniformly (portable hash
+    * order, so the chosen set is layout- and growth-stable, the q114
+    * discipline) instead of shipping eval items the model effectively
+    * trained on.
+    *
+    * Scale shape: the leaked set is pair-frame-sized (anti-joined once);
+    * sampling is the bounded-heap k-per-group kernel — the shuffle
+    * carries ≤ k rows per (split, partition) and no sort ever sees the
+    * corpus. */
+  def cleanEvalSample(t: Tables, k: Int = 16,
+                      minJaccard: Double = 0.2): DataFrame = {
+    import graft.ext.Sampling.{splitColumn, splitHash}
+    graft.functions.TopKAgg.register(t.spark)
+    val pairs = minhashDupPairsUnsorted(t, minJaccard, portable = true)
+    val leaked = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("d"), col("doc_b").as("o")),
+        struct(col("doc_b").as("d"), col("doc_a").as("o")))).as("p"))
+      .filter(splitColumn(col("p.d")) =!= "train" &&
+        splitColumn(col("p.o")) === "train")
+      .select(col("p.d").as("doc_id"))
+      .distinct()
+    t.documents
+      .filter(splitColumn(col("doc_id")) =!= "train")
+      .join(leaked, Seq("doc_id"), "left_anti")
+      .groupBy(splitColumn(col("doc_id")).as("split"))
+      .agg(graft.functions.TopKAgg
+        .topKBy(-splitHash(col("doc_id")), col("doc_id"), k).as("keep"))
+      .select(col("split"), posexplode(col("keep")))
+      .select(col("split"), (col("pos") + 1).cast("int").as("pick"),
+        col("col.payload").as("doc_id"))
+      .orderBy(col("split"), col("pick"))
+  }
+
   /** q68: the deletion step a dedup pipeline actually ships — keep ONE
     * canonical document per near-dup cluster (the minimum doc_id,
     * [[dupClusters]]' representative), drop the rest. `n_dropped` records

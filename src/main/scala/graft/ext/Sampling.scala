@@ -783,6 +783,158 @@ object Sampling {
       .orderBy(col("window"))
   }
 
+  /** q193: training-mixture SOLVER — given target token SHARES per
+    * language group (a mix spec like "50 % en / 30 % fr / 15 % es / 5 %
+    * other"), compute the largest total token budget the corpus can
+    * serve WITHOUT upsampling any group, and each group's resulting
+    * sampling rate. The binding group (the one that runs out first) is
+    * flagged — the answer to "which data do we need more of" that a mix
+    * design iterates on. Complements [[mixByStratum]]/[[tokenBudgetMix]]:
+    * those APPLY given rates; this DERIVES the rates from a share spec.
+    *
+    * All arithmetic is integer (shares in basis points, floor-divided
+    * capacities), so both engines agree exactly: capacity_g =
+    * ⌊T_g·10000/share_g⌋ is the largest budget group g can fill; the
+    * solved budget is min capacity; take_g = ⌊budget·share_g/10000⌋.
+    *
+    * Scale shape: one narrow corpus pass → per-group token totals (≤
+    * groups+1 rows), solver math entirely on that tiny frame with a
+    * broadcast 1-row min. */
+  def mixtureSolver(t: Tables,
+                    targetsBps: Seq[(String, Int)] =
+                      Seq("en" -> 5000, "fr" -> 3000, "es" -> 1500),
+                    otherBps: Int = 500): DataFrame = {
+    require(targetsBps.map(_._2).sum + otherBps == 10000,
+      "mixtureSolver: target shares must sum to 10000 bps")
+    val grp = when(col("lang").isin(targetsBps.map(_._1): _*), col("lang"))
+      .otherwise("other")
+    val share = targetsBps.foldRight(lit(otherBps): Column) {
+      case ((k, v), acc) => when(col("lang_group") === k, lit(v)).otherwise(acc)
+    }
+    val avail = t.documents
+      .select(grp.as("lang_group"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang_group"))
+      .agg(sum(col("n")).as("tokens_avail"))
+      .withColumn("share_bps", share.cast("long"))
+      .withColumn("capacity", expr("(tokens_avail * 10000) div share_bps"))
+    val budget = avail.agg(min(col("capacity")).as("budget"))
+    avail
+      .crossJoin(broadcast(budget)) // 1-row solved budget
+      .select(col("lang_group"),
+        (col("share_bps").cast("double") / 10000).as("target_share"),
+        col("tokens_avail"),
+        expr("(budget * share_bps) div 10000").as("tokens_taken"),
+        round(expr("(budget * share_bps) div 10000").cast("double") /
+          col("tokens_avail"), 6).as("rate"),
+        when(col("capacity") === col("budget"), 1).otherwise(0).as("binding"))
+      .orderBy(col("share_bps").desc, col("lang_group"))
+  }
+
+  /** The DuckDB mirror of [[mixtureSolver]]. */
+  def mixtureSolverSql(targetsBps: Seq[(String, Int)] =
+                         Seq("en" -> 5000, "fr" -> 3000, "es" -> 1500),
+                       otherBps: Int = 500): String = {
+    val langs = targetsBps.map(p => s"'${p._1}'").mkString(", ")
+    val ladder = targetsBps
+      .map(p => s"WHEN '${p._1}' THEN ${p._2}")
+      .mkString(" ")
+    s"""WITH per AS (
+       |  SELECT CASE WHEN lang IN ($langs) THEN lang ELSE 'other' END
+       |      AS lang_group,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+       |  FROM documents),
+       |avail AS (
+       |  SELECT lang_group, CAST(sum(n) AS BIGINT) AS tokens_avail,
+       |    CAST(CASE lang_group $ladder ELSE $otherBps END AS BIGINT)
+       |      AS share_bps
+       |  FROM per GROUP BY 1),
+       |cap AS (
+       |  SELECT *, CAST((tokens_avail * 10000) // share_bps AS BIGINT)
+       |    AS capacity
+       |  FROM avail),
+       |b AS (SELECT min(capacity) AS budget FROM cap)
+       |SELECT lang_group,
+       |  CAST(share_bps AS DOUBLE) / 10000 AS target_share,
+       |  tokens_avail,
+       |  CAST((budget * share_bps) // 10000 AS BIGINT) AS tokens_taken,
+       |  round(CAST((budget * share_bps) // 10000 AS DOUBLE)
+       |    / tokens_avail, 6) AS rate,
+       |  CASE WHEN capacity = budget THEN 1 ELSE 0 END AS binding
+       |FROM cap CROSS JOIN b
+       |ORDER BY share_bps DESC, lang_group""".stripMargin
+  }
+
+  /** q192: rendezvous (highest-random-weight) SHARD layout audit — the
+    * stable assignment scheme for sharded output layouts and serving
+    * caches: each document goes to the shard whose per-(doc, shard) hash
+    * is highest. Unlike `id mod S`, adding a shard moves only ~1/(S+1) of
+    * the corpus (the docs the NEW shard now wins) — re-sharding a 100 TB
+    * layout rewrites one shard's worth of data, not all of it. The audit
+    * reports per-shard balance (docs, tokens, share) plus exactly that
+    * churn: `n_moved_out` = docs each shard loses when shard S joins.
+    *
+    * Scale shape: assignment is one narrow expression over the corpus (an
+    * S-element hash array, argmax by position — no explode, no shuffle);
+    * the roll-up is one S-row aggregate with a broadcast 1-row total. */
+  def shardLayout(t: Tables, shards: Int = 8): DataFrame = {
+    // per-(doc, shard) portable hash; doc_id*16+s keeps keys distinct for
+    // s < 16 and replays as plain integer arithmetic in the mirror
+    require(shards < 16, "shardLayout: doc_id*16+s keying supports < 16 shards")
+    def hs(n: Int): Column =
+      array((0 until n).map(s => splitHash(col("doc_id") * 16 + s)): _*)
+    def argmax(a: Column): Column =
+      (array_position(a, array_max(a)) - 1).cast("int")
+    val assigned = t.documents
+      .select(
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        argmax(hs(shards)).as("shard"),
+        argmax(hs(shards + 1)).as("shard_next"))
+    val tot = t.documents.agg(count(lit(1)).as("n_docs_total"))
+    assigned
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("shard_next") =!= col("shard"), 1L).otherwise(0L))
+          .as("n_moved_out"))
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("n_docs_total"), 6)
+          .as("pct_docs"),
+        col("n_moved_out"))
+      .orderBy(col("shard"))
+  }
+
+  /** The DuckDB mirror of [[shardLayout]] — the same per-(doc, shard)
+    * hashes, argmax via a (h DESC, s) rank (≡ first-position max). */
+  def shardLayoutSql(shards: Int = 8): String = {
+    def pick(n: Int, alias: String): String =
+      s"""SELECT doc_id, s AS $alias FROM (
+         |  SELECT doc_id, u.s,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY (${splitHashSql("doc_id * 16 + u.s")}) DESC, u.s) AS rn
+         |  FROM documents, unnest(range(0, $n)) AS u(s)) WHERE rn = 1""".stripMargin
+    s"""WITH a AS (${pick(shards, "shard")}),
+       |b AS (${pick(shards + 1, "shard_next")}),
+       |per AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    a.shard, b.shard_next
+       |  FROM documents d JOIN a USING (doc_id) JOIN b USING (doc_id)),
+       |tot AS (SELECT count(*) AS n_docs_total FROM documents)
+       |SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  round(CAST(count(*) AS DOUBLE) / any_value(n_docs_total), 6)
+       |    AS pct_docs,
+       |  CAST(sum(CASE WHEN shard_next <> shard THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved_out
+       |FROM per CROSS JOIN tot
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+  }
+
   /** The DuckDB mirror of [[truncationAudit]]. */
   def truncationAuditSql(windows: Seq[Int] = Seq(64, 256, 1024)): String = {
     val wlist = windows.mkString(", ")

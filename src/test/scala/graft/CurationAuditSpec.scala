@@ -11,6 +11,17 @@ import org.apache.spark.sql.functions._
   */
 class CurationAuditSpec extends SparkSpec {
 
+  /** Write a synthetic documents table (schema-identical to the fixture)
+    * and return a Tables bound to it. */
+  private def docsTable(rows: Seq[(Long, String, String, String)]): Tables = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("curation_audit").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
   /** Single-node replica of [[Sampling.splitHash]] → split label. All
     * intermediates stay below 2^63 (h < 2^31 → every product < 2^62.5). */
   private def splitOf(id: Long): String = {
@@ -206,5 +217,106 @@ class CurationAuditSpec extends SparkSpec {
       covered += r.getLong(2)
     }
     assert(covered == nDocs, "profile must account for every document")
+  }
+
+  // ── q192 rendezvous shard layout ─────────────────────────────────────
+
+  /** Single-node HRW winner among `n` shards for a doc id. */
+  private def hrwShard(id: Long, n: Int): Int = {
+    val m = 2147483647L
+    def h(x: Long): Long = {
+      val a = (((x % m) + m) % m * 2654435761L) % m
+      ((a * a % m) * 2246822519L + 1L) % m
+    }
+    (0 until n).maxBy(s => (h(id * 16 + s), -s))
+  }
+
+  test("q192: matches a single-node HRW replica; churn is one shard's worth") {
+    val t = sf()
+    val shards = 8
+    val docs = t.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val byShard = docs.groupBy { case (id, _) => hrwShard(id, shards) }
+    val moved = docs.count { case (id, _) =>
+      hrwShard(id, shards + 1) != hrwShard(id, shards) }
+    val got = Sampling.shardLayout(t, shards).collect()
+    assert(got.map(_.getInt(0)).toSet == byShard.keySet)
+    for (r <- got) {
+      val rows = byShard(r.getInt(0))
+      assert(r.getLong(1) == rows.length.toLong, s"shard ${r.getInt(0)} n_docs")
+      assert(r.getLong(2) == rows.map(_._2).sum, s"shard ${r.getInt(0)} n_tokens")
+    }
+    assert(got.map(_.getLong(4)).sum == moved.toLong, "total churn")
+    // the HRW contract: adding a shard moves ~1/(S+1) of the corpus, and
+    // every moved doc goes TO the new shard — churn stays near one
+    // shard's share, never a rehash-everything
+    val frac = moved.toDouble / docs.length
+    assert(frac < 2.5 / (shards + 1), s"churn $frac not HRW-bounded")
+  }
+
+  // ── q193 mixture solver ──────────────────────────────────────────────
+
+  test("q193: hand-solved tiny corpus; binding group exhausted, rates <= 1") {
+    // en avail 100 tokens, fr 100, other 100; shares 50/30/20 →
+    // capacities 200/333/500 → budget 200 (en binds) → take 100/60/40
+    val mk = (n: Int, w: String) => Seq.fill(n)(w).mkString(" ")
+    val t = docsTable(
+      (0 until 10).map(i => (i.toLong, mk(10, "e"), "en", "s")) ++
+        (10 until 20).map(i => (i.toLong, mk(10, "f"), "fr", "s")) ++
+        (20 until 30).map(i => (i.toLong, mk(10, "x"), "zz", "s")))
+    val got = Sampling.mixtureSolver(t,
+      targetsBps = Seq("en" -> 5000, "fr" -> 3000), otherBps = 2000)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("en", "fr", "other"))
+    assert(got("en").getLong(3) == 100L && got("en").getInt(5) == 1)
+    assert(got("fr").getLong(3) == 60L && got("fr").getInt(5) == 0)
+    assert(got("other").getLong(3) == 40L && got("other").getInt(5) == 0)
+    assert(got("en").getDouble(4) == 1.0)
+  }
+
+  test("q193 fixture run: exactly one binding group, achieved mix == spec") {
+    val got = Sampling.mixtureSolver(sf()).collect()
+    assert(got.map(_.getInt(5)).sum >= 1, "at least one binding group")
+    assert(got.forall(r => r.getDouble(4) <= 1.0 + 1e-9), "no upsampling")
+    assert(got.forall(r => r.getLong(3) <= r.getLong(2)), "take <= avail")
+    // achieved shares track targets to floor-division tolerance
+    val total = got.map(_.getLong(3)).sum.toDouble
+    for (r <- got)
+      assert(math.abs(r.getLong(3) / total - r.getDouble(1)) < 0.001,
+        s"${r.getString(0)} achieved share off spec")
+  }
+
+  // ── q194 clean eval sample ───────────────────────────────────────────
+
+  test("q194: no sampled doc has a train near-dup; hash-order prefix exact") {
+    val t = sf()
+    val k = 16
+    val pairs = Dedup.minhashDupPairs(t, minJaccard = 0.2, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val leaked = pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a)).collect {
+        case (d, o) if splitOf(d) != "train" && splitOf(o) == "train" => d }
+    }.toSet
+    val m = 2147483647L
+    def h(x: Long): Long = {
+      val a = (((x % m) + m) % m * 2654435761L) % m
+      ((a * a % m) * 2246822519L + 1L) % m
+    }
+    val expected = t.documents.select(col("doc_id")).collect()
+      .map(_.getLong(0))
+      .filter(id => splitOf(id) != "train" && !leaked.contains(id))
+      .groupBy(splitOf)
+      .map { case (s, ids) =>
+        s -> ids.sortBy(id => (h(id), id)).take(k).toSeq }
+    val got = Dedup.cleanEvalSample(t, k).collect()
+    val bySplit = got.groupBy(_.getString(0))
+    assert(bySplit.keySet == expected.keySet)
+    for ((s, rows) <- bySplit) {
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rows.length))
+      assert(sorted.map(_.getLong(2)).toSeq == expected(s),
+        s"split $s sample differs from the single-node hash-order prefix")
+    }
+    assert(got.forall(r => !leaked.contains(r.getLong(2))), "leaked doc sampled")
   }
 }

@@ -318,7 +318,9 @@ class PlanAuditSpec extends SparkSpec {
     "q182_kcenter_coreset",         // 1-row radius + broadcast k-row selection
     "q183_cluster_exemplars",       // broadcast k-row centroid-array frame (q175's core)
     "q190_truncation_audit",        // 1-row corpus-totals frame
-    "q191_duplication_profile")     // 1-row corpus doc-count frame
+    "q191_duplication_profile",     // 1-row corpus doc-count frame
+    "q192_shard_layout",            // 1-row corpus doc-count frame
+    "q193_mixture_solver")          // 1-row solved-budget frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -518,7 +520,10 @@ class PlanAuditSpec extends SparkSpec {
     "q188_ngram_novelty" -> 3,
     "q189_embedding_split_leakage" -> 4,
     "q190_truncation_audit" -> 3,
-    "q191_duplication_profile" -> 6)
+    "q191_duplication_profile" -> 6,
+    "q192_shard_layout" -> 3,
+    "q193_mixture_solver" -> 4,
+    "q194_clean_eval_sample" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
