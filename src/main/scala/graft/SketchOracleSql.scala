@@ -367,6 +367,27 @@ object SketchOracleSql {
 
   /** q38: SRP-LSH bucketed ANN — 4 bands × 4 bits, candidates share a band
     * with a query (vec_id < 8), exact-cosine re-rank, top 5. */
+  /** q37: brute-force exact-cosine top-k (nQueries = 8, k = 5) — also the
+    * dense arm of q195's retrieval eval. */
+  val annBruteforce: String =
+    """WITH emb AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |normed AS (
+      |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM emb),
+      |queries AS (
+      |  SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+      |  FROM normed WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT query_id, vec_id,
+      |   round(list_dot_product(qvec, vec) / (qnorm * norm), 6) AS cosine
+      |  FROM normed CROSS JOIN queries WHERE vec_id <> query_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val annLsh: String =
     s"""WITH $srpCte,
        |banded AS (
@@ -386,6 +407,46 @@ object SketchOracleSql {
        |  FROM scored)
        |SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q195: retrieval-arm evaluation — mirrors
+    * [[graft.ext.Similarity.retrievalArmEval]] at its registered
+    * parameters (nQueries = 8, k = 5, matching [[annBruteforce]]/
+    * [[annLsh]]); the PQ arm is [[graft.ext.Spectral.pqTopKSql]]
+    * parameterized to the same shape. precision/mrr are single divisions
+    * of exact integers, deliberately unrounded. */
+  val retrievalArmEval: String = {
+    val nQueries = 8
+    val pq = graft.ext.Spectral.pqTopKSql(nQueries = nQueries, topK = 5)
+    s"""WITH tagged AS (
+       |  SELECT 'dense_exact' AS arm, query_id, vec_id, rank
+       |  FROM ($annBruteforce) d
+       |  UNION ALL
+       |  SELECT 'lsh_srp' AS arm, query_id, vec_id, rank
+       |  FROM ($annLsh) l
+       |  UNION ALL
+       |  SELECT 'pq_adc' AS arm, query_id, vec_id, rank
+       |  FROM ($pq) p),
+       |judged AS (
+       |  SELECT tg.arm, tg.query_id, tg.rank,
+       |    CASE WHEN r.label = q.label THEN 1 ELSE 0 END AS rel
+       |  FROM tagged tg
+       |  JOIN embeddings r ON r.vec_id = tg.vec_id
+       |  JOIN embeddings q ON q.vec_id = tg.query_id),
+       |perq AS (
+       |  SELECT arm, query_id, count(*) AS n_ret,
+       |    CAST(sum(rel) AS BIGINT) AS n_rel,
+       |    coalesce(CAST(1000000 // min(CASE WHEN rel = 1 THEN rank END)
+       |      AS BIGINT), 0) AS rr_scaled
+       |  FROM judged GROUP BY 1, 2)
+       |SELECT arm, CAST(sum(n_ret) AS BIGINT) AS n_retrieved,
+       |  CAST(sum(n_rel) AS BIGINT) AS n_relevant,
+       |  CAST(sum(n_rel) AS DOUBLE) / sum(n_ret) AS precision_at_k,
+       |  CAST(sum(CASE WHEN n_rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_queries_hit,
+       |  CAST(sum(rr_scaled) AS DOUBLE) / (1000000.0 * $nQueries) AS mrr
+       |FROM perq GROUP BY arm
+       |ORDER BY arm""".stripMargin
+  }
 
   /** q41: embedding near-dup pairs — 2 bands × 8 bits over the whole
     * corpus, bucket-cap salting (mirror of

@@ -237,7 +237,8 @@ object SparkEntry {
     "q191_duplication_profile" -> q(t => Dedup.duplicationProfile(t)),
     "q192_shard_layout" -> q(t => Sampling.shardLayout(t)),
     "q193_mixture_solver" -> q(t => Sampling.mixtureSolver(t)),
-    "q194_clean_eval_sample" -> q(t => Dedup.cleanEvalSample(t)))
+    "q194_clean_eval_sample" -> q(t => Dedup.cleanEvalSample(t)),
+    "q195_retrieval_arm_eval" -> q(t => Similarity.retrievalArmEval(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -343,6 +344,7 @@ object SparkEntry {
     "q192_shard_layout" -> Sampling.shardLayoutSql(),
     "q193_mixture_solver" -> Sampling.mixtureSolverSql(),
     "q194_clean_eval_sample" -> SketchOracleSql.cleanEvalSample(),
+    "q195_retrieval_arm_eval" -> SketchOracleSql.retrievalArmEval,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,
@@ -1291,24 +1293,7 @@ object SparkEntry {
         |   / len(list_distinct(list_concat(a.tks, b.tks))), 6) AS jaccard
         |FROM docs a JOIN docs b ON a.doc_id + 1 = b.doc_id
         |ORDER BY doc_a""".stripMargin,
-    "q37_ann_bruteforce" ->
-      """WITH emb AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |normed AS (
-        |  SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM emb),
-        |queries AS (
-        |  SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
-        |  FROM normed WHERE vec_id < 8),
-        |scored AS (
-        |  SELECT query_id, vec_id,
-        |   round(list_dot_product(qvec, vec) / (qnorm * norm), 6) AS cosine
-        |  FROM normed CROSS JOIN queries WHERE vec_id <> query_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q37_ann_bruteforce" -> SketchOracleSql.annBruteforce,
     "q39_embedding_stats" ->
       s"""WITH base AS (
          |  SELECT label,

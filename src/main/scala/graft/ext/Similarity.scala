@@ -1052,6 +1052,66 @@ object Similarity {
        |   <= CAST($eps AS DOUBLE) * CAST($eps AS DOUBLE)
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q195: retrieval-ARM evaluation — the table a retrieval stack is
+    * chosen from: the exact dense ranker (q37), the SRP-LSH approximate
+    * ranker (q38), and the PQ+ADC compressed ranker (q187) evaluated on
+    * the SAME queries against the SAME label-match relevance truth
+    * (q151's notion: a retrieved vector is relevant iff it carries the
+    * query's label). Label truth puts the cosine arms and the L2 PQ arm
+    * on one scale, which metric-vs-metric recall cannot. Reported per
+    * arm: retrieved/relevant counts, precision@k, hit coverage, and MRR.
+    *
+    * MRR portability: reciprocal ranks are summed as ⌊10⁶/rank⌋ integers
+    * (the PageRank fixed-point doctrine — a float Σ1/r is
+    * partition-order-dependent) and descaled once at the end; queries
+    * with no relevant result contribute 0 and stay in the denominator.
+    *
+    * Scale shape: each arm is its existing operator (their scale
+    * arguments carry over); everything downstream operates on the
+    * 3·Q·k-row union — labels join against a broadcast of that tiny
+    * frame, roll-ups are 3-row. */
+  def retrievalArmEval(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val arms = Seq(
+      "dense_exact" -> bruteForceTopK(t, nQueries, k),
+      "lsh_srp" -> lshBucketedTopK(t, nQueries, k),
+      "pq_adc" -> graft.ext.Spectral.pqTopK(t, nQueries = nQueries, topK = k))
+    val tagged = arms.map { case (name, df) =>
+      df.select(lit(name).as("arm"), col("query_id"), col("vec_id"),
+        col("rank").cast("int").as("rank"))
+    }.reduce(_ unionByName _)
+    val qlab = t.embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"))
+    val judged = t.embeddings.select(col("vec_id"), col("label").as("r_label"))
+      .join(broadcast(tagged), Seq("vec_id")) // 3·Q·k-row probe side
+      .join(broadcast(qlab), Seq("query_id"))
+      .select(col("arm"), col("query_id"), col("rank"),
+        when(col("r_label") === col("q_label"), 1L).otherwise(0L).as("rel"))
+    val perQuery = judged
+      .groupBy(col("arm"), col("query_id"))
+      .agg(
+        count(lit(1)).as("n_ret"),
+        sum(col("rel")).as("n_rel"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      .select(col("arm"), col("n_ret"), col("n_rel"),
+        coalesce(expr("1000000L div first_rel"), lit(0L)).as("rr_scaled"))
+    perQuery
+      .groupBy(col("arm"))
+      .agg(
+        sum(col("n_ret")).as("n_retrieved"),
+        sum(col("n_rel")).as("n_relevant"),
+        sum(when(col("n_rel") > 0, 1L).otherwise(0L)).as("n_queries_hit"),
+        sum(col("rr_scaled")).as("rr_sum"))
+      .select(col("arm"), col("n_retrieved"), col("n_relevant"),
+        // single IEEE divisions of exact integers — bit-identical in any
+        // engine, so deliberately UNROUNDED (round(·,6) on a boundary
+        // value is the q176 HALF_UP trap; q184 set the precedent)
+        (col("n_relevant").cast("double") / col("n_retrieved"))
+          .as("precision_at_k"),
+        col("n_queries_hit"),
+        (col("rr_sum").cast("double") / lit(1000000.0 * nQueries)).as("mrr"))
+      .orderBy(col("arm"))
+  }
+
   /** q189: embedding-space split-LEAKAGE audit — the semantic twin of the
     * lexical q186: ε-neighbor vector pairs ([[epsNeighborPairs]]' lossless
     * grid blocking) that straddle the deterministic train/val/test

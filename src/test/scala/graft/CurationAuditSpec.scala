@@ -319,4 +319,40 @@ class CurationAuditSpec extends SparkSpec {
     }
     assert(got.forall(r => !leaked.contains(r.getLong(2))), "leaked doc sampled")
   }
+
+  // ── q195 retrieval-arm eval ──────────────────────────────────────────
+
+  test("q195: exact arm reconciles with q37 + labels; metric identities hold") {
+    import graft.ext.Similarity
+    val t = sf()
+    val (nQueries, k) = (8, 5)
+    val got = Similarity.retrievalArmEval(t, nQueries, k).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("dense_exact", "lsh_srp", "pq_adc"))
+    // independent recount of the dense arm from q37's own output
+    val labels = t.embeddings.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dense = Similarity.bruteForceTopK(t, nQueries, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val rel = dense.filter { case (q, v, _) => labels(v) == labels(q) }
+    val firstRel = rel.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map(_._3).min }
+    val mrr = firstRel.values.map(r => 1000000L / r).sum.toDouble /
+      (1000000.0 * nQueries)
+    val de = got("dense_exact")
+    assert(de.getLong(1) == dense.length.toLong, "dense n_retrieved")
+    assert(de.getLong(2) == rel.length.toLong, "dense n_relevant")
+    assert(de.getDouble(3) == rel.length.toDouble / dense.length)
+    assert(de.getLong(4) == firstRel.size.toLong, "dense n_queries_hit")
+    assert(de.getDouble(5) == mrr, "dense mrr")
+    for ((arm, r) <- got) {
+      assert(r.getLong(1) <= (nQueries * k).toLong, s"$arm over-retrieved")
+      assert(r.getLong(2) <= r.getLong(1), s"$arm relevant > retrieved")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+    // approximate arms can't beat the exact arm's hit coverage by more
+    // than the fixture's label noise — sanity: they found SOMETHING
+    assert(got("lsh_srp").getLong(1) > 0 && got("pq_adc").getLong(1) > 0)
+  }
 }

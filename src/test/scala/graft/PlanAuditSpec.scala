@@ -320,7 +320,8 @@ class PlanAuditSpec extends SparkSpec {
     "q190_truncation_audit",        // 1-row corpus-totals frame
     "q191_duplication_profile",     // 1-row corpus doc-count frame
     "q192_shard_layout",            // 1-row corpus doc-count frame
-    "q193_mixture_solver")          // 1-row solved-budget frame
+    "q193_mixture_solver",          // 1-row solved-budget frame
+    "q195_retrieval_arm_eval")      // broadcast query-vector frames (q37/q38 arms)
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -523,7 +524,10 @@ class PlanAuditSpec extends SparkSpec {
     "q191_duplication_profile" -> 6,
     "q192_shard_layout" -> 3,
     "q193_mixture_solver" -> 4,
-    "q194_clean_eval_sample" -> 4)
+    "q194_clean_eval_sample" -> 4,
+    // three whole retrieval arms composed (q37 + q38 + q187's
+    // post-checkpoint stages) feeding the tiny judged roll-up
+    "q195_retrieval_arm_eval" -> 20)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
