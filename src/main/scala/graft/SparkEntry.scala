@@ -238,7 +238,10 @@ object SparkEntry {
     "q192_shard_layout" -> q(t => Sampling.shardLayout(t)),
     "q193_mixture_solver" -> q(t => Sampling.mixtureSolver(t)),
     "q194_clean_eval_sample" -> q(t => Dedup.cleanEvalSample(t)),
-    "q195_retrieval_arm_eval" -> q(t => Similarity.retrievalArmEval(t)))
+    "q195_retrieval_arm_eval" -> q(t => Similarity.retrievalArmEval(t)),
+    "q196_mmr_rerank" -> q(t => Similarity.mmrRerank(t)),
+    "q197_kneser_ney" -> q(t => TextAnalysis.kneserNey(t)),
+    "q198_weighted_sample" -> q(t => Sampling.weightedSample(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -345,6 +348,9 @@ object SparkEntry {
     "q193_mixture_solver" -> Sampling.mixtureSolverSql(),
     "q194_clean_eval_sample" -> SketchOracleSql.cleanEvalSample(),
     "q195_retrieval_arm_eval" -> SketchOracleSql.retrievalArmEval,
+    "q196_mmr_rerank" -> Similarity.mmrRerankSql(),
+    "q197_kneser_ney" -> TextAnalysis.kneserNeySql(),
+    "q198_weighted_sample" -> Sampling.weightedSampleSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -961,4 +961,80 @@ object Sampling {
        |FROM sweep CROSS JOIN tot
        |ORDER BY "window"""".stripMargin
   }
+
+  /** Replica stride for [[weightedSample]]'s per-(doc, replica) hash input:
+    * a power of two above any allowed weight cap, so `doc_id·stride + j` is
+    * collision-free across (doc, replica) pairs. */
+  private val WeightedSampleStride = 131072L
+
+  /** q199: weighted sampling WITHOUT replacement (PPS-WOR) — pick `k`
+    * documents with inclusion probability proportional to token weight,
+    * deterministically. The trick: ranking items by `uᵢ^(1/wᵢ)` (Efraimidis
+    * & Spirakis 2006, the A-ES scheme every weighted-reservoir sampler
+    * uses) is distribution-identical to ranking by the MAX of wᵢ iid
+    * uniform draws — and a max of w integer hash draws needs no pow/log,
+    * so the whole scheme is exact 64-bit arithmetic both engines replay
+    * bit-for-bit (libm pow is exactly the portability hole the q83 scaladoc
+    * documents). Each document emits `weight` replicas; replica j draws the
+    * portable [[splitHash]] of `doc_id·stride + j`; the document's key is
+    * the max draw; the sample is the top-`k` keys.
+    *
+    * Weights are token counts capped at `maxW` — the cap bounds replica
+    * fan-out AND heavy-document dominance (a weight-capped PPS design, the
+    * same taming [[capPerSource]] applies to sources). The cap is part of
+    * the sampling design, reported per row.
+    *
+    * Scale shape: replica fan-out is Σ min(tokens, maxW) narrow rows —
+    * linear in corpus tokens, same order as tokenizing; the per-doc max is
+    * a map-side-combinable aggregate; the top-k is a TakeOrdered, never a
+    * global sort. */
+  def weightedSample(t: Tables, k: Int = 32, maxW: Int = 128): DataFrame = {
+    require(maxW >= 1 && maxW < WeightedSampleStride,
+      s"weightedSample: maxW must be in [1, $WeightedSampleStride)")
+    val perDoc = t.documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("weight", least(col("n_tokens"), lit(maxW.toLong)))
+    val keys = perDoc
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), col("weight"))).as("j"))
+      .select(col("doc_id"),
+        splitHash(col("doc_id") * WeightedSampleStride + col("j")).as("draw"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("draw")).as("key"))
+    // TakeOrdered k first, THEN rank: a global row_number window would
+    // funnel the corpus-sized key frame through one partition; the limit
+    // compiles to TakeOrderedAndProject and the window sees only k rows
+    val top = perDoc.join(keys, "doc_id")
+      .orderBy(col("key").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("key").desc, col("doc_id"))
+    top.withColumn("sample_rank", row_number().over(w))
+      .select(col("sample_rank"), col("doc_id"), col("source"), col("lang"),
+        col("n_tokens"), col("weight"), col("key"))
+      .orderBy(col("sample_rank"))
+  }
+
+  /** The DuckDB mirror of [[weightedSample]]. */
+  def weightedSampleSql(k: Int = 32, maxW: Int = 128): String = {
+    val h = splitHashSql(s"(doc_id * $WeightedSampleStride + j.j)")
+    s"""WITH per AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |wt AS (SELECT *, least(n_tokens, $maxW) AS weight FROM per),
+       |keys AS (
+       |  SELECT doc_id, max($h) AS key
+       |  FROM wt, unnest(range(1, weight + 1)) AS j(j)
+       |  GROUP BY 1),
+       |ranked AS (
+       |  SELECT wt.*, keys.key,
+       |    row_number() OVER (ORDER BY keys.key DESC, wt.doc_id)
+       |      AS sample_rank
+       |  FROM wt JOIN keys USING (doc_id))
+       |SELECT CAST(sample_rank AS INTEGER) AS sample_rank, doc_id, source,
+       |  lang, n_tokens, weight, key
+       |FROM ranked WHERE sample_rank <= $k
+       |ORDER BY sample_rank""".stripMargin
+  }
 }

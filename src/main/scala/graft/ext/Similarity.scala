@@ -1545,4 +1545,155 @@ object Similarity {
        | max(err) AS max_err
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** q196: MMR (maximal-marginal-relevance) diversified re-ranking — the
+    * standard RAG second stage (Carbonell & Goldstein 1998): from each
+    * query's top-`cand` exact-cosine candidates, greedily select `k`
+    * results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s), so near-
+    * duplicate hits don't crowd the answer set the way a pure relevance
+    * top-k lets them (the q41/q88 near-dup families show exactly why).
+    *
+    * Bit-portability: relevance and candidate-pair cosines are the
+    * q37-proven 6-dp doubles, quantized to 1e6-scale BIGINTs; the greedy
+    * score is pure integer arithmetic (λ in tenths: `lambdaTenths·rel_q −
+    * (10−lambdaTenths)·maxSel_q`), argmax tie-broken on vec_id — DuckDB
+    * replays every pick. First pick has an empty selected set; its
+    * diversity term is 0 by convention.
+    *
+    * Scale shape: candidate generation is the existing exact ranker
+    * ([[bruteForceTopK]] — swap in the LSH/IVF arm at scale, the contract
+    * is any (query_id, vec_id, cosine) candidate frame); MMR itself never
+    * touches the corpus again — the candidate frame is Q·cand rows, the
+    * pairwise-sim frame Q·cand² rows, both localCheckpoint'd once; each of
+    * the k greedy rounds is a tiny-frame join + per-query row_number. */
+  def mmrRerank(t: Tables, nQueries: Int = 8, cand: Int = 16, k: Int = 5,
+                lambdaTenths: Int = 7): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      "mmrRerank: lambdaTenths must be in [0, 10]")
+    graft.functions.VectorExpressions.register(t.spark)
+    // quantize via round(·,0)-then-cast (the q182 convention): the product
+    // of a 6-dp cosine and 1e6 is integral up to fp error, so both engines
+    // round the same double to the same integer (never lands on .5)
+    val qi = round(col("cosine") * 1e6, 0).cast("long")
+    val cands = bruteForceTopK(t, nQueries, cand)
+      .select(col("query_id"), col("vec_id"), col("cosine"), qi.as("rel_q"))
+      .localCheckpoint() // Q·cand rows; seed of every greedy round
+    val withEmb = cands
+      .join(t.embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"))
+    val pairSim = round(round(graft.functions.VectorExpressions.cosineSim(
+      col("a_emb"), col("b_emb")), 6) * 1e6, 0).cast("long")
+    val pairs = withEmb.select(col("query_id"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"))
+      .join(withEmb.select(col("query_id"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("query_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"), pairSim.as("sim_q"))
+      .localCheckpoint() // Q·cand² rows, corpus-independent
+    def pick(scored: DataFrame, r: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_q").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("vec_id"), col("cosine"),
+          col("rel_q"), col("max_sel_q"), lit(r).as("mmr_rank"))
+    }
+    var sel = pick(cands.select(col("query_id"), col("vec_id"), col("cosine"),
+      col("rel_q"), lit(0L).as("max_sel_q"),
+      (col("rel_q") * lambdaTenths).as("score_q")), 1).localCheckpoint()
+    for (r <- 2 to k) {
+      val remaining = cands
+        .join(sel.select(col("query_id"), col("vec_id")),
+          Seq("query_id", "vec_id"), "left_anti")
+      val maxSel = remaining
+        .join(pairs.withColumnRenamed("a_id", "vec_id"),
+          Seq("query_id", "vec_id"))
+        .join(sel.select(col("query_id"), col("vec_id").as("b_id")),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(col("sim_q")).as("max_sel_q"))
+      val scored = remaining.join(maxSel, Seq("query_id", "vec_id"))
+        .select(col("query_id"), col("vec_id"), col("cosine"), col("rel_q"),
+          col("max_sel_q"),
+          (col("rel_q") * lambdaTenths -
+            col("max_sel_q") * (10 - lambdaTenths)).as("score_q"))
+      sel = sel.unionByName(pick(scored, r)).localCheckpoint() // flat lineage
+    }
+    sel.select(col("query_id"), col("mmr_rank"), col("vec_id"), col("cosine"),
+        col("rel_q"), col("max_sel_q"))
+      .orderBy(col("query_id"), col("mmr_rank"))
+  }
+
+  /** DuckDB mirror of [[mmrRerank]]: the q37 brute-force candidate CTE
+    * (rank ≤ cand), the quantized candidate-pair cosine frame, and the k
+    * greedy rounds unrolled as MATERIALIZED CTE chains (the q182 unroll
+    * pattern) — per round an anti-join against the selected set, a
+    * max-over-selected diversity term, and a per-query argmax pick. */
+  def mmrRerankSql(nQueries: Int = 8, cand: Int = 16, k: Int = 5,
+                   lambdaTenths: Int = 7): String = {
+    def cosSql(a: String, b: String): String =
+      s"round(list_dot_product($a, $b) / " +
+        s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+    val mu = 10 - lambdaTenths
+    val rounds = (2 to k).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""rem$r AS (
+         |  SELECT c.* FROM cands c
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |    WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id)),
+         |md$r AS (
+         |  SELECT c.query_id, c.vec_id, max(p.sim_q) AS max_sel_q
+         |  FROM rem$r c
+         |  JOIN $prev s ON s.query_id = c.query_id
+         |  JOIN pairs p ON p.query_id = c.query_id
+         |   AND p.a_id = c.vec_id AND p.b_id = s.vec_id
+         |  GROUP BY 1, 2),
+         |pick$r AS MATERIALIZED (
+         |  SELECT query_id, vec_id, cosine, rel_q, max_sel_q, $r AS mmr_rank
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id, c.cosine, c.rel_q, m.max_sel_q,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY c.rel_q * $lambdaTenths - m.max_sel_q * $mu DESC,
+         |                 c.vec_id) AS rn
+         |    FROM rem$r c JOIN md$r m
+         |      ON m.query_id = c.query_id AND m.vec_id = c.vec_id)
+         |  WHERE rn = 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, vec AS qvec FROM emb
+       |      WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${cosSql("q.qvec", "e.vec")} AS cosine
+       |  FROM emb e JOIN q ON e.vec_id <> q.query_id),
+       |cands AS MATERIALIZED (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(round(cosine * 1000000.0, 0) AS BIGINT) AS rel_q
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= $cand),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(round(${cosSql("ea.vec", "eb.vec")} * 1000000.0, 0)
+       |      AS BIGINT) AS sim_q
+       |  FROM cands a JOIN cands b ON a.query_id = b.query_id
+       |    AND a.vec_id <> b.vec_id
+       |  JOIN emb ea ON ea.vec_id = a.vec_id
+       |  JOIN emb eb ON eb.vec_id = b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, vec_id, cosine, rel_q,
+       |    CAST(0 AS BIGINT) AS max_sel_q, 1 AS mmr_rank
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel_q * $lambdaTenths DESC, vec_id) AS rn
+       |    FROM cands)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, mmr_rank, vec_id, cosine, rel_q, max_sel_q
+       |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
+  }
 }

@@ -1500,4 +1500,95 @@ object TextAnalysis {
        |FROM ev GROUP BY 1, 2
        |ORDER BY n, CASE split WHEN 'val' THEN 0 ELSE 1 END""".stripMargin
   }
+
+  /** q197: interpolated Kneser–Ney smoothing over the corpus bigram model —
+    * the smoothing a production n-gram LM (KenLM-style) actually ships,
+    * where q83's raw MLE assigns zero mass to unseen continuations:
+    * P_KN(w|v) = (max(c(vw) − D, 0) + D·N₁₊(v·)·P_cont(w)) / c(v·) with
+    * P_cont(w) = N₁₊(·w)/N₁₊(··) (Kneser & Ney 1995; Chen & Goodman 1999).
+    * The continuation weighting is the part MLE cannot see: "york" is
+    * frequent but follows almost only "new", so its continuation mass is
+    * tiny — exactly what the predecessor-type count captures.
+    *
+    * Bit-portability: with discount D = 3/4 the probability is one exact
+    * rational — multiplying through by 4·N₁₊(··) gives
+    * `(max(4c−3, 0)·N_tot + 3·N₁₊(v·)·N₁₊(·w)) / (4·c(v·)·N_tot)` — both
+    * sides are exact BIGINTs and the single IEEE division is bit-identical
+    * in any engine (deliberately UNROUNDED: round(·,6) on an exact rational
+    * is the q176 HALF_UP trap). A magnitude guard fails loudly before the
+    * products could overflow int64 (the [[graft.ext.Spectral]] contract).
+    *
+    * Scale shape: bigram/unigram/type counts are corpus-linear narrow
+    * aggregates; the model is vocab²-bounded and every term joins on the
+    * bigram/word key; output is the top-`topN` bigrams by count. */
+  def kneserNey(t: Tables, topN: Int = 50): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    val tks = tokens(lower(col("text")))
+    val bg = t.documents
+      .select(explode(when(size(tks) >= 2,
+        graft.functions.ShingleExpression.wordShingles(tks, 2))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bigram"))
+      .select(col("bigram"), col("c_bigram"),
+        substring_index(col("bigram"), " ", 1).as("left_word"),
+        substring_index(col("bigram"), " ", -1).as("right_word"))
+      .localCheckpoint() // vocab²-bounded model frame, reused 4×
+    val c1 = c2.groupBy(col("left_word"))
+      .agg(sum(col("c_bigram")).as("c_left"),
+        count(lit(1)).as("n1_follow"))
+    val n1w = c2.groupBy(col("right_word"))
+      .agg(count(lit(1)).as("n1_precede"))
+    val ntot = c2.agg(count(lit(1)).as("n_types"))
+    val head = c2.agg(max(col("c_bigram")).as("maxc")).head()
+    val maxC = if (head.isNullAt(0)) 0L else head.getLong(0)
+    val nTypes = 1L max maxC // types ≤ occurrences; one bound covers both
+    require(maxC <= 0 || 4L * maxC <= Long.MaxValue / nTypes,
+      s"kneserNey: bigram count $maxC × $nTypes types would overflow the " +
+        "BIGINT numerator; shard the model")
+    c2.join(c1, "left_word").join(n1w, "right_word")
+      .crossJoin(broadcast(ntot)) // 1-row type total
+      .select(col("bigram"), col("c_bigram"), col("c_left"),
+        col("n1_follow"), col("n1_precede"),
+        (col("c_bigram").cast("double") / col("c_left")).as("mle_p"),
+        ((greatest(col("c_bigram") * 4 - 3, lit(0L)) * col("n_types") +
+          lit(3L) * col("n1_follow") * col("n1_precede")).cast("double") /
+          (lit(4L) * col("c_left") * col("n_types")).cast("double"))
+          .as("kn_p"),
+        ((lit(3L) * col("n1_follow")).cast("double") /
+          (lit(4L) * col("c_left")).cast("double")).as("backoff_mass"))
+      .orderBy(col("c_bigram").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  /** The DuckDB mirror of [[kneserNey]]. */
+  def kneserNeySql(topN: Int = 50): String =
+    s"""WITH tk AS (
+       |  SELECT string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |bg AS (
+       |  SELECT unnest(list_transform(range(1, len(tks)),
+       |    i -> tks[i] || ' ' || tks[i+1])) AS bigram
+       |  FROM tk),
+       |c2 AS (
+       |  SELECT bigram, count(*) AS c_bigram,
+       |   string_split(bigram, ' ')[1] AS left_word,
+       |   string_split(bigram, ' ')[-1] AS right_word
+       |  FROM bg GROUP BY 1),
+       |c1 AS (
+       |  SELECT left_word, CAST(sum(c_bigram) AS BIGINT) AS c_left,
+       |   count(*) AS n1_follow
+       |  FROM c2 GROUP BY 1),
+       |n1w AS (
+       |  SELECT right_word, count(*) AS n1_precede FROM c2 GROUP BY 1),
+       |ntot AS (SELECT count(*) AS n_types FROM c2)
+       |SELECT bigram, c_bigram, c_left, n1_follow, n1_precede,
+       | CAST(c_bigram AS DOUBLE) / c_left AS mle_p,
+       | CAST(greatest(c_bigram * 4 - 3, 0) * n_types
+       |    + 3 * n1_follow * n1_precede AS DOUBLE)
+       |  / CAST(4 * c_left * n_types AS DOUBLE) AS kn_p,
+       | CAST(3 * n1_follow AS DOUBLE) / CAST(4 * c_left AS DOUBLE)
+       |  AS backoff_mass
+       |FROM c2 JOIN c1 USING (left_word) JOIN n1w USING (right_word)
+       |CROSS JOIN ntot
+       |ORDER BY c_bigram DESC, bigram LIMIT $topN""".stripMargin
 }

@@ -321,7 +321,8 @@ class PlanAuditSpec extends SparkSpec {
     "q191_duplication_profile",     // 1-row corpus doc-count frame
     "q192_shard_layout",            // 1-row corpus doc-count frame
     "q193_mixture_solver",          // 1-row solved-budget frame
-    "q195_retrieval_arm_eval")      // broadcast query-vector frames (q37/q38 arms)
+    "q195_retrieval_arm_eval",      // broadcast query-vector frames (q37/q38 arms)
+    "q197_kneser_ney")              // 1-row bigram-type-total frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -527,7 +528,12 @@ class PlanAuditSpec extends SparkSpec {
     "q194_clean_eval_sample" -> 4,
     // three whole retrieval arms composed (q37 + q38 + q187's
     // post-checkpoint stages) feeding the tiny judged roll-up
-    "q195_retrieval_arm_eval" -> 20)
+    "q195_retrieval_arm_eval" -> 20,
+    // greedy rounds run on localCheckpointed Q·cand(²) frames; the final
+    // plan is one small-frame sort after the checkpoint boundary
+    "q196_mmr_rerank" -> 1,
+    "q197_kneser_ney" -> 3,
+    "q198_weighted_sample" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
