@@ -241,7 +241,11 @@ object SparkEntry {
     "q195_retrieval_arm_eval" -> q(t => Similarity.retrievalArmEval(t)),
     "q196_mmr_rerank" -> q(t => Similarity.mmrRerank(t)),
     "q197_kneser_ney" -> q(t => TextAnalysis.kneserNey(t)),
-    "q198_weighted_sample" -> q(t => Sampling.weightedSample(t)))
+    "q198_weighted_sample" -> q(t => Sampling.weightedSample(t)),
+    "q199_fellegi_sunter" -> q(t => graft.ext.FuzzyJoin.fellegiSunter(t)),
+    "q200_cuped" -> q(t => operators.RobustStats.cuped(t)),
+    "q201_trimmed_means" -> q(t => operators.RobustStats.trimmedMeans(t)),
+    "q202_spearman" -> q(t => operators.RobustStats.spearman(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -351,6 +355,10 @@ object SparkEntry {
     "q196_mmr_rerank" -> Similarity.mmrRerankSql(),
     "q197_kneser_ney" -> TextAnalysis.kneserNeySql(),
     "q198_weighted_sample" -> Sampling.weightedSampleSql(),
+    "q199_fellegi_sunter" -> graft.ext.FuzzyJoin.fellegiSunterSql(),
+    "q200_cuped" -> operators.RobustStats.cupedSql(),
+    "q201_trimmed_means" -> operators.RobustStats.trimmedMeansSql(),
+    "q202_spearman" -> operators.RobustStats.spearmanSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

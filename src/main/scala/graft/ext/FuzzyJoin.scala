@@ -264,4 +264,130 @@ object FuzzyJoin {
        |GROUP BY 1, 2
        |ORDER BY r.cluster_id""".stripMargin
   }
+
+  /** q199: Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter
+    * 1969 — the decision model behind Splink/dedupe.io-style linkers):
+    * candidate `part` pairs blocked on (p_brand, p_size) are scored by the
+    * likelihood ratio R = Π_f r_f, where per comparison field f,
+    * r_f = m/u_f on agreement and (1−m)/(1−u_f) on disagreement. The
+    * u-probabilities (chance agreement among NON-matches) are estimated
+    * from the data itself as Σ_v c_v²/N² — the standard frequency-based
+    * estimate — while m (agreement among true matches) is the usual fixed
+    * prior. Pairs classify as match / possible / nonmatch by ratio
+    * thresholds; unlike [[fuzzyJoin]]'s single-field edit distance this
+    * weighs EVERY field by how discriminating it actually is (agreeing on
+    * an 8-value name stem says more than agreeing on a 3-value price
+    * band, and the ratio knows by how much).
+    *
+    * Comparison fields: p_type, the name's first token (stem), and the
+    * retail-price century band ⌊price/100⌋. A field whose u = 1 (single
+    * observed value, zero discrimination) never takes its disagreement
+    * branch — CASE evaluates lazily in both engines, so the 1−u = 0
+    * denominator is never touched.
+    *
+    * Bit-portability: each u is an exact BIGINT ratio; each r_f is ONE
+    * IEEE division of exact integers; R is the fixed-order product
+    * (r_type · r_stem) · r_band — identical bits in both engines, so even
+    * the threshold comparisons agree exactly.
+    *
+    * Scale shape: u-tables are three value-frequency aggregates (narrow,
+    * corpus-linear) collapsing to 1-row frames broadcast into the pair
+    * scorer; pair space is bounded by the blocking key's bucket sizes
+    * (the FS discipline: at 100 TB you add blocking fields — each
+    * multiplies the bucket count — never relax to all-pairs). */
+  def fellegiSunter(t: Tables, mPct: Int = 90, upper: Double = 30.0,
+                    lower: Double = 1.0): DataFrame = {
+    val p = t.part.select(col("p_partkey"), col("p_brand"), col("p_size"),
+      col("p_type"), substring_index(col("p_name"), " ", 1).as("stem"),
+      floor(col("p_retailprice") / 100.0).cast("long").as("band"))
+    def uStats(c: Column, name: String): DataFrame =
+      p.groupBy(c.as("v")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as(s"${name}_num"),
+          (sum(col("c")) * sum(col("c"))).as(s"${name}_den"))
+    val u = uStats(col("p_type"), "ut")
+      .crossJoin(uStats(col("stem"), "us"))
+      .crossJoin(uStats(col("band"), "ub")) // three 1-row frames
+    def ratio(agree: Column, num: String, den: String): Column =
+      when(agree,
+        (lit(mPct.toLong) * col(den)).cast("double") /
+          (lit(100L) * col(num)).cast("double"))
+        .otherwise(
+          (lit((100 - mPct).toLong) * col(den)).cast("double") /
+            (lit(100L) * (col(den) - col(num))).cast("double"))
+    val a = p.as("a"); val b = p.as("b")
+    val pairs = a.join(b,
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .crossJoin(broadcast(u))
+      .select(
+        col("a.p_partkey").as("key_a"), col("b.p_partkey").as("key_b"),
+        col("a.p_brand").as("p_brand"), col("a.p_size").as("p_size"),
+        (col("a.p_type") === col("b.p_type")).cast("int").as("agree_type"),
+        (col("a.stem") === col("b.stem")).cast("int").as("agree_stem"),
+        (col("a.band") === col("b.band")).cast("int").as("agree_band"),
+        ratio(col("a.p_type") === col("b.p_type"), "ut_num", "ut_den")
+          .as("r_type"),
+        ratio(col("a.stem") === col("b.stem"), "us_num", "us_den")
+          .as("r_stem"),
+        ratio(col("a.band") === col("b.band"), "ub_num", "ub_den")
+          .as("r_band"))
+      .withColumn("fs_ratio", col("r_type") * col("r_stem") * col("r_band"))
+    pairs.select(col("key_a"), col("key_b"), col("p_brand"), col("p_size"),
+        col("agree_type"), col("agree_stem"), col("agree_band"),
+        col("fs_ratio"),
+        when(col("fs_ratio") >= upper, "match")
+          .when(col("fs_ratio") >= lower, "possible")
+          .otherwise("nonmatch").as("verdict"))
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  /** The DuckDB mirror of [[fellegiSunter]]. */
+  def fellegiSunterSql(mPct: Int = 90, upper: Double = 30.0,
+                       lower: Double = 1.0): String = {
+    def ratio(agree: String, num: String, den: String): String =
+      s"""CASE WHEN $agree
+         |  THEN CAST($mPct * $den AS DOUBLE)
+         |     / CAST(100 * $num AS DOUBLE)
+         |  ELSE CAST(${100 - mPct} * $den AS DOUBLE)
+         |     / CAST(100 * ($den - $num) AS DOUBLE) END""".stripMargin
+    s"""WITH p AS (
+       |  SELECT p_partkey, p_brand, p_size, p_type,
+       |   string_split(p_name, ' ')[1] AS stem,
+       |   CAST(floor(p_retailprice / 100.0) AS BIGINT) AS band
+       |  FROM part),
+       |ut AS (
+       |  SELECT CAST(sum(c * c) AS BIGINT) AS ut_num,
+       |   CAST(sum(c) * sum(c) AS BIGINT) AS ut_den
+       |  FROM (SELECT count(*) AS c FROM p GROUP BY p_type)),
+       |us AS (
+       |  SELECT CAST(sum(c * c) AS BIGINT) AS us_num,
+       |   CAST(sum(c) * sum(c) AS BIGINT) AS us_den
+       |  FROM (SELECT count(*) AS c FROM p GROUP BY stem)),
+       |ub AS (
+       |  SELECT CAST(sum(c * c) AS BIGINT) AS ub_num,
+       |   CAST(sum(c) * sum(c) AS BIGINT) AS ub_den
+       |  FROM (SELECT count(*) AS c FROM p GROUP BY band)),
+       |scored AS (
+       |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |   a.p_brand, a.p_size,
+       |   CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS agree_type,
+       |   CASE WHEN a.stem = b.stem THEN 1 ELSE 0 END AS agree_stem,
+       |   CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS agree_band,
+       |   (${ratio("a.p_type = b.p_type", "ut_num", "ut_den")}) AS r_type,
+       |   (${ratio("a.stem = b.stem", "us_num", "us_den")}) AS r_stem,
+       |   (${ratio("a.band = b.band", "ub_num", "ub_den")}) AS r_band
+       |  FROM p a JOIN p b
+       |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       |   AND a.p_partkey < b.p_partkey
+       |  CROSS JOIN ut CROSS JOIN us CROSS JOIN ub)
+       |SELECT key_a, key_b, p_brand, CAST(p_size AS INTEGER) AS p_size,
+       | agree_type, agree_stem, agree_band,
+       | r_type * r_stem * r_band AS fs_ratio,
+       | CASE WHEN r_type * r_stem * r_band >= $upper THEN 'match'
+       |      WHEN r_type * r_stem * r_band >= $lower THEN 'possible'
+       |      ELSE 'nonmatch' END AS verdict
+       |FROM scored
+       |ORDER BY key_a, key_b""".stripMargin
+  }
 }

@@ -1,0 +1,356 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.ext.Sampling
+import graft.functions.ExactAgg
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Experiment-analysis and robust-statistics operators over the events and
+  * documents tables: CUPED variance reduction (q200), trimmed/winsorized
+  * means (q201), and Spearman rank correlation (q202).
+  *
+  * All three follow the exact-moment doctrine of
+  * [[graft.operators.Analytics]] q115/q166: heavy passes produce exact
+  * integer (or [[ExactAgg]] micro-unit) sums; every derived statistic is a
+  * fixed-shape IEEE expression over those exact inputs, mirrored
+  * term-for-term in the DuckDB oracle SQL, so both engines emit identical
+  * bits with no rounding step. */
+object RobustStats {
+
+  private val O = ExactAgg.Sql
+
+  /** q200: CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013 — the
+    * pre-experiment-covariate adjustment every large A/B platform runs):
+    * users are hash-assigned to two arms ([[Sampling.splitHash]] parity, so
+    * assignment is layout- and engine-independent); X is a user's
+    * pre-period metric (days 1-15), Y the in-experiment metric (days 16+).
+    * θ = cov(X,Y)/var(X) is fit POOLED (the standard, arm-agnostic choice
+    * — fitting per-arm would bias the estimate), and the adjusted metric
+    * is Ŷ = Y − θ·(X − mean(X)). Reported per arm: user count, raw and
+    * adjusted means, raw and adjusted variances — the adjusted variance
+    * drop is the sensitivity gain the method exists for.
+    *
+    * Exactness: per-user X/Y via [[ExactAgg.dsum]] (micro-unit integer
+    * accumulation, order-independent); pooled and per-arm moments via
+    * dsum/dsumProd; θ, means, and variances are fixed IEEE expression
+    * trees over those exact sums, deliberately unrounded (the q176
+    * HALF_UP doctrine).
+    *
+    * Scale shape: one corpus pass → per-user frame (narrow, user-count
+    * rows); pooled θ is a 1-row broadcast; per-arm roll-up is a 2-row
+    * aggregate. Nothing downstream of the first aggregate touches
+    * events. */
+  def cuped(t: Tables, cutDay: Int = 15): DataFrame = {
+    val pre = dayofmonth(col("ts")) <= cutDay
+    val perUser = t.events
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        ExactAgg.dsum(when(pre, col("value")).otherwise(lit(0.0))).as("x"),
+        ExactAgg.dsum(when(!pre, col("value")).otherwise(lit(0.0))).as("y"))
+      .select(col("user_id"), col("x"), col("y"),
+        when(pmod(Sampling.splitHash(col("user_id")), lit(2L)) === 0,
+          "control").otherwise("treatment").as("arm"))
+      .localCheckpoint() // user-count rows; feeds pooled θ AND per-arm
+    val pooled = perUser.agg(
+        count(lit(1)).cast("double").as("n_p"),
+        ExactAgg.dsum(col("x")).as("sx_p"),
+        ExactAgg.dsum(col("y")).as("sy_p"),
+        ExactAgg.dsumProd(col("x"), col("y")).as("sxy_p"),
+        ExactAgg.dsumProd(col("x"), col("x")).as("sxx_p"))
+      .select(
+        ((col("n_p") * col("sxy_p") - col("sx_p") * col("sy_p")) /
+          (col("n_p") * col("sxx_p") - col("sx_p") * col("sx_p")))
+          .as("theta"),
+        (col("sx_p") / col("n_p")).as("mean_x_pool"))
+    val arm = perUser.groupBy(col("arm")).agg(
+      count(lit(1)).as("n_users"),
+      ExactAgg.dsum(col("x")).as("sx"),
+      ExactAgg.dsum(col("y")).as("sy"),
+      ExactAgg.dsumProd(col("x"), col("y")).as("sxy"),
+      ExactAgg.dsumProd(col("x"), col("x")).as("sxx"),
+      ExactAgg.dsumProd(col("y"), col("y")).as("syy"))
+    val n = col("n_users").cast("double")
+    val meanX = col("sx") / n
+    val meanY = col("sy") / n
+    val varY = (col("syy") - col("sy") * col("sy") / n) / n
+    val varX = (col("sxx") - col("sx") * col("sx") / n) / n
+    val covA = (col("sxy") - col("sx") * col("sy") / n) / n
+    arm.crossJoin(broadcast(pooled)) // 1-row pooled θ frame
+      .select(col("arm"), col("n_users"),
+        meanX.as("mean_x"), meanY.as("mean_y"), col("theta"),
+        (meanY - col("theta") * (meanX - col("mean_x_pool")))
+          .as("mean_y_adj"),
+        varY.as("var_y"),
+        (varY - lit(2.0) * col("theta") * covA +
+          col("theta") * col("theta") * varX).as("var_y_adj"))
+      .orderBy(col("arm"))
+  }
+
+  /** The DuckDB mirror of [[cuped]]. */
+  def cupedSql(cutDay: Int = 15): String = {
+    val sh = Sampling.splitHashSql("user_id")
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |   ${O.dsum(s"CASE WHEN day(ts) <= $cutDay THEN value ELSE 0 END")}
+       |     AS x,
+       |   ${O.dsum(s"CASE WHEN NOT (day(ts) <= $cutDay) THEN value ELSE 0 END")}
+       |     AS y,
+       |   CASE WHEN ($sh) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY user_id),
+       |pooled AS (
+       |  SELECT
+       |   (CAST(count(*) AS DOUBLE) * ${O.dsumProd("x", "y")}
+       |     - ${O.dsum("x")} * ${O.dsum("y")})
+       |   / (CAST(count(*) AS DOUBLE) * ${O.dsumProd("x", "x")}
+       |     - ${O.dsum("x")} * ${O.dsum("x")}) AS theta,
+       |   ${O.dsum("x")} / CAST(count(*) AS DOUBLE) AS mean_x_pool
+       |  FROM per_user),
+       |arm AS (
+       |  SELECT arm, count(*) AS n_users,
+       |   ${O.dsum("x")} AS sx, ${O.dsum("y")} AS sy,
+       |   ${O.dsumProd("x", "y")} AS sxy,
+       |   ${O.dsumProd("x", "x")} AS sxx,
+       |   ${O.dsumProd("y", "y")} AS syy
+       |  FROM per_user GROUP BY arm)
+       |SELECT arm, n_users,
+       | sx / CAST(n_users AS DOUBLE) AS mean_x,
+       | sy / CAST(n_users AS DOUBLE) AS mean_y,
+       | theta,
+       | sy / CAST(n_users AS DOUBLE) - theta *
+       |   (sx / CAST(n_users AS DOUBLE) - mean_x_pool) AS mean_y_adj,
+       | (syy - sy * sy / CAST(n_users AS DOUBLE))
+       |   / CAST(n_users AS DOUBLE) AS var_y,
+       | (syy - sy * sy / CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE)
+       |  - 2.0 * theta * ((sxy - sx * sy / CAST(n_users AS DOUBLE))
+       |      / CAST(n_users AS DOUBLE))
+       |  + theta * theta * ((sxx - sx * sx / CAST(n_users AS DOUBLE))
+       |      / CAST(n_users AS DOUBLE)) AS var_y_adj
+       |FROM arm CROSS JOIN pooled
+       |ORDER BY arm""".stripMargin
+  }
+
+  /** q201: trimmed and winsorized means per event type — the robust
+    * location estimates an experiment metric pipeline reports next to the
+    * raw mean (one whale user moves a mean; it cannot move a 10%-trimmed
+    * one). Tail edges are the p10/p90 from the bounded-memory grid-
+    * quantile machinery ([[Analytics.gridQuantileEdges]], the q107/q108
+    * production path — O(grid) counters per group, never a full-column
+    * buffer). Trimmed = mean of values inside [p10, p90] (closed
+    * interval); winsorized = mean with tails CLAMPED to the edges — same
+    * row count as raw, which is why A/B practice prefers it.
+    *
+    * Exactness: edges are the proven-portable grid-edge IEEE expressions;
+    * all three means run through [[ExactAgg]] micro-unit kernels.
+    *
+    * Scale shape: two corpus passes (histogram, then means) with the
+    * per-group edge frame broadcast between them — the q170 filter shape,
+    * grouped. */
+  def trimmedMeans(t: Tables, grid: Int = 4096): DataFrame = {
+    val ev = t.events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val edges = Analytics
+      .gridQuantileEdges(ev, "value", Seq("event_type"), buckets = 10,
+        grid = grid)
+      .select(col("event_type"), col("e1").as("p10"), col("e9").as("p90"))
+    val inRange = col("value") >= col("p10") && col("value") <= col("p90")
+    val clamped = least(greatest(col("value"), col("p10")), col("p90"))
+    ev.join(broadcast(edges), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        ExactAgg.davg(col("value")).as("mean_raw"),
+        max(col("p10")).as("p10"), max(col("p90")).as("p90"),
+        sum(inRange.cast("long")).as("n_within"),
+        (ExactAgg.dsum(when(inRange, col("value")).otherwise(lit(0.0))) /
+          sum(inRange.cast("long")).cast("double")).as("mean_trimmed"),
+        ExactAgg.davg(clamped).as("mean_winsorized"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The DuckDB mirror of [[trimmedMeans]] — the grouped grid-edge CTE
+    * chain of [[graft.SketchOracleSql.gridEquiDepth]] retargeted at
+    * (events.event_type, value), then the clamped/filtered means. */
+  def trimmedMeansSql(grid: Int = 4096): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+       |mm AS (
+       |  SELECT event_type, min(value) AS mn, max(value) AS mx,
+       |   CAST(count(*) AS DOUBLE) AS n
+       |  FROM ev GROUP BY 1),
+       |hist AS (
+       |  SELECT ev.event_type,
+       |   CASE WHEN mm.mx = mm.mn THEN 0
+       |    ELSE LEAST(CAST(floor((value - mm.mn) / (mm.mx - mm.mn)
+       |      * $grid.0) AS INTEGER), ${grid - 1}) END AS bin,
+       |   count(*) AS c, max(mm.mn) AS mn, max(mm.mx) AS mx, max(mm.n) AS n
+       |  FROM ev JOIN mm USING (event_type)
+       |  GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT *, COALESCE(SUM(c) OVER (PARTITION BY event_type
+       |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS cb
+       |  FROM hist),
+       |targets AS (SELECT CAST(range AS INTEGER) AS i FROM range(1, 10)),
+       |edge_rows AS (
+       |  SELECT event_type, t.i,
+       |   cum.mn + (CAST(cum.bin AS DOUBLE)
+       |     + (CAST(t.i AS DOUBLE) * cum.n / 10.0 - CAST(cum.cb AS DOUBLE))
+       |       / CAST(cum.c AS DOUBLE))
+       |     * ((cum.mx - cum.mn) / $grid.0) AS edge
+       |  FROM cum JOIN targets t
+       |    ON CAST(cum.cb AS DOUBLE) <= CAST(t.i AS DOUBLE) * cum.n / 10.0
+       |   AND CAST(cum.cb + cum.c AS DOUBLE) > CAST(t.i AS DOUBLE) * cum.n / 10.0),
+       |es0 AS (
+       |  SELECT event_type, list_sort(list(edge)) AS es FROM edge_rows
+       |  GROUP BY 1),
+       |edges AS (SELECT event_type, es[1] AS p10, es[9] AS p90 FROM es0)
+       |SELECT event_type, count(*) AS n,
+       | ${O.davg("value")} AS mean_raw,
+       | max(p10) AS p10, max(p90) AS p90,
+       | CAST(sum(CASE WHEN value >= p10 AND value <= p90 THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_within,
+       | ${O.dsum("CASE WHEN value >= p10 AND value <= p90 THEN value ELSE 0 END")}
+       |  / CAST(sum(CASE WHEN value >= p10 AND value <= p90 THEN 1 ELSE 0 END)
+       |      AS DOUBLE) AS mean_trimmed,
+       | ${O.davg("least(greatest(value, p10), p90)")} AS mean_winsorized
+       |FROM ev JOIN edges USING (event_type)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  /** Max per-group row count [[spearman]] accepts: Sxy ≤ 4n³ must stay
+    * inside int64, so n ≤ ⌊(2^63/4)^(1/3)⌋ ≈ 1.32e6. */
+  private val SpearmanMaxN = 1300000L
+
+  /** q202: Spearman rank correlation between per-document size signals
+    * (token count, char count, distinct-token count), per source — the
+    * robust complement of q185's Pearson matrix: rank correlation ignores
+    * the heavy right tail document lengths always have, so it answers
+    * "are these quality signals MONOTONICALLY redundant" where Pearson
+    * conflates that with linearity (Spearman 1904; the filter-redundancy
+    * check run before retiring a quality signal).
+    *
+    * Tied values get fractional average ranks — the statistically correct
+    * treatment — kept in INTEGER space as 2·rank: for a tied run spanning
+    * positions [a, b], 2·avgrank = a + b = rank_asc + (n + 1 − rank_desc),
+    * so two opposite-order rank() windows over the SAME partition replace
+    * any float averaging. All moment sums are exact BIGINTs (guarded
+    * against overflow at n > 1.3e6 rows/group — fail loudly, the
+    * [[graft.ext.Spectral]] contract); ρ is one fixed IEEE expression over
+    * their double casts, identical in both engines.
+    *
+    * Scale shape: signals are one narrow corpus pass exploded to long
+    * format (3 rows/doc); BOTH rank windows share one (source, signal)
+    * partition — one shuffle, two sorts; the pivot-back is a per-doc
+    * 3-column aggregate and the final frame is one row per source. */
+  def spearman(t: Tables): DataFrame = {
+    import graft.ext.TextAnalysis.tokens
+    val tks = tokens(lower(col("text")))
+    val maxN = t.documents.groupBy(col("source")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    require(maxN <= SpearmanMaxN,
+      s"spearman: $maxN rows in one source exceeds the int64-safe " +
+        s"$SpearmanMaxN; shard the group or widen to hi/lo split sums")
+    val long = t.documents.select(col("source"), col("doc_id"),
+        size(tks).cast("long").as("v_tokens"),
+        col("n_chars").cast("long").as("v_chars"),
+        size(array_distinct(tks)).cast("long").as("v_distinct"))
+      .select(col("source"), col("doc_id"),
+        explode(map(
+          lit("tokens"), col("v_tokens"),
+          lit("chars"), col("v_chars"),
+          lit("distinct"), col("v_distinct"))).as(Seq("signal", "v")))
+    val part = Window.partitionBy(col("source"), col("signal"))
+    val r2 = long.select(col("source"), col("doc_id"), col("signal"),
+      (rank().over(part.orderBy(col("v"))).cast("long") +
+        count(lit(1)).over(part) + 1L -
+        rank().over(part.orderBy(col("v").desc)).cast("long")).as("r2"))
+    val wide = r2.groupBy(col("source"), col("doc_id"))
+      .agg(
+        max(when(col("signal") === "tokens", col("r2"))).as("rt"),
+        max(when(col("signal") === "chars", col("r2"))).as("rc"),
+        max(when(col("signal") === "distinct", col("r2"))).as("rd"))
+    def rho(sab: Column, saa: Column, sbb: Column,
+            sa: Column, sb: Column, n: Column): Column =
+      (n * sab.cast("double") - sa.cast("double") * sb.cast("double")) /
+        (sqrt(n * saa.cast("double") - sa.cast("double") * sa.cast("double")) *
+          sqrt(n * sbb.cast("double") - sb.cast("double") * sb.cast("double")))
+    val m = wide.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("rt")).as("st"), sum(col("rc")).as("sc"),
+      sum(col("rd")).as("sd"),
+      sum(col("rt") * col("rt")).as("stt"),
+      sum(col("rc") * col("rc")).as("scc"),
+      sum(col("rd") * col("rd")).as("sdd"),
+      sum(col("rt") * col("rc")).as("stc"),
+      sum(col("rt") * col("rd")).as("std_"),
+      sum(col("rc") * col("rd")).as("scd"))
+    val n = col("n_docs").cast("double")
+    m.select(col("source"), col("n_docs"),
+        rho(col("stc"), col("stt"), col("scc"),
+          col("st"), col("sc"), n).as("rho_tokens_chars"),
+        rho(col("std_"), col("stt"), col("sdd"),
+          col("st"), col("sd"), n).as("rho_tokens_distinct"),
+        rho(col("scd"), col("scc"), col("sdd"),
+          col("sc"), col("sd"), n).as("rho_chars_distinct"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[spearman]]. */
+  def spearmanSql(): String = {
+    def rho(sab: String, saa: String, sbb: String, sa: String,
+            sb: String): String =
+      s"""(CAST(n_docs AS DOUBLE) * CAST($sab AS DOUBLE)
+         |   - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE))
+         | / (sqrt(CAST(n_docs AS DOUBLE) * CAST($saa AS DOUBLE)
+         |     - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE))
+         |  * sqrt(CAST(n_docs AS DOUBLE) * CAST($sbb AS DOUBLE)
+         |     - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE)))""".stripMargin
+    s"""WITH sig AS (
+       |  SELECT source, doc_id,
+       |   CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+       |     AS v_tokens,
+       |   CAST(n_chars AS BIGINT) AS v_chars,
+       |   CAST(len(list_distinct(string_split_regex(trim(lower(text)),
+       |     '\\s+'))) AS BIGINT) AS v_distinct
+       |  FROM documents),
+       |long AS (
+       |  SELECT source, doc_id, u.signal,
+       |   CASE u.signal WHEN 'tokens' THEN v_tokens
+       |    WHEN 'chars' THEN v_chars ELSE v_distinct END AS v
+       |  FROM sig, unnest(['tokens', 'chars', 'distinct']) AS u(signal)),
+       |r AS (
+       |  SELECT source, doc_id, signal,
+       |   CAST(rank() OVER (PARTITION BY source, signal ORDER BY v)
+       |     AS BIGINT)
+       |   + count(*) OVER (PARTITION BY source, signal) + 1
+       |   - CAST(rank() OVER (PARTITION BY source, signal ORDER BY v DESC)
+       |     AS BIGINT) AS r2
+       |  FROM long),
+       |wide AS (
+       |  SELECT source, doc_id,
+       |   max(CASE WHEN signal = 'tokens' THEN r2 END) AS rt,
+       |   max(CASE WHEN signal = 'chars' THEN r2 END) AS rc,
+       |   max(CASE WHEN signal = 'distinct' THEN r2 END) AS rd
+       |  FROM r GROUP BY 1, 2),
+       |m AS (
+       |  SELECT source, count(*) AS n_docs,
+       |   CAST(sum(rt) AS BIGINT) AS st, CAST(sum(rc) AS BIGINT) AS sc,
+       |   CAST(sum(rd) AS BIGINT) AS sd,
+       |   CAST(sum(rt * rt) AS BIGINT) AS stt,
+       |   CAST(sum(rc * rc) AS BIGINT) AS scc,
+       |   CAST(sum(rd * rd) AS BIGINT) AS sdd,
+       |   CAST(sum(rt * rc) AS BIGINT) AS stc,
+       |   CAST(sum(rt * rd) AS BIGINT) AS std_,
+       |   CAST(sum(rc * rd) AS BIGINT) AS scd
+       |  FROM wide GROUP BY 1)
+       |SELECT source, n_docs,
+       | ${rho("stc", "stt", "scc", "st", "sc")} AS rho_tokens_chars,
+       | ${rho("std_", "stt", "sdd", "st", "sd")} AS rho_tokens_distinct,
+       | ${rho("scd", "scc", "sdd", "sc", "sd")} AS rho_chars_distinct
+       |FROM m ORDER BY source""".stripMargin
+  }
+}

@@ -322,7 +322,10 @@ class PlanAuditSpec extends SparkSpec {
     "q192_shard_layout",            // 1-row corpus doc-count frame
     "q193_mixture_solver",          // 1-row solved-budget frame
     "q195_retrieval_arm_eval",      // broadcast query-vector frames (q37/q38 arms)
-    "q197_kneser_ney")              // 1-row bigram-type-total frame
+    "q197_kneser_ney",              // 1-row bigram-type-total frame
+    "q199_fellegi_sunter",          // three 1-row u-probability frames
+    "q200_cuped",                   // 1-row pooled-theta frame
+    "q201_trimmed_means")           // grid mm/edge frames (the q170 shape)
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -533,7 +536,11 @@ class PlanAuditSpec extends SparkSpec {
     // plan is one small-frame sort after the checkpoint boundary
     "q196_mmr_rerank" -> 1,
     "q197_kneser_ney" -> 3,
-    "q198_weighted_sample" -> 1)
+    "q198_weighted_sample" -> 1,
+    "q199_fellegi_sunter" -> 7,
+    "q200_cuped" -> 3,
+    "q201_trimmed_means" -> 5,
+    "q202_spearman" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
