@@ -298,6 +298,32 @@ object SketchOracleSql {
        |FROM prof CROSS JOIN tot
        |ORDER BY cluster_size""".stripMargin
 
+  /** q205: cluster source-purity audit — mirrors
+    * [[graft.ext.Dedup.clusterPurity]] (per-cluster HHI over the q45
+    * closure, rolled up by cluster-size band). */
+  val clusterPurity: String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH RECURSIVE $dupClusterCtes,
+       |bysrc AS (
+       |  SELECT l.cluster_id, s.cluster_size, d.source, count(*) AS c
+       |  FROM labels l JOIN sizes s USING (cluster_id)
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY 1, 2, 3),
+       |per AS (
+       |  SELECT cluster_size,
+       |   count(*) AS n_sources,
+       |   CAST(sum(c * c) AS DOUBLE)
+       |     / CAST(cluster_size * cluster_size AS DOUBLE) AS hhi
+       |  FROM bysrc GROUP BY cluster_id, cluster_size)
+       |SELECT cluster_size,
+       | count(*) AS n_clusters,
+       | CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_cross_source,
+       | CAST(max(n_sources) AS BIGINT) AS max_sources,
+       | ${O.davg("hhi")} AS avg_hhi
+       |FROM per GROUP BY 1 ORDER BY cluster_size""".stripMargin
+  }
+
   /** q160: quality-ranked canonical per cluster — the [[dupClusters]]
     * closure joined to `n_chars`, keeping the longest member (min doc_id
     * tiebreak) via the same row_number rule as the engine. */

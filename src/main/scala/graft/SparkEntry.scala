@@ -245,7 +245,10 @@ object SparkEntry {
     "q199_fellegi_sunter" -> q(t => graft.ext.FuzzyJoin.fellegiSunter(t)),
     "q200_cuped" -> q(t => operators.RobustStats.cuped(t)),
     "q201_trimmed_means" -> q(t => operators.RobustStats.trimmedMeans(t)),
-    "q202_spearman" -> q(t => operators.RobustStats.spearman(t)))
+    "q202_spearman" -> q(t => operators.RobustStats.spearman(t)),
+    "q203_decay_score" -> q(t => Serving.decayScore(t)),
+    "q204_nucleus_vocab" -> q(t => TextAnalysis.nucleusVocab(t)),
+    "q205_cluster_purity" -> q(t => Dedup.clusterPurity(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -359,6 +362,9 @@ object SparkEntry {
     "q200_cuped" -> operators.RobustStats.cupedSql(),
     "q201_trimmed_means" -> operators.RobustStats.trimmedMeansSql(),
     "q202_spearman" -> operators.RobustStats.spearmanSql(),
+    "q203_decay_score" -> Serving.decayScoreSql(),
+    "q204_nucleus_vocab" -> TextAnalysis.nucleusVocabSql(),
+    "q205_cluster_purity" -> SketchOracleSql.clusterPurity,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

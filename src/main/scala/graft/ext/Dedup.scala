@@ -532,6 +532,47 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  /** q205: cluster source-PURITY audit — for each near-dup cluster
+    * ([[dupClusters]]' closure), how concentrated is its membership by
+    * source? Per cluster-size band it reports how many clusters exist,
+    * how many span MULTIPLE sources, the largest source fan-out, and the
+    * mean Herfindahl–Hirschman index (HHI = Σ_s share_s², 1 = pure, 1/S =
+    * evenly split). This is the question that decides a 100 TB dedup
+    * TOPOLOGY: if clusters are intra-source (HHI ≈ 1), dedup can run
+    * partition-local per source with no global shuffle; cross-source
+    * clusters are the certificate that the q68-style global pass is
+    * actually required. It is also the mirror-site/syndication detector —
+    * the same article on many sources shows up exactly here.
+    *
+    * Exactness: per-cluster HHI is one IEEE division of exact BIGINTs
+    * (Σc², n²); the band mean runs through [[graft.functions.ExactAgg
+    * .davg]].
+    *
+    * Scale shape: [[dupClusters]]' capped LSH + CC work dominates; the
+    * purity roll-up is two aggregates over the label frame (cluster- then
+    * band-keyed), both corpus-linear and map-side combinable. */
+  def clusterPurity(t: Tables, minJaccard: Double = 0.2): DataFrame = {
+    val cl = dupClusters(t, minJaccard, portable = true)
+    val perCluster = cl
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("cluster_id"), col("cluster_size"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(sum(col("c") * col("c")).as("sum_c2"),
+        count(lit(1)).as("n_sources"))
+      .select(col("cluster_size"), col("n_sources"),
+        (col("sum_c2").cast("double") /
+          (col("cluster_size") * col("cluster_size")).cast("double"))
+          .as("hhi"))
+    perCluster.groupBy(col("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum((col("n_sources") > 1).cast("long")).as("n_cross_source"),
+        max(col("n_sources")).as("max_sources"),
+        graft.functions.ExactAgg.davg(col("hhi")).as("avg_hhi"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** q194: contamination-SAFE eval sampling — the APPLY step of q186's
     * leakage audit: draw a deterministic k-per-split eval sample from the
     * non-train documents that have NO near-duplicate in train. This is

@@ -1591,4 +1591,87 @@ object TextAnalysis {
        |FROM c2 JOIN c1 USING (left_word) JOIN n1w USING (right_word)
        |CROSS JOIN ntot
        |ORDER BY c_bigram DESC, bigram LIMIT $topN""".stripMargin
+
+  /** q204: nucleus (top-p) vocabulary truncation per source — the
+    * cumulative-mass cut behind nucleus sampling (Holtzman et al. 2020)
+    * applied where a data pipeline applies it: vocabulary pruning. Per
+    * source, tokens sort by frequency (count desc, token asc tiebreak) and
+    * the kept set is the smallest prefix whose cumulative occurrence count
+    * reaches p of the total — a row is kept iff the cumulative mass BEFORE
+    * it is still short of the threshold, so exactly the crossing token is
+    * the last one in. Reported per source: vocabulary size, kept size,
+    * kept token mass, and the head-heaviness ratio the cut reveals (a
+    * near-1 mass share at a tiny kept fraction = Zipf head domination —
+    * the signal that decides vocab size in tokenizer design, next to
+    * q179's Heaps curve).
+    *
+    * Exactness: the threshold comparison is pure integer arithmetic —
+    * `100·cum_before < pPct·total` — and the two reported shares are
+    * single IEEE divisions of exact BIGINTs (unrounded, the q176
+    * doctrine).
+    *
+    * Scale shape: one corpus tokenize pass into a (source, token) count
+    * aggregate; the window and roll-up run on the vocab-sized frame —
+    * corpus-independent after the first aggregate. */
+  def nucleusVocab(t: Tables, pPct: Int = 90): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t.documents
+      .select(col("source"), explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("c").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("source"))
+    val marked = counts
+      .select(col("source"), col("c"),
+        sum(col("c")).over(w).as("cum"),
+        sum(col("c")).over(tot).as("total"))
+      .select(col("source"), col("c"), col("total"),
+        ((col("cum") - col("c")) * 100 < lit(pPct.toLong) * col("total"))
+          .cast("long").as("kept"))
+    marked.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("vocab_total"),
+        sum(col("kept")).as("vocab_kept"),
+        max(col("total")).as("token_mass"),
+        sum(col("c") * col("kept")).as("mass_kept"))
+      .select(col("source"), col("vocab_total"), col("vocab_kept"),
+        (col("vocab_kept").cast("double") / col("vocab_total").cast("double"))
+          .as("pct_vocab_kept"),
+        col("token_mass"), col("mass_kept"),
+        (col("mass_kept").cast("double") / col("token_mass").cast("double"))
+          .as("pct_mass_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[nucleusVocab]]. */
+  def nucleusVocabSql(pPct: Int = 90): String =
+    s"""WITH tk AS (
+       |  SELECT source,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |counts AS (
+       |  SELECT source, token, count(*) AS c FROM tk GROUP BY 1, 2),
+       |marked AS (
+       |  SELECT source, c,
+       |   SUM(c) OVER (PARTITION BY source ORDER BY c DESC, token
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |   SUM(c) OVER (PARTITION BY source) AS total
+       |  FROM counts),
+       |flags AS (
+       |  SELECT source, c, total,
+       |   CASE WHEN (cum - c) * 100 < $pPct * total THEN 1 ELSE 0 END
+       |     AS kept
+       |  FROM marked)
+       |SELECT source,
+       | count(*) AS vocab_total,
+       | CAST(sum(kept) AS BIGINT) AS vocab_kept,
+       | CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |   AS pct_vocab_kept,
+       | CAST(max(total) AS BIGINT) AS token_mass,
+       | CAST(sum(c * kept) AS BIGINT) AS mass_kept,
+       | CAST(sum(c * kept) AS DOUBLE) / CAST(max(total) AS DOUBLE)
+       |   AS pct_mass_kept
+       |FROM flags GROUP BY 1 ORDER BY source""".stripMargin
 }

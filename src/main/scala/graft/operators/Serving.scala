@@ -186,4 +186,81 @@ object Serving {
         get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
       .filter(col("prop_k").isNotNull && col("prop_k") >= 0)
       .orderBy(col("event_id"))
+
+  /** Decay base exponent for [[decayScore]]: weights are 2^(MaxAgeDays −
+    * age), so the span the fixture can carry is bounded by the int64
+    * accumulator — see the magnitude guard in the method. */
+  private val DecayMaxAgeDays = 31
+
+  /** q203: exponential time-decay activity scoring — the freshness-
+    * weighted ranking a serving layer puts behind "most active users":
+    * score(u) = Σ value·2^(−age_days), a one-day half-life. The classic
+    * formulation decays with libm `exp(−λ·age)` — exactly the
+    * cross-engine portability hole the q83 scaladoc documents. A
+    * half-life of one day makes every weight a POWER OF TWO, so the
+    * whole score accumulates as exact integer arithmetic: cents·2^(MaxAge
+    * − age) summed as BIGINTs, descaled once at the end (÷2^MaxAge is an
+    * exact binary shift in IEEE; the final ÷100 is one deterministic
+    * division). Ranking happens on the raw integer sum — no float ever
+    * orders the result.
+    *
+    * Scale shape: one broadcast 1-row max-day anchor, one narrow
+    * event pass into a user-keyed aggregate (map-side combinable), TakeOrdered
+    * top-k. The overflow guard keeps the accumulator honest: the plain
+    * cents sum (same aggregate pass) must stay under 2^63/2^MaxAge, else
+    * the scaled sum could have wrapped — fail loudly, the
+    * [[graft.ext.Spectral]] contract. */
+  def decayScore(t: Tables, topK: Int = 50): DataFrame = {
+    val maxD = t.events.agg(max(to_date(col("ts"))).as("max_day"))
+    val perUser = t.events.filter(col("value").isNotNull)
+      .crossJoin(broadcast(maxD)) // 1-row date anchor
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        datediff(col("max_day"), to_date(col("ts"))).as("age"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("age")).as("last_age_days"),
+        max(col("age")).as("oldest_age"),
+        sum(col("cents")).as("plain_cents"),
+        sum(col("cents") *
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($DecayMaxAgeDays - age AS INT))"))
+          .as("scaled"))
+      .localCheckpoint() // guard head + top-k read one materialization
+    val head = perUser.agg(max(col("oldest_age")).as("ma"),
+      max(col("plain_cents")).as("mc")).head()
+    val (maxAge, maxCents) =
+      (if (head.isNullAt(0)) 0 else head.getInt(0),
+        if (head.isNullAt(1)) 0L else head.getLong(1))
+    require(maxAge <= DecayMaxAgeDays,
+      s"decayScore: event age $maxAge days exceeds the $DecayMaxAgeDays-day " +
+        "weight window; raise DecayMaxAgeDays (and re-check the guard)")
+    require(maxCents <= (Long.MaxValue >> DecayMaxAgeDays),
+      s"decayScore: per-user cents sum $maxCents could overflow the scaled " +
+        "accumulator; coarsen the quantization")
+    perUser
+      .orderBy(col("scaled").desc, col("user_id")).limit(topK)
+      .select(col("user_id"), col("n_events"), col("last_age_days"),
+        ((col("scaled").cast("double") /
+          lit(math.pow(2.0, DecayMaxAgeDays))) / lit(100.0)).as("score"))
+  }
+
+  /** The DuckDB mirror of [[decayScore]]. */
+  def decayScoreSql(topK: Int = 50): String =
+    s"""WITH maxd AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+       |per AS (
+       |  SELECT user_id,
+       |   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |   datediff('day', CAST(ts AS DATE), max_day) AS age
+       |  FROM events CROSS JOIN maxd WHERE value IS NOT NULL),
+       |agg AS (
+       |  SELECT user_id, count(*) AS n_events,
+       |   CAST(min(age) AS INTEGER) AS last_age_days,
+       |   CAST(sum(cents * (CAST(1 AS BIGINT) << ($DecayMaxAgeDays - age)))
+       |     AS BIGINT) AS scaled
+       |  FROM per GROUP BY 1)
+       |SELECT user_id, n_events, last_age_days,
+       | CAST(scaled AS DOUBLE) / ${1L << DecayMaxAgeDays}.0 / 100.0 AS score
+       |FROM agg
+       |ORDER BY scaled DESC, user_id LIMIT $topK""".stripMargin
 }

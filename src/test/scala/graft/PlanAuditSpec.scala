@@ -540,7 +540,11 @@ class PlanAuditSpec extends SparkSpec {
     "q199_fellegi_sunter" -> 7,
     "q200_cuped" -> 3,
     "q201_trimmed_means" -> 5,
-    "q202_spearman" -> 4)
+    "q202_spearman" -> 4,
+    // post-checkpoint top-k read of the per-user frame
+    "q203_decay_score" -> 0,
+    "q204_nucleus_vocab" -> 3,
+    "q205_cluster_purity" -> 5)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
