@@ -248,7 +248,11 @@ object SparkEntry {
     "q202_spearman" -> q(t => operators.RobustStats.spearman(t)),
     "q203_decay_score" -> q(t => Serving.decayScore(t)),
     "q204_nucleus_vocab" -> q(t => TextAnalysis.nucleusVocab(t)),
-    "q205_cluster_purity" -> q(t => Dedup.clusterPurity(t)))
+    "q205_cluster_purity" -> q(t => Dedup.clusterPurity(t)),
+    "q206_benford_audit" -> q(t => DataQuality.benfordAudit(t)),
+    "q207_k_anonymity" -> q(t => DataQuality.kAnonymity(t)),
+    "q208_weighted_length_quantiles" -> q(t =>
+      operators.RobustStats.weightedLengthQuantiles(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -365,6 +369,10 @@ object SparkEntry {
     "q203_decay_score" -> Serving.decayScoreSql(),
     "q204_nucleus_vocab" -> TextAnalysis.nucleusVocabSql(),
     "q205_cluster_purity" -> SketchOracleSql.clusterPurity,
+    "q206_benford_audit" -> DataQuality.benfordAuditSql(),
+    "q207_k_anonymity" -> DataQuality.kAnonymitySql(),
+    "q208_weighted_length_quantiles" ->
+      operators.RobustStats.weightedLengthQuantilesSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

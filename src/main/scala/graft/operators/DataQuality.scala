@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audit — the constraint-validation stage every
@@ -163,4 +163,155 @@ object DataQuality {
       |SELECT rule_id, scope, rule, metric, threshold,
       |  metric >= threshold AS passed
       |FROM rules ORDER BY rule_id""".stripMargin
+
+  /** Benford first-digit expected shares, log10(1 + 1/d) for d = 1..9 —
+    * fixed LITERALS (not computed) so both engines carry identical bits;
+    * libm log10 is exactly the portability hole the q83 scaladoc
+    * documents. */
+  private[operators] val BenfordP: Seq[(Int, Double)] = Seq(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+    3 -> 0.12493873660829993, 4 -> 0.09691001300805642,
+    5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+    9 -> 0.04575749056067514)
+
+  /** q206: Benford first-digit audit over `events.value` — the classic
+    * manipulated-data detector (Benford 1938; the screening test auditors
+    * run on reported figures): naturally-occurring positive amounts
+    * spanning magnitudes lead with digit d at rate log10(1+1/d); synthetic
+    * or clipped data deviates, and the per-digit chi-square cells say
+    * WHERE. The per-digit deviation report is the DQ signal a pipeline
+    * pins next to q157's rule audit (a uniform-ish fixture SHOULD flag —
+    * the audit detecting its own synthetic data is the honest outcome).
+    *
+    * Leading-digit extraction is a pure CASE ladder of bounded floors
+    * (values below 10^`maxMag` supported; out-of-range rows are counted
+    * and excluded) — no log10, no string formatting, both of which
+    * diverge across engines. Expected shares are fixed literals; each
+    * chi-square cell is a fixed IEEE expression over exact counts.
+    *
+    * Scale shape: one narrow pass → 9-row digit histogram + broadcast
+    * 1-row total. */
+  def benfordAudit(t: Tables): DataFrame = {
+    val v = col("value")
+    // CASE ladder: first digit of values in [1, 10^6)
+    val digit = (5 to 0 by -1).foldLeft(lit(null).cast("int")) {
+      case (acc, mag) =>
+        val p = math.pow(10.0, mag)
+        when(v >= p * 1 && v < p * 10, floor(v / p).cast("int")).otherwise(acc)
+    }
+    val digits = t.events
+      .filter(v.isNotNull && v >= 1.0 && v < 1000000.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n_total"))
+    val pExpected = BenfordP.foldRight(lit(Double.NaN): Column) {
+      case ((d, p), acc) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(tot)) // 1-row total frame
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        (col("n_obs").cast("double") / col("n_total").cast("double"))
+          .as("pct_obs"),
+        pExpected.as("pct_benford"))
+      .withColumn("chi_cell",
+        (col("n_obs").cast("double") -
+          col("n_total").cast("double") * col("pct_benford")) *
+          (col("n_obs").cast("double") -
+            col("n_total").cast("double") * col("pct_benford")) /
+          (col("n_total").cast("double") * col("pct_benford")))
+      .orderBy(col("digit"))
+  }
+
+  /** The DuckDB mirror of [[benfordAudit]]. */
+  def benfordAuditSql(): String = {
+    val ladder = (0 to 5).map { mag =>
+      val p = math.pow(10.0, mag)
+      s"WHEN value >= ${p * 1} AND value < ${p * 10} THEN CAST(floor(value / $p) AS INTEGER)"
+    }.mkString(" ")
+    // exponent form: a plain decimal literal parses as DECIMAL(18,17) in
+    // DuckDB and the decimal->double conversion is off by one ulp from the
+    // Spark literal; `...e0` parses directly as DOUBLE (identical bits)
+    val pcase = BenfordP
+      .map { case (d, p) => s"WHEN $d THEN ${p}e0" }
+      .mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CASE $ladder END AS digit
+       |  FROM events
+       |  WHERE value IS NOT NULL AND value >= 1.0 AND value < 1000000.0),
+       |h AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM h)
+       |SELECT digit, n_obs, n_total,
+       | CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS pct_obs,
+       | CASE digit $pcase END AS pct_benford,
+       | (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE)
+       |    * (CASE digit $pcase END))
+       |  * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE)
+       |    * (CASE digit $pcase END))
+       |  / (CAST(n_total AS DOUBLE) * (CASE digit $pcase END)) AS chi_cell
+       |FROM h CROSS JOIN tot
+       |ORDER BY digit""".stripMargin
+  }
+
+  /** q207: k-anonymity audit — the re-identification risk screen a
+    * training-data release runs over its quasi-identifiers (Sweeney 2002):
+    * rows whose QI tuple is shared by fewer than k rows are linkable.
+    * QI here: (event_type, day-of-month, value century band) over events.
+    * For each k in the sweep, how many equivalence classes and rows fall
+    * below k — the table that decides how much generalization
+    * (coarser bands, dropped columns) a privacy review demands.
+    *
+    * Scale shape: one QI-keyed aggregate (map-side combinable), then the
+    * sweep explodes the CLASS-sized frame (≪ corpus) per threshold; a
+    * broadcast 1-row total supplies shares. All integer counts; shares
+    * are single IEEE divisions. */
+  def kAnonymity(t: Tables, ks: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    val qi = t.events.select(
+      col("event_type"),
+      dayofmonth(col("ts")).as("qi_day"),
+      floor(col("value") / 100.0).cast("long").as("qi_band"))
+    val classes = qi.groupBy(col("event_type"), col("qi_day"), col("qi_band"))
+      .agg(count(lit(1)).as("cls"))
+    val tot = classes.agg(sum(col("cls")).as("n_rows_total"),
+      count(lit(1)).as("n_classes_total"))
+    classes
+      .select(col("cls"), explode(array(ks.map(lit): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("cls") < col("k"), 1L).otherwise(0L))
+          .as("n_classes_violating"),
+        sum(when(col("cls") < col("k"), col("cls")).otherwise(0L))
+          .as("n_rows_violating"))
+      .crossJoin(broadcast(tot)) // 1-row totals frame
+      .select(col("k"), col("n_classes_total"), col("n_classes_violating"),
+        col("n_rows_violating"),
+        (col("n_rows_violating").cast("double") /
+          col("n_rows_total").cast("double")).as("pct_rows_at_risk"))
+      .orderBy(col("k"))
+  }
+
+  /** The DuckDB mirror of [[kAnonymity]]. */
+  def kAnonymitySql(ks: Seq[Int] = Seq(2, 5, 10, 20)): String =
+    s"""WITH qi AS (
+       |  SELECT event_type, day(ts) AS qi_day,
+       |   CAST(floor(value / 100.0) AS BIGINT) AS qi_band
+       |  FROM events),
+       |cl AS (
+       |  SELECT count(*) AS cls FROM qi GROUP BY event_type, qi_day, qi_band),
+       |tot AS (
+       |  SELECT CAST(sum(cls) AS BIGINT) AS n_rows_total,
+       |   count(*) AS n_classes_total
+       |  FROM cl),
+       |sweep AS (
+       |  SELECT CAST(u.k AS INTEGER) AS k,
+       |   CAST(sum(CASE WHEN cls < u.k THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_classes_violating,
+       |   CAST(sum(CASE WHEN cls < u.k THEN cls ELSE 0 END) AS BIGINT)
+       |     AS n_rows_violating
+       |  FROM cl, unnest([${ks.mkString(", ")}]) AS u(k)
+       |  GROUP BY 1)
+       |SELECT k, n_classes_total, n_classes_violating, n_rows_violating,
+       | CAST(n_rows_violating AS DOUBLE) / CAST(n_rows_total AS DOUBLE)
+       |   AS pct_rows_at_risk
+       |FROM sweep CROSS JOIN tot
+       |ORDER BY k""".stripMargin
 }

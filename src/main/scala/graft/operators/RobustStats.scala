@@ -353,4 +353,77 @@ object RobustStats {
        | ${rho("scd", "scc", "sdd", "sc", "sd")} AS rho_chars_distinct
        |FROM m ORDER BY source""".stripMargin
   }
+
+  /** q208: TOKEN-weighted document-length quantiles per source — the
+    * context-length planning statistic: "how long is the document the
+    * median TOKEN lives in". Row-weighted length quantiles (q51/q107)
+    * answer a different question — most documents are short, but most
+    * TOKENS sit in long documents, and it is tokens that fill training
+    * context windows. For each target q ∈ {25, 50, 75, 90}: sort a
+    * source's docs by token count and take the length at which the
+    * CUMULATIVE token mass crosses q% — the weighted-quantile definition
+    * with weight = the value itself.
+    *
+    * Exactness: the crossing test is pure integer arithmetic
+    * (100·cum_before ≤ q·W < 100·cum) — the [[Analytics
+    * .gridQuantileEdges]] crossing-cell shape with exact token weights
+    * instead of grid cells; the output length is an exact BIGINT, no
+    * interpolation, no floats anywhere.
+    *
+    * Scale shape: one tokenize pass → per-(source, length) weight
+    * histogram (distinct lengths ≪ corpus); the window cumsum and the
+    * 4-target band join run on that histogram frame. */
+  def weightedLengthQuantiles(t: Tables,
+                              qs: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val byLen = t.documents
+      .select(col("source"),
+        size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("len"))
+      .groupBy(col("source"), col("len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("w"))
+    val win = Window.partitionBy(col("source")).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("source"))
+    val cum = byLen.select(col("source"), col("len"), col("n_docs"),
+      col("w"),
+      sum(col("w")).over(win).as("cum"),
+      sum(col("w")).over(tot).as("wtot"))
+    val targets = t.spark.createDataFrame(
+      qs.map(Tuple1(_))).toDF("q").distinct()
+    // crossing band: cum_before*100 < q*W <= cum*100 — exactly one length
+    // row per (source, target)
+    cum.join(broadcast(targets),
+        (col("cum") * 100 >= col("q").cast("long") * col("wtot")) &&
+          ((col("cum") - col("w")) * 100 <
+            col("q").cast("long") * col("wtot")))
+      .select(col("source"), col("q"), col("len").as("weighted_len"),
+        col("n_docs").as("n_docs_at_len"),
+        (col("cum").cast("double") / col("wtot").cast("double"))
+          .as("cum_mass_at_len"))
+      .orderBy(col("source"), col("q"))
+  }
+
+  /** The DuckDB mirror of [[weightedLengthQuantiles]]. */
+  def weightedLengthQuantilesSql(qs: Seq[Int] = Seq(25, 50, 75, 90)): String =
+    s"""WITH bylen AS (
+       |  SELECT source,
+       |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS len,
+       |   count(*) AS n_docs,
+       |   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |     AS w
+       |  FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, len, n_docs, w,
+       |   SUM(w) OVER (PARTITION BY source ORDER BY len
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |   SUM(w) OVER (PARTITION BY source) AS wtot
+       |  FROM bylen),
+       |targets AS (SELECT CAST(u.q AS INTEGER) AS q
+       |            FROM unnest([${qs.mkString(", ")}]) AS u(q))
+       |SELECT source, q, len AS weighted_len, n_docs AS n_docs_at_len,
+       | CAST(cum AS DOUBLE) / CAST(wtot AS DOUBLE) AS cum_mass_at_len
+       |FROM cum JOIN targets
+       |  ON cum * 100 >= CAST(q AS BIGINT) * wtot
+       | AND (cum - w) * 100 < CAST(q AS BIGINT) * wtot
+       |ORDER BY source, q""".stripMargin
 }

@@ -325,7 +325,10 @@ class PlanAuditSpec extends SparkSpec {
     "q197_kneser_ney",              // 1-row bigram-type-total frame
     "q199_fellegi_sunter",          // three 1-row u-probability frames
     "q200_cuped",                   // 1-row pooled-theta frame
-    "q201_trimmed_means")           // grid mm/edge frames (the q170 shape)
+    "q201_trimmed_means",           // grid mm/edge frames (the q170 shape)
+    "q206_benford_audit",           // 1-row digit-total frame
+    "q207_k_anonymity",             // 1-row class/row-totals frame
+    "q208_weighted_length_quantiles") // 4-row quantile-target band join
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -544,7 +547,10 @@ class PlanAuditSpec extends SparkSpec {
     // post-checkpoint top-k read of the per-user frame
     "q203_decay_score" -> 0,
     "q204_nucleus_vocab" -> 3,
-    "q205_cluster_purity" -> 5)
+    "q205_cluster_purity" -> 5,
+    "q206_benford_audit" -> 4,
+    "q207_k_anonymity" -> 5,
+    "q208_weighted_length_quantiles" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
