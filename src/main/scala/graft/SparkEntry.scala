@@ -252,7 +252,10 @@ object SparkEntry {
     "q206_benford_audit" -> q(t => DataQuality.benfordAudit(t)),
     "q207_k_anonymity" -> q(t => DataQuality.kAnonymity(t)),
     "q208_weighted_length_quantiles" -> q(t =>
-      operators.RobustStats.weightedLengthQuantiles(t)))
+      operators.RobustStats.weightedLengthQuantiles(t)),
+    "q209_poisson_bootstrap" -> q(t => operators.RobustStats.poissonBootstrap(t)),
+    "q210_distinctive_terms" -> q(t => TextAnalysis.distinctiveTerms(t)),
+    "q211_corpus_checksum" -> q(t => DataQuality.corpusChecksum(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -373,6 +376,9 @@ object SparkEntry {
     "q207_k_anonymity" -> DataQuality.kAnonymitySql(),
     "q208_weighted_length_quantiles" ->
       operators.RobustStats.weightedLengthQuantilesSql(),
+    "q209_poisson_bootstrap" -> operators.RobustStats.poissonBootstrapSql(),
+    "q210_distinctive_terms" -> TextAnalysis.distinctiveTermsSql(),
+    "q211_corpus_checksum" -> DataQuality.corpusChecksumSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -1674,4 +1674,92 @@ object TextAnalysis {
        | CAST(sum(c * kept) AS DOUBLE) / CAST(max(total) AS DOUBLE)
        |   AS pct_mass_kept
        |FROM flags GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** q210: DISTINCTIVE terms per source — keyness analysis: which tokens
+    * over-occur in one source relative to the rest of the corpus. The
+    * score is the Haldane–Anscombe-corrected odds ratio
+    * ((a+½)(d+½))/((b+½)(c+½)) over the 2×2 occurrence table (a = token
+    * in source, b = token elsewhere, c/d = all other tokens) — the
+    * UN-LOGGED form of the log-odds keyness statistic (Monroe et al.
+    * 2008): taking the log only re-scales a monotone ranking and drags in
+    * libm, so the ranking keeps the exact rational. The ½ correction
+    * keeps tokens absent from the rest of the corpus finite and is the
+    * standard finite-sample fix. This is the "what IS this source" card a
+    * curation review reads next to q50's TF-IDF (which ranks tokens
+    * within a DOCUMENT, not against a contrast corpus).
+    *
+    * Exactness: a, b and the totals are exact BIGINTs; +0.5 on a
+    * ≤ 2^52-magnitude count is an exact double; the two products and one
+    * division are fixed-order IEEE — identical bits in both engines, so
+    * even the rank-by-OR ordering agrees (token-asc tiebreak).
+    *
+    * Scale shape: (source, token) counts and token totals are two
+    * corpus-linear aggregates joined on the token key (vocab-sized);
+    * per-source top-k is a rank window over the vocab frame. */
+  def distinctiveTerms(t: Tables, topK: Int = 10,
+                       minCount: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = t.documents
+      .select(col("source"), explode(tokens(lower(col("text")))).as("token"))
+    val bySrc = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    val byTok = bySrc.groupBy(col("token")).agg(sum(col("a")).as("tok_total"))
+    val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("a")).as("n_src"))
+    val grand = srcTotals.agg(sum(col("n_src")).as("n_all"))
+    val scored = bySrc
+      .join(byTok, "token")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(grand)) // 1-row grand total
+      .filter(col("a") >= minCount)
+      .select(col("source"), col("token"), col("a"),
+        (col("tok_total") - col("a")).as("b"),
+        col("n_src"), (col("n_all") - col("n_src")).as("n_rest"))
+      .select(col("source"), col("token"), col("a").as("n_in_source"),
+        col("b").as("n_in_rest"),
+        (((col("a").cast("double") + 0.5) *
+          ((col("n_rest") - col("b")).cast("double") + 0.5)) /
+          ((col("b").cast("double") + 0.5) *
+            ((col("n_src") - col("a")).cast("double") + 0.5)))
+          .as("odds_ratio"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("odds_ratio").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("source"), col("rank"), col("token"),
+        col("n_in_source"), col("n_in_rest"), col("odds_ratio"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** The DuckDB mirror of [[distinctiveTerms]]. */
+  def distinctiveTermsSql(topK: Int = 10, minCount: Int = 5): String =
+    s"""WITH tok AS (
+       |  SELECT source,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+       |  FROM documents),
+       |bysrc AS (
+       |  SELECT source, token, count(*) AS a FROM tok GROUP BY 1, 2),
+       |bytok AS (
+       |  SELECT token, CAST(sum(a) AS BIGINT) AS tok_total
+       |  FROM bysrc GROUP BY 1),
+       |srctot AS (
+       |  SELECT source, CAST(sum(a) AS BIGINT) AS n_src FROM bysrc GROUP BY 1),
+       |grand AS (SELECT CAST(sum(n_src) AS BIGINT) AS n_all FROM srctot),
+       |scored AS (
+       |  SELECT source, token, a AS n_in_source,
+       |   (tok_total - a) AS n_in_rest,
+       |   ((CAST(a AS DOUBLE) + 0.5)
+       |      * (CAST((n_all - n_src) - (tok_total - a) AS DOUBLE) + 0.5))
+       |   / ((CAST(tok_total - a AS DOUBLE) + 0.5)
+       |      * (CAST(n_src - a AS DOUBLE) + 0.5)) AS odds_ratio
+       |  FROM bysrc JOIN bytok USING (token)
+       |  JOIN srctot USING (source) CROSS JOIN grand
+       |  WHERE a >= $minCount),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY odds_ratio DESC, token) AS rank
+       |  FROM scored)
+       |SELECT source, CAST(rank AS INTEGER) AS rank, token,
+       | n_in_source, n_in_rest, odds_ratio
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY source, rank""".stripMargin
 }

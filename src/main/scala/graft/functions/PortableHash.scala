@@ -1,5 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Engine-portable polynomial string hashing.
@@ -104,4 +110,35 @@ object PortableHash {
     * so `acc * 131 + v < 2^37 + 2^32` never overflows. */
   def foldLongsSql(listExpr: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr), (acc, x) -> (acc * $BaseA + x) % $P32)"
+
+  private val hash62FnName = "graft_hash62"
+
+  /** Register [[Hash62]] so [[hash62Col]] can plan it. */
+  def registerHash62(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      hash62FnName, exprs => Hash62(exprs.head), "scala_udf")
+
+  /** [[hash62]] as a column expression (one native eval per row — the
+    * per-row canonical-string hash behind the q211 corpus checksum). */
+  def hash62Col(s: Column): Column = call_function(hash62FnName, s)
+}
+
+/** Native column form of [[PortableHash.hash62]]. */
+case class Hash62(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_hash62 expects string, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      PortableHash.hash62(input.asInstanceOf[UTF8String]))
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -314,4 +314,47 @@ object DataQuality {
        |   AS pct_rows_at_risk
        |FROM sweep CROSS JOIN tot
        |ORDER BY k""".stripMargin
+
+  /** q211: order-independent corpus CHECKSUM per source — the migration /
+    * replication audit primitive: after moving 100 TB between formats,
+    * engines, or clusters, prove the content matches WITHOUT a
+    * row-by-row diff. Each row's canonical string hashes through the
+    * portable [[graft.functions.PortableHash.hash62]]; the multiset
+    * checksum is the SUM of those hashes, split into two 31-bit lanes so
+    * the per-lane BIGINT accumulators never overflow (each lane value
+    * < 2^31, so 2^32 rows fit — the [[graft.functions.ExactAgg]] split-sum
+    * discipline). Sums commute, so the checksum is independent of
+    * partitioning, ordering, and engine — and unlike an XOR fold it is
+    * multiset-faithful (duplicate rows do NOT cancel). Any engine that
+    * can hash a string can recompute it: that is the whole point.
+    *
+    * Scale shape: one narrow pass, map-side combinable lane sums, one
+    * row per source — the cheapest possible full-content audit. */
+  def corpusChecksum(t: Tables): DataFrame = {
+    graft.functions.PortableHash.registerHash62(t.spark)
+    val canon = concat_ws("|", col("doc_id"), col("source"), col("lang"),
+      col("n_chars"), col("text"))
+    val h = graft.functions.PortableHash.hash62Col(canon)
+    t.documents
+      .select(col("source"), h.as("h"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(shiftrightunsigned(col("h"), 31)).as("checksum_hi"),
+        sum(col("h").bitwiseAND(lit(2147483647L))).as("checksum_lo"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[corpusChecksum]]. */
+  def corpusChecksumSql(): String = {
+    val h = graft.functions.PortableHash.hash62Sql(
+      "(CAST(doc_id AS VARCHAR) || '|' || source || '|' || lang || '|' || " +
+        "CAST(n_chars AS VARCHAR) || '|' || text)")
+    s"""WITH hashed AS (
+       |  SELECT source, ($h) AS h FROM documents)
+       |SELECT source, count(*) AS n_rows,
+       | CAST(sum(h >> 31) AS BIGINT) AS checksum_hi,
+       | CAST(sum(h & 2147483647) AS BIGINT) AS checksum_lo
+       |FROM hashed GROUP BY 1 ORDER BY source""".stripMargin
+  }
 }

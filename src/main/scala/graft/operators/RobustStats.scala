@@ -426,4 +426,78 @@ object RobustStats {
        |  ON cum * 100 >= CAST(q AS BIGINT) * wtot
        | AND (cum - w) * 100 < CAST(q AS BIGINT) * wtot
        |ORDER BY source, q""".stripMargin
+
+  /** Poisson(1) inverse-CDF thresholds for [[poissonBootstrap]], as
+    * integer cuts on the [0, M) hash-uniform: draw k occurrences when the
+    * hash falls in [T(k-1), T(k)), T(k) = ⌊P(X ≤ k)·M⌋. The cumulative
+    * probabilities are fixed literals (e^-1-based — libm exp is the
+    * portability hole); computing the cuts HERE and interpolating the same
+    * longs into both engines' plans keeps the draw bit-identical. Tail
+    * capped at 7 (P(X > 7) ≈ 1e-5 — absorbed into the last bucket). */
+  private[operators] val PoissonCuts: Seq[Long] = {
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119)
+    cdf.map(p => (p * graft.functions.KmvSketch.M).toLong)
+  }
+
+  /** q209: Poisson-bootstrap uncertainty for a per-user metric (Chamandy
+    * et al. 2012 — the resampling scheme that made bootstrap work on
+    * massive data: instead of drawing n users WITH replacement per
+    * replica (a global shuffle per replica), each user independently
+    * contributes Poisson(1) copies, which preserves the bootstrap
+    * distribution and streams in ONE pass). B replicas of the mean
+    * per-user event value are computed simultaneously; the replica spread
+    * is the standard error no single-pass formula gives for ratio/
+    * per-user metrics.
+    *
+    * Determinism: replica b's weight for user u is the Poisson inverse
+    * CDF applied to the portable [[Sampling.splitHash]] of (u·B + b) —
+    * integer threshold compares against [[PoissonCuts]], zero libm. The
+    * replica mean is dsum(w·y)/sum(w) — one IEEE division of
+    * exact-kernel sums.
+    *
+    * Scale shape: one corpus pass → per-user frame; the replica explode
+    * is B narrow rows per USER (not per event); the final frame is B
+    * rows. At 100 TB the per-user frame is the working set and B scales
+    * the aggregate, not the corpus read. */
+  def poissonBootstrap(t: Tables, nReplicas: Int = 32): DataFrame = {
+    val perUser = t.events
+      .filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(ExactAgg.dsum(col("value")).as("y"))
+    val h = Sampling.splitHash(col("user_id") * nReplicas + col("b"))
+    val w = PoissonCuts.zipWithIndex.foldRight(lit(PoissonCuts.length): Column) {
+      case ((cut, k), acc) => when(h < cut, lit(k)).otherwise(acc)
+    }
+    perUser
+      .select(col("user_id"), col("y"),
+        explode(sequence(lit(0), lit(nReplicas - 1))).as("b"))
+      .select(col("b"), col("y"), w.cast("long").as("w"))
+      .groupBy(col("b"))
+      .agg(
+        sum(col("w")).as("n_eff"),
+        (ExactAgg.dsum(col("w") * col("y")) /
+          sum(col("w")).cast("double")).as("mean_b"))
+      .orderBy(col("b"))
+  }
+
+  /** The DuckDB mirror of [[poissonBootstrap]]. */
+  def poissonBootstrapSql(nReplicas: Int = 32): String = {
+    val h = Sampling.splitHashSql(s"(user_id * $nReplicas + u.b)")
+    val ladder = PoissonCuts.zipWithIndex
+      .map { case (cut, k) => s"WHEN ($h) < $cut THEN $k" }
+      .mkString(" ")
+    s"""WITH per_user AS (
+       |  SELECT user_id, ${O.dsum("value")} AS y
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |rep AS (
+       |  SELECT u.b, y,
+       |   CAST(CASE $ladder ELSE ${PoissonCuts.length} END AS BIGINT) AS w
+       |  FROM per_user, unnest(range(0, $nReplicas)) AS u(b))
+       |SELECT CAST(b AS INTEGER) AS b,
+       | CAST(sum(w) AS BIGINT) AS n_eff,
+       | ${O.dsum("w * y")} / CAST(sum(w) AS DOUBLE) AS mean_b
+       |FROM rep GROUP BY 1 ORDER BY b""".stripMargin
+  }
 }

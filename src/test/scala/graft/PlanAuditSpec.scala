@@ -328,7 +328,8 @@ class PlanAuditSpec extends SparkSpec {
     "q201_trimmed_means",           // grid mm/edge frames (the q170 shape)
     "q206_benford_audit",           // 1-row digit-total frame
     "q207_k_anonymity",             // 1-row class/row-totals frame
-    "q208_weighted_length_quantiles") // 4-row quantile-target band join
+    "q208_weighted_length_quantiles", // 4-row quantile-target band join
+    "q210_distinctive_terms")       // 1-row grand-total frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -550,7 +551,12 @@ class PlanAuditSpec extends SparkSpec {
     "q205_cluster_purity" -> 5,
     "q206_benford_audit" -> 4,
     "q207_k_anonymity" -> 5,
-    "q208_weighted_length_quantiles" -> 4)
+    "q208_weighted_length_quantiles" -> 4,
+    "q209_poisson_bootstrap" -> 3,
+    // vocab frame re-aggregated three ways (source counts, token totals,
+    // source totals) + the rank window — all vocab-sized
+    "q210_distinctive_terms" -> 10,
+    "q211_corpus_checksum" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
