@@ -255,7 +255,10 @@ object SparkEntry {
       operators.RobustStats.weightedLengthQuantiles(t)),
     "q209_poisson_bootstrap" -> q(t => operators.RobustStats.poissonBootstrap(t)),
     "q210_distinctive_terms" -> q(t => TextAnalysis.distinctiveTerms(t)),
-    "q211_corpus_checksum" -> q(t => DataQuality.corpusChecksum(t)))
+    "q211_corpus_checksum" -> q(t => DataQuality.corpusChecksum(t)),
+    "q212_mann_whitney" -> q(t => operators.NonparametricStats.mannWhitney(t)),
+    "q213_ks_test" -> q(t => operators.NonparametricStats.ksTest(t)),
+    "q214_kappa" -> q(t => operators.NonparametricStats.kappa(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -379,6 +382,9 @@ object SparkEntry {
     "q209_poisson_bootstrap" -> operators.RobustStats.poissonBootstrapSql(),
     "q210_distinctive_terms" -> TextAnalysis.distinctiveTermsSql(),
     "q211_corpus_checksum" -> DataQuality.corpusChecksumSql(),
+    "q212_mann_whitney" -> operators.NonparametricStats.mannWhitneySql(),
+    "q213_ks_test" -> operators.NonparametricStats.ksTestSql(),
+    "q214_kappa" -> operators.NonparametricStats.kappaSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

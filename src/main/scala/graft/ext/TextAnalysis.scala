@@ -94,17 +94,27 @@ object TextAnalysis {
     * order for ties. Deterministic and SQL-expressible, so it is
     * oracle-checkable; a production version would swap in a larger marker
     * table (broadcast dimension) without changing the shape. */
+  // non-overlapping occurrences of ` marker ` in the padded text via the
+  // length-difference trick (engine-portable, no regex dialects). Adjacent
+  // repeats share their delimiting space and count once — the oracle
+  // mirrors the same expression, so both sides agree. Shared with the q214
+  // kappa audit, which re-runs the same classifier per source.
+  private[graft] def markerOcc(marker: String): Column = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val needle = s" $marker "
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length)
+      .cast("int")
+  }
+
+  /** The q31 argmax-with-fixed-priority decision over the three marker
+    * scores — factored so q214 applies the identical classifier. */
+  private[graft] def langDecision: Column =
+    when(col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
+      .when(col("score_fr") >= col("score_es"), "fr")
+      .otherwise("es")
+
   def langId(t: Tables): DataFrame = {
-    // non-overlapping occurrences of ` marker ` in the padded text via the
-    // length-difference trick (engine-portable, no regex dialects). Adjacent
-    // repeats share their delimiting space and count once — the oracle
-    // mirrors the same expression, so both sides agree
-    def occ(marker: String): Column = {
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      val needle = s" $marker "
-      ((length(padded) - length(replace(padded, lit(needle), lit("")))) / needle.length)
-        .cast("int")
-    }
+    def occ(marker: String): Column = markerOcc(marker)
     t.documents
       .select(
         col("doc_id"),
@@ -112,11 +122,7 @@ object TextAnalysis {
         occ("the").as("score_en"),
         occ("table").as("score_fr"),
         occ("data").as("score_es"))
-      .withColumn(
-        "predicted_lang",
-        when(col("score_en") >= col("score_fr") && col("score_en") >= col("score_es"), "en")
-          .when(col("score_fr") >= col("score_es"), "fr")
-          .otherwise("es"))
+      .withColumn("predicted_lang", langDecision)
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,337 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.ext.{Sampling, TextAnalysis}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-free experiment statistics (q212–q214): Mann–Whitney U /
+  * rank-biserial AUC, the two-sample Kolmogorov–Smirnov distance, and
+  * Cohen's kappa over the language-ID confusion. The rank tests are the
+  * robust complements of [[RobustStats]] q200's CUPED means: an experiment
+  * readout on heavy-tailed per-event values (revenue-like metrics) reports
+  * a rank test next to the t-statistic because one whale can hold the mean
+  * hostage; kappa is the agreement audit run whenever two labelers (here:
+  * the declared `lang` column vs the q31 marker classifier) disagree more
+  * than chance explains.
+  *
+  * Exactness doctrine (q202 Spearman's): every heavy pass produces exact
+  * BIGINT sums — tied ranks stay integer as 2·avgrank = rank_asc +
+  * (n+1−rank_desc), ECDF gaps stay integer as |F₁ⁿᵘᵐ·n₂ − F₂ⁿᵘᵐ·n₁|,
+  * kappa stays one integer ratio (N·agree − Σrm·cm)/(N² − Σrm·cm) — and
+  * each reported statistic is a single fixed-shape IEEE expression over
+  * those sums, mirrored term-for-term in the DuckDB oracle. */
+object NonparametricStats {
+
+  /** Hash-parity arm assignment (the q200 CUPED split): layout- and
+    * engine-independent, so both engines agree on every user's arm. */
+  private def arm: Column =
+    when(pmod(Sampling.splitHash(col("user_id")), lit(2L)) === 0, "control")
+      .otherwise("treatment")
+
+  /** Max per-group row count the tie-corrected tests accept: the tie term
+    * Σ(t³−t) ≤ n³ must stay inside int64, so n ≤ 2.09e6 rows/group. */
+  private val MaxGroupN = 2000000L
+
+  private def guardGroupSize(t: Tables, what: String): Unit = {
+    val maxN = t.events.filter(col("value").isNotNull)
+      .groupBy(col("event_type")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    require(maxN <= MaxGroupN,
+      s"$what: $maxN rows in one event_type exceeds the int64-safe " +
+        s"$MaxGroupN (tie/rank moments are cubic); shard the group or " +
+        "widen to hi/lo split sums")
+  }
+
+  /** q212: Mann–Whitney U per event_type between the two hash-assigned
+    * arms (Mann & Whitney 1947), with the tie-corrected normal
+    * approximation — the default significance readout for skewed metric
+    * distributions. Reported: arm sizes, 2·U for the treatment arm (an
+    * exact BIGINT — U itself can be half-integral under ties), the
+    * rank-biserial AUC U/(n₁n₂) (= P(treatment draw > control draw) +
+    * ½P(tie), the effect size direct from the ranks), and the tie-corrected
+    * z-score.
+    *
+    * Exactness: 2·avgrank via the two-opposite-windows identity (q202);
+    * 2·U_t = Σ_t 2·rank − n_t(n_t+1) is an exact BIGINT; the tie term
+    * Σ(t³−t) is an exact BIGINT from the per-(event_type, value) count
+    * frame; AUC and z are fixed IEEE expressions over those sums.
+    *
+    * Scale shape: both rank windows share ONE (event_type) partition
+    * exchange; the arm roll-up reuses that partitioning; the tie frame is
+    * a (event_type, value)-keyed aggregate rolled to one row per
+    * event_type and broadcast into the final join. Group size is guarded
+    * at 2e6 rows (cubic tie moments) — shard or hi/lo-split beyond. */
+  def mannWhitney(t: Tables): DataFrame = {
+    guardGroupSize(t, "mannWhitney")
+    val ev = t.events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), arm.as("arm"))
+    val part = Window.partitionBy(col("event_type"))
+    val r2 = ev.select(col("event_type"), col("arm"),
+      (rank().over(part.orderBy(col("value"))).cast("long") +
+        count(lit(1)).over(part) + 1L -
+        rank().over(part.orderBy(col("value").desc)).cast("long")).as("r2"))
+    val arms = r2.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === "treatment", col("r2")).otherwise(lit(0L)))
+        .as("s2t"))
+    val ties = ev.groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c") * col("c") * col("c") - col("c")).as("tie3"))
+    val nT = col("n_t"); val nC = col("n") - col("n_t")
+    val u2 = (col("s2t") - col("n_t") * (col("n_t") + 1L)).as("u2_treatment")
+    val d = (c: Column) => c.cast("double")
+    arms.join(broadcast(ties), Seq("event_type"))
+      .select(col("event_type"), nC.as("n_control"), nT.as("n_treatment"),
+        u2,
+        (col("s2t") - col("n_t") * (col("n_t") + 1L)).cast("double")
+          ./(lit(2.0) * d(nT) * d(nC)).as("auc_treatment"),
+        ((col("s2t") - col("n_t") * (col("n_t") + 1L) - nT * nC)
+          .cast("double") / lit(2.0) /
+          sqrt(d(nT) * d(nC) / lit(12.0) *
+            ((col("n") + 1L).cast("double") -
+              d(col("tie3")) / (d(col("n")) * (col("n") - 1L).cast("double")))))
+          .as("z_treatment"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The DuckDB mirror of [[mannWhitney]]. */
+  def mannWhitneySql(): String = {
+    val sh = Sampling.splitHashSql("user_id")
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |   CASE WHEN ($sh) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events WHERE value IS NOT NULL),
+       |r AS (
+       |  SELECT event_type, arm,
+       |   CAST(rank() OVER (PARTITION BY event_type ORDER BY value)
+       |     AS BIGINT)
+       |   + count(*) OVER (PARTITION BY event_type) + 1
+       |   - CAST(rank() OVER (PARTITION BY event_type ORDER BY value DESC)
+       |     AS BIGINT) AS r2
+       |  FROM ev),
+       |arms AS (
+       |  SELECT event_type, count(*) AS n,
+       |   CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+       |     AS BIGINT) AS n_t,
+       |   CAST(sum(CASE WHEN arm = 'treatment' THEN r2 ELSE 0 END)
+       |     AS BIGINT) AS s2t
+       |  FROM r GROUP BY 1),
+       |ties AS (
+       |  SELECT event_type, CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+       |  FROM (SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+       |        FROM ev GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT event_type,
+       | n - n_t AS n_control, n_t AS n_treatment,
+       | s2t - n_t * (n_t + 1) AS u2_treatment,
+       | CAST(s2t - n_t * (n_t + 1) AS DOUBLE)
+       |   / (2.0 * CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE))
+       |   AS auc_treatment,
+       | CAST(s2t - n_t * (n_t + 1) - n_t * (n - n_t) AS DOUBLE) / 2.0
+       |   / sqrt(CAST(n_t AS DOUBLE) * CAST(n - n_t AS DOUBLE) / 12.0
+       |     * (CAST(n + 1 AS DOUBLE)
+       |        - CAST(tie3 AS DOUBLE)
+       |          / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))
+       |   AS z_treatment
+       |FROM arms JOIN ties USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** q213: two-sample Kolmogorov–Smirnov distance per event_type between
+    * the hash-assigned arms — the distribution-equality check an A/B
+    * pipeline runs BEFORE trusting any mean/rank comparison (a sample-ratio
+    * or instrumentation bug shows up here first). D = sup_v |F̂₁(v) −
+    * F̂₂(v)|; also reported is the value at which the supremum is attained
+    * (smallest such value — a deterministic tie-break), which localizes
+    * WHERE the two distributions diverge.
+    *
+    * Exactness: the ECDF gap stays integer as |cum₁·n₂ − cum₂·n₁| (exact
+    * BIGINT, bounded by n² — safe to n ≈ 3e9 rows/group); D is that
+    * maximum over one final division by n₁·n₂.
+    *
+    * Scale shape: one (event_type, value) count aggregate (distinct values
+    * ≪ rows), one cumulative window per event_type on that count frame,
+    * one row_number pick — corpus touched once. */
+  def ksTest(t: Tables): DataFrame = {
+    val ev = t.events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), arm.as("arm"))
+    val cnt = ev.groupBy(col("event_type"), col("value")).agg(
+      sum(when(col("arm") === "control", 1L).otherwise(0L)).as("cc"),
+      sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("ct"))
+    val win = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    val cum = cnt.select(col("event_type"), col("value"),
+      sum(col("cc")).over(win).as("f1"),
+      sum(col("ct")).over(win).as("f2"),
+      sum(col("cc")).over(tot).as("n_c"),
+      sum(col("ct")).over(tot).as("n_t"))
+    val diff = abs(col("f1") * col("n_t") - col("f2") * col("n_c"))
+    val pick = Window.partitionBy(col("event_type"))
+      .orderBy(diff.desc, col("value").asc)
+    cum.select(col("event_type"), col("value"), col("n_c"), col("n_t"),
+        diff.as("d_num"),
+        row_number().over(pick).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("event_type"),
+        col("n_c").as("n_control"), col("n_t").as("n_treatment"),
+        col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_c").cast("double") * col("n_t").cast("double")))
+          .as("ks_d"),
+        col("value").as("at_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The DuckDB mirror of [[ksTest]]. */
+  def ksTestSql(): String = {
+    val sh = Sampling.splitHashSql("user_id")
+    s"""WITH ev AS (
+       |  SELECT event_type, value,
+       |   CASE WHEN ($sh) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+       |  FROM events WHERE value IS NOT NULL),
+       |cnt AS (
+       |  SELECT event_type, value,
+       |   CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS cc,
+       |   CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS ct
+       |  FROM ev GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, value,
+       |   CAST(SUM(cc) OVER (PARTITION BY event_type ORDER BY value
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |     AS f1,
+       |   CAST(SUM(ct) OVER (PARTITION BY event_type ORDER BY value
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |     AS f2,
+       |   CAST(SUM(cc) OVER (PARTITION BY event_type) AS BIGINT) AS n_c,
+       |   CAST(SUM(ct) OVER (PARTITION BY event_type) AS BIGINT) AS n_t
+       |  FROM cnt),
+       |picked AS (
+       |  SELECT event_type, value, n_c, n_t,
+       |   abs(f1 * n_t - f2 * n_c) AS d_num,
+       |   row_number() OVER (PARTITION BY event_type
+       |     ORDER BY abs(f1 * n_t - f2 * n_c) DESC, value ASC) AS rn
+       |  FROM cum)
+       |SELECT event_type, n_c AS n_control, n_t AS n_treatment, d_num,
+       | CAST(d_num AS DOUBLE)
+       |   / (CAST(n_c AS DOUBLE) * CAST(n_t AS DOUBLE)) AS ks_d,
+       | value AS at_value
+       |FROM picked WHERE rn = 1
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** Max per-source doc count [[kappa]] accepts: N² must stay in int64. */
+  private val KappaMaxN = 3000000000L
+
+  /** q214: Cohen's kappa per source between the declared `lang` column and
+    * the q31 marker classifier (Cohen 1960) — chance-corrected agreement,
+    * the audit a labeling pipeline runs on every pair of annotators (here:
+    * the upstream metadata vs the content-based classifier; a source whose
+    * kappa is near 0 has metadata no better than guessing, and its `lang`
+    * column must not be used as a training filter).
+    *
+    * Exactness: kappa = (p_o − p_e)/(1 − p_e) over the multi-class
+    * confusion reduces to ONE integer ratio (N·agree − Σ_l rm_l·cm_l) /
+    * (N² − Σ_l rm_l·cm_l) — numerator and denominator are exact BIGINTs
+    * from the cell counts; p_o and p_e are each one division.
+    *
+    * Scale shape: one corpus pass → (source, labeled, predicted) cell
+    * counts (≤ source·lang² rows); agreement, marginals, and the expected-
+    * agreement join all run on that tiny cell frame. Per-source N is
+    * guarded at 3e9 (N² int64 bound). */
+  def kappa(t: Tables): DataFrame = {
+    val scored = t.documents
+      .select(col("source"), col("lang").as("labeled"),
+        TextAnalysis.markerOcc("the").as("score_en"),
+        TextAnalysis.markerOcc("table").as("score_fr"),
+        TextAnalysis.markerOcc("data").as("score_es"))
+      .withColumn("predicted", TextAnalysis.langDecision)
+      .select(col("source"), col("labeled"), col("predicted"))
+    val cells = scored.groupBy(col("source"), col("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // lang²·source rows; feeds three roll-ups
+    val agree = cells.groupBy(col("source")).agg(
+      sum(col("c")).as("n_docs"),
+      sum(when(col("labeled") === col("predicted"), col("c"))
+        .otherwise(lit(0L))).as("n_agree"))
+    val rowm = cells.groupBy(col("source"), col("labeled"))
+      .agg(sum(col("c")).as("rm"))
+    val colm = cells.groupBy(col("source"), col("predicted"))
+      .agg(sum(col("c")).as("cm"))
+    val pem = rowm.join(colm,
+        rowm("source") === colm("source") &&
+          rowm("labeled") === colm("predicted"))
+      .groupBy(rowm("source").as("source"))
+      .agg(sum(col("rm") * col("cm")).as("pem"))
+    val out = agree.join(broadcast(pem), Seq("source"))
+    val maxN = out.agg(max(col("n_docs"))).head().getLong(0)
+    require(maxN <= KappaMaxN,
+      s"kappa: $maxN docs in one source exceeds the int64-safe $KappaMaxN " +
+        "(N² expected-agreement term); shard the source or widen to " +
+        "hi/lo split sums")
+    out.select(col("source"), col("n_docs"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_docs").cast("double"))
+          .as("p_observed"),
+        (col("pem").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("p_expected"),
+        ((col("n_docs") * col("n_agree") - col("pem")).cast("double") /
+          (col("n_docs") * col("n_docs") - col("pem")).cast("double"))
+          .as("kappa"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[kappa]] — the q31 marker-score expressions
+    * with `source` retained, then the cell/marginal roll-ups. */
+  def kappaSql(): String =
+    """WITH scored AS (
+      |  SELECT source, lang AS labeled,
+      |   CAST((length(' ' || text || ' ')
+      |     - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+      |     AS INTEGER) AS score_en,
+      |   CAST((length(' ' || text || ' ')
+      |     - length(replace(' ' || text || ' ', ' table ', ''))) / 7
+      |     AS INTEGER) AS score_fr,
+      |   CAST((length(' ' || text || ' ')
+      |     - length(replace(' ' || text || ' ', ' data ', ''))) / 6
+      |     AS INTEGER) AS score_es
+      |  FROM documents),
+      |perdoc AS (
+      |  SELECT source, labeled,
+      |   CASE WHEN score_en >= score_fr AND score_en >= score_es THEN 'en'
+      |        WHEN score_fr >= score_es THEN 'fr'
+      |        ELSE 'es' END AS predicted
+      |  FROM scored),
+      |cells AS (
+      |  SELECT source, labeled, predicted, CAST(count(*) AS BIGINT) AS c
+      |  FROM perdoc GROUP BY 1, 2, 3),
+      |agree AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+      |   CAST(sum(CASE WHEN labeled = predicted THEN c ELSE 0 END)
+      |     AS BIGINT) AS n_agree
+      |  FROM cells GROUP BY 1),
+      |rowm AS (
+      |  SELECT source, labeled AS l, CAST(sum(c) AS BIGINT) AS rm
+      |  FROM cells GROUP BY 1, 2),
+      |colm AS (
+      |  SELECT source, predicted AS l, CAST(sum(c) AS BIGINT) AS cm
+      |  FROM cells GROUP BY 1, 2),
+      |pem AS (
+      |  SELECT rowm.source AS source, CAST(sum(rm * cm) AS BIGINT) AS pem
+      |  FROM rowm JOIN colm ON rowm.source = colm.source AND rowm.l = colm.l
+      |  GROUP BY 1)
+      |SELECT source, n_docs, n_agree,
+      | CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p_observed,
+      | CAST(pem AS DOUBLE)
+      |   / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS p_expected,
+      | CAST(n_docs * n_agree - pem AS DOUBLE)
+      |   / CAST(n_docs * n_docs - pem AS DOUBLE) AS kappa
+      |FROM agree JOIN pem USING (source)
+      |ORDER BY source""".stripMargin
+}

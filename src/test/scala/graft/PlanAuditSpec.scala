@@ -556,7 +556,13 @@ class PlanAuditSpec extends SparkSpec {
     // vocab frame re-aggregated three ways (source counts, token totals,
     // source totals) + the rank window — all vocab-sized
     "q210_distinctive_terms" -> 10,
-    "q211_corpus_checksum" -> 2)
+    "q211_corpus_checksum" -> 2,
+    // one shared (event_type) window partition + the arm roll-up on it,
+    // the two-level tie frame, and the output sort
+    "q212_mann_whitney" -> 4,
+    "q213_ks_test" -> 3,
+    // post-checkpoint cell-frame roll-ups (agree/rowm/colm/pem) + sort
+    "q214_kappa" -> 5)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
