@@ -258,7 +258,10 @@ object SparkEntry {
     "q211_corpus_checksum" -> q(t => DataQuality.corpusChecksum(t)),
     "q212_mann_whitney" -> q(t => operators.NonparametricStats.mannWhitney(t)),
     "q213_ks_test" -> q(t => operators.NonparametricStats.ksTest(t)),
-    "q214_kappa" -> q(t => operators.NonparametricStats.kappa(t)))
+    "q214_kappa" -> q(t => operators.NonparametricStats.kappa(t)),
+    "q215_gini_concentration" -> q(t => DataQuality.giniConcentration(t)),
+    "q216_vocab_richness" -> q(t => TextAnalysis.vocabRichness(t)),
+    "q217_rbo" -> q(t => operators.NonparametricStats.rbo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -385,6 +388,9 @@ object SparkEntry {
     "q212_mann_whitney" -> operators.NonparametricStats.mannWhitneySql(),
     "q213_ks_test" -> operators.NonparametricStats.ksTestSql(),
     "q214_kappa" -> operators.NonparametricStats.kappaSql(),
+    "q215_gini_concentration" -> DataQuality.giniConcentrationSql(),
+    "q216_vocab_richness" -> TextAnalysis.vocabRichnessSql(),
+    "q217_rbo" -> operators.NonparametricStats.rboSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

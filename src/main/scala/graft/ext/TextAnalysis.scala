@@ -1768,4 +1768,63 @@ object TextAnalysis {
        | n_in_source, n_in_rest, odds_ratio
        |FROM ranked WHERE rank <= $topK
        |ORDER BY source, rank""".stripMargin
+
+  /** q216: Chao1 vocabulary-richness estimate per source (Chao 1984) —
+    * "how many unique tokens does this source REALLY have, given how many
+    * we have seen once or twice": Ŝ = S_obs + f₁(f₁−1)/(2(f₂+1)) (the
+    * bias-corrected form, defined even when no token appears exactly
+    * twice), plus the Good–Turing coverage estimate Ĉ = 1 − f₁/N — the
+    * two numbers a corpus-coverage review reads together ("is another
+    * crawl of this source worth it"). Complements q179's Heaps growth
+    * CURVE with a point ESTIMATE of the asymptote.
+    *
+    * Exactness: f₁, f₂, S_obs, N are exact BIGINTs from one vocabulary
+    * aggregate; both estimates are single fixed-shape IEEE expressions
+    * (f₁² stays integer before its one cast).
+    *
+    * Scale shape: one tokenize pass → (source, token) counts (the q210
+    * vocabulary frame), rolled to one row per source via the
+    * counts-of-counts aggregate. Nothing touches the corpus twice. */
+  def vocabRichness(t: Tables): DataFrame = {
+    val counts = t.documents
+      .select(col("source"),
+        explode(tokens(lower(col("text")))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("source")).agg(
+        count(lit(1)).as("s_obs"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("s_obs"), col("n_tokens"), col("f1"),
+        col("f2"),
+        ((col("n_tokens") - col("f1")).cast("double") /
+          col("n_tokens").cast("double")).as("coverage_gt"),
+        (col("s_obs").cast("double") +
+          (col("f1") * (col("f1") - 1L)).cast("double") /
+            (lit(2.0) * (col("f2") + 1L).cast("double"))).as("chao1"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[vocabRichness]]. */
+  def vocabRichnessSql(): String =
+    """WITH tok AS (
+      |  SELECT source,
+      |   unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+      |  FROM documents),
+      |counts AS (
+      |  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source, count(*) AS s_obs,
+      |   CAST(sum(c) AS BIGINT) AS n_tokens,
+      |   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |   CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM counts GROUP BY 1)
+      |SELECT source, s_obs, n_tokens, f1, f2,
+      | CAST(n_tokens - f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |   AS coverage_gt,
+      | CAST(s_obs AS DOUBLE)
+      |   + CAST(f1 * (f1 - 1) AS DOUBLE)
+      |     / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1
+      |FROM agg ORDER BY source""".stripMargin
 }

@@ -357,4 +357,83 @@ object DataQuality {
        | CAST(sum(h & 2147483647) AS BIGINT) AS checksum_lo
        |FROM hashed GROUP BY 1 ORDER BY source""".stripMargin
   }
+
+  /** Max n_docs·total_tokens product [[giniConcentration]] accepts: the
+    * Σi·wᵢ moment is bounded by n·W and must stay inside int64. */
+  private val GiniMaxNW = BigInt(Long.MaxValue) / 2
+
+  /** q215: Gini concentration of token mass across documents, per source —
+    * the inequality audit a data-governance review runs before sampling
+    * decisions: a source whose Gini is near 1 has its token mass locked in
+    * a few mega-documents (one crawl artifact can dominate a mixture
+    * weight computed from token counts), where a near-0 source spreads
+    * mass evenly. Also reported: the token share held by the top decile of
+    * documents — the headline number reviewers quote.
+    *
+    * Exactness: with documents sorted ascending by weight (ties broken by
+    * doc_id — blocks of equal w make Σi·wᵢ order-invariant within the
+    * block), G = (2·Σi·wᵢ − (n+1)·W)/(n·W): every moment is an exact
+    * BIGINT and G is one division. The decile boundary uses integer DIV —
+    * no float index arithmetic.
+    *
+    * Scale shape: one tokenize pass → (source, w) frame; ONE (source)
+    * window partition carries the row_number and both per-source totals;
+    * the roll-up reuses that partitioning. The n·W ≤ int64/2 bound is
+    * guarded loudly (hi/lo split sums are the widening path). */
+  def giniConcentration(t: Tables): DataFrame = {
+    val w = size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+    val perDoc = t.documents.select(col("source"), col("doc_id"), w.as("w"))
+    val part = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val ranked = perDoc.select(col("source"), col("w"),
+      row_number().over(part.orderBy(col("w"), col("doc_id"))).cast("long")
+        .as("i"),
+      count(lit(1)).over(part).as("nn"))
+    val agg = ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("total_tokens"),
+        sum(col("i") * col("w")).as("siw"),
+        sum(when(col("i") > col("nn") - expr("nn DIV 10"), col("w"))
+          .otherwise(lit(0L))).as("w_top_decile"))
+      .localCheckpoint() // source-count rows; guarded then reported
+    val bounds = agg.agg(max(col("n_docs")).as("n"),
+      max(col("total_tokens")).as("w")).head()
+    val nw = BigInt(bounds.getAs[Long]("n")) * BigInt(bounds.getAs[Long]("w"))
+    require(nw <= GiniMaxNW,
+      s"giniConcentration: n_docs*total_tokens=$nw exceeds the int64-safe " +
+        s"$GiniMaxNW; shard the source or widen Σi*w to hi/lo split sums")
+    agg.select(col("source"), col("n_docs"), col("total_tokens"),
+        col("w_top_decile"),
+        (col("w_top_decile").cast("double") /
+          col("total_tokens").cast("double")).as("top_decile_share"),
+        ((lit(2L) * col("siw") - (col("n_docs") + 1L) * col("total_tokens"))
+          .cast("double") /
+          (col("n_docs") * col("total_tokens")).cast("double")).as("gini"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[giniConcentration]]. */
+  def giniConcentrationSql(): String =
+    """WITH perdoc AS (
+      |  SELECT source, doc_id,
+      |   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, w,
+      |   CAST(row_number() OVER (PARTITION BY source ORDER BY w, doc_id)
+      |     AS BIGINT) AS i,
+      |   count(*) OVER (PARTITION BY source) AS nn
+      |  FROM perdoc),
+      |agg AS (
+      |  SELECT source, count(*) AS n_docs,
+      |   CAST(sum(w) AS BIGINT) AS total_tokens,
+      |   CAST(sum(i * w) AS BIGINT) AS siw,
+      |   CAST(sum(CASE WHEN i > nn - nn // 10 THEN w ELSE 0 END) AS BIGINT)
+      |     AS w_top_decile
+      |  FROM ranked GROUP BY 1)
+      |SELECT source, n_docs, total_tokens, w_top_decile,
+      | CAST(w_top_decile AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+      |   AS top_decile_share,
+      | CAST(2 * siw - (n_docs + 1) * total_tokens AS DOUBLE)
+      |   / CAST(n_docs * total_tokens AS DOUBLE) AS gini
+      |FROM agg ORDER BY source""".stripMargin
 }

@@ -334,4 +334,87 @@ object NonparametricStats {
       |   / CAST(n_docs * n_docs - pem AS DOUBLE) AS kappa
       |FROM agree JOIN pem USING (source)
       |ORDER BY source""".stripMargin
+
+  /** Emit a Scala Double as a bit-exact DuckDB DOUBLE literal: plain
+    * decimals parse as DECIMAL(18,17) and convert one ulp off (the q206
+    * lesson), so force the exponent form. `Double.toString` is the
+    * shortest round-trip representation — parsing it back yields the
+    * identical bits in both engines. */
+  private def dLit(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
+  /** q217: rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    * per-source document rankings — by token count and by char count —
+    * truncated at depth K with persistence p = ½. RBO is THE comparator
+    * for indefinite rankings: top-weighted (disagreement at rank 2 costs
+    * more than at rank 200), defined for non-conjoint lists, and bounded
+    * [0,1]. A curation pipeline uses it to answer "do these two length
+    * signals induce the same 'biggest documents' list" before swapping
+    * one for the cheaper one in a cap rule — the ranking-level complement
+    * of q202's value-level Spearman ρ.
+    *
+    * With p = ½ every weight (1−p)p^(d−1) = 2^(−d) is an exact binary
+    * double; overlap-at-depth counts are exact BIGINTs (doc in both
+    * prefixes of depth d iff max(rankA, rankB) ≤ d — one cumulative test,
+    * no prefix-set intersection); RBO is a FIXED-ORDER literal chain
+    * Σ_{d=1..K} 2^(−d)·ov_d/d — identical term shape and association in
+    * both engines, never a SUM whose order the engine chooses.
+    *
+    * Scale shape: one narrow pass → per-doc signal frame; both rank
+    * windows share ONE (source) partition exchange; the K overlap
+    * counters ride one conditional aggregate over that partitioning. */
+  def rbo(t: Tables, depth: Int = 20): DataFrame = {
+    val part = Window.partitionBy(col("source"))
+    val perDoc = t.documents.select(col("source"), col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("v_tokens"),
+      col("n_chars").cast("long").as("v_chars"))
+    val ra = row_number().over(part.orderBy(col("v_tokens").desc, col("doc_id")))
+    val rb = row_number().over(part.orderBy(col("v_chars").desc, col("doc_id")))
+    val m = perDoc.select(col("source"), greatest(ra, rb).cast("long").as("m"))
+    val ovCols = (1 to depth).map(d =>
+      sum(when(col("m") <= d.toLong, 1L).otherwise(0L)).as(s"ov_$d"))
+    val ov = m.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), ovCols: _*)
+    val rboExpr = (1 to depth).map { d =>
+      lit(math.pow(0.5, d) / d) * col(s"ov_$d").cast("double")
+    }.reduceLeft(_ + _)
+    ov.select(col("source"), col("n_docs"),
+        col(s"ov_${depth / 2}").as("overlap_at_half"),
+        col(s"ov_$depth").as("overlap_at_k"),
+        rboExpr.as("rbo"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[rbo]]. */
+  def rboSql(depth: Int = 20): String = {
+    val ovDefs = (1 to depth).map(d =>
+      s"CAST(sum(CASE WHEN m <= $d THEN 1 ELSE 0 END) AS BIGINT) AS ov_$d")
+      .mkString(",\n      |   ")
+    val chain = (1 to depth).map { d =>
+      s"${dLit(math.pow(0.5, d) / d)} * CAST(ov_$d AS DOUBLE)"
+    }.mkString("\n      |   + ")
+    s"""WITH perdoc AS (
+      |  SELECT source, doc_id,
+      |   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+      |     AS v_tokens,
+      |   CAST(n_chars AS BIGINT) AS v_chars
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, greatest(
+      |   row_number() OVER (PARTITION BY source
+      |     ORDER BY v_tokens DESC, doc_id),
+      |   row_number() OVER (PARTITION BY source
+      |     ORDER BY v_chars DESC, doc_id)) AS m
+      |  FROM perdoc),
+      |ov AS (
+      |  SELECT source, count(*) AS n_docs,
+      |   $ovDefs
+      |  FROM r GROUP BY 1)
+      |SELECT source, n_docs,
+      | ov_${depth / 2} AS overlap_at_half, ov_$depth AS overlap_at_k,
+      | $chain AS rbo
+      |FROM ov ORDER BY source""".stripMargin
+  }
 }

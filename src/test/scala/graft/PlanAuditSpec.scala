@@ -562,7 +562,13 @@ class PlanAuditSpec extends SparkSpec {
     "q212_mann_whitney" -> 4,
     "q213_ks_test" -> 3,
     // post-checkpoint cell-frame roll-ups (agree/rowm/colm/pem) + sort
-    "q214_kappa" -> 5)
+    "q214_kappa" -> 5,
+    // window/roll-up run pre-checkpoint (guarded moment frame); the
+    // visible plan is the output sort only
+    "q215_gini_concentration" -> 1,
+    "q216_vocab_richness" -> 3,
+    // one shared (source) window partition for both rank orders + sort
+    "q217_rbo" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
