@@ -261,7 +261,10 @@ object SparkEntry {
     "q214_kappa" -> q(t => operators.NonparametricStats.kappa(t)),
     "q215_gini_concentration" -> q(t => DataQuality.giniConcentration(t)),
     "q216_vocab_richness" -> q(t => TextAnalysis.vocabRichness(t)),
-    "q217_rbo" -> q(t => operators.NonparametricStats.rbo(t)))
+    "q217_rbo" -> q(t => operators.NonparametricStats.rbo(t)),
+    "q218_funnel" -> q(t => Analytics.funnel(t)),
+    "q219_post_stratified" -> q(t => operators.RobustStats.postStratified(t)),
+    "q220_permutation_test" -> q(t => operators.RobustStats.permutationTest(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -391,6 +394,9 @@ object SparkEntry {
     "q215_gini_concentration" -> DataQuality.giniConcentrationSql(),
     "q216_vocab_richness" -> TextAnalysis.vocabRichnessSql(),
     "q217_rbo" -> operators.NonparametricStats.rboSql(),
+    "q218_funnel" -> Analytics.funnelSql(),
+    "q219_post_stratified" -> operators.RobustStats.postStratifiedSql(),
+    "q220_permutation_test" -> operators.RobustStats.permutationTestSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

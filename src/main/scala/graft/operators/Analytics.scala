@@ -2073,4 +2073,89 @@ object Analytics {
        |  round((p.ssb / (p.k - 1)) / (p.ssw / (p.n - p.k)), 6) AS f_stat
        |FROM g CROSS JOIN parts p
        |ORDER BY event_type""".stripMargin
+
+  /** q218: strict ordered funnel (view → click → purchase) with step-wise
+    * conversion — the product-analytics readout q75's retention matrix and
+    * q158's transition counts do NOT give: a user counts at step k only if
+    * the step-k event happened STRICTLY AFTER the earliest time they
+    * completed step k−1, so out-of-order events (a purchase before any
+    * view) never inflate conversion. Reported per step: users reached,
+    * conversion from the previous step, conversion from the top.
+    *
+    * Exactness: step times are min-timestamps, user counts exact BIGINTs,
+    * each conversion one division; the earliest-qualifying-time recursion
+    * (t_k = min ts of step k with ts > t_{k−1}) is the standard funnel
+    * semantics that makes the count independent of any per-user event
+    * ordering the engine chooses.
+    *
+    * Scale shape: one filtered aggregate per step over the fact, each
+    * joined user-keyed to the previous stage frame (stage frames shrink
+    * monotonically; the join is hash-partitioned on user_id and AQE
+    * broadcasts the tail stages when they collapse). The final ratio
+    * window runs over a steps-count frame. */
+  def funnel(t: Tables,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+    val stages = steps.zipWithIndex.tail.scanLeft(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_reach"))) {
+      case (prev, (step, _)) =>
+        ev.filter(col("event_type") === step)
+          .join(prev.select(col("user_id"), col("t_reach").as("t_prev")),
+            Seq("user_id"))
+          .filter(col("ts") > col("t_prev"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_reach"))
+    }
+    val counts = stages.zip(steps).zipWithIndex.map {
+      case ((df, step), i) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(i + 1).as("step_idx"), lit(step).as("step"),
+            col("n_users"))
+    }.reduceLeft(_ union _)
+    val w = Window.orderBy(col("step_idx"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.select(col("step_idx"), col("step"), col("n_users"),
+        when(col("step_idx") === 1, lit(1.0))
+          .otherwise(col("n_users").cast("double") /
+            lag(col("n_users"), 1).over(w).cast("double"))
+          .as("conv_from_prev"),
+        (col("n_users").cast("double") /
+          first(col("n_users")).over(wAll).cast("double"))
+          .as("conv_from_start"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** The DuckDB mirror of [[funnel]]. */
+  def funnelSql(steps: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val stageCtes = steps.zipWithIndex.map { case (step, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, min(ts) AS t_reach FROM events
+           |  WHERE event_type = '$step' GROUP BY 1)"""
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, min(e.ts) AS t_reach
+           |  FROM events e JOIN s$i USING (user_id)
+           |  WHERE e.event_type = '$step' AND e.ts > s$i.t_reach
+           |  GROUP BY 1)"""
+    }.mkString(",\n")
+    val countRows = steps.zipWithIndex.map { case (step, i) =>
+      s"SELECT ${i + 1} AS step_idx, '$step' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s${i + 1}"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH $stageCtes,
+       |counts AS (
+       | $countRows)
+       |SELECT CAST(step_idx AS INTEGER) AS step_idx, step, n_users,
+       | CASE WHEN step_idx = 1 THEN 1.0
+       |  ELSE CAST(n_users AS DOUBLE)
+       |    / CAST(lag(n_users, 1) OVER (ORDER BY step_idx) AS DOUBLE) END
+       |  AS conv_from_prev,
+       | CAST(n_users AS DOUBLE)
+       |   / CAST(first_value(n_users) OVER (ORDER BY step_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |  AS conv_from_start
+       |FROM counts
+       |ORDER BY step_idx""".stripMargin
+  }
 }

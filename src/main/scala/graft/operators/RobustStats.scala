@@ -500,4 +500,175 @@ object RobustStats {
        | ${O.dsum("w * y")} / CAST(sum(w) AS DOUBLE) AS mean_b
        |FROM rep GROUP BY 1 ORDER BY b""".stripMargin
   }
+
+  /** q219: post-stratified arm means (the survey-sampling estimator, e.g.
+    * Holt & Smith 1979) — each arm's mean is re-weighted so every stratum
+    * (event_type) counts with its POPULATION share n_s/N instead of the
+    * share the hash split happened to deal that arm. This is the
+    * first-line fix for covariate imbalance an experiment readout applies
+    * before reaching for regression adjustment (q200 CUPED adjusts on a
+    * continuous pre-metric; post-stratification adjusts on a categorical
+    * one).
+    *
+    * Exactness: stratum/arm cells carry exact counts and [[ExactAgg]]
+    * micro-unit sums; each stratum's contribution (n_s·mean_sa)/N is one
+    * fixed IEEE term, and the sum over strata goes through dsum again —
+    * order-independent by construction, so both engines agree bit-for-bit
+    * without fixing a stratum order.
+    *
+    * Scale shape: one corpus pass → (stratum, arm) cell frame; stratum
+    * populations and the grand total are roll-ups of that tiny frame
+    * (broadcast back); output is one row per arm. */
+  def postStratified(t: Tables): DataFrame = {
+    val armC = when(pmod(Sampling.splitHash(col("user_id")), lit(2L)) === 0,
+      "control").otherwise("treatment")
+    val cell = t.events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), armC.as("arm"))
+      .groupBy(col("event_type"), col("arm"))
+      .agg(count(lit(1)).as("n_sa"), ExactAgg.dsum(col("value")).as("s_sa"))
+      .localCheckpoint() // strata×2 rows; feeds populations AND the report
+    val strat = cell.groupBy(col("event_type"))
+      .agg(sum(col("n_sa")).as("n_s"))
+    val tot = strat.agg(sum(col("n_s")).as("n_pop"))
+    val term = (col("n_s").cast("double") *
+      (col("s_sa") / col("n_sa").cast("double"))) / col("n_pop").cast("double")
+    cell.join(broadcast(strat), Seq("event_type"))
+      .crossJoin(broadcast(tot)) // 1-row population total
+      .groupBy(col("arm"))
+      .agg(
+        sum(col("n_sa")).as("n_events"),
+        (ExactAgg.dsum(col("s_sa")) / sum(col("n_sa")).cast("double"))
+          .as("mean_raw"),
+        ExactAgg.dsum(term).as("mean_poststrat"))
+      .orderBy(col("arm"))
+  }
+
+  /** The DuckDB mirror of [[postStratified]]. */
+  def postStratifiedSql(): String = {
+    val sh = Sampling.splitHashSql("user_id")
+    s"""WITH cell AS (
+       |  SELECT event_type,
+       |   CASE WHEN ($sh) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+       |   count(*) AS n_sa, ${O.dsum("value")} AS s_sa
+       |  FROM events WHERE value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |strat AS (
+       |  SELECT event_type, CAST(sum(n_sa) AS BIGINT) AS n_s
+       |  FROM cell GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_pop FROM strat)
+       |SELECT arm,
+       | CAST(sum(n_sa) AS BIGINT) AS n_events,
+       | ${O.dsum("s_sa")} / CAST(sum(n_sa) AS DOUBLE) AS mean_raw,
+       | ${O.dsum("(CAST(n_s AS DOUBLE) * (s_sa / CAST(n_sa AS DOUBLE))) / CAST(n_pop AS DOUBLE)")}
+       |   AS mean_poststrat
+       |FROM cell JOIN strat USING (event_type) CROSS JOIN tot
+       |GROUP BY arm ORDER BY arm""".stripMargin
+  }
+
+  /** q220: permutation test for the arm difference in per-user mean value
+    * (Fisher 1935, in the Chamandy one-pass form): the observed
+    * treatment−control gap is compared against B re-randomizations of the
+    * SAME users — the assignment is the only thing resampled, so the test
+    * is exact under the sharp null with zero distributional assumptions.
+    * This is the readout that stays valid when q212's normal approximation
+    * is dubious (heavy tails, small strata).
+    *
+    * Determinism: permutation b reassigns user u by the parity of the
+    * portable [[Sampling.splitHash]] of (u·B + b) — the q209 replica-hash
+    * scheme — so both engines deal identical pseudo-assignments with zero
+    * random state. Means are dsum/count ratios; each |diff_b| ≥ |diff_obs|
+    * comparison runs on bit-identical doubles, so the count of extreme
+    * replicas (and hence the p-value's numerator/denominator, both exact
+    * integers) agrees exactly.
+    *
+    * Scale shape: one corpus pass → per-user frame; the replica explode is
+    * B narrow rows per USER; one (b) aggregate computes every replica's
+    * two arms at once via conditional kernels; the observed split is a
+    * 1-row broadcast. p-value = (1 + #extreme)/(B + 1) — the add-one form
+    * that never reports zero. */
+  def permutationTest(t: Tables, nPerms: Int = 64): DataFrame = {
+    val perUser = t.events.filter(col("value").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"), ExactAgg.dsum(col("value")).as("y"))
+      .localCheckpoint() // user-count rows; feeds observed AND replicas
+    val obsArm = pmod(Sampling.splitHash(col("user_id")), lit(2L)) === 0
+    val observed = perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(obsArm, 1L).otherwise(0L)).as("n_c"),
+        ExactAgg.dsum(when(obsArm, col("y")).otherwise(lit(0.0))).as("s_c"),
+        ExactAgg.dsum(when(!obsArm, col("y")).otherwise(lit(0.0))).as("s_t"))
+      .select(col("n_users"), col("n_c"),
+        (col("s_t") / (col("n_users") - col("n_c")).cast("double") -
+          col("s_c") / col("n_c").cast("double")).as("diff_obs"))
+    val permArm =
+      pmod(Sampling.splitHash(col("user_id") * nPerms + col("b")), lit(2L)) === 0
+    val reps = perUser
+      .select(col("user_id"), col("y"),
+        explode(sequence(lit(0), lit(nPerms - 1))).as("b"))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(permArm, 1L).otherwise(0L)).as("n_c_b"),
+        count(lit(1)).as("n_b"),
+        ExactAgg.dsum(when(permArm, col("y")).otherwise(lit(0.0))).as("s_c_b"),
+        ExactAgg.dsum(when(!permArm, col("y")).otherwise(lit(0.0))).as("s_t_b"))
+      .select(col("b"),
+        (col("s_t_b") / (col("n_b") - col("n_c_b")).cast("double") -
+          col("s_c_b") / col("n_c_b").cast("double")).as("diff_b"))
+    reps.crossJoin(broadcast(observed)) // 1-row observed frame
+      .agg(
+        max(col("n_users")).as("n_users"),
+        max(col("diff_obs")).as("diff_obs"),
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("diff_b")) >= abs(col("diff_obs")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_users"), col("diff_obs"), col("n_perms"),
+        col("n_extreme"),
+        ((col("n_extreme") + 1L).cast("double") /
+          (col("n_perms") + 1L).cast("double")).as("p_value"))
+  }
+
+  /** The DuckDB mirror of [[permutationTest]]. */
+  def permutationTestSql(nPerms: Int = 64): String = {
+    val shObs = Sampling.splitHashSql("user_id")
+    val shPerm = Sampling.splitHashSql(s"(user_id * $nPerms + u.b)")
+    s"""WITH per_user AS (
+       |  SELECT user_id, count(*) AS n_ev, ${O.dsum("value")} AS y
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |observed AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+       |   CAST(sum(CASE WHEN ($shObs) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_c,
+       |   ${O.dsum(s"CASE WHEN ($shObs) % 2 = 0 THEN y ELSE 0 END")} AS s_c,
+       |   ${O.dsum(s"CASE WHEN NOT (($shObs) % 2 = 0) THEN y ELSE 0 END")}
+       |     AS s_t
+       |  FROM per_user),
+       |obs AS (
+       |  SELECT n_users, n_c,
+       |   s_t / CAST(n_users - n_c AS DOUBLE) - s_c / CAST(n_c AS DOUBLE)
+       |     AS diff_obs
+       |  FROM observed),
+       |reps AS (
+       |  SELECT u.b,
+       |   CAST(sum(CASE WHEN ($shPerm) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_c_b,
+       |   CAST(count(*) AS BIGINT) AS n_b,
+       |   ${O.dsum(s"CASE WHEN ($shPerm) % 2 = 0 THEN y ELSE 0 END")}
+       |     AS s_c_b,
+       |   ${O.dsum(s"CASE WHEN NOT (($shPerm) % 2 = 0) THEN y ELSE 0 END")}
+       |     AS s_t_b
+       |  FROM per_user, unnest(range(0, $nPerms)) AS u(b)
+       |  GROUP BY 1),
+       |diffs AS (
+       |  SELECT b,
+       |   s_t_b / CAST(n_b - n_c_b AS DOUBLE) - s_c_b / CAST(n_c_b AS DOUBLE)
+       |     AS diff_b
+       |  FROM reps)
+       |SELECT max(n_users) AS n_users, max(diff_obs) AS diff_obs,
+       | CAST(count(*) AS BIGINT) AS n_perms,
+       | CAST(sum(CASE WHEN abs(diff_b) >= abs(diff_obs) THEN 1 ELSE 0 END)
+       |   AS BIGINT) AS n_extreme,
+       | CAST(sum(CASE WHEN abs(diff_b) >= abs(diff_obs) THEN 1 ELSE 0 END)
+       |   + 1 AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS p_value
+       |FROM diffs CROSS JOIN obs""".stripMargin
+  }
 }

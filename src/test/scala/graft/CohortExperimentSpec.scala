@@ -1,0 +1,120 @@
+package graft
+
+import graft.operators.{Analytics, RobustStats}
+import org.apache.spark.sql.functions._
+
+/** Contracts for the q218–q220 wave: cohort retention, post-stratified
+  * arm means, and the hash-dealt permutation test. Retention is replayed
+  * from the raw (user, week) pairs; the two estimators from first
+  * principles with the micro-unit dsum replica. */
+class CohortExperimentSpec extends SparkSpec {
+
+  private def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+
+  private def splitHashLong(x: Long): Long = {
+    val m = graft.functions.KmvSketch.M
+    val h = Math.floorMod(Math.floorMod(x, m) * 2654435761L, m)
+    Math.floorMod(Math.floorMod(h * h, m) * 2246822519L + 1L, m)
+  }
+
+  private def dsumReplica(vs: Seq[Double]): Double = {
+    val ps = vs.map(v => BigDecimal(v * 1000000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    (ps.map(_ >> 26).sum.toDouble * 67108864.0 +
+      ps.map(_ & 67108863L).sum.toDouble) / 1000000.0
+  }
+
+  test("q218: replica parity — strict-order stage recursion, conversions") {
+    val t = sf("sf0.01")
+    val ev = t.events.select(col("user_id"), col("event_type"), col("ts"))
+      .collect()
+      .map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        // micros, not millis: strict `>` must see the full precision
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+      }
+    val steps = Seq("view", "click", "purchase")
+    // t_k(u) = min ts of step k strictly after t_{k-1}(u)
+    val stages = steps.tail.scanLeft(
+      ev.filter(_._2 == steps.head).groupBy(_._1).view
+        .mapValues(_.map(_._3).min).toMap) { (prev, step) =>
+      ev.filter(e => e._2 == step && prev.contains(e._1) && e._3 > prev(e._1))
+        .groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    }
+    val ns = stages.map(_.size.toLong)
+    val expected = steps.indices.map { i =>
+      val prev = if (i == 0) 1.0 else ns(i).toDouble / ns(i - 1).toDouble
+      (i + 1, steps(i), ns(i), bits(prev),
+        bits(ns(i).toDouble / ns(0).toDouble))
+    }.toSet
+    val actual = Analytics.funnel(t).collect()
+      .map(r => (r.getAs[Int]("step_idx"), r.getAs[String]("step"),
+        r.getAs[Long]("n_users"), bits(r.getAs[Double]("conv_from_prev")),
+        bits(r.getAs[Double]("conv_from_start")))).toSet
+    assert(actual == expected)
+    // stage populations shrink monotonically
+    assert(ns == ns.sorted.reverse && ns.head > 0)
+  }
+
+  private def perUserEvents(t: graft.core.Tables): Seq[(Long, String, Double)] =
+    t.events.filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"))).toSeq
+
+  test("q219: replica parity — stratum cells, population reweighting") {
+    val t = sf("sf0.01")
+    val rows = perUserEvents(t)
+    val cells = rows.groupBy(r => (r._2, splitHashLong(r._1) % 2 == 0))
+      .map { case ((et, ctl), g) =>
+        (et, if (ctl) "control" else "treatment", g.length.toLong,
+          dsumReplica(g.map(_._3)))
+      }.toSeq
+    val nS = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nPop = nS.values.sum
+    val expected = cells.groupBy(_._2).map { case (arm, g) =>
+      val nArm = g.map(_._3).sum
+      val meanRaw = dsumReplica(g.map(_._4)) / nArm.toDouble
+      val terms = g.map(c =>
+        (nS(c._1).toDouble * (c._4 / c._3.toDouble)) / nPop.toDouble)
+      (arm, nArm, bits(meanRaw), bits(dsumReplica(terms)))
+    }.toSet
+    val actual = RobustStats.postStratified(t).collect()
+      .map(r => (r.getAs[String]("arm"), r.getAs[Long]("n_events"),
+        bits(r.getAs[Double]("mean_raw")),
+        bits(r.getAs[Double]("mean_poststrat")))).toSet
+    assert(actual == expected)
+  }
+
+  test("q220: replica parity — hash-dealt permutations, exact extreme count") {
+    val t = sf("sf0.01")
+    val perUser = perUserEvents(t).groupBy(_._1).view
+      .mapValues(g => dsumReplica(g.toSeq.map(_._3))).toMap.toSeq
+    // observed split
+    val (ctlO, _) = perUser.partition(u => splitHashLong(u._1) % 2 == 0)
+    val sC = dsumReplica(perUser.map(u => if (splitHashLong(u._1) % 2 == 0) u._2 else 0.0))
+    val sT = dsumReplica(perUser.map(u => if (splitHashLong(u._1) % 2 == 0) 0.0 else u._2))
+    val n = perUser.size.toLong
+    val nC = ctlO.size.toLong
+    val diffObs = sT / (n - nC).toDouble - sC / nC.toDouble
+    val diffs = (0 until 64).map { b =>
+      def ctl(u: Long): Boolean = splitHashLong(u * 64 + b) % 2 == 0
+      val nCb = perUser.count(u => ctl(u._1)).toLong
+      val sCb = dsumReplica(perUser.map(u => if (ctl(u._1)) u._2 else 0.0))
+      val sTb = dsumReplica(perUser.map(u => if (ctl(u._1)) 0.0 else u._2))
+      sTb / (n - nCb).toDouble - sCb / nCb.toDouble
+    }
+    val nExtreme = diffs.count(d => math.abs(d) >= math.abs(diffObs)).toLong
+    val expected = (n, bits(diffObs), 64L, nExtreme,
+      bits((nExtreme + 1).toDouble / 65.toDouble))
+    val r = RobustStats.permutationTest(t).collect().head
+    val actual = (r.getAs[Long]("n_users"), bits(r.getAs[Double]("diff_obs")),
+      r.getAs[Long]("n_perms"), r.getAs[Long]("n_extreme"),
+      bits(r.getAs[Double]("p_value")))
+    assert(actual == expected)
+    // the add-one p-value is bounded away from both ends by construction
+    val p = java.lang.Double.longBitsToDouble(actual._5)
+    assert(p >= 1.0 / 65.0 && p <= 1.0)
+  }
+}

@@ -329,7 +329,9 @@ class PlanAuditSpec extends SparkSpec {
     "q206_benford_audit",           // 1-row digit-total frame
     "q207_k_anonymity",             // 1-row class/row-totals frame
     "q208_weighted_length_quantiles", // 4-row quantile-target band join
-    "q210_distinctive_terms")       // 1-row grand-total frame
+    "q210_distinctive_terms",       // 1-row grand-total frame
+    "q219_post_stratified",         // 1-row population-total frame
+    "q220_permutation_test")        // 1-row observed-split frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -568,7 +570,13 @@ class PlanAuditSpec extends SparkSpec {
     "q215_gini_concentration" -> 1,
     "q216_vocab_richness" -> 3,
     // one shared (source) window partition for both rank orders + sort
-    "q217_rbo" -> 2)
+    "q217_rbo" -> 2,
+    // per-step stage aggregates + user-keyed stage joins + the 3-row
+    // ratio window (SinglePartition on a steps-count frame)
+    "q218_funnel" -> 8,
+    // post-checkpoint cell roll-ups (strat/tot/report) on both branches
+    "q219_post_stratified" -> 5,
+    "q220_permutation_test" -> 3)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
