@@ -264,7 +264,10 @@ object SparkEntry {
     "q217_rbo" -> q(t => operators.NonparametricStats.rbo(t)),
     "q218_funnel" -> q(t => Analytics.funnel(t)),
     "q219_post_stratified" -> q(t => operators.RobustStats.postStratified(t)),
-    "q220_permutation_test" -> q(t => operators.RobustStats.permutationTest(t)))
+    "q220_permutation_test" -> q(t => operators.RobustStats.permutationTest(t)),
+    "q221_wilson_completeness" -> q(t =>
+      operators.RobustStats.wilsonCompleteness(t)),
+    "q222_srm_sweep" -> q(t => operators.RobustStats.srmSweep(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -397,6 +400,8 @@ object SparkEntry {
     "q218_funnel" -> Analytics.funnelSql(),
     "q219_post_stratified" -> operators.RobustStats.postStratifiedSql(),
     "q220_permutation_test" -> operators.RobustStats.permutationTestSql(),
+    "q221_wilson_completeness" -> operators.RobustStats.wilsonCompletenessSql(),
+    "q222_srm_sweep" -> operators.RobustStats.srmSweepSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -671,4 +671,106 @@ object RobustStats {
        |   + 1 AS DOUBLE) / CAST(count(*) + 1 AS DOUBLE) AS p_value
        |FROM diffs CROSS JOIN obs""".stripMargin
   }
+
+  /** q221: Wilson score intervals for per-event-type instrumentation
+    * completeness (Wilson 1927) — the interval a monitoring pipeline puts
+    * around every proportion it alerts on, because the Wald interval
+    * collapses to zero width at p̂ ∈ {0, 1} exactly where instrumentation
+    * bugs live. The audited proportion is the share of events carrying a
+    * non-null `value` — the q157 completeness rule upgraded from a point
+    * estimate to a calibrated interval.
+    *
+    * Exactness: n and x are exact BIGINTs from one conditional aggregate;
+    * the interval is a fixed-shape IEEE expression (z = 1.96 literal,
+    * z² computed as z·z identically in both engines). */
+  def wilsonCompleteness(t: Tables, z: Double = 1.96): DataFrame = {
+    val agg = t.events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("x"))
+    val nd = col("n").cast("double")
+    val phat = col("x").cast("double") / nd
+    val zz = lit(z) * lit(z)
+    val denom = lit(1.0) + zz / nd
+    val center = (phat + zz / (lit(2.0) * nd)) / denom
+    val half = (lit(z) / denom) *
+      sqrt(phat * (lit(1.0) - phat) / nd +
+        zz / (lit(4.0) * nd * nd))
+    agg.select(col("event_type"), col("n"), col("x"),
+        phat.as("p_hat"),
+        (center - half).as("ci_lo"),
+        (center + half).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The DuckDB mirror of [[wilsonCompleteness]]. */
+  def wilsonCompletenessSql(z: Double = 1.96): String = {
+    val zl = { val s = z.toString; if (s.contains('E')) s else s + "e0" }
+    val nd = "CAST(n AS DOUBLE)"
+    val phat = s"CAST(x AS DOUBLE) / $nd"
+    val zz = s"$zl * $zl"
+    val denom = s"1.0 + $zz / $nd"
+    val center = s"($phat + $zz / (2.0 * $nd)) / ($denom)"
+    val half = s"($zl / ($denom)) * sqrt($phat * (1.0 - $phat) / $nd " +
+      s"+ $zz / (4.0 * $nd * $nd))"
+    s"""WITH agg AS (
+       |  SELECT event_type, count(*) AS n,
+       |   CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS x
+       |  FROM events GROUP BY 1)
+       |SELECT event_type, n, x,
+       | $phat AS p_hat,
+       | $center - $half AS ci_lo,
+       | $center + $half AS ci_hi
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
+  /** q222: sample-ratio-mismatch sweep (the Kohavi/Fabijan launch
+    * checklist item): K independent hash seeds each deal the user
+    * population into two arms; z = (2·n_ctl − n)/√n per seed. A healthy
+    * assignment hash keeps every |z| under ~3; one hot seed means the
+    * hash interacts with the id structure and q200/q212/q219/q220 —
+    * which all ride that split — cannot be trusted. This is the audit
+    * that VALIDATES the splitHash family the experiment suite uses.
+    *
+    * Exactness: per-seed counts are exact BIGINTs from one exploded
+    * aggregate (the q209 replica scheme); z is one fixed IEEE expression;
+    * the |z| ≥ 3 flag compares identically-computed doubles.
+    *
+    * Scale shape: one distinct-user pass, K narrow rows per user, one
+    * (seed) aggregate — K scales the aggregate, not the corpus read. */
+  def srmSweep(t: Tables, nSeeds: Int = 16): DataFrame = {
+    val users = t.events.select(col("user_id")).distinct()
+    val ctl = pmod(Sampling.splitHash(col("user_id") * nSeeds + col("seed")),
+      lit(2L)) === 0
+    users
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(nSeeds - 1))).as("seed"))
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(ctl, 1L).otherwise(0L)).as("n_control"))
+      .select(col("seed"), col("n_users"), col("n_control"),
+        ((lit(2L) * col("n_control") - col("n_users")).cast("double") /
+          sqrt(col("n_users").cast("double"))).as("z_srm"))
+      .withColumn("srm_flag", abs(col("z_srm")) >= lit(3.0))
+      .orderBy(col("seed"))
+  }
+
+  /** The DuckDB mirror of [[srmSweep]]. */
+  def srmSweepSql(nSeeds: Int = 16): String = {
+    val sh = Sampling.splitHashSql(s"(user_id * $nSeeds + u.seed)")
+    s"""WITH users AS (SELECT DISTINCT user_id FROM events),
+       |dealt AS (
+       |  SELECT u.seed,
+       |   count(*) AS n_users,
+       |   CAST(sum(CASE WHEN ($sh) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_control
+       |  FROM users, unnest(range(0, $nSeeds)) AS u(seed)
+       |  GROUP BY 1)
+       |SELECT CAST(seed AS INTEGER) AS seed, n_users, n_control,
+       | CAST(2 * n_control - n_users AS DOUBLE)
+       |   / sqrt(CAST(n_users AS DOUBLE)) AS z_srm,
+       | abs(CAST(2 * n_control - n_users AS DOUBLE)
+       |   / sqrt(CAST(n_users AS DOUBLE))) >= 3.0 AS srm_flag
+       |FROM dealt ORDER BY seed""".stripMargin
+  }
 }

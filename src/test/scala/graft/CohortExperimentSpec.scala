@@ -117,4 +117,56 @@ class CohortExperimentSpec extends SparkSpec {
     val p = java.lang.Double.longBitsToDouble(actual._5)
     assert(p >= 1.0 / 65.0 && p <= 1.0)
   }
+
+  test("q221: replica parity — Wilson interval bits; brackets the estimate") {
+    val t = sf("sf0.01")
+    val rows = t.events.select(col("event_type"), col("value")).collect()
+      .map(r => (r.getAs[String]("event_type"), !r.isNullAt(1)))
+    val z = 1.96
+    val expected = rows.groupBy(_._1).map { case (et, g) =>
+      val n = g.length.toLong
+      val x = g.count(_._2).toLong
+      val nd = n.toDouble
+      val phat = x.toDouble / nd
+      val zz = z * z
+      val denom = 1.0 + zz / nd
+      val center = (phat + zz / (2.0 * nd)) / denom
+      val half = (z / denom) *
+        math.sqrt(phat * (1.0 - phat) / nd + zz / (4.0 * nd * nd))
+      (et, n, x, bits(phat), bits(center - half), bits(center + half))
+    }.toSet
+    val actual = RobustStats.wilsonCompleteness(t).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Long]("x"), bits(r.getAs[Double]("p_hat")),
+        bits(r.getAs[Double]("ci_lo")), bits(r.getAs[Double]("ci_hi")))).toSet
+    assert(actual == expected)
+    actual.foreach { case (_, _, _, pB, loB, hiB) =>
+      val (ph, lo, hi) = (java.lang.Double.longBitsToDouble(pB),
+        java.lang.Double.longBitsToDouble(loB),
+        java.lang.Double.longBitsToDouble(hiB))
+      // at p̂ = 1 the limits land an ulp past the boundary in FP — every
+      // containment check carries an ulp-scale tolerance
+      assert(lo <= hi && lo >= -1e-12 && hi <= 1.0 + 1e-12 &&
+        lo - 1e-12 <= ph && ph <= hi + 1e-12)
+    }
+  }
+
+  test("q222: replica parity — per-seed deals; the house hash shows no SRM") {
+    val t = sf("sf0.01")
+    val users = t.events.select(col("user_id")).distinct().collect()
+      .map(_.getAs[Long]("user_id"))
+    val expected = (0 until 16).map { s =>
+      val nC = users.count(u => splitHashLong(u * 16 + s) % 2 == 0).toLong
+      val n = users.length.toLong
+      val zv = (2 * nC - n).toDouble / math.sqrt(n.toDouble)
+      (s, n, nC, bits(zv), math.abs(zv) >= 3.0)
+    }.toSet
+    val actual = RobustStats.srmSweep(t).collect()
+      .map(r => (r.getAs[Int]("seed"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_control"), bits(r.getAs[Double]("z_srm")),
+        r.getAs[Boolean]("srm_flag"))).toSet
+    assert(actual == expected)
+    // the portable hash must pass its own launch checklist on the fixture
+    assert(actual.forall(!_._5), "splitHash family shows SRM on a seed")
+  }
 }

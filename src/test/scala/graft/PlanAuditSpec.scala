@@ -576,7 +576,9 @@ class PlanAuditSpec extends SparkSpec {
     "q218_funnel" -> 8,
     // post-checkpoint cell roll-ups (strat/tot/report) on both branches
     "q219_post_stratified" -> 5,
-    "q220_permutation_test" -> 3)
+    "q220_permutation_test" -> 3,
+    "q221_wilson_completeness" -> 2,
+    "q222_srm_sweep" -> 3)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
