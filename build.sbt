@@ -37,5 +37,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuts off ("CodeCache is full"), and every per-row kernel after that
   // point runs interpreted — measured as 2.4-3.8x medians on the narrow
   // scan queries (q30/q35/q39/q49 fast in isolation, slow in-suite).
-  "-XX:ReservedCodeCacheSize=1g",
+  // 2g as of the 222-query suite (1g was sized for ~106 queries; reserved
+  // address space is committed on demand, so the larger cap is free).
+  "-XX:ReservedCodeCacheSize=2g",
 )

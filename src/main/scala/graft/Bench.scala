@@ -187,6 +187,13 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // untimed GC tick: queries that localCheckpoint leave dead RDD blocks
+      // that ContextCleaner only drops after their references are COLLECTED
+      // — across 222 queries × runs the zombie blocks pile into storage
+      // memory and the tail of the suite measures eviction pressure instead
+      // of the query (the 294s-vs-125s r7 phantom). Deliberately cached
+      // index tables stay referenced by their operators and survive this.
+      System.gc()
       name -> (times, peakMem.peakBytes)
     }
     // isolation runs skip the cascade unless asked for by name
