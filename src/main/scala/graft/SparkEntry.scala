@@ -267,7 +267,10 @@ object SparkEntry {
     "q220_permutation_test" -> q(t => operators.RobustStats.permutationTest(t)),
     "q221_wilson_completeness" -> q(t =>
       operators.RobustStats.wilsonCompleteness(t)),
-    "q222_srm_sweep" -> q(t => operators.RobustStats.srmSweep(t)))
+    "q222_srm_sweep" -> q(t => operators.RobustStats.srmSweep(t)),
+    "q223_concurrency_sweep" -> q(t => operators.Timeseries.concurrencySweep(t)),
+    "q224_cusum_volume" -> q(t => operators.Timeseries.cusumDailyVolume(t)),
+    "q225_truncated_dim_recall" -> q(t => Similarity.truncatedDimRecall(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -402,6 +405,9 @@ object SparkEntry {
     "q220_permutation_test" -> operators.RobustStats.permutationTestSql(),
     "q221_wilson_completeness" -> operators.RobustStats.wilsonCompletenessSql(),
     "q222_srm_sweep" -> operators.RobustStats.srmSweepSql(),
+    "q223_concurrency_sweep" -> operators.Timeseries.concurrencySweepSql(),
+    "q224_cusum_volume" -> operators.Timeseries.cusumDailyVolumeSql(),
+    "q225_truncated_dim_recall" -> Similarity.truncatedDimRecallSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

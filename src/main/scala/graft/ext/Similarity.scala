@@ -1696,4 +1696,104 @@ object Similarity {
        |SELECT query_id, mmr_rank, vec_id, cosine, rel_q, max_sel_q
        |FROM sel$k ORDER BY query_id, mmr_rank""".stripMargin
   }
+
+  /** q225: truncated-dimension (Matryoshka-style) retrieval recall — the
+    * eval a pipeline runs before committing to a cheaper index: if ANN
+    * candidates are generated from only the first d dimensions (MRL
+    * embeddings, Kusupati et al. 2022, are trained to make prefixes
+    * meaningful; PQ/SQ8 compression asks the same question), what fraction
+    * of the true full-dimension top-k does each prefix width recover?
+    *
+    * One scored pass computes the full-dim cosine AND every prefix cosine
+    * per (query, candidate) — the d-sweep adds columns, not corpus passes.
+    * The q151 kernel: broadcast nEval query vectors against the corpus,
+    * per-query rank windows (one exchange on query_id, one sort per
+    * ordering), then a single global aggregate counts top-k overlaps.
+    * recall@k(d) = |prefix-top-k ∩ full-top-k| / |full-top-k slots|.
+    *
+    * Portability: cosines ride the native [[graft.functions.VectorExpressions
+    * .cosineSim]] rounded to 6 places (the q151 contract, proven bit-equal
+    * to DuckDB's list_dot_product form); prefix slices preserve fold order,
+    * so the same proof covers every d; ranks tie-break on vec_id; the
+    * recall is one integer ratio cast once. */
+  def truncatedDimRecall(t: Tables, nEval: Int = 64, k: Int = 10,
+      dims: Seq[Int] = Seq(4, 8, 16, 32)): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
+    import graft.functions.VectorExpressions.cosineSim
+    val emb = t.embeddings.select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"))
+    val train = emb.filter(col("vec_id") >= nEval)
+    val scored = train
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("vec_id"),
+        round(cosineSim(col("qemb"), col("embedding")), 6).as("cos_full")) ++
+        dims.map(d => round(cosineSim(
+          slice(col("qemb"), 1, d), slice(col("embedding"), 1, d)), 6)
+          .as(s"cos_$d")): _*)
+    def rnk(c: String) = row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(col(c).desc, col("vec_id")))
+    val ranked = scored.select(Seq(col("query_id"), col("vec_id"),
+      rnk("cos_full").as("r_full")) ++
+      dims.map(d => rnk(s"cos_$d").as(s"r_$d")): _*)
+    val hits = ranked.agg(
+      sum(when(col("r_full") <= k, 1L).otherwise(0L)).as("total"),
+      dims.map(d => sum(when(col("r_full") <= k && col(s"r_$d") <= k, 1L)
+        .otherwise(0L)).as(s"h_$d")): _*)
+    hits
+      .select(col("total"),
+        explode(array(dims.map(d => struct(lit(d).as("dim"),
+          col(s"h_$d").as("n_hits"))): _*)).as("kv"))
+      .select(col("kv.dim").as("dim"), col("total").as("n_slots"),
+        col("kv.n_hits").as("n_hits"),
+        (col("kv.n_hits").cast("double") / col("total").cast("double"))
+          .as("recall"))
+      .orderBy(col("dim"))
+  }
+
+  /** The DuckDB mirror of [[truncatedDimRecall]]. */
+  def truncatedDimRecallSql(nEval: Int = 64, k: Int = 10,
+      dims: Seq[Int] = Seq(4, 8, 16, 32)): String = {
+    def cos(a: String, b: String) =
+      s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a))" +
+        s" * sqrt(list_dot_product($b, $b))), 6)"
+    val cosCols = dims.map(d =>
+      s"   ${cos(s"qvec[1:$d]", s"vec[1:$d]")} AS cos_$d").mkString(",\n")
+    val rnkCols = dims.map(d =>
+      s"   row_number() OVER (PARTITION BY query_id ORDER BY cos_$d DESC," +
+        s" vec_id) AS r_$d").mkString(",\n")
+    val hitCols = dims.map(d =>
+      s"   CAST(sum(CASE WHEN r_full <= $k AND r_$d <= $k THEN 1 ELSE 0 END)" +
+        s" AS BIGINT) AS h_$d").mkString(",\n")
+    val pick = dims.init.map(d => s"WHEN ${d} THEN h_$d").mkString(" ")
+    val caseHits = s"CASE v.dim $pick ELSE h_${dims.last} END"
+    val valuesRows = dims.map(d => s"($d)").mkString(", ")
+    s"""WITH emb AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       |queries AS (
+       |  SELECT vec_id AS query_id, vec AS qvec FROM emb
+       |  WHERE vec_id < $nEval),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |   ${cos("qvec", "vec")} AS cos_full,
+       |$cosCols
+       |  FROM emb CROSS JOIN queries WHERE vec_id >= $nEval),
+       |ranked AS (
+       |  SELECT query_id, vec_id,
+       |   row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC,
+       |     vec_id) AS r_full,
+       |$rnkCols
+       |  FROM scored),
+       |hits AS (
+       |  SELECT
+       |   CAST(sum(CASE WHEN r_full <= $k THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS total,
+       |$hitCols
+       |  FROM ranked)
+       |SELECT v.dim AS dim, total AS n_slots,
+       | $caseHits AS n_hits,
+       | CAST($caseHits AS DOUBLE) / CAST(total AS DOUBLE) AS recall
+       |FROM hits CROSS JOIN (VALUES $valuesRows) AS v(dim)
+       |ORDER BY v.dim""".stripMargin
+  }
 }

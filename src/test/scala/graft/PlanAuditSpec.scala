@@ -331,7 +331,8 @@ class PlanAuditSpec extends SparkSpec {
     "q208_weighted_length_quantiles", // 4-row quantile-target band join
     "q210_distinctive_terms",       // 1-row grand-total frame
     "q219_post_stratified",         // 1-row population-total frame
-    "q220_permutation_test")        // 1-row observed-split frame
+    "q220_permutation_test",        // 1-row observed-split frame
+    "q225_truncated_dim_recall")    // broadcast nEval-row query-vector frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -578,7 +579,13 @@ class PlanAuditSpec extends SparkSpec {
     "q219_post_stratified" -> 5,
     "q220_permutation_test" -> 3,
     "q221_wilson_completeness" -> 2,
-    "q222_srm_sweep" -> 3)
+    "q222_srm_sweep" -> 3,
+    // sessionize + day-net + day-windows + final day agg + sort
+    "q223_concurrency_sweep" -> 5,
+    // daily agg + the bounded single-partition chart windows
+    "q224_cusum_volume" -> 2,
+    // query_id rank windows (one exchange, a sort per ordering) + 1-row agg
+    "q225_truncated_dim_recall" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
