@@ -187,6 +187,26 @@ object SketchOracleSql {
     s"""WITH $dupPairsCtes
        |SELECT doc_a, doc_b, jaccard FROM dup_pairs ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q233: the q34 dup pairs cross-tabulated by unordered (source, source)
+    * pair — mirrors [[graft.ext.Dedup.crossSourceDupMatrix]]. */
+  val crossSourceDupMatrix: String =
+    s"""WITH $dupPairsCtes,
+       |lab AS (
+       |  SELECT least(sa.source, sb.source) AS source_a,
+       |   greatest(sa.source, sb.source) AS source_b
+       |  FROM dup_pairs p
+       |  JOIN documents sa ON p.doc_a = sa.doc_id
+       |  JOIN documents sb ON p.doc_b = sb.doc_id),
+       |m AS (
+       |  SELECT source_a, source_b, count(*) AS n_pairs
+       |  FROM lab GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_pairs_all FROM m)
+       |SELECT source_a, source_b, n_pairs,
+       | source_a = source_b AS within_source,
+       | CAST(n_pairs AS DOUBLE) / CAST(n_pairs_all AS DOUBLE) AS pair_share
+       |FROM m CROSS JOIN tot
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** `CASE` expression labeling an id column with its deterministic
     * train/val/test split — the SQL twin of
     * [[graft.ext.Sampling.splitColumn]] (80/10/10 by portable hash). */

@@ -270,7 +270,16 @@ object SparkEntry {
     "q222_srm_sweep" -> q(t => operators.RobustStats.srmSweep(t)),
     "q223_concurrency_sweep" -> q(t => operators.Timeseries.concurrencySweep(t)),
     "q224_cusum_volume" -> q(t => operators.Timeseries.cusumDailyVolume(t)),
-    "q225_truncated_dim_recall" -> q(t => Similarity.truncatedDimRecall(t)))
+    "q225_truncated_dim_recall" -> q(t => Similarity.truncatedDimRecall(t)),
+    "q226_top_ngram_coverage" -> q(t => TextAnalysis.topNgramCoverage(t)),
+    "q227_roc_auc" -> q(t => operators.NonparametricStats.rocAuc(t)),
+    "q228_label_anova_per_dim" -> q(t => Similarity.labelAnovaPerDim(t)),
+    "q229_blocklist_filter" -> q(t => TextAnalysis.blocklistFilter(t)),
+    "q230_reliability_diagram" -> q(t =>
+      operators.NonparametricStats.reliabilityDiagram(t)),
+    "q231_kmeans_silhouette" -> q(t => graft.ext.Spectral.kmeansSilhouette(t)),
+    "q232_column_stats" -> q(t => DataQuality.columnStatsProfile(t)),
+    "q233_cross_source_dups" -> q(t => Dedup.crossSourceDupMatrix(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -408,6 +417,15 @@ object SparkEntry {
     "q223_concurrency_sweep" -> operators.Timeseries.concurrencySweepSql(),
     "q224_cusum_volume" -> operators.Timeseries.cusumDailyVolumeSql(),
     "q225_truncated_dim_recall" -> Similarity.truncatedDimRecallSql(),
+    "q226_top_ngram_coverage" -> TextAnalysis.topNgramCoverageSql(),
+    "q227_roc_auc" -> operators.NonparametricStats.rocAucSql(),
+    "q228_label_anova_per_dim" -> Similarity.labelAnovaPerDimSql(),
+    "q229_blocklist_filter" -> TextAnalysis.blocklistFilterSql(),
+    "q230_reliability_diagram" ->
+      operators.NonparametricStats.reliabilityDiagramSql(),
+    "q231_kmeans_silhouette" -> graft.ext.Spectral.kmeansSilhouetteSql(),
+    "q232_column_stats" -> DataQuality.columnStatsProfileSql(),
+    "q233_cross_source_dups" -> SketchOracleSql.crossSourceDupMatrix,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

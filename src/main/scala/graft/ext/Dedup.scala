@@ -205,7 +205,7 @@ object Dedup {
     })
   }
 
-  private def minhashDupPairsUnsorted(t: Tables, minJaccard: Double = 0.5,
+  private[ext] def minhashDupPairsUnsorted(t: Tables, minJaccard: Double = 0.5,
                                       portable: Boolean = false,
                                       cap: Int = DefaultBucketCap): DataFrame = {
     val (_, candidates, docs) = lshCandidateArtifacts(t, portable, cap)
@@ -1480,5 +1480,41 @@ object Dedup {
         round(col("n_docs_hi").cast("double") / col("n_split_hi"), 6)
           .as("pct_hi_leaked"))
       .orderBy(rk(col("split_lo")), rk(col("split_hi")))
+  }
+
+  /** q233: cross-source duplication matrix — the q34 near-dup pairs
+    * cross-tabulated by (source, source): which sources copy from which,
+    * and how much of the duplication budget is WITHIN-source (dedup can
+    * run partition-local per source, the q205 question answered at pair
+    * granularity) versus cross-source (needs the global shuffle).
+    * The per-pair view a 100 TB corpus audit reads before deciding the
+    * dedup topology and before renegotiating an upstream feed that turns
+    * out to be a mirror of another.
+    *
+    * Shape: the q34 candidate/verify machinery untouched (salted-capped
+    * buckets, exact-Jaccard verify), two broadcast joins to the doc→source
+    * dim, the matrix aggregate on a |sources|²-bounded frame; pair share
+    * via one window over that bounded frame. Sources are normalized to an
+    * unordered pair (lexicographic least/greatest). */
+  def crossSourceDupMatrix(t: Tables, minJaccard: Double = 0.2,
+      portable: Boolean = true): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    val pairs = minhashDupPairsUnsorted(t, minJaccard, portable)
+      .join(broadcast(src.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(src.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+    pairs
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_all",
+        sum(col("n_pairs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("source_a") === col("source_b")).as("within_source"),
+        (col("n_pairs").cast("double") / col("n_pairs_all").cast("double"))
+          .as("pair_share"))
+      .orderBy(col("source_a"), col("source_b"))
   }
 }

@@ -1796,4 +1796,76 @@ object Similarity {
        |FROM hits CROSS JOIN (VALUES $valuesRows) AS v(dim)
        |ORDER BY v.dim""".stripMargin
   }
+
+  /** q228: per-dimension label-separability sweep — a one-way ANOVA F
+    * statistic of `label` on every embedding dimension (the Fisher-score
+    * feature audit): which dimensions actually carry class signal? The
+    * embedding-QA complement of q225's prefix-recall — q225 asks "do the
+    * leading dims retrieve like the full vector", this asks "which dims
+    * discriminate the labels at all" (the ranking a feature-selection or
+    * dimension-pruning pass consumes).
+    *
+    * The q166 ANOVA kernel applied per dimension: one exploded aggregate
+    * to (dim × label) moment rows — the only corpus-sized pass — then the
+    * SSB/SSW decomposition on that bounded frame, every sum riding the
+    * order-independent decimal `dsum` so DuckDB replays bit-for-bit.
+    * At 100 TB the shuffle is (dim·k) rows of three numbers — centroid-
+    * sized, never data-sized. */
+  def labelAnovaPerDim(t: Tables): DataFrame = {
+    import graft.functions.ExactAgg.dsum
+    val ex = t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"), col("label"), col("x").cast("double").as("v"))
+    val g = ex.groupBy(col("i"), col("label"))
+      .agg(count(lit(1)).as("n_g"), dsum(col("v")).as("s_g"),
+        dsum(col("v") * col("v")).as("q_g"))
+    val tot = g.groupBy(col("i"))
+      .agg(sum(col("n_g")).as("n"), count(lit(1)).as("k"),
+        dsum(col("s_g")).as("s"))
+    val ssb = col("cm") - col("s") * col("s") / col("n")
+    val ssw = col("q") - col("cm")
+    g.join(tot, "i")
+      .select(col("i"), col("n"), col("k"), col("s"), col("q_g"),
+        (col("s_g") * col("s_g") / col("n_g")).as("cm_g"))
+      .groupBy(col("i"))
+      .agg(first(col("n")).as("n"), first(col("k")).as("k"),
+        first(col("s")).as("s"),
+        dsum(col("cm_g")).as("cm"), dsum(col("q_g")).as("q"))
+      .select(col("i"), col("n"), col("k"),
+        round(ssb, 6).as("ssb"), round(ssw, 6).as("ssw"),
+        round((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 6)
+          .as("f_stat"))
+      .orderBy(col("i"))
+  }
+
+  /** The DuckDB mirror of [[labelAnovaPerDim]]. */
+  def labelAnovaPerDimSql(): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH ex AS (
+       |  SELECT CAST(u.i AS INTEGER) - 1 AS i, label,
+       |   CAST(embedding[u.i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |g AS (
+       |  SELECT i, label, count(*) AS n_g,
+       |   ${O.dsum("v")} AS s_g, ${O.dsum("v * v")} AS q_g
+       |  FROM ex GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT i, CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+       |   ${O.dsum("s_g")} AS s
+       |  FROM g GROUP BY 1),
+       |f AS (
+       |  SELECT g.i, tot.n, tot.k, tot.s, g.q_g,
+       |   s_g * s_g / n_g AS cm_g
+       |  FROM g JOIN tot ON g.i = tot.i),
+       |parts AS (
+       |  SELECT i, any_value(n) AS n, any_value(k) AS k, any_value(s) AS s,
+       |   ${O.dsum("cm_g")} AS cm, ${O.dsum("q_g")} AS q
+       |  FROM f GROUP BY 1)
+       |SELECT i, n, k,
+       | round(cm - s * s / n, 6) AS ssb,
+       | round(q - cm, 6) AS ssw,
+       | round(((cm - s * s / n) / (k - 1))
+       |   / ((q - cm) / (n - k)), 6) AS f_stat
+       |FROM parts ORDER BY i""".stripMargin
+  }
 }

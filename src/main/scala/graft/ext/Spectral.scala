@@ -178,7 +178,14 @@ object Spectral {
     * `iters` rounds — the shared core of [[kmeansReport]] (q175, which
     * rolls it up per cluster) and [[clusterExemplars]] (q183, which ranks
     * within each cluster). Same plan as the pre-split q175 body. */
-  def kmeansAssign(t: Tables, k: Int = 8, iters: Int = 3): DataFrame = {
+  def kmeansAssign(t: Tables, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssignTop(t, k, iters, topRanks = 1).drop("rn")
+
+  /** [[kmeansAssign]] keeping the `topRanks` nearest centroids per vector
+    * (with their rank in `rn`) instead of only the winner — rank 2 is the
+    * runner-up centroid the simplified-silhouette eval (q231) needs. */
+  private[graft] def kmeansAssignTop(t: Tables, k: Int, iters: Int,
+      topRanks: Int): DataFrame = {
     val qv = t.embeddings
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -206,17 +213,16 @@ object Spectral {
       .limit(k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
       .localCheckpoint()
-    def assign(c: DataFrame): DataFrame = {
+    def assign(c: DataFrame, ranks: Int): DataFrame = {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
       qv.crossJoin(broadcast(c)) // k rows — a broadcast nested loop by design
         .select(col("vec_id"), col("qv"), col("cid"),
           sqDist(col("qv"), col("cv")).as("dist"))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .drop("rn")
+        .filter(col("rn") <= ranks)
     }
     for (_ <- 1 to iters) {
-      val means = assign(cents)
+      val means = assign(cents, 1)
         .select(col("cid"), posexplode(col("qv")))
         .groupBy(col("cid"), col("pos"))
         .agg(sum(col("col")).as("s"), count(lit(1)).as("c"))
@@ -230,7 +236,65 @@ object Spectral {
         .select(col("cid"), coalesce(col("u.newcv"), col("c.cv")).as("cv"))
         .localCheckpoint() // cut the iterated lineage
     }
-    assign(cents)
+    assign(cents, topRanks)
+  }
+
+  /** q231: simplified silhouette per k-means cluster (the centroid-based
+    * silhouette of Hruschka et al. — a(x) = distance to own centroid,
+    * b(x) = distance to the runner-up centroid, s = (b−a)/max(a,b)) —
+    * the cluster-quality gate a curation pipeline runs before trusting
+    * q175/q183 clusters to drive dedup budgets or exemplar labeling.
+    * True silhouette is all-pairs (quadratic); the centroid form is the
+    * standard scale substitute and needs nothing beyond the distances the
+    * assignment already computed.
+    *
+    * Exactness: a and b are the exact integer squared distances of the
+    * Lloyd assignment; s is one IEEE division of exact operands (0 when
+    * a = b = 0); the per-cluster mean rides dsum. */
+  def kmeansSilhouette(t: Tables, k: Int = 8, iters: Int = 3): DataFrame = {
+    import graft.functions.ExactAgg.dsum
+    val top2 = kmeansAssignTop(t, k, iters, topRanks = 2)
+    val piv = top2.groupBy(col("vec_id"))
+      .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+        max(when(col("rn") === 1, col("dist"))).as("a"),
+        max(when(col("rn") === 2, col("dist"))).as("b"))
+    val s = when(greatest(col("a"), col("b")) === 0, lit(0.0))
+      .otherwise((col("b") - col("a")).cast("double") /
+        greatest(col("a"), col("b")).cast("double"))
+    piv.select(col("cid"), s.as("sil"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), dsum(col("sil")).as("sil_sum"))
+      .select(col("cid"), col("n_members"),
+        round(col("sil_sum") / col("n_members").cast("double"), 6)
+          .as("mean_silhouette"))
+      .orderBy(col("cid"))
+  }
+
+  /** The DuckDB mirror of [[kmeansSilhouette]] — the unrolled Lloyd CTEs
+    * of q175 plus a rank-2 pivot over the final distance frame. */
+  def kmeansSilhouetteSql(k: Int = 8, iters: Int = 3): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH ${kmeansCtesSql(k, iters)},
+       |top2 AS (
+       |  SELECT vec_id, cid, dist,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM fd),
+       |piv AS (
+       |  SELECT vec_id,
+       |   max(CASE WHEN rn = 1 THEN cid END) AS cid,
+       |   max(CASE WHEN rn = 1 THEN dist END) AS a,
+       |   max(CASE WHEN rn = 2 THEN dist END) AS b
+       |  FROM top2 WHERE rn <= 2 GROUP BY 1),
+       |sil AS (
+       |  SELECT cid,
+       |   CASE WHEN greatest(a, b) = 0 THEN 0.0e0
+       |     ELSE CAST(b - a AS DOUBLE) / CAST(greatest(a, b) AS DOUBLE)
+       |   END AS sil
+       |  FROM piv)
+       |SELECT cid, count(*) AS n_members,
+       | round(${O.dsum("sil")} / CAST(count(*) AS DOUBLE), 6)
+       |   AS mean_silhouette
+       |FROM sil GROUP BY 1 ORDER BY cid""".stripMargin
   }
 
   /** q183: cluster exemplar selection — the m most CENTRAL members of

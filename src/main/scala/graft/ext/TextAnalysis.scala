@@ -1827,4 +1827,161 @@ object TextAnalysis {
       |   + CAST(f1 * (f1 - 1) AS DOUBLE)
       |     / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1
       |FROM agg ORDER BY source""".stripMargin
+
+  /** Gopher-rule thresholds (Rae et al. 2021 table A1): max share of a
+    * document's characters the single most frequent n-gram may cover,
+    * in percent — 2-grams 20%, 3-grams 18%, 4-grams 16%. */
+  val TopNgramThresholdPct: Map[Int, Long] = Map(2 -> 20L, 3 -> 18L, 4 -> 16L)
+
+  /** q226: top-n-gram character-coverage filter (the Gopher repetition
+    * rule family) — for n ∈ {2,3,4}, the share of each document's
+    * characters covered by its single most frequent word n-gram
+    * (count × n-gram chars / doc chars), flagged against the published
+    * thresholds. The within-document complement of q61's duplicate-shingle
+    * fraction: q61 catches diffuse repetition, this catches one phrase
+    * looping ("click here to subscribe click here to subscribe…"), the
+    * dominant boilerplate failure in web corpora.
+    *
+    * Shape: the (doc, gram) count aggregate is the TF-IDF shuffle class
+    * (q50) — one shuffle keyed on (doc, n, gram), top gram per (doc, n)
+    * via window on the doc key, then a source-level rollup. The flag is an
+    * exact integer cross-multiplication (100·count·len(gram) > pct·len
+    * (doc)) — no float until the final share ratio. Tie-break: highest
+    * count, then lexicographically smallest gram (both engines sort ASCII
+    * identically). */
+  def topNgramCoverage(t: Tables, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    val base = t.documents.select(
+      Seq(col("doc_id"), col("source"),
+        length(trim(col("text"))).as("n_text_chars")) ++
+      ns.map(n => graft.functions.ShingleExpression
+        .wordShingles(tokens(col("text")), n).as(s"sh_$n")): _*)
+    val grams = ns.map(n =>
+      base.select(col("doc_id"), col("source"), col("n_text_chars"),
+        lit(n).as("n"), explode(col(s"sh_$n")).as("gram")))
+      .reduce(_ unionAll _)
+    val counts = grams
+      .groupBy(col("doc_id"), col("source"), col("n_text_chars"), col("n"),
+        col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val wTop = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("c").desc, col("gram"))
+    val thr = ns.tail.foldLeft(
+      when(col("n") === ns.head, lit(TopNgramThresholdPct(ns.head)))) {
+      (acc, n) => acc.when(col("n") === n, lit(TopNgramThresholdPct(n)))
+    }
+    val top = counts
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .withColumn("flagged",
+        lit(100L) * col("c") * length(col("gram")) > thr * col("n_text_chars"))
+    top
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n"), col("n_docs"), col("n_flagged"),
+        (col("n_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("flag_share"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  /** The DuckDB mirror of [[topNgramCoverage]] — shingles replayed per n
+    * with the q61 CTE generalized to k (short docs emit one whole-doc
+    * shingle, exactly the native expression's contract). */
+  def topNgramCoverageSql(ns: Seq[Int] = Seq(2, 3, 4)): String = {
+    def gramsFor(n: Int) =
+      s"""  SELECT doc_id, source, n_text_chars, $n AS n,
+         |   unnest(CASE WHEN len(tks) < $n THEN [array_to_string(tks, ' ')]
+         |     ELSE list_transform(range(1, len(tks) - ${n - 2}),
+         |            i -> array_to_string(tks[i:i+${n - 1}], ' ')) END) AS gram
+         |  FROM tk""".stripMargin
+    val union = ns.map(gramsFor).mkString("\n  UNION ALL\n")
+    val thrCase = ns.map(n =>
+      s"WHEN $n THEN ${TopNgramThresholdPct(n)}").mkString(" ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, length(trim(text)) AS n_text_chars,
+       |   string_split_regex(trim(text), '\\s+') AS tks
+       |  FROM documents),
+       |grams AS (
+       |$union),
+       |counts AS (
+       |  SELECT doc_id, source, n_text_chars, n, gram, count(*) AS c
+       |  FROM grams GROUP BY 1, 2, 3, 4, 5),
+       |top AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rk
+       |  FROM counts),
+       |flagged AS (
+       |  SELECT source, n,
+       |   100 * c * length(gram) >
+       |     (CASE n $thrCase END) * n_text_chars AS flagged
+       |  FROM top WHERE rk = 1)
+       |SELECT source, n, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       | CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) AS flag_share
+       |FROM flagged GROUP BY 1, 2 ORDER BY source, n""".stripMargin
+  }
+
+  /** Stand-in blocklist over the fixture's vocabulary; a production list
+    * (C4's "List of Dirty, Naughty …" etc.) is config, not code. */
+  val DefaultBlocklist: Seq[String] = Seq("slow", "error", "big")
+
+  /** q229: token-blocklist filter report (the C4 rule, Raffel et al. 2020
+    * §2.2: drop any document containing a blocklisted word) — per source:
+    * documents dropped, total blocklist hits, and the token mass removed.
+    * The word-level complement of q63's pattern-level PII redaction; in a
+    * curation pipeline this report is what decides whether a source is
+    * worth keeping at all before per-doc filtering starts.
+    *
+    * Shape: one token explode + a doc-keyed count aggregate (the q50
+    * shuffle class), membership against a broadcast literal list (never a
+    * join — the list is code/config-sized), then a source-sized rollup.
+    * Everything integer until the final share ratios. */
+  def blocklistFilter(t: Tables,
+      words: Seq[String] = DefaultBlocklist): DataFrame = {
+    val toks = t.documents.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).as("n_tokens"),
+      explode(tokens(lower(col("text")))).as("w"))
+    val perDoc = toks
+      .groupBy(col("doc_id"), col("source"), col("n_tokens"))
+      .agg(sum(when(col("w").isInCollection(words), 1L).otherwise(0L))
+        .as("n_hits"))
+      .withColumn("dropped", col("n_hits") > 0)
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_hits")).as("total_hits"),
+        sum(when(col("dropped"), col("n_tokens")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("total_hits"), col("tokens_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs").cast("double"))
+          .as("drop_share"))
+      .orderBy(col("source"))
+  }
+
+  /** The DuckDB mirror of [[blocklistFilter]]. */
+  def blocklistFilterSql(words: Seq[String] = DefaultBlocklist): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |   unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |per_doc AS (
+       |  SELECT doc_id, source, n_tokens,
+       |   CAST(sum(CASE WHEN w IN ($list) THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_hits
+       |  FROM toks GROUP BY 1, 2, 3)
+       |SELECT source, count(*) AS n_docs,
+       | CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_dropped,
+       | CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       | CAST(sum(CASE WHEN n_hits > 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+       |   AS tokens_dropped,
+       | CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / CAST(count(*) AS DOUBLE) AS drop_share
+       |FROM per_doc GROUP BY 1 ORDER BY source""".stripMargin
+  }
 }

@@ -436,4 +436,79 @@ object DataQuality {
       | CAST(2 * siw - (n_docs + 1) * total_tokens AS DOUBLE)
       |   / CAST(n_docs * total_tokens AS DOUBLE) AS gini
       |FROM agg ORDER BY source""".stripMargin
+
+  /** The q232 column set over `lineitem`, each with its long-domain
+    * mapping for the KMV hash: keys hash directly; measure doubles hash
+    * their micro-unit quantization (a long cast would collapse e.g. every
+    * l_discount ∈ [0, 0.1) to 0). */
+  private val ProfileColumns: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> false, "l_partkey" -> false, "l_suppkey" -> false,
+    "l_quantity" -> true, "l_extendedprice" -> true,
+    "l_discount" -> true, "l_tax" -> true)
+
+  /** q232: column-statistics profile — the ANALYZE TABLE pass a
+    * cost-based optimizer (and every data catalog) runs per table: row
+    * count, per-column null count, distinct-count estimate, and min/max.
+    * NDV rides the q40 KMV bottom-k sketch (deterministic, mergeable,
+    * layout-independent — the production answer; the exact form would
+    * plan one Expand replica per column), so the whole profile is ONE
+    * pass over the table with a single tiny aggregate row, unpivoted to
+    * a row per column.
+    *
+    * min/max are surfaced as DOUBLE for the unified long-format schema —
+    * exact for every fixture domain (|key| < 2^53) and for quantized
+    * measures by construction. */
+  def columnStatsProfile(t: Tables, k: Int = 256): DataFrame = {
+    import graft.functions.KmvSketch
+    KmvSketch.register(t.spark)
+    def domain(name: String, micro: Boolean): Column =
+      if (micro) round(col(name) * lit(1000000), 0).cast("long")
+      else col(name).cast("long")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++
+      ProfileColumns.flatMap { case (c, micro) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        KmvSketch.kmvDistinctNative(
+          KmvSketch.hash31(domain(c, micro)), k).as(s"ndv_$c"),
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+      }
+    val one = t.lineitem.agg(aggs.head, aggs.tail: _*)
+    one.select(col("n_rows"),
+        explode(array(ProfileColumns.map { case (c, _) =>
+          struct(lit(c).as("column_name"), col(s"nn_$c").as("n_null"),
+            col(s"ndv_$c").as("ndv_est"), col(s"min_$c").as("min_val"),
+            col(s"max_$c").as("max_val"))
+        }: _*)).as("kv"))
+      .select(col("kv.column_name").as("column_name"), col("n_rows"),
+        col("kv.n_null").as("n_null"), col("kv.ndv_est").as("ndv_est"),
+        col("kv.min_val").as("min_val"), col("kv.max_val").as("max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  /** The DuckDB mirror of [[columnStatsProfile]]. */
+  def columnStatsProfileSql(k: Int = 256): String = {
+    import graft.functions.KmvSketch
+    def domain(name: String, micro: Boolean): String =
+      if (micro) s"CAST(round($name * 1000000, 0) AS BIGINT)"
+      else s"CAST($name AS BIGINT)"
+    val aggCols = ProfileColumns.map { case (c, micro) =>
+      s"""   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS nn_$c,
+         |   ${KmvSketch.estimateSql(
+               KmvSketch.hash31Sql(domain(c, micro)), k)} AS ndv_$c,
+         |   CAST(min($c) AS DOUBLE) AS min_$c,
+         |   CAST(max($c) AS DOUBLE) AS max_$c""".stripMargin
+    }.mkString(",\n")
+    val rows = ProfileColumns.map { case (c, _) =>
+      s"  SELECT '$c' AS column_name, n_rows, nn_$c AS n_null," +
+        s" ndv_$c AS ndv_est, min_$c AS min_val, max_$c AS max_val FROM one"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH one AS MATERIALIZED (
+       |  SELECT count(*) AS n_rows,
+       |$aggCols
+       |  FROM lineitem)
+       |SELECT * FROM (
+       |$rows)
+       |ORDER BY column_name""".stripMargin
+  }
 }

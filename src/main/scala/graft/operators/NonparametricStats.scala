@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import graft.ext.{Sampling, TextAnalysis}
+import graft.functions.ExactAgg.dsum
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -416,5 +417,171 @@ object NonparametricStats {
       | ov_${depth / 2} AS overlap_at_half, ov_$depth AS overlap_at_k,
       | $chain AS rbo
       |FROM ov ORDER BY source""".stripMargin
+  }
+
+  /** q227: ROC curve + exact AUC for `value` as a one-feature classifier
+    * of the purchase event — the eval a pipeline runs on ANY scored
+    * filter (quality score, dedup similarity, perplexity) before picking
+    * its operating threshold: TPR/FPR at a grid of thresholds plus the
+    * threshold-free AUC. q212's Mann–Whitney U IS the AUC up to scaling
+    * (AUC = U/(P·N)); this query reports the curve around it.
+    *
+    * Everything heavy is exact: scores quantize to micro-units (the
+    * repo-wide 1e6 convention), the per-score count frame is the q213
+    * ECDF shuffle, 2U accumulates as one BIGINT over that frame
+    * (2U = Σ_v p_v·(2·negs_below + negs_at)), and each curve point is a
+    * conditional sum over the count frame against a broadcast 21-row
+    * threshold grid (thresholds are integer-spaced between the observed
+    * min and max). P, N, lo, hi ride the driver-scalar pattern (1-row
+    * aggregate, the q224 doctrine); 2·P·N is guarded against int64. */
+  def rocAuc(t: Tables, positive: String = "purchase",
+      nThr: Int = 20): DataFrame = {
+    val scored = t.events.select(
+      round(col("value") * lit(1000000), 0).cast("long").as("li"),
+      when(col("event_type") === positive, 1L).otherwise(0L).as("pos"))
+    val cnt = scored.groupBy(col("li"))
+      .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    val tr = cnt.agg(sum(col("n_pos")), sum(col("n_neg")),
+      min(col("li")), max(col("li"))).head()
+    val (p, nn, lo, hi) =
+      (tr.getLong(0), tr.getLong(1), tr.getLong(2), tr.getLong(3))
+    require(p > 0 && nn > 0, s"rocAuc needs both classes (P=$p, N=$nn)")
+    require(p <= Long.MaxValue / (2L * nn),
+      s"rocAuc: 2·P·N exceeds int64 (P=$p, N=$nn)")
+    val (pD, nD) = (p.toDouble, nn.toDouble)
+    val u2 = cnt
+      .withColumn("cum_neg_le",
+        sum(col("n_neg")).over(Window.orderBy(col("li"))))
+      .agg(sum(col("n_pos") *
+        (lit(2L) * (col("cum_neg_le") - col("n_neg")) + col("n_neg")))
+        .as("u2"))
+    val thrDf = t.spark.range(1).select(
+      explode(array((0 to nThr).map(i => struct(lit(i).as("i"),
+        lit(lo + (hi - lo) * i / nThr).as("thr"))): _*)).as("kv"))
+      .select(col("kv.i").as("i"), col("kv.thr").as("thr"))
+    cnt.join(broadcast(thrDf), col("li") >= col("thr"))
+      .groupBy(col("i"), col("thr"))
+      .agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("fp"))
+      .crossJoin(broadcast(u2))
+      .select(col("i"), col("thr").as("thr_micro"),
+        col("tp"), col("fp"),
+        (lit(p) - col("tp")).as("fn"), (lit(nn) - col("fp")).as("tn"),
+        (col("tp").cast("double") / lit(pD)).as("tpr"),
+        (col("fp").cast("double") / lit(nD)).as("fpr"),
+        (col("u2").cast("double") / lit(2.0 * pD * nD)).as("auc"))
+      .orderBy(col("i"))
+  }
+
+  /** The DuckDB mirror of [[rocAuc]] — totals/bounds come from SQL CTEs
+    * instead of the driver scalars, same integer curve and 2U. */
+  def rocAucSql(positive: String = "purchase", nThr: Int = 20): String =
+    s"""WITH scored AS (
+       |  SELECT CAST(round(value * 1000000, 0) AS BIGINT) AS li,
+       |   CASE WHEN event_type = '$positive' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |cnt AS (
+       |  SELECT li, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |   CAST(sum(1 - pos) AS BIGINT) AS n_neg
+       |  FROM scored GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+       |   CAST(sum(n_neg) AS BIGINT) AS nn,
+       |   min(li) AS lo, max(li) AS hi
+       |  FROM cnt),
+       |cum AS (
+       |  SELECT li, n_pos, n_neg,
+       |   CAST(sum(n_neg) OVER (ORDER BY li) AS BIGINT) AS cum_neg_le
+       |  FROM cnt),
+       |u AS (
+       |  SELECT CAST(sum(n_pos * (2 * (cum_neg_le - n_neg) + n_neg))
+       |     AS BIGINT) AS u2
+       |  FROM cum),
+       |thr AS (
+       |  SELECT CAST(t.i AS INTEGER) AS i,
+       |   lo + ((hi - lo) * t.i) // $nThr AS thr
+       |  FROM tot, unnest(range(0, ${nThr + 1})) AS t(i)),
+       |curve AS (
+       |  SELECT i, thr, CAST(sum(n_pos) AS BIGINT) AS tp,
+       |   CAST(sum(n_neg) AS BIGINT) AS fp
+       |  FROM thr JOIN cnt ON li >= thr GROUP BY 1, 2)
+       |SELECT i, thr AS thr_micro, tp, fp,
+       | p - tp AS fn, nn - fp AS tn,
+       | CAST(tp AS DOUBLE) / CAST(p AS DOUBLE) AS tpr,
+       | CAST(fp AS DOUBLE) / CAST(nn AS DOUBLE) AS fpr,
+       | CAST(u2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(nn AS DOUBLE))
+       |   AS auc
+       |FROM curve CROSS JOIN tot CROSS JOIN u
+       |ORDER BY i""".stripMargin
+
+  /** q230: reliability diagram + expected calibration error for the q227
+    * score — the calibration half of a classifier audit (ROC asks "does
+    * the ranking work", this asks "does the score's MAGNITUDE mean what
+    * it claims"). Scores min-max-normalize to [0,1] confidences, rows fall
+    * into `nBuckets` equal-width integer buckets, and each bucket reports
+    * mean confidence vs empirical positive rate; ECE = Σ (n_b/N)·
+    * |rate_b − conf_b| (Naeini et al. 2015).
+    *
+    * Exactness: bucket ids are one integer expression ((li−lo)·B DIV
+    * span); per-row confidences are a single exact-operand IEEE division;
+    * bucket sums ride dsum; the ECE fold is a dsum over the ≤ B-row
+    * bucket frame, so no float sum ever depends on row order. lo/hi ride
+    * the driver-scalar pattern (q224/q227). */
+  def reliabilityDiagram(t: Tables, positive: String = "purchase",
+      nBuckets: Int = 10): DataFrame = {
+    val scored = t.events.select(
+      round(col("value") * lit(1000000), 0).cast("long").as("li"),
+      when(col("event_type") === positive, 1L).otherwise(0L).as("pos"))
+    val br = scored.agg(min(col("li")), max(col("li"))).head()
+    val (lo, hi) = (br.getLong(0), br.getLong(1))
+    require(hi > lo, s"reliabilityDiagram needs score spread (lo=$lo hi=$hi)")
+    val span = hi - lo + 1
+    val agg = scored
+      .select(
+        expr(s"CAST(((li - $lo) * $nBuckets) div $span AS INT)").as("b"),
+        col("pos"),
+        ((col("li") - lit(lo)).cast("double") / lit((hi - lo).toDouble))
+          .as("conf"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        dsum(col("conf")).as("conf_sum"))
+      .select(col("b"), col("n"), col("n_pos"),
+        round(col("conf_sum") / col("n").cast("double"), 6).as("mean_conf"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+    val tot = agg.agg(sum(col("n")).as("n_all"))
+    val ece = agg.crossJoin(broadcast(tot))
+      .agg(dsum(abs(col("pos_rate") - col("mean_conf")) *
+        col("n").cast("double") / col("n_all").cast("double")).as("ece"))
+    agg.crossJoin(broadcast(ece)).orderBy(col("b"))
+  }
+
+  /** The DuckDB mirror of [[reliabilityDiagram]]. */
+  def reliabilityDiagramSql(positive: String = "purchase",
+      nBuckets: Int = 10): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH scored AS (
+       |  SELECT CAST(round(value * 1000000, 0) AS BIGINT) AS li,
+       |   CASE WHEN event_type = '$positive' THEN 1 ELSE 0 END AS pos
+       |  FROM events),
+       |bounds AS (SELECT min(li) AS lo, max(li) AS hi FROM scored),
+       |rows0 AS (
+       |  SELECT CAST(((li - lo) * $nBuckets) // (hi - lo + 1) AS INTEGER)
+       |     AS b,
+       |   pos, CAST(li - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) AS conf
+       |  FROM scored CROSS JOIN bounds),
+       |agg AS (
+       |  SELECT b, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+       |   round(${O.dsum("conf")} / CAST(count(*) AS DOUBLE), 6)
+       |     AS mean_conf,
+       |   CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+       |  FROM rows0 GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM agg),
+       |e AS (
+       |  SELECT ${O.dsum(
+             "abs(pos_rate - mean_conf) * CAST(n AS DOUBLE) " +
+               "/ CAST(n_all AS DOUBLE)")} AS ece
+       |  FROM agg CROSS JOIN tot)
+       |SELECT b, n, n_pos, mean_conf, pos_rate, ece
+       |FROM agg CROSS JOIN e ORDER BY b""".stripMargin
   }
 }

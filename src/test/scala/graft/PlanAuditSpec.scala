@@ -332,7 +332,10 @@ class PlanAuditSpec extends SparkSpec {
     "q210_distinctive_terms",       // 1-row grand-total frame
     "q219_post_stratified",         // 1-row population-total frame
     "q220_permutation_test",        // 1-row observed-split frame
-    "q225_truncated_dim_recall")    // broadcast nEval-row query-vector frame
+    "q225_truncated_dim_recall",    // broadcast nEval-row query-vector frame
+    "q227_roc_auc",                 // broadcast 21-row threshold grid + 1-row 2U frame
+    "q230_reliability_diagram",     // 1-row bucket-total + 1-row ECE frames
+    "q231_kmeans_silhouette")       // broadcast k-row centroid frame (q175's core)
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -585,7 +588,24 @@ class PlanAuditSpec extends SparkSpec {
     // daily agg + the bounded single-partition chart windows
     "q224_cusum_volume" -> 2,
     // query_id rank windows (one exchange, a sort per ordering) + 1-row agg
-    "q225_truncated_dim_recall" -> 2)
+    "q225_truncated_dim_recall" -> 2,
+    // (doc,n,gram) count shuffle + doc-key window + source rollup + sort
+    "q226_top_ngram_coverage" -> 4,
+    // score-count shuffle + U window + curve agg + presentation sort
+    "q227_roc_auc" -> 5,
+    // (dim,label) moment shuffle + dim-keyed join/aggs on the bounded frame
+    "q228_label_anova_per_dim" -> 5,
+    // (doc) hit-count shuffle + source rollup + sort
+    "q229_blocklist_filter" -> 3,
+    // bucket agg + the two bounded ECE frames + presentation sort
+    "q230_reliability_diagram" -> 6,
+    // Lloyd rounds' (cid,dim) aggs + vec pivot + cluster rollup (q175's 3)
+    "q231_kmeans_silhouette" -> 3,
+    // ONE pass: the single tiny profile-row aggregate (KMV per column)
+    "q232_column_stats" -> 1,
+    // q34's shuffles collapse into the salted-bucket self-join; matrix
+    // agg + window ride the bounded frame
+    "q233_cross_source_dups" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
