@@ -279,7 +279,9 @@ object SparkEntry {
       operators.NonparametricStats.reliabilityDiagram(t)),
     "q231_kmeans_silhouette" -> q(t => graft.ext.Spectral.kmeansSilhouette(t)),
     "q232_column_stats" -> q(t => DataQuality.columnStatsProfile(t)),
-    "q233_cross_source_dups" -> q(t => Dedup.crossSourceDupMatrix(t)))
+    "q233_cross_source_dups" -> q(t => Dedup.crossSourceDupMatrix(t)),
+    "q234_time_to_convert" -> q(t => operators.Timeseries.timeToConvert(t)),
+    "q235_overdispersion" -> q(t => operators.Timeseries.overdispersionAudit(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -426,6 +428,8 @@ object SparkEntry {
     "q231_kmeans_silhouette" -> graft.ext.Spectral.kmeansSilhouetteSql(),
     "q232_column_stats" -> DataQuality.columnStatsProfileSql(),
     "q233_cross_source_dups" -> SketchOracleSql.crossSourceDupMatrix,
+    "q234_time_to_convert" -> operators.Timeseries.timeToConvertSql(),
+    "q235_overdispersion" -> operators.Timeseries.overdispersionAuditSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

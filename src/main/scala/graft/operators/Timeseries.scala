@@ -219,4 +219,134 @@ object Timeseries {
        |SELECT day, x AS n_events, s_hi, s_lo,
        | s_hi > h AS alarm_hi, s_lo > h AS alarm_lo
        |FROM chart ORDER BY day""".stripMargin
+
+  /** q234: time-to-convert distribution — for every user who purchases
+    * strictly after their first view (the q218 stage rule), the
+    * view→purchase latency, summarized as exact order statistics. The
+    * metric a growth/funnel dashboard pairs with q218's conversion rates:
+    * not just HOW MANY convert but HOW FAST.
+    *
+    * Exactness: latencies are exact BIGINT µs deltas; p50/p90 are
+    * percentile_disc — SELECTION, not interpolation, hence bit-portable
+    * (the q51 contract) — over the deltas widened to double (both engines
+    * return DOUBLE then); the mean is one division of exact operands.
+    * Shape: two user-keyed aggregates and one global summary row — the
+    * q218 shuffle profile. */
+  def timeToConvert(t: Tables, fromType: String = "view",
+      toType: String = "purchase"): DataFrame = {
+    val v = t.events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t0"))
+    val p = t.events.filter(col("event_type") === toType)
+      .select(col("user_id"), unix_micros(col("ts")).as("tp"))
+    val deltas = p.join(v, "user_id")
+      .filter(col("tp") > col("t0"))
+      .groupBy(col("user_id"), col("t0"))
+      .agg(min(col("tp")).as("t1"))
+      .select((col("t1") - col("t0")).as("d"))
+    // the mean's sum stays BIGINT (µs deltas summed as doubles would pass
+    // 2^53 at scale and turn order-dependent); only the selection
+    // percentiles widen to double, where every value is exact
+    deltas.agg(
+      count(lit(1)).as("n_converted"),
+      min(col("d")).as("min_us"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(d AS DOUBLE))")
+        .as("p50_us"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY CAST(d AS DOUBLE))")
+        .as("p90_us"),
+      max(col("d")).as("max_us"),
+      (sum(col("d")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_us"))
+  }
+
+  /** The DuckDB mirror of [[timeToConvert]]. */
+  def timeToConvertSql(fromType: String = "view",
+      toType: String = "purchase"): String =
+    s"""WITH v AS (
+       |  SELECT user_id, epoch_us(min(ts)) AS t0 FROM events
+       |  WHERE event_type = '$fromType' GROUP BY 1),
+       |conv AS (
+       |  SELECT e.user_id, v.t0, min(epoch_us(e.ts)) AS t1
+       |  FROM events e JOIN v USING (user_id)
+       |  WHERE e.event_type = '$toType' AND epoch_us(e.ts) > v.t0
+       |  GROUP BY 1, 2),
+       |d AS (SELECT CAST(t1 - t0 AS BIGINT) AS d FROM conv)
+       |SELECT count(*) AS n_converted,
+       | min(d) AS min_us,
+       | quantile_disc(CAST(d AS DOUBLE), 0.5) AS p50_us,
+       | quantile_disc(CAST(d AS DOUBLE), 0.9) AS p90_us,
+       | max(d) AS max_us,
+       | CAST(CAST(sum(d) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |   AS mean_us
+       |FROM d""".stripMargin
+
+  /** q235: hourly-volume overdispersion audit (the Poisson dispersion
+    * index) — per event type, the variance-to-mean ratio of hourly counts
+    * over the DENSE hour grid (missing hours are real zeros, the q96/q167
+    * doctrine). D ≈ 1 says arrivals are Poisson-ish and rate alarms can
+    * use √λ bands; D ≫ 1 (bursty traffic, bot storms, batch replays)
+    * says they can't — this is the audit that VALIDATES q224's chart
+    * parameterization per stream.
+    *
+    * Exactness: D = (H·Σc² − T²)/((H−1)·T) — numerator and denominator
+    * exact BIGINTs from one (type, hour) count pass; the burst flag
+    * (D > 2) compares integers cross-multiplied, no float anywhere until
+    * the two reported ratios. */
+  def overdispersionAudit(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val bounds = t.events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val grid = t.events.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("h"))
+    val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), coalesce(col("c"), lit(0L)).as("c"))
+    dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("ss"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        (col("n_events").cast("double") / col("n_hours").cast("double"))
+          .as("mean_per_hour"),
+        ((col("n_hours") * col("ss") - col("n_events") * col("n_events"))
+          .cast("double") /
+          ((col("n_hours") - 1) * col("n_events")).cast("double"))
+          .as("dispersion"),
+        (col("n_hours") * col("ss") - col("n_events") * col("n_events") >
+          lit(2L) * (col("n_hours") - 1) * col("n_events")).as("bursty"))
+      .orderBy(col("event_type"))
+  }
+
+  /** The DuckDB mirror of [[overdispersionAudit]]. */
+  def overdispersionAuditSql(): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT date_trunc('hour', min(ts)) AS h0,
+       |   date_trunc('hour', max(ts)) AS h1
+       |  FROM events),
+       |grid AS (
+       |  SELECT t.event_type, g.h
+       |  FROM (SELECT DISTINCT event_type FROM events) t
+       |  CROSS JOIN bounds,
+       |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g(h)),
+       |dense AS (
+       |  SELECT g.event_type, coalesce(c, 0) AS c
+       |  FROM grid g LEFT JOIN hourly USING (event_type, h)),
+       |agg AS (
+       |  SELECT event_type, count(*) AS n_hours,
+       |   CAST(sum(c) AS BIGINT) AS n_events,
+       |   CAST(sum(c * c) AS BIGINT) AS ss
+       |  FROM dense GROUP BY 1)
+       |SELECT event_type, n_hours, n_events,
+       | CAST(n_events AS DOUBLE) / CAST(n_hours AS DOUBLE) AS mean_per_hour,
+       | CAST(n_hours * ss - n_events * n_events AS DOUBLE)
+       |   / CAST((n_hours - 1) * n_events AS DOUBLE) AS dispersion,
+       | n_hours * ss - n_events * n_events
+       |   > 2 * (n_hours - 1) * n_events AS bursty
+       |FROM agg ORDER BY event_type""".stripMargin
 }

@@ -335,7 +335,8 @@ class PlanAuditSpec extends SparkSpec {
     "q225_truncated_dim_recall",    // broadcast nEval-row query-vector frame
     "q227_roc_auc",                 // broadcast 21-row threshold grid + 1-row 2U frame
     "q230_reliability_diagram",     // 1-row bucket-total + 1-row ECE frames
-    "q231_kmeans_silhouette")       // broadcast k-row centroid frame (q175's core)
+    "q231_kmeans_silhouette",       // broadcast k-row centroid frame (q175's core)
+    "q235_overdispersion")          // 1-row (h0,h1) hour-bounds frame (q96's shape)
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -605,7 +606,11 @@ class PlanAuditSpec extends SparkSpec {
     "q232_column_stats" -> 1,
     // q34's shuffles collapse into the salted-bucket self-join; matrix
     // agg + window ride the bounded frame
-    "q233_cross_source_dups" -> 2)
+    "q233_cross_source_dups" -> 2,
+    // first-view agg + join-side + one global summary row
+    "q234_time_to_convert" -> 3,
+    // (type,hour) count + dense-grid join + type rollup + sort
+    "q235_overdispersion" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -183,4 +183,62 @@ class TimeseriesSpec extends SparkSpec {
     val byDim = actual.toSeq.sortBy(_._1).map(_._3)
     assert(byDim.last >= byDim.head)
   }
+
+  private def typedEventMicros(t: Tables): Seq[(Long, String, Long)] =
+    t.events.select(col("user_id"), col("event_type"), col("ts")).collect()
+      .map { r =>
+        val ts = r.getAs[java.sql.Timestamp]("ts")
+        (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+      }.toSeq
+
+  test("q234: replica parity — first-view→first-purchase latencies") {
+    val t = sf("sf0.01")
+    val ev = typedEventMicros(t)
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1)
+      .view.mapValues(_.map(_._3).min).toMap
+    val deltas = ev.filter(_._2 == "purchase")
+      .filter(e => firstView.get(e._1).exists(e._3 > _))
+      .groupBy(_._1)
+      .map { case (u, es) => es.map(_._3).min - firstView(u) }
+      .toSeq.sorted
+    def pDisc(p: Double): Double =
+      deltas(math.ceil(p * deltas.size).toInt - 1).toDouble
+    val row = Timeseries.timeToConvert(t).collect().head
+    assert(row.getAs[Long]("n_converted") == deltas.size.toLong)
+    assert(row.getAs[Long]("min_us") == deltas.head)
+    assert(row.getAs[Long]("max_us") == deltas.last)
+    assert(bits(row.getAs[Double]("p50_us")) == bits(pDisc(0.5)))
+    assert(bits(row.getAs[Double]("p90_us")) == bits(pDisc(0.9)))
+    assert(bits(row.getAs[Double]("mean_us")) ==
+      bits(deltas.sum.toDouble / deltas.size.toDouble))
+    assert(deltas.nonEmpty)
+  }
+
+  test("q235: replica parity — dense-grid dispersion index per type") {
+    val t = sf("sf0.01")
+    val ev = typedEventMicros(t)
+    val HourUs = 3600L * 1000000
+    val h0 = Math.floorDiv(ev.map(_._3).min, HourUs)
+    val h1 = Math.floorDiv(ev.map(_._3).max, HourUs)
+    val nHours = h1 - h0 + 1
+    val expected = ev.groupBy(_._2).map { case (tp, es) =>
+      val byHour = es.groupBy(e => Math.floorDiv(e._3, HourUs))
+        .view.mapValues(_.size.toLong).toMap
+      val cs = (h0 to h1).map(h => byHour.getOrElse(h, 0L))
+      val tot = cs.sum
+      val ss = cs.map(c => c * c).sum
+      val num = nHours * ss - tot * tot
+      val den = (nHours - 1) * tot
+      (tp, nHours, tot, bits(tot.toDouble / nHours.toDouble),
+        bits(num.toDouble / den.toDouble), num > 2 * den)
+    }.toSet
+    val actual = Timeseries.overdispersionAudit(t).collect().map { r =>
+      (r.getAs[String]("event_type"), r.getAs[Long]("n_hours"),
+        r.getAs[Long]("n_events"), bits(r.getAs[Double]("mean_per_hour")),
+        bits(r.getAs[Double]("dispersion")), r.getAs[Boolean]("bursty"))
+    }.toSet
+    assert(actual == expected)
+    assert(actual.size == 5)
+  }
 }
