@@ -292,16 +292,28 @@ object FuzzyJoin {
     *
     * Scale shape: u-tables are three value-frequency aggregates (narrow,
     * corpus-linear) collapsing to 1-row frames broadcast into the pair
-    * scorer; pair space is bounded by the blocking key's bucket sizes
-    * (the FS discipline: at 100 TB you add blocking fields — each
-    * multiplies the bucket count — never relax to all-pairs). */
+    * scorer. Pair space: blocks at a FIXED key cardinality grow linearly
+    * with the corpus, so raw in-block pairs grow quadratically — the r7
+    * sf1 run measured exactly that (16.5× at 10× data). Blocks are
+    * therefore salt-capped at `blockCap` members via the q34 machinery
+    * ([[Dedup.saltedBuckets]]): a deterministic hash splits an oversized
+    * block into ⌈n/cap⌉ sub-blocks and pairs are scored within sub-blocks
+    * only — O(cap·n) pairs per block, the standard web-scale linkage
+    * contract (recall inside degenerate blocks traded for bounded work;
+    * production recovers it by adding blocking passes, not by unbounding
+    * one). */
   def fellegiSunter(t: Tables, mPct: Int = 90, upper: Double = 30.0,
-                    lower: Double = 1.0): DataFrame = {
-    val p = t.part.select(col("p_partkey"), col("p_brand"), col("p_size"),
+                    lower: Double = 1.0, blockCap: Int = 64): DataFrame = {
+    val base = t.part.select(col("p_partkey"), col("p_brand"), col("p_size"),
       col("p_type"), substring_index(col("p_name"), " ", 1).as("stem"),
       floor(col("p_retailprice") / 100.0).cast("long").as("band"))
+    // the salted block table is the linkage's index artifact — build it
+    // once (both self-join sides read it; in production it is a persisted
+    // table, the lshCandidateArtifacts pattern)
+    val p = Dedup.saltedBuckets(base, Seq("p_brand", "p_size"), "p_partkey",
+      blockCap).localCheckpoint()
     def uStats(c: Column, name: String): DataFrame =
-      p.groupBy(c.as("v")).agg(count(lit(1)).as("c"))
+      base.groupBy(c.as("v")).agg(count(lit(1)).as("c"))
         .agg(sum(col("c") * col("c")).as(s"${name}_num"),
           (sum(col("c")) * sum(col("c"))).as(s"${name}_den"))
     val u = uStats(col("p_type"), "ut")
@@ -318,6 +330,7 @@ object FuzzyJoin {
     val pairs = a.join(b,
         col("a.p_brand") === col("b.p_brand") &&
           col("a.p_size") === col("b.p_size") &&
+          col("a.salt") === col("b.salt") &&
           col("a.p_partkey") < col("b.p_partkey"))
       .crossJoin(broadcast(u))
       .select(
@@ -342,20 +355,28 @@ object FuzzyJoin {
       .orderBy(col("key_a"), col("key_b"))
   }
 
-  /** The DuckDB mirror of [[fellegiSunter]]. */
+  /** The DuckDB mirror of [[fellegiSunter]] — including the salt cap. */
   def fellegiSunterSql(mPct: Int = 90, upper: Double = 30.0,
-                       lower: Double = 1.0): String = {
+                       lower: Double = 1.0, blockCap: Int = 64): String = {
     def ratio(agree: String, num: String, den: String): String =
       s"""CASE WHEN $agree
          |  THEN CAST($mPct * $den AS DOUBLE)
          |     / CAST(100 * $num AS DOUBLE)
          |  ELSE CAST(${100 - mPct} * $den AS DOUBLE)
          |     / CAST(100 * ($den - $num) AS DOUBLE) END""".stripMargin
-    s"""WITH p AS (
+    s"""WITH p0 AS (
        |  SELECT p_partkey, p_brand, p_size, p_type,
        |   string_split(p_name, ' ')[1] AS stem,
        |   CAST(floor(p_retailprice / 100.0) AS BIGINT) AS band
        |  FROM part),
+       |bsz AS (
+       |  SELECT p_brand, p_size, count(*) AS bucket_n
+       |  FROM p0 GROUP BY 1, 2),
+       |p AS (
+       |  SELECT p0.*,
+       |   (${graft.ext.Sampling.splitHashSql("p_partkey")})
+       |     % ((bucket_n + ${blockCap - 1}) // $blockCap) AS salt
+       |  FROM p0 JOIN bsz USING (p_brand, p_size)),
        |ut AS (
        |  SELECT CAST(sum(c * c) AS BIGINT) AS ut_num,
        |   CAST(sum(c) * sum(c) AS BIGINT) AS ut_den
@@ -379,7 +400,7 @@ object FuzzyJoin {
        |   (${ratio("a.band = b.band", "ub_num", "ub_den")}) AS r_band
        |  FROM p a JOIN p b
        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-       |   AND a.p_partkey < b.p_partkey
+       |   AND a.salt = b.salt AND a.p_partkey < b.p_partkey
        |  CROSS JOIN ut CROSS JOIN us CROSS JOIN ub)
        |SELECT key_a, key_b, p_brand, CAST(p_size AS INTEGER) AS p_size,
        | agree_type, agree_stem, agree_band,

@@ -1934,19 +1934,20 @@ object TextAnalysis {
     * curation pipeline this report is what decides whether a source is
     * worth keeping at all before per-doc filtering starts.
     *
-    * Shape: one token explode + a doc-keyed count aggregate (the q50
-    * shuffle class), membership against a broadcast literal list (never a
-    * join — the list is code/config-sized), then a source-sized rollup.
-    * Everything integer until the final share ratios. */
+    * Shape: ONE narrow zero-shuffle scan — the hit count rides the native
+    * [[graft.functions.BlocklistCount]] expression (one tight loop per row
+    * against a precomputed set; the MinHashExpression doctrine for hot
+    * per-row kernels), so no token ever reaches a shuffle; the only
+    * exchange is the source-sized rollup. Membership is against a literal
+    * list (never a join — the list is code/config-sized). Everything
+    * integer until the final share ratios. */
   def blocklistFilter(t: Tables,
       words: Seq[String] = DefaultBlocklist): DataFrame = {
-    val toks = t.documents.select(col("doc_id"), col("source"),
-      size(tokens(col("text"))).as("n_tokens"),
-      explode(tokens(lower(col("text")))).as("w"))
-    val perDoc = toks
-      .groupBy(col("doc_id"), col("source"), col("n_tokens"))
-      .agg(sum(when(col("w").isInCollection(words), 1L).otherwise(0L))
-        .as("n_hits"))
+    graft.functions.BlocklistExpression.register(t.spark)
+    val perDoc = t.documents.select(col("source"),
+        size(tokens(col("text"))).as("n_tokens"),
+        graft.functions.BlocklistExpression
+          .blocklistCount(tokens(col("text")), words).as("n_hits"))
       .withColumn("dropped", col("n_hits") > 0)
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

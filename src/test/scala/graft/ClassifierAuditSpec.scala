@@ -143,6 +143,24 @@ class ClassifierAuditSpec extends SparkSpec {
     assert(actual.size == dims)
   }
 
+  test("q229 kernel: native BlocklistCount equals the explode form") {
+    val t = sf("sf0.01")
+    graft.functions.BlocklistExpression.register(spark)
+    val words = TextAnalysis.DefaultBlocklist
+    val native = t.documents.select(col("doc_id"),
+        graft.functions.BlocklistExpression.blocklistCount(
+          split(trim(col("text")), "\\s+"), words).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    val exploded = t.documents
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w").isInCollection(words), 1L).otherwise(0L)).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    assert(native == exploded)
+    assert(native.values.sum > 0)
+  }
+
   test("q229: replica parity — C4 blocklist drop report") {
     val t = sf("sf0.01")
     val words = TextAnalysis.DefaultBlocklist.toSet

@@ -12,8 +12,13 @@ class ExperimentStatsSpec extends SparkSpec {
 
   // ── q199 Fellegi-Sunter ───────────────────────────────────────────────
 
-  test("q199: single-node replica parity — blocked pairs, u-tables, ratios, verdicts") {
-    val t = sf("sf0.01")
+  private def fsReplica(t: graft.core.Tables, cap: Int)
+      : Set[(Long, Long, Long, String)] = {
+    val m = graft.functions.KmvSketch.M
+    def sh(x: Long): Long = {
+      val h = Math.floorMod(Math.floorMod(x, m) * 2654435761L, m)
+      Math.floorMod(Math.floorMod(h * h, m) * 2246822519L + 1L, m)
+    }
     val parts = t.part.select(col("p_partkey"), col("p_brand"), col("p_size"),
         col("p_type"), col("p_name"), col("p_retailprice")).collect()
       .map(r => (r.getAs[Long]("p_partkey"), r.getAs[String]("p_brand"),
@@ -21,6 +26,10 @@ class ExperimentStatsSpec extends SparkSpec {
         r.getAs[String]("p_name").split(" ").head,
         math.floor(r.getAs[Double]("p_retailprice") / 100.0).toLong))
     val n = parts.length.toLong
+    // the salt cap: blocks split into ceil(n/cap) hash sub-blocks
+    val blockN = parts.groupBy(p => (p._2, p._3)).view.mapValues(_.length.toLong).toMap
+    def salt(p: (Long, String, Int, String, String, Long)): Long =
+      sh(p._1) % ((blockN((p._2, p._3)) + cap - 1) / cap)
     def u(f: ((Long, String, Int, String, String, Long)) => Any): (Long, Long) = {
       val counts = parts.groupBy(f).map(_._2.length.toLong)
       (counts.map(c => c * c).sum, n * n)
@@ -29,21 +38,37 @@ class ExperimentStatsSpec extends SparkSpec {
     def ratio(agree: Boolean, num: Long, den: Long): Double =
       if (agree) (90L * den).toDouble / (100L * num).toDouble
       else (10L * den).toDouble / (100L * (den - num)).toDouble
-    val expected = (for {
+    (for {
       a <- parts; b <- parts
-      if a._2 == b._2 && a._3 == b._3 && a._1 < b._1
+      if a._2 == b._2 && a._3 == b._3 && salt(a) == salt(b) && a._1 < b._1
     } yield {
       val r = ratio(a._4 == b._4, utN, utD) * ratio(a._5 == b._5, usN, usD) *
         ratio(a._6 == b._6, ubN, ubD)
       val verdict = if (r >= 30.0) "match" else if (r >= 1.0) "possible" else "nonmatch"
       (a._1, b._1, bits(r), verdict)
     }).toSet
+  }
+
+  test("q199: single-node replica parity — blocked pairs, u-tables, ratios, verdicts") {
+    val t = sf("sf0.01")
+    val expected = fsReplica(t, cap = 64)
     val actual = FuzzyJoin.fellegiSunter(t).collect()
       .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
         bits(r.getAs[Double]("fs_ratio")), r.getAs[String]("verdict"))).toSet
     assert(actual == expected)
     assert(actual.exists(_._4 == "match"), "no pair classified as match")
     assert(actual.exists(_._4 == "nonmatch"), "no pair classified as nonmatch")
+  }
+
+  test("q199: salt cap bounds oversized blocks and the engine replays it") {
+    val t = sf("sf0.01")
+    val expected = fsReplica(t, cap = 2)
+    val actual = FuzzyJoin.fellegiSunter(t, blockCap = 2).collect()
+      .map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        bits(r.getAs[Double]("fs_ratio")), r.getAs[String]("verdict"))).toSet
+    assert(actual == expected)
+    // the tight cap must actually drop cross-sub-block pairs
+    assert(actual.size < fsReplica(t, cap = 64).size)
   }
 
   test("q199: agreement monotonicity — more field agreement never lowers the ratio") {

@@ -596,8 +596,8 @@ class PlanAuditSpec extends SparkSpec {
     "q227_roc_auc" -> 5,
     // (dim,label) moment shuffle + dim-keyed join/aggs on the bounded frame
     "q228_label_anova_per_dim" -> 5,
-    // (doc) hit-count shuffle + source rollup + sort
-    "q229_blocklist_filter" -> 3,
+    // narrow native hit-count scan; only the source rollup + sort shuffle
+    "q229_blocklist_filter" -> 2,
     // bucket agg + the two bounded ECE frames + presentation sort
     "q230_reliability_diagram" -> 6,
     // Lloyd rounds' (cid,dim) aggs + vec pivot + cluster rollup (q175's 3)
