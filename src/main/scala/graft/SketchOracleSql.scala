@@ -207,6 +207,32 @@ object SketchOracleSql {
        |FROM m CROSS JOIN tot
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** q236: global clustering coefficient of the dup-pair graph —
+    * mirrors [[graft.ext.Dedup.dupGraphTransitivity]]. */
+  val dupGraphTransitivity: String =
+    s"""WITH $dupPairsCtes,
+       |pp AS (SELECT doc_a, doc_b FROM dup_pairs),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pp
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pp),
+       |wedges AS (
+       |  SELECT e1.src AS a, e2.dst AS c
+       |  FROM edges e1 JOIN edges e2
+       |    ON e1.dst = e2.src AND e1.src < e2.dst),
+       |closed AS (
+       |  SELECT count(*) AS n_wedges,
+       |   CAST(sum(CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+       |     AS BIGINT) AS n_closed
+       |  FROM wedges w LEFT JOIN pp p
+       |    ON w.a = p.doc_a AND w.c = p.doc_b)
+       |SELECT (SELECT count(*) FROM pp) AS n_edges,
+       | n_wedges, n_closed,
+       | CASE WHEN n_wedges = 0 THEN 0.0e0
+       |   ELSE CAST(n_closed AS DOUBLE) / CAST(n_wedges AS DOUBLE) END
+       |   AS clustering_coeff
+       |FROM closed""".stripMargin
+
   /** `CASE` expression labeling an id column with its deterministic
     * train/val/test split — the SQL twin of
     * [[graft.ext.Sampling.splitColumn]] (80/10/10 by portable hash). */

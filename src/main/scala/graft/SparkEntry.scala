@@ -281,7 +281,8 @@ object SparkEntry {
     "q232_column_stats" -> q(t => DataQuality.columnStatsProfile(t)),
     "q233_cross_source_dups" -> q(t => Dedup.crossSourceDupMatrix(t)),
     "q234_time_to_convert" -> q(t => operators.Timeseries.timeToConvert(t)),
-    "q235_overdispersion" -> q(t => operators.Timeseries.overdispersionAudit(t)))
+    "q235_overdispersion" -> q(t => operators.Timeseries.overdispersionAudit(t)),
+    "q236_dup_transitivity" -> q(t => Dedup.dupGraphTransitivity(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -430,6 +431,7 @@ object SparkEntry {
     "q233_cross_source_dups" -> SketchOracleSql.crossSourceDupMatrix,
     "q234_time_to_convert" -> operators.Timeseries.timeToConvertSql(),
     "q235_overdispersion" -> operators.Timeseries.overdispersionAuditSql(),
+    "q236_dup_transitivity" -> SketchOracleSql.dupGraphTransitivity,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -1517,4 +1517,41 @@ object Dedup {
           .as("pair_share"))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  /** q236: transitivity audit of the near-dup graph — the global
+    * clustering coefficient of the q34 pair set (closed wedges / wedges).
+    * A SIMILARITY threshold that captures real duplicate families produces
+    * a highly transitive graph (a≈b and b≈c usually forces a≈c); a
+    * threshold set too loose links unrelated docs through hubs and
+    * transitivity collapses — this one number is the cheapest
+    * threshold-quality signal a dedup pipeline can publish next to
+    * q169's labeled precision/recall (which needs truth; this doesn't).
+    *
+    * Shape: the capped q34 pairs (degree bounded by the salt cap by
+    * construction) → one self-join on the wedge center (Σ deg² rows,
+    * cap-bounded) → one broadcast-free semi-count against the canonical
+    * pair set → a single summary row. All counting integer; the
+    * coefficient is one exact-operand division. */
+  def dupGraphTransitivity(t: Tables, minJaccard: Double = 0.2,
+      portable: Boolean = true): DataFrame = {
+    val pairs = minhashDupPairsUnsorted(t, minJaccard, portable)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // read three times: edges both ways + closure probe
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.dst") === col("e2.src") &&
+        col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e2.dst").as("c"))
+    val closed = wedges.join(pairs,
+        col("a") === col("doc_a") && col("c") === col("doc_b"), "left")
+      .agg(count(lit(1)).as("n_wedges"),
+        sum(when(col("doc_a").isNotNull, 1L).otherwise(0L)).as("n_closed"))
+    pairs.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(closed))
+      .select(col("n_edges"), col("n_wedges"), col("n_closed"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(col("n_closed").cast("double") /
+            col("n_wedges").cast("double")).as("clustering_coeff"))
+  }
 }

@@ -312,4 +312,27 @@ class ClassifierAuditSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
     assert(rows.exists(_.getAs[Boolean]("within_source")))
   }
+
+  test("q236: wedge/closure recount from the q34 pairs") {
+    val t = sf("sf0.01")
+    val pairs = graft.ext.Dedup
+      .minhashDupPairs(t, minJaccard = 0.2, portable = true).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val pairSet = pairs.toSet
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val wedges = for {
+      (b, ns) <- adj.toSeq; a <- ns; c <- ns if a < c
+    } yield (a, c)
+    val nClosed = wedges.count(pairSet).toLong
+    val row = graft.ext.Dedup.dupGraphTransitivity(t).collect().head
+    assert(row.getAs[Long]("n_edges") == pairs.length.toLong)
+    assert(row.getAs[Long]("n_wedges") == wedges.size.toLong)
+    assert(row.getAs[Long]("n_closed") == nClosed)
+    assert(bits(row.getAs[Double]("clustering_coeff")) ==
+      bits(nClosed.toDouble / wedges.size.toDouble))
+    // near-dup graphs at a sane threshold are highly transitive — the
+    // signal the audit exists to report
+    assert(row.getAs[Double]("clustering_coeff") > 0.3)
+  }
 }

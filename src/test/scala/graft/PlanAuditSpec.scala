@@ -336,7 +336,8 @@ class PlanAuditSpec extends SparkSpec {
     "q227_roc_auc",                 // broadcast 21-row threshold grid + 1-row 2U frame
     "q230_reliability_diagram",     // 1-row bucket-total + 1-row ECE frames
     "q231_kmeans_silhouette",       // broadcast k-row centroid frame (q175's core)
-    "q235_overdispersion")          // 1-row (h0,h1) hour-bounds frame (q96's shape)
+    "q235_overdispersion",          // 1-row (h0,h1) hour-bounds frame (q96's shape)
+    "q236_dup_transitivity")        // 1-row wedge-summary frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -610,7 +611,10 @@ class PlanAuditSpec extends SparkSpec {
     // first-view agg + join-side + one global summary row
     "q234_time_to_convert" -> 3,
     // (type,hour) count + dense-grid join + type rollup + sort
-    "q235_overdispersion" -> 4)
+    "q235_overdispersion" -> 4,
+    // wedge self-join + closure probe + two 1-row summary aggs over the
+    // checkpointed capped pair set
+    "q236_dup_transitivity" -> 6)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
