@@ -214,7 +214,26 @@ object Bench {
       s"\"" + k + "\":" + (pk / (1024.0 * 1024.0))
     }.mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"peak_exec_mb":$peaks,"sf":"$sfDir","runs":$runs,"agg":"median","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"streaming_cascade_ms":$cascadeMs}""")
+    // Full per-query detail (the JSON the committed BENCH_local pins keep)
+    // goes to a FILE, not stdout: the driver scrapes only the last ~2000
+    // chars of stdout, so the ~20 KB detail line at 236 queries not only
+    // never parsed there (r7's "parsed": null) but its truncated tail
+    // could shadow a parseable summary inside the scrape window.
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"dispersion":$disp,"peak_exec_mb":$peaks,"sf":"$sfDir","runs":$runs,"agg":"median","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"streaming_cascade_ms":$cascadeMs}"""
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/tmp/graft_bench_detail.json")
+    try Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => println(detail) } // fallback: old behavior
+    // stdout's LAST line is a compact, complete JSON summary: suite total
+    // + the slowest queries, bounded well under the driver's tail budget.
+    val slowest = medians.toSeq.sortBy(-_._2).take(20)
+    val topQs = slowest.map { case (k, v) =>
+      "\"" + k + "\":" + math.round(v * 1000) / 1000.0
+    }.mkString("{", ",", "}")
+    val totalR = math.round(total * 1000) / 1000.0
+    val cascadeR = math.round(cascadeMs * 10) / 10.0
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","queries":$topQs,"queries_n":${medians.size},"queries_shown":"slowest ${slowest.size} of ${medians.size}","detail_file":"$detailPath","sf":"$sfDir","runs":$runs,"agg":"median","load_avg_start":$loadStart,"load_avg_end":$loadAvg,"cpus":$cpus,"streaming_cascade_ms":$cascadeR}""")
     spark.stop()
   }
 }

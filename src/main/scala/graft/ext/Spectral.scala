@@ -252,6 +252,10 @@ object Spectral {
     * Lloyd assignment; s is one IEEE division of exact operands (0 when
     * a = b = 0); the per-cluster mean rides dsum. */
   def kmeansSilhouette(t: Tables, k: Int = 8, iters: Int = 3): DataFrame = {
+    // with k = 1 there is no rank-2 runner-up: b is null everywhere,
+    // greatest() ignores the null and the silhouette silently degenerates —
+    // fail loudly instead (the silhouette of a single cluster is undefined)
+    require(k >= 2, s"kmeansSilhouette: k must be >= 2, got $k")
     import graft.functions.ExactAgg.dsum
     val top2 = kmeansAssignTop(t, k, iters, topRanks = 2)
     val piv = top2.groupBy(col("vec_id"))
@@ -273,6 +277,7 @@ object Spectral {
   /** The DuckDB mirror of [[kmeansSilhouette]] — the unrolled Lloyd CTEs
     * of q175 plus a rank-2 pivot over the final distance frame. */
   def kmeansSilhouetteSql(k: Int = 8, iters: Int = 3): String = {
+    require(k >= 2, s"kmeansSilhouetteSql: k must be >= 2, got $k")
     val O = graft.functions.ExactAgg.Sql
     s"""WITH ${kmeansCtesSql(k, iters)},
        |top2 AS (

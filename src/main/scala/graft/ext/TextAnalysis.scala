@@ -1964,7 +1964,7 @@ object TextAnalysis {
 
   /** The DuckDB mirror of [[blocklistFilter]]. */
   def blocklistFilterSql(words: Seq[String] = DefaultBlocklist): String = {
-    val list = words.map(w => s"'$w'").mkString(", ")
+    val list = words.map(graft.core.Sql.lit).mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, source,
        |   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,

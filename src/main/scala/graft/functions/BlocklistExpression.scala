@@ -62,7 +62,23 @@ object BlocklistExpression {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName,
       exprs => {
-        val ws = exprs(1).eval().asInstanceOf[ArrayData]
+        // the word list is baked into the expression at plan time, so it
+        // must be a foldable array<string> — fail with a clear analysis
+        // error instead of an opaque ClassCastException on eval()
+        val wordsExpr = exprs(1)
+        val ok = wordsExpr.foldable && (wordsExpr.dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        })
+        if (!ok) throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" ->
+            (s"$fnName: second argument (words) must be a literal " +
+              s"array<string>, got ${wordsExpr.dataType.simpleString} " +
+              s"(foldable=${wordsExpr.foldable})")),
+          Option.empty[Throwable])
+        val ws = wordsExpr.eval().asInstanceOf[ArrayData]
         val words = (0 until ws.numElements())
           .map(i => ws.getUTF8String(i).toString)
         BlocklistCount(exprs.head, words)

@@ -477,7 +477,7 @@ object NonparametricStats {
   def rocAucSql(positive: String = "purchase", nThr: Int = 20): String =
     s"""WITH scored AS (
        |  SELECT CAST(round(value * 1000000, 0) AS BIGINT) AS li,
-       |   CASE WHEN event_type = '$positive' THEN 1 ELSE 0 END AS pos
+       |   CASE WHEN event_type = ${graft.core.Sql.lit(positive)} THEN 1 ELSE 0 END AS pos
        |  FROM events),
        |cnt AS (
        |  SELECT li, CAST(sum(pos) AS BIGINT) AS n_pos,
@@ -561,7 +561,7 @@ object NonparametricStats {
     val O = graft.functions.ExactAgg.Sql
     s"""WITH scored AS (
        |  SELECT CAST(round(value * 1000000, 0) AS BIGINT) AS li,
-       |   CASE WHEN event_type = '$positive' THEN 1 ELSE 0 END AS pos
+       |   CASE WHEN event_type = ${graft.core.Sql.lit(positive)} THEN 1 ELSE 0 END AS pos
        |  FROM events),
        |bounds AS (SELECT min(li) AS lo, max(li) AS hi FROM scored),
        |rows0 AS (

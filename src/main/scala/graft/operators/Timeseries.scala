@@ -169,11 +169,16 @@ object Timeseries {
     val tot = daily.agg(
       count(lit(1)).as("n"), sum(col("x")).as("t"), max(col("x")).as("mx"))
       .head()
-    val (n, total, maxX) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val n = tot.getLong(0)
+    // sum/max are SQL-null on an empty table; the chart over zero days is
+    // the empty frame, so substitute zeros rather than NPE on getLong
+    val (total, maxX) =
+      if (n == 0L) (0L, 0L) else (tot.getLong(1), tot.getLong(2))
     // |P_t| ≤ n·max|n·x − T − A| ≤ n·(n·maxX + T + A); fail loudly rather
-    // than wrap (the q212/q202 cubic-guard doctrine)
-    require(n == 0 ||
-      n <= Long.MaxValue / (2L * (total + math.max(n * maxX, 1L))),
+    // than wrap (the q212/q202 cubic-guard doctrine). The bound itself is
+    // computed in BigInt so it cannot overflow before the comparison.
+    require(n == 0L ||
+      BigInt(2) * n * (BigInt(total) + BigInt(n) * maxX) <= Long.MaxValue,
       s"cusumDailyVolume: n=$n days, T=$total exceeds the int64 chart range")
     val a = total / SlackDiv
     val h = AlarmMult * a
@@ -263,11 +268,11 @@ object Timeseries {
       toType: String = "purchase"): String =
     s"""WITH v AS (
        |  SELECT user_id, epoch_us(min(ts)) AS t0 FROM events
-       |  WHERE event_type = '$fromType' GROUP BY 1),
+       |  WHERE event_type = ${graft.core.Sql.lit(fromType)} GROUP BY 1),
        |conv AS (
        |  SELECT e.user_id, v.t0, min(epoch_us(e.ts)) AS t1
        |  FROM events e JOIN v USING (user_id)
-       |  WHERE e.event_type = '$toType' AND epoch_us(e.ts) > v.t0
+       |  WHERE e.event_type = ${graft.core.Sql.lit(toType)} AND epoch_us(e.ts) > v.t0
        |  GROUP BY 1, 2),
        |d AS (SELECT CAST(t1 - t0 AS BIGINT) AS d FROM conv)
        |SELECT count(*) AS n_converted,
