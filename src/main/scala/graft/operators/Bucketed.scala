@@ -42,24 +42,52 @@ object Bucketed {
     }
   }
 
+  /** Floor for [[bucketsFor]]: keeps the toy-fixture layout at the r1–r7
+    * value (16) so tiny inputs don't degenerate to 1-bucket tables. */
+  val MinBuckets = 16
+
+  /** Compressed fact bytes per bucket for [[bucketsFor]]. 2 MB is the
+    * LOCAL calibration — it lands sf0.1 at the floor (16, unchanged) and
+    * sf1 at 48 (> the 32 cores, so one straggling bucket no longer sets
+    * the join's wall time, the r7 q44 in-suite noise mode). On a real
+    * cluster this constant would be ~256 MB with a far higher cap; the
+    * contract is the same as `GraftSession.shufflePartitionsFor`: the
+    * knob follows the DATA, never a constant frozen at test scale. */
+  val BucketTargetBytes = 2L * 1024 * 1024
+
+  /** Input-aware bucket count for the fact twins: one bucket per
+    * [[BucketTargetBytes]] of compressed orders+lineitem input, clamped
+    * to [[[MinBuckets]], 4096]. Both twins MUST share this count — equal
+    * bucketing on the join key is what makes the join exchange-free. */
+  def bucketsFor(t: Tables): Int =
+    bucketsForBytes(
+      graft.core.GraftSession.inputBytes(s"${t.dir}/orders.parquet") +
+        graft.core.GraftSession.inputBytes(s"${t.dir}/lineitem.parquet"))
+
+  /** The pure sizing arithmetic behind [[bucketsFor]]. */
+  def bucketsForBytes(factBytes: Long): Int = {
+    val byBytes = (factBytes + BucketTargetBytes - 1) / BucketTargetBytes
+    math.min(math.max(byBytes, MinBuckets.toLong), 4096L).toInt
+  }
+
   /** Bucketed twins of orders/lineitem for `t.dir`. Only the columns the
     * rollup needs are persisted (column pruning at write time); both sides
-    * bucket AND sort on the join key. nBuckets sizes one bucket of the
-    * larger table to fit an executor core's memory — 16 at test SF; at
-    * 100 TB pick ~4 MB-row buckets (thousands). */
-  def ensureBucketedFacts(t: Tables, nBuckets: Int = 16): (String, String) = {
+    * bucket AND sort on the join key. nBuckets ≤ 0 (the default) means
+    * "size from the input" via [[bucketsFor]]. */
+  def ensureBucketedFacts(t: Tables, nBuckets: Int = -1): (String, String) = {
+    val nb = if (nBuckets > 0) nBuckets else bucketsFor(t)
     val tag = (t.dir.hashCode & 0x7fffffff).toHexString
     val oTbl = s"graft_bkt_orders_$tag"
     val lTbl = s"graft_bkt_lineitem_$tag"
     buildOnce(t, oTbl) {
       TableIO.saveBucketed(t.spark, oTbl,
         t.orders.select("o_orderkey", "o_orderdate", "o_totalprice"),
-        Seq("o_orderkey"), nBuckets, Seq("o_orderkey"))
+        Seq("o_orderkey"), nb, Seq("o_orderkey"))
     }
     buildOnce(t, lTbl) {
       TableIO.saveBucketed(t.spark, lTbl,
         t.lineitem.select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
-        Seq("l_orderkey"), nBuckets, Seq("l_orderkey"))
+        Seq("l_orderkey"), nb, Seq("l_orderkey"))
     }
     (oTbl, lTbl)
   }
@@ -71,14 +99,14 @@ object Bucketed {
     * ExactAgg kernels, so the result is bit-identical to the DuckDB oracle
     * over the raw (unbucketed) parquet — bucketing is a pure layout choice,
     * invisible in the answer. */
-  def orderLineRollup(t: Tables, nBuckets: Int = 16): DataFrame =
+  def orderLineRollup(t: Tables, nBuckets: Int = -1): DataFrame =
     // final global sort is harness-imposed determinism (same note as
     // Serving.scalarDatetime) — it adds the plan's ONLY Exchange (range);
     // the compute itself is shuffle-free, asserted on rollupUnsorted
     rollupUnsorted(t, nBuckets).orderBy(col("order_id"))
 
   /** The shuffle-free core: everything except the presentation sort. */
-  def rollupUnsorted(t: Tables, nBuckets: Int = 16): DataFrame = {
+  def rollupUnsorted(t: Tables, nBuckets: Int = -1): DataFrame = {
     val (oTbl, lTbl) = ensureBucketedFacts(t, nBuckets)
     val o = t.spark.table(oTbl)
     val l = t.spark.table(lTbl)

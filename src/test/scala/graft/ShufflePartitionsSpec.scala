@@ -47,4 +47,21 @@ class ShufflePartitionsSpec extends AnyFunSuite {
     val gb = 1024L * 1024 * 1024
     assert(shufflePartitionsFor(10 * gb, cores, targetBytes = 512L * 1024 * 1024) === cores)
   }
+
+  // --- fact-twin bucket sizing (r8: q44's nBuckets follows the input) ---
+
+  test("bucketsForBytes: floor at MinBuckets on toy fixtures") {
+    import graft.operators.Bucketed
+    val mb = 1024L * 1024
+    // sf0.1 facts are ~13.5 MB compressed → at the floor, layout unchanged
+    assert(Bucketed.bucketsForBytes(0L) === Bucketed.MinBuckets)
+    assert(Bucketed.bucketsForBytes(14 * mb) === Bucketed.MinBuckets)
+    // sf1 facts ~96 MB → 48 buckets: above the 32-core count, so one
+    // straggling bucket no longer sets the join's wall time
+    assert(Bucketed.bucketsForBytes(96 * mb) === 48)
+    // ceil, not floor
+    assert(Bucketed.bucketsForBytes(96 * mb + 1) === 49)
+    // scheduler-bound cap
+    assert(Bucketed.bucketsForBytes(100L * 1024 * mb) === 4096)
+  }
 }
