@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Sampling, Similarity, SuffixArray, TextAnalysis}
 import graft.functions.ExactAgg.{Sql => O}
 import graft.operators.{Analytics, DataQuality, DictEncode, Incremental, Ingest, Serving}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -282,7 +282,9 @@ object SparkEntry {
     "q233_cross_source_dups" -> q(t => Dedup.crossSourceDupMatrix(t)),
     "q234_time_to_convert" -> q(t => operators.Timeseries.timeToConvert(t)),
     "q235_overdispersion" -> q(t => operators.Timeseries.overdispersionAudit(t)),
-    "q236_dup_transitivity" -> q(t => Dedup.dupGraphTransitivity(t)))
+    "q236_dup_transitivity" -> q(t => Dedup.dupGraphTransitivity(t)),
+    "q237_suffix_array_stats" -> q(t => SuffixArray.suffixArrayStats(t)),
+    "q238_sa_spans" -> q(t => SuffixArray.saSpans(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -432,6 +434,8 @@ object SparkEntry {
     "q234_time_to_convert" -> operators.Timeseries.timeToConvertSql(),
     "q235_overdispersion" -> operators.Timeseries.overdispersionAuditSql(),
     "q236_dup_transitivity" -> SketchOracleSql.dupGraphTransitivity,
+    "q237_suffix_array_stats" -> SuffixArray.suffixArrayStatsSql(),
+    "q238_sa_spans" -> SuffixArray.saSpansSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -1,0 +1,365 @@
+package graft.ext
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction over the document corpus — the
+  * "one remaining heavy build" of the exact-substring dedup family
+  * (Lee et al., "Deduplicating Training Data Makes Language Models
+  * Better", 2021, §4: ExactSubstr dedup runs on a suffix array of the
+  * tokenized corpus). [[Dedup.maximalDuplicateSpansExact]] (q123) covers
+  * the practical span filter with md5 prefix CLASSES; this module builds
+  * the real thing: lexicographic suffix RANKS by prefix doubling
+  * (Manber–Myers) and exact LCPs by binary lifting over the retained
+  * rank levels — collision-free (ranks, not hashes) and able to answer
+  * questions classes cannot: the suffix ORDER, the longest repeated
+  * substring and where it lives, exact neighbor-match lengths.
+  *
+  * Construction, Spark-first:
+  *   - Alphabet: whitespace tokens of lower(text), one row per (doc,
+  *     pos), plus one UNIQUE SENTINEL row per document (flag 0, key =
+  *     zero-padded doc_id) — sentinels sort before every real token,
+  *     terminate every suffix, and make cross-document prefix matches
+  *     impossible past a document's end. Because of that uniqueness, a
+  *     window that reaches past a doc's last token always CONTAINS the
+  *     doc's sentinel, so its rank is already doc-unique and the -1
+  *     overflow fill below can never manufacture a cross-doc tie.
+  *   - Rank levels: r_0 = dense rank of (flag, token); level k+1 pairs
+  *     r_k with the rank 2^k positions ahead IN THE SAME DOCUMENT
+  *     (doc-partitioned `lead`, -1 past the end — one narrow window, no
+  *     per-level position join) and dense-ranks the pairs. Dense ranking
+  *     is distributed: distinct pairs → total sort → `zipWithIndex` —
+  *     never a partitionless Window (the single-partition anti-pattern).
+  *     Iteration stops as soon as ranks are unique (window 2^s bounds
+  *     every repeat), which the fixture reaches at 2^s ≈ max doc length;
+  *     [[MaxLevels]] bounds the loop and fails loudly beyond it.
+  *   - LCP: suffixes adjacent in rank order (join on r+1 — final ranks
+  *     are exactly 1..n) get their exact common-prefix length by binary
+  *     lifting: walk levels s-1..0, advance by 2^k whenever the level-k
+  *     ranks at (pos + acc) agree. Each step is two narrow joins keyed
+  *     (doc_id, pos + acc); the accumulator never crosses a sentinel, so
+  *     within-doc keys always resolve.
+  *
+  * The per-level driver reads (distinct-rank count, via the dict row
+  * count already materialized for ranking) are the bounded driver-scalar
+  * pattern: O(log maxRepeat) 1-row reads, independent of corpus size.
+  *
+  * The DuckDB mirrors replay the construction with the SAME arithmetic,
+  * UNROLLED to exactly [[MaxLevels]] doubling CTEs: once ranks are
+  * unique, a further doubling re-ranks by (unique r, anything) — the
+  * identity permutation — so fixed-depth unrolling and Spark's adaptive
+  * early stop provably agree, and lifting levels at-or-above the stop
+  * level compare unique ranks at distinct positions — never equal,
+  * contributing 0 on both engines. All arithmetic is BIGINT; the oracle
+  * compare is bit-exact with no float portability argument needed.
+  *
+  * Reference anchor: the reference deduplicates at document grain only
+  * (`comprehensive_analytics.py` drops exact-id dupes); substring-grain
+  * dedup is the beyond-reference LLM-pipeline surface (SURVEY §2 ext).
+  */
+object SuffixArray {
+
+  /** Hard bound on doubling levels: window 2^12 = 4096 tokens covers any
+    * repeat (and any document) in the fixtures with 40× headroom; the
+    * oracle SQL unrolls exactly this many doubling CTEs. A corpus with a
+    * ≥4096-token repeat fails loudly (raise both together). */
+  val MaxLevels = 12
+
+  /** Distributed dense rank of the distinct rows of `df` (all-column
+    * key), 1-based, in the given column sort order: distinct → total
+    * sort → zipWithIndex. The dict is localCheckpointed before anyone
+    * joins it (the [[graft.operators.DictEncode.dictionary]] doctrine:
+    * an unmaterialized dict recomputed after a fetch failure must never
+    * re-rank mid-query). */
+  private def denseRankDict(df: DataFrame, rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns
+    val sorted = df.distinct().orderBy(cols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(rankCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    spark.createDataFrame(indexed, schema).localCheckpoint()
+  }
+
+  /** Token + sentinel rows: (doc_id, pos, flag, skey) — flag 0 rows are
+    * the per-doc sentinels (skey = zero-padded doc_id, unique), flag 1
+    * rows the real tokens in document order. */
+  private def tokenRows(t: Tables): DataFrame = {
+    val tks = TextAnalysis.tokens(lower(col("text")))
+    val docs = t.documents.select(col("doc_id"), tks.as("tks"))
+    val real = docs
+      .select(col("doc_id"), posexplode(col("tks")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        lit(1).as("flag"), col("col").as("skey"))
+    val sent = docs.select(col("doc_id"),
+      size(col("tks")).cast("long").as("pos"), lit(0).as("flag"),
+      lpad(col("doc_id").cast("string"), 20, "0").as("skey"))
+    real.unionAll(sent)
+  }
+
+  /** Core build: returns (levels, stop, n) — `levels(k)` is the frame
+    * (doc_id, pos, r) of level-k ranks (window 2^k), localCheckpointed;
+    * `stop` is the first level whose ranks are unique; `n` the total row
+    * count (tokens + sentinels). */
+  private def build(t: Tables): (IndexedSeq[DataFrame], Int, Long) = {
+    val toks = tokenRows(t)
+    val dict0 = denseRankDict(toks.select(col("flag"), col("skey")), "r")
+    var lvl = toks.join(dict0, Seq("flag", "skey"))
+      .select(col("doc_id"), col("pos"), col("r"))
+      .localCheckpoint()
+    val n = lvl.count()
+    var distinctRanks = dict0.count()
+    val levels = ArrayBuffer(lvl)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var k = 0
+    while (distinctRanks < n && k < MaxLevels) {
+      val shift = 1 << k
+      val paired = lvl.withColumn("r2",
+        coalesce(lead(col("r"), shift).over(byDoc), lit(-1L)))
+      val dict = denseRankDict(paired.select(col("r"), col("r2")), "nr")
+      lvl = paired.join(dict, Seq("r", "r2"))
+        .select(col("doc_id"), col("pos"), col("nr").as("r"))
+        .localCheckpoint()
+      distinctRanks = dict.count()
+      levels += lvl
+      k += 1
+    }
+    require(distinctRanks == n,
+      s"SuffixArray: ranks not unique after $MaxLevels doublings " +
+        s"(window ${1 << MaxLevels}) — the corpus holds a repeat or " +
+        "document of at least that many tokens; raise MaxLevels and the " +
+        "oracle unroll depth together")
+    (levels.toIndexedSeq, k, n)
+  }
+
+  /** Exact LCP of every rank-adjacent suffix pair: (da, pa, db, pb, lcp)
+    * with (db, pb) the rank successor of (da, pa). */
+  private def adjacentLcps(levels: IndexedSeq[DataFrame], stop: Int): DataFrame = {
+    val sa = levels(stop)
+    val a = sa.select(col("doc_id").as("da"), col("pos").as("pa"),
+      col("r").as("ra"))
+    val b = sa.select(col("doc_id").as("db"), col("pos").as("pb"),
+      col("r").as("rb"))
+    var pf = a.join(b, col("rb") === col("ra") + 1)
+      .select(col("da"), col("pa"), col("db"), col("pb"))
+      .withColumn("acc", lit(0L))
+    for (k <- (stop - 1) to 0 by -1) {
+      val la = levels(k).select(col("doc_id").as("xd"), col("pos").as("xp"),
+        col("r").as("xr"))
+      val lb = levels(k).select(col("doc_id").as("yd"), col("pos").as("yp"),
+        col("r").as("yr"))
+      pf = pf
+        .join(la, col("xd") === col("da") && col("xp") === col("pa") + col("acc"), "left")
+        .join(lb, col("yd") === col("db") && col("yp") === col("pb") + col("acc"), "left")
+        .withColumn("acc", col("acc") +
+          when(col("xr").isNotNull && col("xr") === col("yr"),
+            lit(1L << k)).otherwise(lit(0L)))
+        .select(col("da"), col("pa"), col("db"), col("pb"), col("acc"))
+    }
+    pf.select(col("da"), col("pa"), col("db"), col("pb"),
+      col("acc").as("lcp"))
+  }
+
+  /** lcp_max frames already built by a given SparkSession for a given
+    * corpus dir — the suffix array is an INDEX: built once at ingest,
+    * queried many times (the bucketed-twin / served-IVF doctrine,
+    * [[graft.operators.Bucketed]] economics note). Locally the built
+    * frame lives as a localCheckpoint; at 100 TB it is a persisted
+    * (doc_id, pos, lcp) table. Keyed per session like Bucketed.built. */
+  private val builtLcp =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Per-suffix maximal neighbor match: (doc_id, pos, lcp) where lcp =
+    * max LCP against either rank neighbor — the textbook lcp_max, ≥ L
+    * exactly when the suffix starts a duplicated substring of ≥ L
+    * tokens. Sentinel suffixes carry lcp 0 and drop out of every
+    * downstream filter. Built once per (session, corpus) and
+    * checkpointed; q237/q238 and any later caller share the build. */
+  private def lcpMax(t: Tables): DataFrame = {
+    val key = s"${System.identityHashCode(t.spark.sessionState)}:${t.dir}"
+    builtLcp.computeIfAbsent(key, _ => {
+      val (levels, stop, _) = build(t)
+      val pairs = adjacentLcps(levels, stop)
+      pairs.select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
+        .unionAll(pairs.select(col("db").as("doc_id"), col("pb").as("pos"),
+          col("lcp")))
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(max(col("lcp")).as("lcp"))
+        .localCheckpoint()
+    })
+  }
+
+  /** Merged any-length duplicated spans from the lcp_max intervals
+    * [pos, pos + lcp): running-max-end island merge per document. */
+  private def mergedSpans(lm: DataFrame, minLen: Int): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val before = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    lm.filter(col("lcp") >= minLen)
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + col("lcp")).as("e"))
+      .withColumn("pmax", max(col("e")).over(before))
+      .withColumn("ni",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("e")) - min(col("s"))).as("span_tokens"))
+      .select(col("doc_id"), col("span_start"), col("span_tokens"))
+  }
+
+  /** q238: EXACT maximal duplicated spans of any length ≥ `minLen`, from
+    * the true suffix array — token-resolution (doc_id, span_start,
+    * span_tokens) extents. Provably equal to q123's prefix-class union at
+    * the same minLen (both unions cover exactly the positions inside
+    * ≥-minLen repeats — asserted against each other in SuffixArraySpec),
+    * but collision-free and derived from real ranks. */
+  def saSpans(t: Tables, minLen: Int = 16): DataFrame =
+    mergedSpans(lcpMax(t), minLen)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** q237: corpus-level suffix-array profile — the numbers a curation
+    * pipeline publishes after the ExactSubstr pass: corpus size, the
+    * longest repeated token-substring (length and lexicographically
+    * first location), how many suffixes start a ≥-minLen repeat, and the
+    * merged dup coverage (spans and tokens inside them). One row, all
+    * BIGINT. */
+  def suffixArrayStats(t: Tables, minLen: Int = 16): DataFrame = {
+    val lm = lcpMax(t)
+    val spans = mergedSpans(lm, minLen)
+    val nTokens = t.documents
+      .select(size(TextAnalysis.tokens(lower(col("text")))).cast("long")
+        .as("nt"))
+      .agg(sum(col("nt")).as("n_tokens"), count(lit(1)).as("n_docs"))
+    val lcpStats = lm.agg(
+      max(col("lcp")).as("max_lcp"),
+      sum(when(col("lcp") >= minLen, 1L).otherwise(0L)).as("n_dup_suffixes"))
+    val repAt = lm
+      .join(lcpStats.select(col("max_lcp")), col("lcp") === col("max_lcp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("at"))
+      .select(col("at.doc_id").as("rep_doc_id"), col("at.pos").as("rep_pos"))
+    val spanStats = spans.agg(
+      coalesce(count(lit(1)), lit(0L)).as("n_spans"),
+      coalesce(sum(col("span_tokens")), lit(0L)).as("dup_tokens"))
+    nTokens.crossJoin(lcpStats).crossJoin(repAt).crossJoin(spanStats)
+      .select(col("n_docs"), col("n_tokens"), col("max_lcp"),
+        col("rep_doc_id"), col("rep_pos"), col("n_dup_suffixes"),
+        col("n_spans"), col("dup_tokens"))
+  }
+
+  // --------------------------------------------------------------------
+  // DuckDB mirrors: the same construction, doubling unrolled to exactly
+  // MaxLevels CTEs and lifting unrolled MaxLevels..0 (see object scaladoc
+  // for why fixed-depth unrolling ≡ Spark's adaptive stop).
+  // --------------------------------------------------------------------
+
+  /** Shared CTE chain ending in `lmax(doc_id, pos, lcp)`. */
+  private def lcpCtes: String = {
+    val doublings = (0 until MaxLevels).map { k =>
+      val shift = 1 << k
+      s"""r${k + 1} AS (
+         |  SELECT doc_id, pos,
+         |   CAST(dense_rank() OVER (ORDER BY r, r2) AS BIGINT) AS r
+         |  FROM (SELECT doc_id, pos, r,
+         |    COALESCE(lead(r, $shift) OVER (PARTITION BY doc_id ORDER BY pos),
+         |      -1) AS r2 FROM r$k))""".stripMargin
+    }.mkString(",\n")
+    val lifts = ((MaxLevels - 1) to 0 by -1).map { k =>
+      val prev = if (k == MaxLevels - 1) "adj" else s"l${k + 1}"
+      s"""l$k AS (
+         |  SELECT p.da, p.pa, p.db, p.pb,
+         |   p.acc + CASE WHEN x.r IS NOT NULL AND x.r = y.r
+         |                THEN ${1L << k} ELSE 0 END AS acc
+         |  FROM $prev p
+         |  LEFT JOIN r$k x ON x.doc_id = p.da AND x.pos = p.pa + p.acc
+         |  LEFT JOIN r$k y ON y.doc_id = p.db AND y.pos = p.pb + p.acc)""".stripMargin
+    }.mkString(",\n")
+    s"""docs AS (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS tks
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, tks, CAST(unnest(range(0, len(tks))) AS BIGINT) AS pos
+       |  FROM docs),
+       |toks AS (
+       |  SELECT doc_id, pos, 1 AS flag,
+       |   tks[CAST(pos AS INTEGER) + 1] AS skey FROM base
+       |  UNION ALL
+       |  SELECT doc_id, CAST(len(tks) AS BIGINT) AS pos, 0 AS flag,
+       |   lpad(CAST(doc_id AS VARCHAR), 20, '0') AS skey FROM docs),
+       |r0 AS (
+       |  SELECT doc_id, pos,
+       |   CAST(dense_rank() OVER (ORDER BY flag, skey) AS BIGINT) AS r
+       |  FROM toks),
+       |$doublings,
+       |adj AS (
+       |  SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb,
+       |   CAST(0 AS BIGINT) AS acc
+       |  FROM r$MaxLevels a JOIN r$MaxLevels b ON b.r = a.r + 1),
+       |$lifts,
+       |lmax AS (
+       |  SELECT doc_id, pos, max(acc) AS lcp FROM (
+       |    SELECT da AS doc_id, pa AS pos, acc FROM l0
+       |    UNION ALL
+       |    SELECT db, pb, acc FROM l0)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def spanCtes(minLen: Int): String =
+    s"""ivl AS (
+       |  SELECT doc_id, pos AS s, pos + lcp AS e FROM lmax
+       |  WHERE lcp >= $minLen),
+       |marked AS (
+       |  SELECT *, CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |    OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |    THEN 1 ELSE 0 END AS ni
+       |  FROM ivl),
+       |isl AS (
+       |  SELECT *, CAST(sum(ni) OVER (PARTITION BY doc_id ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS island
+       |  FROM marked),
+       |spans AS (
+       |  SELECT doc_id, min(s) AS span_start,
+       |   max(e) - min(s) AS span_tokens
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** The DuckDB mirror of [[saSpans]]. */
+  def saSpansSql(minLen: Int = 16): String =
+    s"""WITH $lcpCtes,
+       |${spanCtes(minLen)}
+       |SELECT doc_id, span_start, span_tokens FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** The DuckDB mirror of [[suffixArrayStats]]. */
+  def suffixArrayStatsSql(minLen: Int = 16): String =
+    s"""WITH $lcpCtes,
+       |${spanCtes(minLen)},
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |   CAST(sum(len(tks)) AS BIGINT) AS n_tokens FROM docs),
+       |lst AS (
+       |  SELECT max(lcp) AS max_lcp,
+       |   CAST(sum(CASE WHEN lcp >= $minLen THEN 1 ELSE 0 END) AS BIGINT)
+       |     AS n_dup_suffixes
+       |  FROM lmax),
+       |rep AS (
+       |  SELECT doc_id AS rep_doc_id, pos AS rep_pos
+       |  FROM lmax WHERE lcp = (SELECT max_lcp FROM lst)
+       |  ORDER BY doc_id, pos LIMIT 1),
+       |sst AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_spans,
+       |   CAST(COALESCE(sum(span_tokens), 0) AS BIGINT) AS dup_tokens
+       |  FROM spans)
+       |SELECT n_docs, n_tokens, max_lcp, rep_doc_id, rep_pos,
+       | n_dup_suffixes, n_spans, dup_tokens
+       |FROM tot CROSS JOIN lst CROSS JOIN rep CROSS JOIN sst""".stripMargin
+}

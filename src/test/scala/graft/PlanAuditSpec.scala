@@ -337,7 +337,8 @@ class PlanAuditSpec extends SparkSpec {
     "q230_reliability_diagram",     // 1-row bucket-total + 1-row ECE frames
     "q231_kmeans_silhouette",       // broadcast k-row centroid frame (q175's core)
     "q235_overdispersion",          // 1-row (h0,h1) hour-bounds frame (q96's shape)
-    "q236_dup_transitivity")        // 1-row wedge-summary frame
+    "q236_dup_transitivity",        // 1-row wedge-summary frame
+    "q237_suffix_array_stats")      // 1-row stat frames cross-joined
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -614,7 +615,17 @@ class PlanAuditSpec extends SparkSpec {
     "q235_overdispersion" -> 4,
     // wedge self-join + closure probe + two 1-row summary aggs over the
     // checkpointed capped pair set
-    "q236_dup_transitivity" -> 6)
+    "q236_dup_transitivity" -> 6,
+    // lcp_max frame is checkpointed (reused by spans + stats + rep-at);
+    // visible plan = span windows + the four 1-row stat frames over the
+    // checkpointed lcp_max index (built once per session/corpus — the
+    // bucketed-twin economics; the BUILD itself is ~log2(maxRepeat)
+    // levels of distinct+sort+zipWithIndex+join plus 2 lifting joins per
+    // level, log-bounded in repeat length, linear in corpus size)
+    "q237_suffix_array_stats" -> 6,
+    // span-interval windows + presentation sort over the same shared
+    // lcp_max index
+    "q238_sa_spans" -> 2)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.Tables
+import graft.ext.{Dedup, SuffixArray}
+
+/** Suffix-array construction (q237/q238) against single-node ground truth:
+  * the spans must equal an uncapped brute-force LCP sweep AND q123's
+  * prefix-class union at the same minLen (the two distributed span
+  * machineries validate each other), and the stats row must reproduce
+  * brute-force values (longest repeat, its lexicographically first
+  * location, suffix and coverage counts). */
+class SuffixArraySpec extends SparkSpec {
+
+  /** Uncapped brute force: for every (doc, pos), max LCP against every
+    * other position; intervals [pos, pos+lcp) with lcp >= minLen merged
+    * per doc. Mirrors DedupSpec's helper (duplicated deliberately so the
+    * two spec files stay independent). */
+  private def bruteSpans(docs: Seq[(Long, String)], minLen: Int): Seq[(Long, Long, Long)] = {
+    val lm = bruteLcpMax(docs)
+    val intervals = lm.collect {
+      case ((id, p), l) if l >= minLen => (id, p.toLong, (p + l).toLong)
+    }.toSeq
+    intervals.groupBy(_._1).toSeq.flatMap { case (id, iv) =>
+      val sorted = iv.map { case (_, s, e) => (s, e) }.sorted
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var cs = -1L; var ce = -1L
+      sorted.foreach { case (s, e) =>
+        if (cs < 0) { cs = s; ce = e }
+        else if (s > ce) { out += ((id, cs, ce - cs)); cs = s; ce = e }
+        else ce = math.max(ce, e)
+      }
+      if (cs >= 0) out += ((id, cs, ce - cs))
+      out.result()
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  /** Brute lcp_max per (doc, pos). */
+  private def bruteLcpMax(docs: Seq[(Long, String)]): Map[(Long, Int), Int] = {
+    val toks = docs.map { case (id, tx) => id -> tx.trim.toLowerCase.split("\\s+").toVector }
+    val all = for ((id, ts) <- toks; p <- ts.indices) yield (id, ts, p)
+    def lcp(a: Vector[String], i: Int, b: Vector[String], j: Int): Int = {
+      var l = 0
+      while (i + l < a.length && j + l < b.length && a(i + l) == b(j + l)) l += 1
+      l
+    }
+    all.map { case (id, ts, p) =>
+      val rep = all.iterator
+        .filter { case (id2, _, p2) => (id2, p2) != ((id, p)) }
+        .map { case (_, ts2, p2) => lcp(ts, p, ts2, p2) }.maxOption.getOrElse(0)
+      (id, p) -> rep
+    }.toMap
+  }
+
+  private def writeDocs(docs: Seq[(Long, String)]): Tables = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sa").toFile.getAbsolutePath
+    docs.map { case (id, tx) => (id, tx, "en", "synthetic", tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    Tables(spark, base)
+  }
+
+  private val planted: Seq[(Long, String)] = {
+    val long = (1 to 90).map(i => s"s$i").mkString(" ")  // 90-token repeat
+    val short = (1 to 17).map(i => s"t$i").mkString(" ")
+    val sub = (1 to 9).map(i => s"u$i").mkString(" ")    // below minLen=16
+    Seq(
+      (0L, s"alpha $long beta $sub gamma"),
+      (1L, s"$long delta $short"),
+      (2L, s"one two $short three $sub four"),
+      (3L, (1 to 50).map(i => s"z$i").mkString(" ")),    // nothing shared
+      (4L, s"pre ${(1 to 30).map(_ => "rep").mkString(" ")} post")) // self-overlap
+  }
+
+  test("saSpans equals uncapped brute force on the planted corpus") {
+    val t = writeDocs(planted)
+    val got = SuffixArray.saSpans(t, minLen = 16).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).toSeq
+    assert(got == bruteSpans(planted, minLen = 16), s"got=$got")
+    // the 90-token repeat is reported at its FULL length — the any-length
+    // contract the windowed forms can only reach via interval chaining
+    assert(got.exists { case (id, _, l) => id == 0L && l == 90L })
+  }
+
+  test("saSpans works at non-power-of-two minLen (q123 requires 2^k)") {
+    val t = writeDocs(planted)
+    val got = SuffixArray.saSpans(t, minLen = 10).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).toSeq
+    assert(got == bruteSpans(planted, minLen = 10), s"got=$got")
+  }
+
+  test("saSpans equals q123's prefix-class union at the same minLen") {
+    val t = writeDocs(planted)
+    val sa = SuffixArray.saSpans(t, minLen = 16).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).toSeq
+    val classes = Dedup.maximalDuplicateSpansExact(t, minLen = 16, cap = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start").toLong,
+        r.getAs[Int]("span_tokens").toLong)).toSeq
+    assert(sa == classes, s"sa=$sa\nclasses=$classes")
+  }
+
+  test("stats row reproduces brute-force longest repeat and coverage") {
+    val t = writeDocs(planted)
+    val row = SuffixArray.suffixArrayStats(t, minLen = 16).head()
+    val lm = bruteLcpMax(planted)
+    val maxLcp = lm.values.max
+    assert(row.getAs[Long]("max_lcp") === maxLcp.toLong)
+    val repAt = lm.collect { case ((id, p), l) if l == maxLcp => (id, p) }.min
+    assert((row.getAs[Long]("rep_doc_id"), row.getAs[Long]("rep_pos")) ===
+      ((repAt._1, repAt._2.toLong)))
+    assert(row.getAs[Long]("n_dup_suffixes") ===
+      lm.values.count(_ >= 16).toLong)
+    val spans = bruteSpans(planted, minLen = 16)
+    assert(row.getAs[Long]("n_spans") === spans.size.toLong)
+    assert(row.getAs[Long]("dup_tokens") === spans.map(_._3).sum)
+    assert(row.getAs[Long]("n_docs") === planted.size.toLong)
+    assert(row.getAs[Long]("n_tokens") ===
+      planted.map(_._2.trim.split("\\s+").length.toLong).sum)
+  }
+
+  test("repeat-free corpus: empty spans, zero dup suffixes") {
+    val docs = Seq(
+      (0L, (1 to 40).map(i => s"a$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"b$i").mkString(" ")))
+    val t = writeDocs(docs)
+    assert(SuffixArray.saSpans(t, minLen = 16).count() === 0L)
+    val row = SuffixArray.suffixArrayStats(t, minLen = 16).head()
+    assert(row.getAs[Long]("max_lcp") === 0L)
+    assert(row.getAs[Long]("n_dup_suffixes") === 0L)
+    assert(row.getAs[Long]("dup_tokens") === 0L)
+  }
+
+  test("corpus with a >=4096-token repeat fails loudly, not silently") {
+    val huge = (1 to 4100).map(_ => "w").mkString(" ") // 4100 equal tokens
+    val t = writeDocs(Seq((0L, huge)))
+    val e = intercept[IllegalArgumentException](
+      SuffixArray.saSpans(t, minLen = 16).count())
+    assert(e.getMessage.contains("MaxLevels"))
+  }
+}
