@@ -167,9 +167,12 @@ object ScaleDataGen {
   }
 
   def generate(spark: SparkSession, srcDir: String, dstDir: String,
-               copies: Int = 10, docMode: String = "copyheavy"): Unit = {
+               copies: Int = 10, docMode: String = "copyheavy",
+               eventsMode: String = "uniform"): Unit = {
     require(docMode == "copyheavy" || docMode == "production",
       s"docMode must be copyheavy|production, got $docMode")
+    require(eventsMode == "uniform" || eventsMode == "hotkey",
+      s"eventsMode must be uniform|hotkey, got $eventsMode")
     val t = Tables(spark, srcDir)
     def out(name: String)(df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
@@ -210,8 +213,20 @@ object ScaleDataGen {
     val ev = t.eventsRaw
     val eventStride = stride(ev, "event_id")
     val userStride = stride(ev, "user_id")
+    // `hotkey` (SURVEY §7 hard part 6, the JFK/Times-Square zone shape):
+    // ~30% of ALL event rows collapse onto user_id 0 — the deliberately
+    // skewed fixture the salted paths (q81/q89 machinery) are measured
+    // against in tools.SkewBench / SCALE.md. Deterministic and seedless:
+    // the row's own remapped event_id hashes to a percent bucket.
+    val remappedUser = remap("user_id", userStride)
+    val skewedUser =
+      if (eventsMode == "hotkey")
+        when(pmod(xxhash64(lit("skew"), col("event_id") + col("copy") * lit(eventStride)),
+          lit(100L)) < 30, lit(0L)).otherwise(col("user_id") + col("copy") * lit(userStride))
+          .as("user_id")
+      else remappedUser
     out("events")(withCopies(ev, copies).select(
-      remap("event_id", eventStride), col("ts"), remap("user_id", userStride),
+      remap("event_id", eventStride), col("ts"), skewedUser,
       col("event_type"), col("value"), col("props")))
 
     val docStride = stride(t.documents, "doc_id")
@@ -247,10 +262,11 @@ object ScaleDataGen {
     val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
     val docMode = args.lift(3).getOrElse("copyheavy")
+    val eventsMode = args.lift(4).getOrElse("uniform")
     val spark = GraftSession.builder(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, src, dst, copies, docMode)
+    generate(spark, src, dst, copies, docMode, eventsMode)
     spark.stop()
   }
 }

@@ -75,4 +75,29 @@ class ScaleDataGenSpec extends SparkSpec {
       orders("o_custkey") === customer("c_custkey"), "left_anti").count()
     assert(orphans === 0L, s"$orphans orders reference missing customers")
   }
+
+  test("hotkey events mode: ~30% of rows on user 0, deterministic") {
+    val d = Files.createTempDirectory("graft-skew-fixture").toString
+    ScaleDataGen.generate(spark, "/root/testdata/sf0.001", d, copies,
+      docMode = "copyheavy", eventsMode = "hotkey")
+    val ev = spark.read.parquet(s"$d/events.parquet").cache()
+    val total = ev.count()
+    val hot = ev.filter(col("user_id") === 0L).count()
+    val share = hot.toDouble / total
+    assert(share > 0.25 && share < 0.35,
+      s"hot-key share $share outside the designed ~30% band")
+    // the hot key dominates every OTHER key by an order of magnitude
+    val second = ev.filter(col("user_id") =!= 0L)
+      .groupBy(col("user_id")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(hot > 10L * second,
+      s"hot key ($hot rows) does not dominate runner-up ($second rows)")
+    // seedless determinism: a regeneration reproduces the exact rows
+    val d2 = Files.createTempDirectory("graft-skew-fixture2").toString
+    ScaleDataGen.generate(spark, "/root/testdata/sf0.001", d2, copies,
+      docMode = "copyheavy", eventsMode = "hotkey")
+    val ev2 = spark.read.parquet(s"$d2/events.parquet")
+    assert(ev.unionAll(ev2).distinct().count() === ev.distinct().count())
+    ev.unpersist()
+  }
 }
