@@ -545,6 +545,54 @@ object SketchOracleSql {
        |WHERE cosine >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  /** q242: lexical-vs-semantic dup-signal agreement — the q34 `dup_pairs`
+    * chain and the q41 embedding-pair chain composed in one WITH (the
+    * embedding side's CTEs are `e`-prefixed: both chains would otherwise
+    * define `salted`), full-outer joined on the pair ids, cross-tabbed.
+    * Mirrors [[graft.ext.Dedup.dupSignalAgreement]]. */
+  val dupSignalAgreement: String = {
+    val cap = graft.ext.Dedup.DefaultBucketCap
+    s"""WITH $dupPairsCtes,
+       |$srpCte,
+       |ebanded AS (
+       |  SELECT vec_id, b AS band_id, (sig >> (b * 8)) & 255 AS bucket
+       |  FROM sigs CROSS JOIN range(0, 2) t(b)),
+       |ebsz AS (SELECT band_id, bucket, count(*) AS bucket_n
+       |         FROM ebanded GROUP BY 1, 2),
+       |esalted AS (
+       |  SELECT vec_id, band_id, bucket,
+       |    (${graft.ext.Sampling.splitHashSql("vec_id")}) % ((bucket_n + ${cap - 1}) // $cap) AS salt
+       |  FROM ebanded JOIN ebsz USING (band_id, bucket)),
+       |ecand AS (
+       |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |  FROM esalted l JOIN esalted r
+       |    ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.salt = r.salt
+       |   AND l.vec_id < r.vec_id),
+       |sem_pairs AS (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, ${cosSql("ea.vec", "eb.vec")} AS cosine
+       |    FROM ecand JOIN emb ea ON a = ea.vec_id JOIN emb eb ON b = eb.vec_id)
+       |  WHERE cosine >= 0.3),
+       |joined AS (
+       |  SELECT coalesce(l.lex, 0) AS lex, coalesce(s.sem, 0) AS sem
+       |  FROM (SELECT doc_a AS a, doc_b AS b, 1 AS lex FROM dup_pairs) l
+       |  FULL OUTER JOIN (SELECT a, b, 1 AS sem FROM sem_pairs) s
+       |    USING (a, b))
+       |SELECT
+       |  CAST(coalesce(sum(lex), 0) AS BIGINT) AS n_lexical,
+       |  CAST(coalesce(sum(sem), 0) AS BIGINT) AS n_semantic,
+       |  CAST(coalesce(sum(lex * sem), 0) AS BIGINT) AS n_both,
+       |  CAST(coalesce(sum(lex * (1 - sem)), 0) AS BIGINT) AS n_lex_only,
+       |  CAST(coalesce(sum((1 - lex) * sem), 0) AS BIGINT) AS n_sem_only,
+       |  CASE WHEN coalesce(sum(lex), 0) + coalesce(sum((1 - lex) * sem), 0) = 0
+       |       THEN CAST(0 AS DOUBLE)
+       |       ELSE CAST(coalesce(sum(lex * sem), 0) AS DOUBLE)
+       |            / CAST(coalesce(sum(lex), 0)
+       |                   + coalesce(sum((1 - lex) * sem), 0) AS DOUBLE)
+       |  END AS pair_jaccard
+       |FROM joined""".stripMargin
+  }
+
   /** q43: IVF — id-strided coarse centroids (n/16 stride, first 16 by
     * vec_id), nearest-centroid assignment, 4-list probes for queries
     * (vec_id < 8), exact re-rank top 5. Assignment/probe ranking uses the

@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.ext.{Dedup, Sampling, Similarity, SuffixArray, TextAnalysis}
+import graft.ext.{CorpusIndex, Dedup, Sampling, Similarity, SuffixArray, TextAnalysis}
 import graft.functions.ExactAgg.{Sql => O}
 import graft.operators.{Analytics, DataQuality, DictEncode, Incremental, Ingest, Serving}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -284,7 +284,11 @@ object SparkEntry {
     "q235_overdispersion" -> q(t => operators.Timeseries.overdispersionAudit(t)),
     "q236_dup_transitivity" -> q(t => Dedup.dupGraphTransitivity(t)),
     "q237_suffix_array_stats" -> q(t => SuffixArray.suffixArrayStats(t)),
-    "q238_sa_spans" -> q(t => SuffixArray.saSpans(t)))
+    "q238_sa_spans" -> q(t => SuffixArray.saSpans(t)),
+    "q239_next_token_table" -> q(t => CorpusIndex.nextTokenTable(t)),
+    "q240_token_balanced_shards" -> q(t => CorpusIndex.tokenBalancedShards(t)),
+    "q241_bloom_seen_shingles" -> q(t => CorpusIndex.bloomSeenShingles(t)),
+    "q242_dup_signal_agreement" -> q(t => Dedup.dupSignalAgreement(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -436,6 +440,10 @@ object SparkEntry {
     "q236_dup_transitivity" -> SketchOracleSql.dupGraphTransitivity,
     "q237_suffix_array_stats" -> SuffixArray.suffixArrayStatsSql(),
     "q238_sa_spans" -> SuffixArray.saSpansSql(),
+    "q239_next_token_table" -> CorpusIndex.nextTokenTableSql(),
+    "q240_token_balanced_shards" -> CorpusIndex.tokenBalancedShardsSql(),
+    "q241_bloom_seen_shingles" -> CorpusIndex.bloomSeenShinglesSql(),
+    "q242_dup_signal_agreement" -> SketchOracleSql.dupSignalAgreement,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

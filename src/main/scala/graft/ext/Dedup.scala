@@ -1554,4 +1554,43 @@ object Dedup {
           .otherwise(col("n_closed").cast("double") /
             col("n_wedges").cast("double")).as("clustering_coeff"))
   }
+
+  /** q242: lexical-vs-semantic dup-signal agreement — cross-tab of the
+    * MinHash-LSH pair set (word-shingle Jaccard ≥ 0.2 over `documents`,
+    * the q34 set) against the embedding near-dup pair set (SRP-banded
+    * cosine ≥ 0.3 over `embeddings`, the q41 set), under the fixture's
+    * shared id space (vec_id ≡ doc_id). This is the curation audit run
+    * before choosing a dedup policy: pairs BOTH signals agree on are safe
+    * deletes; lexical-only pairs are boilerplate/templates the embedding
+    * model abstracts over; semantic-only pairs are paraphrases lexical
+    * dedup cannot see (the SemDeDup motivation). The pair-set Jaccard is
+    * the single agreement number a pipeline dashboard tracks across
+    * snapshots.
+    *
+    * Scale: both inputs are the salt-capped O(cap·n) pair generators; the
+    * full-outer join keys on the pair ids — no new quadratic stage. */
+  def dupSignalAgreement(t: Tables): DataFrame = {
+    val lex = minhashDupPairsUnsorted(t, minJaccard = 0.2, portable = true)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit(1L).as("lex"))
+    val sem = embeddingNearDups(t)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"), lit(1L).as("sem"))
+    lex.join(sem, Seq("a", "b"), "full_outer")
+      .select(coalesce(col("lex"), lit(0L)).as("lex"),
+              coalesce(col("sem"), lit(0L)).as("sem"))
+      .agg(
+        // coalesce: a corpus with zero pairs on both sides must report a
+        // 0-row, not a NULL-row (sum over an empty global group is NULL)
+        coalesce(sum("lex"), lit(0L)).as("n_lexical"),
+        coalesce(sum("sem"), lit(0L)).as("n_semantic"),
+        coalesce(sum(col("lex") * col("sem")), lit(0L)).as("n_both"),
+        coalesce(sum(col("lex") * (lit(1L) - col("sem"))), lit(0L)).as("n_lex_only"),
+        coalesce(sum((lit(1L) - col("lex")) * col("sem")), lit(0L)).as("n_sem_only"))
+      .select(
+        col("n_lexical"), col("n_semantic"), col("n_both"),
+        col("n_lex_only"), col("n_sem_only"),
+        when(col("n_lexical") + col("n_sem_only") === 0, lit(0.0))
+          .otherwise(col("n_both").cast("double") /
+            (col("n_lexical") + col("n_sem_only")).cast("double"))
+          .as("pair_jaccard"))
+  }
 }

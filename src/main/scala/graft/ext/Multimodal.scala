@@ -775,13 +775,50 @@ object Multimodal {
   def audioNearDupsFromDocs(t: graft.core.Tables, maxHamming: Int = 4): DataFrame =
     audioNearDups(audioCorpusFromDocs(t.documents), maxHamming)
 
+  /** Shared oracle tail for the banded-Hamming near-dup twins: replays
+    * [[graft.ext.Dedup.saltedBuckets]]'s bucket cap (bucket sizes →
+    * ⌈n/cap⌉ splitHash-salted sub-buckets; ≤ cap members ⇒ 1 salt ⇒
+    * salt 0 for all — identical to the unsalted join), then computes the
+    * exact Hamming ONLY over candidate pairs. The r7 tail computed
+    * Hamming over ALL doc pairs (`bands × bands` on band_id alone) before
+    * intersecting with candidates — quadratic in corpus size, the reason
+    * q121/q122 stayed oracle-gated at sf0.01 (VERDICT r7 item 7). With
+    * candidates O(cap·n) and Hamming restricted to them, the twin
+    * completes at mid scale AND stays faithful when the cap engages
+    * (the r7 tail would diverge from the engine on any over-cap bucket).
+    * Expects a `bands(doc_id, band_id, band_val)` CTE in scope. */
+  private def bandedNearDupsTailSql(maxHamming: Int, cap: Int): String =
+    s"""sizes AS MATERIALIZED (
+       |  SELECT band_id, band_val, count(*) AS bucket_n
+       |  FROM bands GROUP BY 1, 2),
+       |salted AS MATERIALIZED (
+       |  SELECT b.doc_id, b.band_id, b.band_val,
+       |    (${Sampling.splitHashSql("b.doc_id")})
+       |      % ((s.bucket_n + ${cap - 1}) // $cap) AS salt
+       |  FROM bands b JOIN sizes s
+       |    ON s.band_id = b.band_id AND s.band_val = b.band_val),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT l.doc_id AS media_a, r.doc_id AS media_b
+       |  FROM salted l JOIN salted r
+       |    ON l.band_id = r.band_id AND l.band_val = r.band_val
+       |       AND l.salt = r.salt AND l.doc_id < r.doc_id)
+       |SELECT c.media_a, c.media_b,
+       |  CAST(sum(bit_count(xor(lb.band_val, rb.band_val))) AS INTEGER) AS hamming
+       |FROM cand c
+       |JOIN bands lb ON lb.doc_id = c.media_a
+       |JOIN bands rb ON rb.doc_id = c.media_b AND rb.band_id = lb.band_id
+       |GROUP BY 1, 2
+       |HAVING sum(bit_count(xor(lb.band_val, rb.band_val))) <= $maxHamming
+       |ORDER BY 1, 2""".stripMargin
+
   /** DuckDB twin of [[imageNearDupsFromDocs]]: replays [[averageHash]]'s
     * integer arithmetic (block assignment `(y·8)//h`, cross-multiplied
     * mean comparison) from the seed formulas, assembles the 64-bit hash as
     * 4×16-bit bands (BIGINT-safe — bit 63 of a whole hash would overflow
-    * signed SQL arithmetic), and mirrors the banded candidate join +
-    * Hamming filter. */
-  def imageNearDupsSql(maxHamming: Int = 4): String =
+    * signed SQL arithmetic), and mirrors the salted banded candidate join +
+    * candidate-restricted Hamming filter ([[bandedNearDupsTailSql]]). */
+  def imageNearDupsSql(maxHamming: Int = 4,
+                       cap: Int = Dedup.DefaultBucketCap): String =
     s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id, n_chars, 8 + n_chars % 9 AS w, 6 + n_chars % 7 AS h
        |  FROM documents),
@@ -812,26 +849,14 @@ object Multimodal {
        |  FROM tot t CROSS JOIN unnest(range(0, 4)) AS g(band_id)
        |  LEFT JOIN blocks b ON b.doc_id = t.doc_id AND b.blk // 16 = g.band_id
        |  GROUP BY 1, 2),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT l.doc_id AS media_a, r.doc_id AS media_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band_id = r.band_id AND l.band_val = r.band_val
-       |       AND l.doc_id < r.doc_id)
-       |SELECT c.media_a, c.media_b, CAST(h.hamming AS INTEGER) AS hamming
-       |FROM cand c JOIN (
-       |  SELECT lb.doc_id AS media_a, rb.doc_id AS media_b,
-       |    sum(bit_count(xor(lb.band_val, rb.band_val))) AS hamming
-       |  FROM bands lb JOIN bands rb ON lb.band_id = rb.band_id
-       |  GROUP BY 1, 2) h
-       |  ON h.media_a = c.media_a AND h.media_b = c.media_b
-       |WHERE h.hamming <= $maxHamming
-       |ORDER BY c.media_a, c.media_b""".stripMargin
+       |""".stripMargin + bandedNearDupsTailSql(maxHamming, cap)
 
   /** DuckDB twin of [[audioNearDupsFromDocs]]: replays [[audioHash]]'s
     * frame-energy arithmetic (frame `f = (j·64)//n`, |amplitude| sums,
     * cross-multiplied comparison) from the seed formulas — gain and all —
-    * then the same banded join. */
-  def audioNearDupsSql(maxHamming: Int = 4): String =
+    * then the same salted banded join ([[bandedNearDupsTailSql]]). */
+  def audioNearDupsSql(maxHamming: Int = 4,
+                       cap: Int = Dedup.DefaultBucketCap): String =
     s"""WITH m AS MATERIALIZED (
        |  SELECT doc_id, n_chars, 64 + n_chars % 128 AS n, 1 + doc_id % 3 AS gain
        |  FROM documents),
@@ -853,18 +878,5 @@ object Multimodal {
        |  FROM tot t CROSS JOIN unnest(range(0, 4)) AS g(band_id)
        |  LEFT JOIN frames fr ON fr.doc_id = t.doc_id AND fr.f // 16 = g.band_id
        |  GROUP BY 1, 2),
-       |cand AS MATERIALIZED (
-       |  SELECT DISTINCT l.doc_id AS media_a, r.doc_id AS media_b
-       |  FROM bands l JOIN bands r
-       |    ON l.band_id = r.band_id AND l.band_val = r.band_val
-       |       AND l.doc_id < r.doc_id)
-       |SELECT c.media_a, c.media_b, CAST(h.hamming AS INTEGER) AS hamming
-       |FROM cand c JOIN (
-       |  SELECT lb.doc_id AS media_a, rb.doc_id AS media_b,
-       |    sum(bit_count(xor(lb.band_val, rb.band_val))) AS hamming
-       |  FROM bands lb JOIN bands rb ON lb.band_id = rb.band_id
-       |  GROUP BY 1, 2) h
-       |  ON h.media_a = c.media_a AND h.media_b = c.media_b
-       |WHERE h.hamming <= $maxHamming
-       |ORDER BY c.media_a, c.media_b""".stripMargin
+       |""".stripMargin + bandedNearDupsTailSql(maxHamming, cap)
 }
