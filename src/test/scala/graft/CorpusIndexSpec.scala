@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.Tables
+import graft.ext.{CorpusIndex, Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-index operators (q239–q241) against single-node ground truth and
+  * their own structural invariants, plus the q242 cross-tab identities. */
+class CorpusIndexSpec extends SparkSpec {
+
+  private def writeDocs(docs: Seq[(Long, String, String)]): Tables = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ci").toFile.getAbsolutePath
+    docs.map { case (id, tx, src) => (id, tx, "en", src, tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    Tables(spark, base)
+  }
+
+  // ── q239 next-token table ───────────────────────────────────────────
+
+  test("q239: counts, totals, ranks, and probabilities match a brute-force recount") {
+    val docs = Seq(
+      (0L, "a b c a b d a b c", "s"),
+      (1L, "a b c x y z a b e", "s"),
+      (2L, "x y z x y w", "s"),
+      (3L, "lone pair", "s"), // 2 tokens < n=3: contributes nothing
+      (4L, "a b", "s"))
+    val t = writeDocs(docs)
+    val got = CorpusIndex.nextTokenTable(t, n = 3, topContexts = 3, topNext = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5)))
+
+    // brute force: all trigrams of docs with >= 3 tokens
+    val grams = docs.flatMap { case (_, tx, _) =>
+      val tk = tx.trim.split("\\s+")
+      if (tk.length < 3) Seq.empty
+      else tk.sliding(3).map(w => (w.init.mkString(" "), w.last)).toSeq
+    }
+    val counts = grams.groupBy(identity).map { case ((c, nx), g) => (c, nx, g.size.toLong) }
+    val totals = counts.groupBy(_._1).map { case (c, g) => c -> g.map(_._3).sum }
+    val top = totals.toSeq.sortBy { case (c, tot) => (-tot, c) }.take(3).toMap
+    val expected = counts.filter(r => top.contains(r._1)).toSeq
+      .groupBy(_._1).toSeq.flatMap { case (c, g) =>
+        g.sortBy { case (_, nx, cnt) => (-cnt, nx) }.zipWithIndex
+          .take(2).map { case ((_, nx, cnt), i) =>
+            (c, nx, cnt, top(c), cnt.toDouble / top(c), i + 1)
+          }
+      }
+      .sortBy { case (c, _, _, tot, _, r) => (-tot, c, r) }
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq}\nexpected $expected")
+  }
+
+  // ── q240 token-balanced shards ──────────────────────────────────────
+
+  test("q240: shards partition the corpus and balance token mass to within one document") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val nShards = 8
+    val rep = CorpusIndex.tokenBalancedShards(t, nShards = nShards).collect()
+    val docStats = t.documents
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("tok"))
+      .agg(count(lit(1)), sum("tok"), max("tok")).head()
+    val (nDocs, totalTok, maxTok) =
+      (docStats.getLong(0), docStats.getLong(1), docStats.getLong(2))
+    assert(rep.map(_.getLong(1)).sum == nDocs, "shards must partition all docs")
+    assert(rep.map(_.getLong(2)).sum == totalTok, "shards must partition all tokens")
+    assert(rep.length == nShards, "every shard must be non-empty on this fixture")
+    // contiguous token-quantile cut: each shard's mass is within one
+    // document of the ideal total/nShards
+    val ideal = totalTok.toDouble / nShards
+    rep.foreach { r =>
+      assert(math.abs(r.getLong(2) - ideal) <= maxTok,
+        s"shard ${r.getInt(0)} mass ${r.getLong(2)} deviates > maxDoc=$maxTok from $ideal")
+    }
+  }
+
+  test("q240: two-phase prefix sum equals the naive global-window scan") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val nShards = 8
+    val got = CorpusIndex.tokenBalancedShards(t, nShards = nShards)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // naive single-partition scan — correct but not 100 TB-safe; the
+    // engine's bucketed two-phase form must reproduce it exactly
+    val docs = t.documents.select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("tok"),
+      Sampling.splitHash(col("doc_id")).as("h"))
+    val total = docs.agg(sum("tok")).head().getLong(0)
+    val naive = docs
+      .withColumn("cum_before",
+        coalesce(sum("tok").over(Window.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard",
+        least(expr(s"(cum_before * $nShards) DIV $total"), lit(nShards - 1L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .orderBy("shard")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == naive)
+  }
+
+  // ── q241 bloom seen-shingles ────────────────────────────────────────
+
+  test("q241: no false negatives, exact flag accounting, measurable FP band") {
+    // sf0.01: the sizing note's fixture — stored ~6k shingles at 2^16
+    // bits is ~24% load, so false positives actually occur and the
+    // accounting columns are all exercised
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    val r = CorpusIndex.bloomSeenShingles(t).head()
+    val (nStored, bitsSet, load) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val (nIncoming, nMember, nFlagged) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    val (truePos, falsePos, missed, fpRate) =
+      (r.getLong(6), r.getLong(7), r.getLong(8), r.getDouble(9))
+    assert(missed == 0L, "a Bloom filter must never miss a member")
+    assert(truePos == nMember, "every member must be flagged")
+    assert(nFlagged == truePos + falsePos)
+    assert(nStored > 0 && nIncoming > nMember)
+    assert(bitsSet > 0 && load > 0.0 && load < 1.0)
+    assert(falsePos > 0, "sizing must leave a measurable FP band — an " +
+      "oversized filter reports 0.0 and tests nothing")
+    assert(fpRate > 0.0 && fpRate < 0.1)
+    assert(math.abs(fpRate - falsePos.toDouble / (nIncoming - nMember)) == 0.0)
+  }
+
+  test("q241: flag decisions match a single-node Bloom replica") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j", "src0"),
+      (1L, "c d e f g h k l m n", "src0"),
+      (2L, "a b c d e zz yy xx", "src7"),   // shares shingles with stored
+      (3L, "p q r s t u v w", "src8"))      // shares nothing
+    val t = writeDocs(docs)
+    val mBits = 64 // tiny filter: forces collisions through the replica too
+    val k = 3
+    val r = CorpusIndex.bloomSeenShingles(t, nStoredSources = 5, mBits = mBits, k = k).head()
+
+    def shingles(tx: String): Set[String] = {
+      val tk = tx.trim.split("\\s+")
+      if (tk.length < 3) Set(tk.mkString(" "))
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val M = graft.functions.KmvSketch.M
+    def splitHash(x: Long): Long = {
+      val h = ((x % M) * 2654435761L) % M
+      (((h * h) % M) * 2246822519L + 1L) % M
+    }
+    def positions(s: String): Set[Long] = (0 until k)
+      .map(i => splitHash(graft.functions.PortableHash.hash62(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) + i) % mBits)
+      .toSet
+    val stored = docs.filter(_._3.matches("src[0-4]")).flatMap(d => shingles(d._2)).toSet
+    val incoming = docs.filterNot(_._3.matches("src[0-4]")).flatMap(d => shingles(d._2)).toSet
+    val bits = stored.flatMap(positions)
+    val flagged = incoming.count(s => positions(s).subsetOf(bits))
+    val member = incoming.count(stored.contains)
+    assert(r.getLong(0) == stored.size)
+    assert(r.getLong(1) == bits.size)
+    assert(r.getLong(3) == incoming.size)
+    assert(r.getLong(4) == member)
+    assert(r.getLong(5) == flagged)
+  }
+
+  // ── q242 dup-signal agreement ───────────────────────────────────────
+
+  test("q242: cross-tab identities and side totals match the pair generators") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val r = Dedup.dupSignalAgreement(t).head()
+    val (nLex, nSem, nBoth, nLexOnly, nSemOnly, pj) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+    assert(nLex == nBoth + nLexOnly)
+    assert(nSem == nBoth + nSemOnly)
+    val lexCount = Dedup.minhashDupPairs(t, minJaccard = 0.2, portable = true).count()
+    val semCount = Dedup.embeddingNearDups(t).count()
+    assert(nLex == lexCount)
+    assert(nSem == semCount)
+    val denom = nLex + nSemOnly
+    if (denom == 0) assert(pj == 0.0)
+    else assert(pj == nBoth.toDouble / denom)
+  }
+}

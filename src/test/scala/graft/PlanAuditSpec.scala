@@ -338,7 +338,9 @@ class PlanAuditSpec extends SparkSpec {
     "q231_kmeans_silhouette",       // broadcast k-row centroid frame (q175's core)
     "q235_overdispersion",          // 1-row (h0,h1) hour-bounds frame (q96's shape)
     "q236_dup_transitivity",        // 1-row wedge-summary frame
-    "q237_suffix_array_stats")      // 1-row stat frames cross-joined
+    "q237_suffix_array_stats",      // 1-row stat frames cross-joined
+    "q240_token_balanced_shards",   // 1-row corpus token-total frame
+    "q241_bloom_seen_shingles")     // 1-row n_stored x 1-row bits_set frames
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -625,7 +627,20 @@ class PlanAuditSpec extends SparkSpec {
     "q237_suffix_array_stats" -> 6,
     // span-interval windows + presentation sort over the same shared
     // lcp_max index
-    "q238_sa_spans" -> 2)
+    "q238_sa_spans" -> 2,
+    // (context,next) count + context totals + per-context rank window +
+    // presentation sort — all on the vocabulary-sized count frame
+    "q239_next_token_table" -> 5,
+    // two-phase prefix sum: per-bucket totals + within-bucket window +
+    // shard report agg + presentation sort (the nBuckets-row prefix
+    // window is single-partition by design, bounded)
+    "q240_token_balanced_shards" -> 6,
+    // stored/incoming shingle distincts + per-shingle probe agg + truth
+    // join + 1-row report
+    "q241_bloom_seen_shingles" -> 6,
+    // pair-id full-outer join over the two cached pair generators + the
+    // 1-row cross-tab
+    "q242_dup_signal_agreement" -> 3)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
