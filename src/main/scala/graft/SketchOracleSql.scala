@@ -593,6 +593,37 @@ object SketchOracleSql {
        |FROM joined""".stripMargin
   }
 
+  /** q243: per-source memorization-risk report — mirrors
+    * [[graft.ext.Dedup.memorizationRisk]]: q84's 15-token window hashing,
+    * (hash, source) counts, corpus-wide occurrence via a window over the
+    * aggregated frame, per-source at-risk shares at thresholds 2/4/8. */
+  val memorizationRisk: String =
+    """WITH tk AS (
+      |  SELECT source, string_split_regex(trim(lower(text)), '\s+') AS tks
+      |  FROM documents),
+      |w AS (
+      |  SELECT source, md5(array_to_string(tks[i:i+14], ' ')) AS span_hash
+      |  FROM tk, unnest(range(1, len(tks) - 13)) u(i)
+      |  WHERE len(tks) >= 15),
+      |l AS (
+      |  SELECT span_hash, source, count(*) AS local_n FROM w GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source, local_n,
+      |    CAST(sum(local_n) OVER (PARTITION BY span_hash) AS BIGINT) AS global_n
+      |  FROM l)
+      |SELECT source,
+      |  CAST(sum(local_n) AS BIGINT) AS n_windows,
+      |  CAST(sum(CASE WHEN global_n >= 2 THEN local_n ELSE 0 END) AS BIGINT) AS n_ge_2,
+      |  CAST(sum(CASE WHEN global_n >= 4 THEN local_n ELSE 0 END) AS BIGINT) AS n_ge_4,
+      |  CAST(sum(CASE WHEN global_n >= 8 THEN local_n ELSE 0 END) AS BIGINT) AS n_ge_8,
+      |  CAST(sum(CASE WHEN global_n >= 2 THEN local_n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(local_n) AS DOUBLE) AS frac_ge_2,
+      |  CAST(sum(CASE WHEN global_n >= 4 THEN local_n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(local_n) AS DOUBLE) AS frac_ge_4,
+      |  CAST(sum(CASE WHEN global_n >= 8 THEN local_n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(local_n) AS DOUBLE) AS frac_ge_8
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q43: IVF — id-strided coarse centroids (n/16 stride, first 16 by
     * vec_id), nearest-centroid assignment, 4-list probes for queries
     * (vec_id < 8), exact re-rank top 5. Assignment/probe ranking uses the

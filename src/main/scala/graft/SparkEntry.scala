@@ -288,7 +288,8 @@ object SparkEntry {
     "q239_next_token_table" -> q(t => CorpusIndex.nextTokenTable(t)),
     "q240_token_balanced_shards" -> q(t => CorpusIndex.tokenBalancedShards(t)),
     "q241_bloom_seen_shingles" -> q(t => CorpusIndex.bloomSeenShingles(t)),
-    "q242_dup_signal_agreement" -> q(t => Dedup.dupSignalAgreement(t)))
+    "q242_dup_signal_agreement" -> q(t => Dedup.dupSignalAgreement(t)),
+    "q243_memorization_risk" -> q(t => Dedup.memorizationRisk(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -444,6 +445,7 @@ object SparkEntry {
     "q240_token_balanced_shards" -> CorpusIndex.tokenBalancedShardsSql(),
     "q241_bloom_seen_shingles" -> CorpusIndex.bloomSeenShinglesSql(),
     "q242_dup_signal_agreement" -> SketchOracleSql.dupSignalAgreement,
+    "q243_memorization_risk" -> SketchOracleSql.memorizationRisk,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -943,6 +943,55 @@ object Dedup {
       .orderBy(col("n_occurrences").desc, col("span_hash"))
   }
 
+  /** q243: per-source memorization-risk report — for every source, the
+    * share of its `k`-token windows whose corpus-wide occurrence count
+    * reaches 2 / 4 / 8. Duplicated training sequences are memorized
+    * disproportionately often (Lee et al. 2022; Carlini et al. 2023 —
+    * memorization grows with duplication count), so the per-source
+    * at-risk-window mass is the number a release review reads next to
+    * q84's span list: q84 says WHICH spans repeat, this says WHO
+    * contributes repeated mass and how much of each source survives an
+    * "occurrence < R" training filter.
+    *
+    * Plan: ONE window-level shuffle — (span_hash, source) counts — then
+    * the corpus-wide occurrence count rides a window over the
+    * already-aggregated hash×source frame (distinct-hash-sized, ≪ window
+    * count), never a second pass over the corpus. The shuffle carries
+    * 16-byte hashes, never text (the q84 doctrine). */
+  def memorizationRisk(t: Tables, k: Int = 15): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
+    import org.apache.spark.sql.expressions.Window
+    val tks = TextAnalysis.tokens(lower(col("text")))
+    val local = t.documents
+      .select(col("source"), tks.as("tks"))
+      .filter(size(col("tks")) >= k)
+      .select(col("source"),
+        explode(graft.functions.ShingleExpression.wordShingles(col("tks"), k))
+          .as("w"))
+      .select(col("source"), md5(col("w")).as("span_hash"))
+      .groupBy(col("span_hash"), col("source"))
+      .agg(count(lit(1)).as("local_n"))
+    local
+      .withColumn("global_n",
+        sum(col("local_n")).over(Window.partitionBy(col("span_hash"))))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("local_n")).as("n_windows"),
+        sum(when(col("global_n") >= 2, col("local_n")).otherwise(0L)).as("n_ge_2"),
+        sum(when(col("global_n") >= 4, col("local_n")).otherwise(0L)).as("n_ge_4"),
+        sum(when(col("global_n") >= 8, col("local_n")).otherwise(0L)).as("n_ge_8"))
+      .select(
+        col("source"), col("n_windows"), col("n_ge_2"), col("n_ge_4"),
+        col("n_ge_8"),
+        (col("n_ge_2").cast("double") / col("n_windows").cast("double"))
+          .as("frac_ge_2"),
+        (col("n_ge_4").cast("double") / col("n_windows").cast("double"))
+          .as("frac_ge_4"),
+        (col("n_ge_8").cast("double") / col("n_windows").cast("double"))
+          .as("frac_ge_8"))
+      .orderBy(col("source"))
+  }
+
   /** q110: MAXIMAL duplicated spans — [[duplicateSpans]]' fixed-k
     * duplicated windows merged into their maximal per-document extents.
     * Every maximal duplicated span of >= k tokens is an island of

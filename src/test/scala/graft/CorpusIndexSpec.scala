@@ -163,6 +163,37 @@ class CorpusIndexSpec extends SparkSpec {
     assert(r.getLong(5) == flagged)
   }
 
+  // ── q243 memorization risk ──────────────────────────────────────────
+
+  test("q243: per-source at-risk shares match a brute-force window recount") {
+    val rep = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12 r13 r14 r15" // one 15-window
+    val docs = Seq(
+      (0L, s"$rep a1 a2 a3", "srcA"),   // rep window + 3 unique windows
+      (1L, s"$rep b1 b2", "srcA"),      // rep + 2 unique
+      (2L, s"$rep c1", "srcB"),         // rep + 1 unique
+      (3L, s"$rep $rep", "srcB"),       // rep at 16 offsets (self-overlap)
+      (4L, "short doc", "srcC"))        // < 15 tokens: excluded entirely
+    val t = writeDocs(docs)
+    val got = Dedup.memorizationRisk(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+
+    // brute force over the same windows
+    val windows = docs.flatMap { case (_, tx, src) =>
+      val tk = tx.trim.toLowerCase.split("\\s+")
+      if (tk.length < 15) Seq.empty
+      else tk.sliding(15).map(w => (src, w.mkString(" "))).toSeq
+    }
+    val globalN = windows.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    val expected = windows.groupBy(_._1).toSeq.map { case (src, ws) =>
+      val ns = ws.map(w => globalN(w._2))
+      (src, ns.size.toLong, ns.count(_ >= 2).toLong, ns.count(_ >= 4).toLong,
+        ns.count(_ >= 8).toLong)
+    }.sortBy(_._1)
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(expected.exists(_._4 > 0), "fixture must exercise the >=4 band")
+  }
+
   // ── q242 dup-signal agreement ───────────────────────────────────────
 
   test("q242: cross-tab identities and side totals match the pair generators") {

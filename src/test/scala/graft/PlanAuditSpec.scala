@@ -640,7 +640,10 @@ class PlanAuditSpec extends SparkSpec {
     "q241_bloom_seen_shingles" -> 6,
     // pair-id full-outer join over the two cached pair generators + the
     // 1-row cross-tab
-    "q242_dup_signal_agreement" -> 3)
+    "q242_dup_signal_agreement" -> 3,
+    // one window-level (hash, source) shuffle; global occurrence + the
+    // per-source roll-up ride the aggregated hash-sized frame
+    "q243_memorization_risk" -> 4)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
