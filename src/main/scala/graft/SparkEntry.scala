@@ -289,7 +289,8 @@ object SparkEntry {
     "q240_token_balanced_shards" -> q(t => CorpusIndex.tokenBalancedShards(t)),
     "q241_bloom_seen_shingles" -> q(t => CorpusIndex.bloomSeenShingles(t)),
     "q242_dup_signal_agreement" -> q(t => Dedup.dupSignalAgreement(t)),
-    "q243_memorization_risk" -> q(t => Dedup.memorizationRisk(t)))
+    "q243_memorization_risk" -> q(t => Dedup.memorizationRisk(t)),
+    "q244_next_token_served" -> q(t => CorpusIndex.nextTokenServedDemo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -446,6 +447,9 @@ object SparkEntry {
     "q241_bloom_seen_shingles" -> CorpusIndex.bloomSeenShinglesSql(),
     "q242_dup_signal_agreement" -> SketchOracleSql.dupSignalAgreement,
     "q243_memorization_risk" -> SketchOracleSql.memorizationRisk,
+    // identical result through the persisted bucketed index — q239's
+    // oracle replays the serve path too (the q127 doctrine)
+    "q244_next_token_served" -> CorpusIndex.nextTokenTableSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

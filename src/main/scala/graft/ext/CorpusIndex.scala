@@ -95,6 +95,75 @@ object CorpusIndex {
        |FROM r WHERE rnk <= $topNext
        |ORDER BY context_total DESC, context, rnk""".stripMargin
 
+  /** Session-scoped build-once guard for [[nextTokenServedDemo]]'s index
+    * tables (the q127 / [[graft.operators.Bucketed]] pattern). */
+  private val ntIdxBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Persist the FULL next-token table as bucketed index tables — the
+    * cross-session serve artifact behind [[nextTokenServedDemo]]: counts
+    * bucketed BY context so a per-context ranked lookup is co-located
+    * (the bucketed scan already satisfies the window's required
+    * distribution — no exchange at serve time), plus the per-context
+    * totals the "most frequent contexts" entry point reads without
+    * touching the counts table. */
+  def writeNextTokenIndex(t: Tables, prefix: String, n: Int = 3,
+                          nBuckets: Int = 8): Unit = {
+    val counts = t.documents
+      .where(size(TextAnalysis.tokens(col("text"))) >= n)
+      .select(explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .groupBy(
+        substring_index(col("gram"), " ", n - 1).as("context"),
+        substring_index(col("gram"), " ", -1).as("next"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // one corpus pass feeds both index tables
+    graft.sources.TableIO.dropTableAndLocation(t.spark, s"${prefix}_counts")
+    counts.write.format("parquet").option("compression", "zstd")
+      .bucketBy(nBuckets, "context")
+      .saveAsTable(s"${prefix}_counts")
+    graft.sources.TableIO.dropTableAndLocation(t.spark, s"${prefix}_totals")
+    counts.groupBy("context").agg(sum("cnt").as("context_total"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(nBuckets, "context")
+      .saveAsTable(s"${prefix}_totals")
+  }
+
+  /** q244: the next-token table SERVED from the persisted index — build
+    * the bucketed index tables once ([[writeNextTokenIndex]], exactly the
+    * production rebuild job), then answer the q239 question (top contexts,
+    * ranked next tokens) purely from the index: totals give the entry
+    * points via TakeOrdered, count rows join the broadcast context set,
+    * and the per-context rank window rides the bucketed scan's
+    * distribution. The result is IDENTICAL to [[nextTokenTable]] — counts
+    * are counts however they are stored — so q239's DuckDB oracle replays
+    * this path too, putting the index round-trip (bucketed write → read →
+    * ranked lookup) under the hash gate. At 100 TB this is the shape that
+    * matters: the corpus is touched once per snapshot at build time;
+    * every lookup afterwards reads one context's bucket. */
+  def nextTokenServedDemo(t: Tables, n: Int = 3, topContexts: Int = 20,
+                          topNext: Int = 3): DataFrame = {
+    val spark = t.spark
+    val tag = ((t.dir, n).hashCode & 0x7fffffff).toHexString
+    val prefix = s"graft_ntidx_$tag"
+    val key = s"${System.identityHashCode(spark.sessionState)}:$prefix"
+    if (ntIdxBuilt.add(key) || !spark.catalog.tableExists(s"${prefix}_counts"))
+      writeNextTokenIndex(t, prefix, n)
+    val top = spark.table(s"${prefix}_totals")
+      .orderBy(desc("context_total"), asc("context"))
+      .limit(topContexts)
+    spark.table(s"${prefix}_counts")
+      .join(broadcast(top), Seq("context"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("context").orderBy(desc("cnt"), asc("next"))))
+      .where(col("rnk") <= topNext)
+      .select(
+        col("context"), col("next"), col("cnt"), col("context_total"),
+        (col("cnt").cast("double") / col("context_total").cast("double"))
+          .as("prob"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy(desc("context_total"), asc("context"), asc("rnk"))
+  }
+
   // ── q240: token-balanced shard assignment ─────────────────────────────
 
   /** q240: deterministic token-balanced shard assignment — the training

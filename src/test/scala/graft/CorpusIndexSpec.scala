@@ -163,6 +163,22 @@ class CorpusIndexSpec extends SparkSpec {
     assert(r.getLong(5) == flagged)
   }
 
+  // ── q244 served next-token index ────────────────────────────────────
+
+  test("q244: served index path equals the direct q239 computation, shuffle-free") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val direct = CorpusIndex.nextTokenTable(t).collect().toSeq
+    val served = CorpusIndex.nextTokenServedDemo(t)
+    assert(served.collect().toSeq == direct,
+      "serve path must be bit-identical to the direct computation")
+    // the serve contract: the rank window rides the bucketed scan's
+    // distribution — no hash exchange anywhere in the lookup plan
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"serve path must not hash-shuffle:\n$plan")
+    assert(plan.contains("Bucketed: true"), "lookup must read the bucketed index")
+  }
+
   // ── q243 memorization risk ──────────────────────────────────────────
 
   test("q243: per-source at-risk shares match a brute-force window recount") {

@@ -643,7 +643,10 @@ class PlanAuditSpec extends SparkSpec {
     "q242_dup_signal_agreement" -> 3,
     // one window-level (hash, source) shuffle; global occurrence + the
     // per-source roll-up ride the aggregated hash-sized frame
-    "q243_memorization_risk" -> 4)
+    "q243_memorization_risk" -> 4,
+    // the serve path: bucketed-scan distribution feeds the rank window
+    // (zero hash exchanges); the only exchange is the presentation sort
+    "q244_next_token_served" -> 1)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
