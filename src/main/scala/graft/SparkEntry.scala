@@ -290,7 +290,8 @@ object SparkEntry {
     "q241_bloom_seen_shingles" -> q(t => CorpusIndex.bloomSeenShingles(t)),
     "q242_dup_signal_agreement" -> q(t => Dedup.dupSignalAgreement(t)),
     "q243_memorization_risk" -> q(t => Dedup.memorizationRisk(t)),
-    "q244_next_token_served" -> q(t => CorpusIndex.nextTokenServedDemo(t)))
+    "q244_next_token_served" -> q(t => CorpusIndex.nextTokenServedDemo(t)),
+    "q245_merge_on_read" -> q(t => graft.sources.TableIO.mergeOnReadDemo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -450,6 +451,7 @@ object SparkEntry {
     // identical result through the persisted bucketed index — q239's
     // oracle replays the serve path too (the q127 doctrine)
     "q244_next_token_served" -> CorpusIndex.nextTokenTableSql(),
+    "q245_merge_on_read" -> graft.sources.TableIO.mergeOnReadDemoSql,
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

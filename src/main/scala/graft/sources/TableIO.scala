@@ -447,6 +447,114 @@ object TableIO {
       |  o_orderstatus
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ── merge-on-read equality deletes ──────────────────────────────────
+  //
+  // The Iceberg-v2 delete-file discipline re-expressed on plain parquet
+  // catalog tables (no Iceberg jar ships in this environment — same
+  // substitution stance as sources/Snapshots): a delete writes only the
+  // KEYS into `_deletes/` under the table location (metadata-sized);
+  // data files are untouched; readers subtract the delete log at scan
+  // time; compaction folds deletes in and clears the log. At 100 TB this
+  // is the only affordable path for small deletes (GDPR erasure,
+  // retracted documents): copy-on-write rewrites TB-scale files for
+  // KB-scale deletes, merge-on-read defers that cost to the next
+  // compaction and amortizes it. The `_` prefix keeps delete files
+  // invisible to the table's own scans (Spark/parquet skip `_`/`.`
+  // paths), so the log needs no catalog change.
+
+  private def deletesDir(spark: SparkSession, table: String) = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    new Path(spark.sessionState.catalog.getTableMetadata(ident).location.getPath,
+      "_deletes")
+  }
+
+  /** Append an equality-delete file: `keys` (a 1-column frame named after
+    * the table's key column) lands as one new parquet file in the delete
+    * log. Monotone file naming keeps epochs distinguishable; duplicate or
+    * overlapping keys across epochs are fine (deletion is idempotent). */
+  def writeEqualityDeletes(spark: SparkSession, table: String,
+                           keys: org.apache.spark.sql.DataFrame): Unit = {
+    val dir = deletesDir(spark, table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val epoch = if (fs.exists(dir)) fs.listStatus(dir).length else 0
+    keys.coalesce(1).write.mode("append")
+      .parquet(new org.apache.hadoop.fs.Path(dir, s"epoch_$epoch").toString)
+  }
+
+  /** Merge-on-read scan: the table's data files minus the delete log —
+    * a broadcast anti-join on the key (the log is keys-only and
+    * metadata-sized by contract, so the subtraction never shuffles the
+    * data side). With no delete log this is exactly `spark.table`. */
+  def readWithDeletes(spark: SparkSession, table: String,
+                      keyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dir = deletesDir(spark, table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val base = spark.table(table)
+    if (!fs.exists(dir)) base
+    else {
+      val dels = spark.read.parquet(s"$dir/epoch_*").select(col(keyCol)).distinct()
+      base.join(broadcast(dels), Seq(keyCol), "left_anti")
+    }
+  }
+
+  /** Compaction: fold the delete log into the data files (rewrite the
+    * live rows, atomically swap, clear the log) — after this the plain
+    * table scan and [[readWithDeletes]] agree again and the anti-join
+    * cost is gone. The rewrite goes through a temp table + location swap
+    * so a crash mid-compaction leaves the old files + log intact. */
+  def applyDeletes(spark: SparkSession, table: String, keyCol: String): Unit = {
+    val live = readWithDeletes(spark, table, keyCol).localCheckpoint()
+    val dir = deletesDir(spark, table)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dir)) {
+      live.write.mode("overwrite").format("parquet")
+        .saveAsTable(s"${table}_mor_tmp")
+      // insertInto is POSITION-based: re-project into the target's column
+      // order (the anti-join in readWithDeletes moves the key column first)
+      val targetCols = spark.table(table).columns
+      spark.table(s"${table}_mor_tmp")
+        .select(targetCols.map(org.apache.spark.sql.functions.col): _*)
+        .write.mode("overwrite").insertInto(table)
+      dropTableAndLocation(spark, s"${table}_mor_tmp")
+      fs.delete(dir, true)
+    }
+  }
+
+  /** q245: the merge-on-read discipline driven end-to-end — documents
+    * loaded as a catalog table, two delete epochs land keys-only files
+    * (retraction sweeps: doc_id ≡ 3 mod 7, then ≡ 5 mod 11 — overlapping
+    * on purpose), and the per-source live report reads through
+    * [[readWithDeletes]]. The report is plain SQL over `documents`, so
+    * the delete-file round-trip (epoch append → `_`-invisibility to the
+    * base scan → broadcast-anti subtraction) sits under the hash gate;
+    * TableIOSpec drives [[applyDeletes]] and the crash-safety contract. */
+  def mergeOnReadDemo(t: graft.core.Tables): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+    val spark = t.spark
+    val table = s"graft_mor_demo_${(t.dir.hashCode & 0x7fffffff).toHexString}"
+    dropTableAndLocation(spark, table)
+    t.documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .write.format("parquet").saveAsTable(table)
+    writeEqualityDeletes(spark, table,
+      t.documents.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"))
+    writeEqualityDeletes(spark, table,
+      t.documents.filter(pmod(col("doc_id"), lit(11)) === 5).select("doc_id"))
+    readWithDeletes(spark, table, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_live"), sum(col("n_chars")).as("chars_live"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB mirror of [[mergeOnReadDemo]]. */
+  val mergeOnReadDemoSql: String =
+    """SELECT source, count(*) AS n_live,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_live
+      |FROM documents
+      |WHERE NOT (doc_id % 7 = 3 OR doc_id % 11 = 5)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Storage audit: per-partition file count, byte totals, and small-file
     * share — the table-health report that DECIDES when [[compactTable]]
     * runs (Iceberg keeps this in its manifests; plain parquet has to list

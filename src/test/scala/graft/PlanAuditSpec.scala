@@ -646,7 +646,9 @@ class PlanAuditSpec extends SparkSpec {
     "q243_memorization_risk" -> 4,
     // the serve path: bucketed-scan distribution feeds the rank window
     // (zero hash exchanges); the only exchange is the presentation sort
-    "q244_next_token_served" -> 1)
+    "q244_next_token_served" -> 1,
+    // MoR read (broadcast-anti, shuffle-free) + source roll-up + sort
+    "q245_merge_on_read" -> 3)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -96,6 +96,38 @@ class TableIOSpec extends SparkSpec {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("merge-on-read: delete log invisible to base scan, subtracted at read, folded by compaction") {
+    val t = freshName("t_mor")
+    val df = (1L to 100L).map(i => (i, s"v$i", i % 5)).toDF("id", "v", "grp")
+    df.write.format("parquet").saveAsTable(t)
+
+    // epoch 1 + epoch 2, overlapping keys on purpose (idempotent deletes)
+    TableIO.writeEqualityDeletes(spark, t, df.filter($"id" % 7 === 0).select("id"))
+    TableIO.writeEqualityDeletes(spark, t, df.filter($"id" % 21 === 0).select("id"))
+
+    // the `_deletes` log must NOT leak into the plain table scan
+    assert(spark.table(t).count() == 100)
+
+    val live = TableIO.readWithDeletes(spark, t, "id")
+    val expected = (1L to 100L).filterNot(i => i % 7 == 0).toSet
+    assert(live.select("id").collect().map(_.getLong(0)).toSet == expected)
+
+    // subtraction must be a broadcast anti-join — the data side never shuffles
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"MoR subtraction must broadcast the keys-only log:\n$plan")
+
+    // compaction folds the log in: same content, log cleared, plain scan agrees
+    TableIO.applyDeletes(spark, t, "id")
+    assert(spark.table(t).select("id").collect().map(_.getLong(0)).toSet == expected)
+    val postPlan = TableIO.readWithDeletes(spark, t, "id")
+    assert(postPlan.queryExecution.executedPlan.toString.contains("LeftAnti") == false,
+      "after compaction the read path must be a plain scan again")
+    // column order survives the rewrite (insertInto is position-based)
+    assert(spark.table(t).columns.toSeq == Seq("id", "v", "grp"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("analyze records table statistics for the CBO") {
     val t = freshName("t_stats")
     val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
