@@ -291,7 +291,8 @@ object SparkEntry {
     "q242_dup_signal_agreement" -> q(t => Dedup.dupSignalAgreement(t)),
     "q243_memorization_risk" -> q(t => Dedup.memorizationRisk(t)),
     "q244_next_token_served" -> q(t => CorpusIndex.nextTokenServedDemo(t)),
-    "q245_merge_on_read" -> q(t => graft.sources.TableIO.mergeOnReadDemo(t)))
+    "q245_merge_on_read" -> q(t => graft.sources.TableIO.mergeOnReadDemo(t)),
+    "q246_backoff_lm_score" -> q(t => CorpusIndex.backoffLmScore(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -452,6 +453,7 @@ object SparkEntry {
     // oracle replays the serve path too (the q127 doctrine)
     "q244_next_token_served" -> CorpusIndex.nextTokenTableSql(),
     "q245_merge_on_read" -> graft.sources.TableIO.mergeOnReadDemoSql,
+    "q246_backoff_lm_score" -> CorpusIndex.backoffLmScoreSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -329,6 +329,201 @@ object CorpusIndex {
           (col("n_incoming") - col("n_member")).cast("double")).as("fp_rate"))
   }
 
+  // ── q246: Stupid Backoff held-out LM scoring ──────────────────────────
+
+  /** q246: Stupid Backoff language-model scoring of a held-out split — the
+    * model-free corpus-quality scorer (Brants et al. 2007, "Large Language
+    * Models in Machine Translation", the n-gram score built FOR distributed
+    * MapReduce corpora; the CCNet/KenLM quality-filter shape run without a
+    * trained model). Train-side n-gram counts (trigram/bigram/unigram over
+    * the deterministic [[Sampling.hashBucket]] `< trainPct` split — the q48
+    * split discipline, so membership never changes with corpus layout)
+    * score every held-out trigram occurrence:
+    *
+    *   S(w₃|w₁w₂) = c₃(w₁w₂w₃)/c₂(w₁w₂)            if the trigram was seen,
+    *              = α · c₂(w₂w₃)/c₁(w₂)             else if the bigram was,
+    *              = α² · c₁(w₃)/N                   else if the word was,
+    *              = α²/N                            for OOV (count-1 floor),
+    *
+    * with α = 0.4 (the paper's constant). Per document the score is the
+    * mean per-token S ([[graft.functions.ExactAgg.dsum]] — order-stable);
+    * the report aggregates per source: how many occurrences resolved at
+    * each order (the distribution-shift signal — a source whose text the
+    * train split has never seen backs off constantly) and the mean
+    * document score (the quality-filter statistic).
+    *
+    * Scale shape: scoring happens per DISTINCT held-out trigram TYPE
+    * (≪ occurrences on natural corpora — Heaps' law, q179), then one
+    * type→occurrence join fans scores back out; count tables, the type
+    * frame, and the occurrence frame are all corpus-linear and every join
+    * is an equi-join on an n-gram key — no global windows, no driver
+    * state, nothing quadratic. This is exactly the q239 next-token index
+    * consumed as a scorer: on a cluster the count tables are the persisted
+    * [[writeNextTokenIndex]] artifacts and the corpus is touched once.
+    *
+    * All branch arithmetic is integer counts with a fixed chain of IEEE
+    * double ops, so the DuckDB twin ([[backoffLmScoreSql]]) replays it
+    * bit-for-bit. */
+  def backoffLmScore(t: Tables, trainPct: Int = 80,
+                     alpha: Double = 0.4): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99], got $trainPct")
+    val E = graft.functions.ExactAgg
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"),
+      Sampling.hashBucket(col("doc_id")).as("b"))
+    val train = docs.where(col("b") < trainPct)
+    val held  = docs.where(col("b") >= trainPct)
+
+    val c3 = train.where(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(explode(Dedup.shingles(col("text"), 3)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+    // c2/c1 each feed two joins; they are deliberately NOT checkpointed —
+    // recomputing the count frame per consumer keeps every stage pipelined
+    // and measured ~2× faster than materializing (the q138
+    // localCheckpoint-block lesson)
+    val c2 = train.where(size(TextAnalysis.tokens(col("text"))) >= 2)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("g2"))
+      .groupBy("g2").agg(count(lit(1)).as("c2"))
+    val c1 = train
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    // N = total train tokens — derived from c1, no second corpus pass; the
+    // in-plan assert on the 1-row frame makes an empty train split fail
+    // LOUDLY instead of silently scoring against null counts
+    val nTrain = c1.agg(sum("c1").as("n_train"))
+      .select(col("n_train"), assert_true(
+        col("n_train").isNotNull && col("n_train") > 0,
+        lit("train split is empty — no n-gram evidence to score against"))
+        .as("_chk"))
+
+    val occ = held.where(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 3)).as("tri"))
+    // score once per trigram TYPE; a seen trigram's context bigram / a seen
+    // bigram's context word are guaranteed present in train (subset grams
+    // of the same train occurrence), so the used denominators are non-null
+    val types = occ.select("tri").distinct()
+      .withColumn("b_ctx", substring_index(col("tri"), " ", 2))
+      .withColumn("b_nxt", substring_index(col("tri"), " ", -2))
+      .withColumn("u_ctx", substring_index(substring_index(col("tri"), " ", 2), " ", -1))
+      .withColumn("u_nxt", substring_index(col("tri"), " ", -1))
+    val a  = lit(alpha)
+    val a2 = lit(alpha) * lit(alpha)
+    val scored = types
+      .join(c3, Seq("tri"), "left")
+      .join(c2.select(col("g2").as("b_ctx"), col("c2").as("c2ctx")), Seq("b_ctx"), "left")
+      .join(c2.select(col("g2").as("b_nxt"), col("c2").as("c2nxt")), Seq("b_nxt"), "left")
+      .join(c1.select(col("w").as("u_ctx"), col("c1").as("c1ctx")), Seq("u_ctx"), "left")
+      .join(c1.select(col("w").as("u_nxt"), col("c1").as("c1nxt")), Seq("u_nxt"), "left")
+      .crossJoin(broadcast(nTrain)).drop("_chk")
+      .withColumn("ord",
+        when(col("c3").isNotNull, lit(3))
+          .when(col("c2nxt").isNotNull, lit(2))
+          .when(col("c1nxt").isNotNull, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("score",
+        when(col("ord") === 3,
+          col("c3").cast("double") / col("c2ctx").cast("double"))
+          .when(col("ord") === 2,
+            a * (col("c2nxt").cast("double") / col("c1ctx").cast("double")))
+          .when(col("ord") === 1,
+            a2 * (col("c1nxt").cast("double") / col("n_train").cast("double")))
+          .otherwise(a2 / col("n_train").cast("double")))
+      .select("tri", "ord", "score")
+    val perDoc = occ.join(scored, Seq("tri"))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_occ"),
+        sum(when(col("ord") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("ord") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("ord") === 0, 1L).otherwise(0L)).as("n0"),
+        E.davg(col("score")).as("doc_score"))
+    perDoc.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_occ").as("n_occ"),
+        sum("n3").as("n_trigram"),
+        sum("n2").as("n_bigram"),
+        sum("n1").as("n_unigram"),
+        sum("n0").as("n_oov"),
+        round(E.davg(col("doc_score")), 6).as("avg_doc_score"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[backoffLmScore]]: same split hash, same train count
+    * tables, the same backoff CASE with the identical chain of double ops,
+    * and the dsum/davg mirrors for both aggregation levels. Scoring runs
+    * per occurrence (the engine scores per type then fans out — same
+    * values, score is a function of the type alone). */
+  def backoffLmScoreSql(trainPct: Int = 80, alpha: Double = 0.4): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val h = s"((${Sampling.splitHashSql("doc_id")}) % 100)"
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(trim(text), '\\s+') AS tks,
+       |         $h AS b
+       |  FROM documents),
+       |tr AS (SELECT * FROM d WHERE b < $trainPct),
+       |ho AS (SELECT * FROM d WHERE b >= $trainPct),
+       |c3 AS (
+       |  SELECT array_to_string(tks[i:i+2], ' ') AS tri, count(*) AS c3
+       |  FROM tr, unnest(range(1, len(tks) - 1)) u(i)
+       |  WHERE len(tks) >= 3 GROUP BY 1),
+       |c2 AS (
+       |  SELECT array_to_string(tks[i:i+1], ' ') AS g2, count(*) AS c2
+       |  FROM tr, unnest(range(1, len(tks))) u(i)
+       |  WHERE len(tks) >= 2 GROUP BY 1),
+       |u1 AS (SELECT unnest(tks) AS w FROM tr),
+       |c1 AS (SELECT w, count(*) AS c1 FROM u1 GROUP BY 1),
+       |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_train FROM c1),
+       |occ AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(tks[i:i+2], ' ') AS tri,
+       |         array_to_string(tks[i:i+1], ' ') AS b_ctx,
+       |         array_to_string(tks[i+1:i+2], ' ') AS b_nxt,
+       |         tks[i+1] AS u_ctx, tks[i+2] AS u_nxt
+       |  FROM ho, unnest(range(1, len(tks) - 1)) u(i)
+       |  WHERE len(tks) >= 3),
+       |sc AS (
+       |  SELECT o.doc_id, o.source,
+       |    CASE WHEN c3.c3 IS NOT NULL THEN 3
+       |         WHEN cb.c2 IS NOT NULL THEN 2
+       |         WHEN un.c1 IS NOT NULL THEN 1
+       |         ELSE 0 END AS ord,
+       |    CASE WHEN c3.c3 IS NOT NULL
+       |           THEN CAST(c3.c3 AS DOUBLE) / CAST(cc.c2 AS DOUBLE)
+       |         WHEN cb.c2 IS NOT NULL
+       |           THEN $alpha * (CAST(cb.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE))
+       |         WHEN un.c1 IS NOT NULL
+       |           THEN ($alpha * $alpha)
+       |                  * (CAST(un.c1 AS DOUBLE) / CAST(n.n_train AS DOUBLE))
+       |         ELSE ($alpha * $alpha) / CAST(n.n_train AS DOUBLE) END AS score
+       |  FROM occ o
+       |  LEFT JOIN c3 ON c3.tri = o.tri
+       |  LEFT JOIN c2 cc ON cc.g2 = o.b_ctx
+       |  LEFT JOIN c2 cb ON cb.g2 = o.b_nxt
+       |  LEFT JOIN c1 uc ON uc.w = o.u_ctx
+       |  LEFT JOIN c1 un ON un.w = o.u_nxt
+       |  CROSS JOIN n),
+       |doc AS (
+       |  SELECT doc_id, source, count(*) AS n_occ,
+       |    CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |    ${O.davg("score")} AS doc_score
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_occ) AS BIGINT) AS n_occ,
+       |  CAST(sum(n3) AS BIGINT) AS n_trigram,
+       |  CAST(sum(n2) AS BIGINT) AS n_bigram,
+       |  CAST(sum(n1) AS BIGINT) AS n_unigram,
+       |  CAST(sum(n0) AS BIGINT) AS n_oov,
+       |  round(${O.davg("doc_score")}, 6) AS avg_doc_score
+       |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[bloomSeenShingles]]: same shingling (the q34 token
     * CASE — short docs contribute their whole token string), same probe
     * positions from the hash62 + splitHash replay, same flag/truth

@@ -228,4 +228,95 @@ class CorpusIndexSpec extends SparkSpec {
     if (denom == 0) assert(pj == 0.0)
     else assert(pj == nBoth.toDouble / denom)
   }
+
+  // ── q246 Stupid Backoff held-out scoring ────────────────────────────
+
+  /** Scala mirror of [[Sampling.splitHash]] for picking fixture ids on the
+    * wanted side of the train/held split. */
+  private def splitHash31(id: Long): Long = {
+    val m = 2147483647L
+    val h = ((id % m) * 2654435761L) % m
+    ((h * h % m) * 2246822519L + 1) % m
+  }
+
+  test("q246: backoff orders and scores match a brute-force Stupid Backoff") {
+    val trainTexts = Seq(
+      "the cat sat on the mat",
+      "the cat ate the fish",
+      "a dog sat on a log")
+    // held docs exercising every order: h1 all-ord3; h2 mixes ord 2/1/0;
+    // h3 has < 3 tokens and must be excluded entirely
+    val heldTexts = Seq(
+      "the cat sat on",
+      "fish sat on qq dog zz",
+      "xx")
+    val ids = 0L until 1000L
+    val trainIds = ids.filter(splitHash31(_) % 100 < 80).take(trainTexts.size)
+    val heldIds = ids.filter(splitHash31(_) % 100 >= 80).take(heldTexts.size)
+    val t = writeDocs(
+      trainIds.zip(trainTexts).map { case (i, tx) => (i, tx, "tr") } ++
+        heldIds.zip(heldTexts).map { case (i, tx) => (i, tx, "ho") })
+    val got = CorpusIndex.backoffLmScore(t).collect()
+    assert(got.length == 1 && got.head.getString(0) == "ho",
+      s"only held-out sources may appear, got ${got.toSeq}")
+
+    // brute force with the same arithmetic
+    val alpha = 0.4
+    val trTk = trainTexts.map(_.trim.split("\\s+").toSeq)
+    def counts(k: Int) = trTk
+      .flatMap(tk => if (tk.length >= k) tk.sliding(k).map(_.mkString(" ")) else Nil)
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val (c3, c2, c1) = (counts(3), counts(2), counts(1))
+    val n = c1.values.sum
+    def score(w1: String, w2: String, w3: String): (Int, Double) =
+      if (c3.contains(s"$w1 $w2 $w3"))
+        (3, c3(s"$w1 $w2 $w3").toDouble / c2(s"$w1 $w2").toDouble)
+      else if (c2.contains(s"$w2 $w3"))
+        (2, alpha * (c2(s"$w2 $w3").toDouble / c1(w2).toDouble))
+      else if (c1.contains(w3))
+        (1, alpha * alpha * (c1(w3).toDouble / n.toDouble))
+      else (0, alpha * alpha / n.toDouble)
+    val perDoc = heldTexts.map(_.trim.split("\\s+").toSeq)
+      .filter(_.length >= 3)
+      .map { tk =>
+        val ss = tk.sliding(3).map(w => score(w(0), w(1), w(2))).toSeq
+        (ss.size.toLong, ss.count(_._1 == 3).toLong, ss.count(_._1 == 2).toLong,
+          ss.count(_._1 == 1).toLong, ss.count(_._1 == 0).toLong,
+          ss.map(s => math.round(s._2 * 1e6)).sum / 1e6 / ss.size)
+      }
+    val r = got.head
+    assert(r.getLong(1) == perDoc.size, "n_docs")
+    assert(r.getLong(2) == perDoc.map(_._1).sum, "n_occ")
+    assert(r.getLong(3) == perDoc.map(_._2).sum, "n_trigram")
+    assert(r.getLong(4) == perDoc.map(_._3).sum, "n_bigram")
+    assert(r.getLong(5) == perDoc.map(_._4).sum, "n_unigram")
+    assert(r.getLong(6) == perDoc.map(_._5).sum, "n_oov")
+    // the fixture must actually exercise every order
+    assert(perDoc.map(_._2).sum > 0 && perDoc.map(_._3).sum > 0 &&
+      perDoc.map(_._4).sum > 0 && perDoc.map(_._5).sum > 0,
+      s"fixture must hit all four orders: $perDoc")
+    // mirror the engine's final round(x, 6): Spark rounds the double's
+    // SHORTEST decimal form half-up (BigDecimal.valueOf), not its exact
+    // binary expansion
+    val expAvg = java.math.BigDecimal
+      .valueOf(perDoc.map(d => math.round(d._6 * 1e6)).sum / 1e6 / perDoc.size)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(r.getDouble(7) == expAvg,
+      s"avg_doc_score ${r.getDouble(7)} vs brute $expAvg")
+    // every score is a probability scaled by at most 1: avg in (0, 1]
+    assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0)
+  }
+
+  test("q246: fixture invariants — order counts partition occurrences") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val rows = CorpusIndex.backoffLmScore(t).collect()
+    assert(rows.nonEmpty, "held split must be non-empty at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(2) ==
+        r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6),
+        s"orders must partition n_occ for ${r.getString(0)}")
+      assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0,
+        s"avg_doc_score out of (0,1] for ${r.getString(0)}")
+    }
+  }
 }
