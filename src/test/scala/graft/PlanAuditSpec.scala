@@ -340,7 +340,8 @@ class PlanAuditSpec extends SparkSpec {
     "q236_dup_transitivity",        // 1-row wedge-summary frame
     "q237_suffix_array_stats",      // 1-row stat frames cross-joined
     "q240_token_balanced_shards",   // 1-row corpus token-total frame
-    "q241_bloom_seen_shingles")     // 1-row n_stored x 1-row bits_set frames
+    "q241_bloom_seen_shingles",     // 1-row n_stored x 1-row bits_set frames
+    "q246_backoff_lm_score")        // 1-row train-token-total frame
 
   /** Measured shuffle-exchange counts (hash+range+SinglePartition;
     * BroadcastExchange excluded — broadcasting a dimension is the point). */
@@ -648,7 +649,10 @@ class PlanAuditSpec extends SparkSpec {
     // (zero hash exchanges); the only exchange is the presentation sort
     "q244_next_token_served" -> 1,
     // MoR read (broadcast-anti, shuffle-free) + source roll-up + sort
-    "q245_merge_on_read" -> 3)
+    "q245_merge_on_read" -> 3,
+    // train count tables (c3 + c2x2 + c1x2) + type-frame distinct + five
+    // count joins + fan-out occurrence join + doc agg + source agg + sort
+    "q246_backoff_lm_score" -> 11)
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =
