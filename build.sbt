@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes stdout's tail for graft.Bench's one-line JSON summary.
+// Two sbt behaviors used to bury it (BENCH_r08 "parsed": null): the logger
+// prefixes forked output with [info]/[error], and a final
+// "[success] Total time..." line lands after the JSON. StdoutOutput routes
+// the forked JVM's stdout/stderr straight through (no prefixes, no
+// re-routing of Spark WARNs onto stdout), and showSuccess drops the
+// trailing [success] line, so the summary JSON is the true last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by another setting —
+// silence the false-positive unused-key lint for it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 /** Fuzzy (edit-distance) string matching — the entity-resolution /
   * data-cleaning half of deduplication: "small ring" vs "small rings" are
   * different rows to [[Dedup]]'s set-similarity kernels but one typo apart
-  * to a human. Reference anchor: the reference cleans categorical columns
-  * by exact normalization only (`data_cleaning.py` trim/lower); this is the
-  * scale-out generalization a 100 TB catalog actually needs.
+  * to a human. Reference anchor: the reference cleans categorical values
+  * by exact normalization only (`airflow/dags/nyc_weather_etl.py:153`
+  * lowercases zone names to classify them); this is the scale-out
+  * generalization a 100 TB catalog actually needs.
   *
   * Algorithm: lossless affix blocking + exact Levenshtein verify.
   *

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 /** Declarative data-quality audit — the constraint-validation stage every
   * production ingest runs between landing and publish (the reference
-  * hand-rolls the idea as ad-hoc quality filters in `data_cleaning.py`;
+  * hand-rolls the idea as ad-hoc quality filters in
+  * `airflow/dags/spark_jobs/nyc_taxi_to_iceberg.py:89-96`;
   * this is the generalized rule-set-in/report-out form, the Deequ/
   * Great-Expectations shape re-expressed as plain Spark aggregates).
   *

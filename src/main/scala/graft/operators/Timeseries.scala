@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * interval max-concurrency sweep and the CUSUM volume control chart.
   * Both are the monitoring layer a lakehouse runs ON ITSELF — the
   * reference's pipeline health checks (batch row-count logs in
-  * `airflow/dags/spark_jobs/batch_analytics_processor.py` and the serving
+  * `airflow/dags/spark_jobs/nyc_taxi_to_iceberg.py:86,138` and the serving
   * freshness probes in `serving/api.py`) reduced to two classical
   * statistics: "how many sessions were open at once" (capacity sizing for
   * the serving tier) and "did today's volume drift from the process mean"

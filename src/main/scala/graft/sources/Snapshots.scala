@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plus an atomically-swapped metadata pointer — that mechanism, reduced
   * to plain parquet + HDFS-rename atomicity, with time travel, rollback,
   * and retention vacuum. (Reference tables:
-  * `spark-apps/nyc_taxi_to_iceberg.py:57-70`; its operational docs lean on
+  * `airflow/dags/spark_jobs/nyc_taxi_to_iceberg.py:41-70`; its operational docs lean on
   * Iceberg snapshots for recovery.)
   *
   * Layout under one base directory:
