@@ -140,8 +140,10 @@ object SuffixArray {
     (levels.toIndexedSeq, k, n)
   }
 
-  /** Exact LCP of every rank-adjacent suffix pair: (da, pa, db, pb, lcp)
-    * with (db, pb) the rank successor of (da, pa). */
+  /** Exact LCP of every rank-adjacent suffix pair: (ra, da, pa, db, pb,
+    * lcp) with (db, pb) the rank successor of (da, pa) and `ra` the rank
+    * of (da, pa) — the rank index lets [[saWithLcp]] pin the LCP-array
+    * position of every pair. */
   private def adjacentLcps(levels: IndexedSeq[DataFrame], stop: Int): DataFrame = {
     val sa = levels(stop)
     val a = sa.select(col("doc_id").as("da"), col("pos").as("pa"),
@@ -149,7 +151,7 @@ object SuffixArray {
     val b = sa.select(col("doc_id").as("db"), col("pos").as("pb"),
       col("r").as("rb"))
     var pf = a.join(b, col("rb") === col("ra") + 1)
-      .select(col("da"), col("pa"), col("db"), col("pb"))
+      .select(col("ra"), col("da"), col("pa"), col("db"), col("pb"))
       .withColumn("acc", lit(0L))
     for (k <- (stop - 1) to 0 by -1) {
       val la = levels(k).select(col("doc_id").as("xd"), col("pos").as("xp"),
@@ -162,10 +164,32 @@ object SuffixArray {
         .withColumn("acc", col("acc") +
           when(col("xr").isNotNull && col("xr") === col("yr"),
             lit(1L << k)).otherwise(lit(0L)))
-        .select(col("da"), col("pa"), col("db"), col("pb"), col("acc"))
+        .select(col("ra"), col("da"), col("pa"), col("db"), col("pb"), col("acc"))
     }
-    pf.select(col("da"), col("pa"), col("db"), col("pb"),
+    pf.select(col("ra"), col("da"), col("pa"), col("db"), col("pb"),
       col("acc").as("lcp"))
+  }
+
+  /** The SA+LCP index artifact: (doc_id, pos, r, lcp_next) — suffix ranks
+    * with each suffix's exact LCP against its rank SUCCESSOR (0 for the
+    * last rank). Built once per (session, corpus) and checkpointed; at
+    * 100 TB this is the persisted table every suffix-array consumer
+    * (q237/q238 spans, the q247 repeat inventory) reads instead of
+    * re-running the prefix-doubling build. */
+  private val builtSa =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def saWithLcp(t: Tables): DataFrame = {
+    val key = s"${System.identityHashCode(t.spark.sessionState)}:${t.dir}"
+    builtSa.computeIfAbsent(key, _ => {
+      val (levels, stop, _) = build(t)
+      val pairs = adjacentLcps(levels, stop)
+      levels(stop)
+        .join(pairs.select(col("ra").as("r"), col("lcp")), Seq("r"), "left")
+        .withColumn("lcp_next", coalesce(col("lcp"), lit(0L)))
+        .select(col("doc_id"), col("pos"), col("r"), col("lcp_next"))
+        .localCheckpoint()
+    })
   }
 
   /** lcp_max frames already built by a given SparkSession for a given
@@ -186,8 +210,15 @@ object SuffixArray {
   private def lcpMax(t: Tables): DataFrame = {
     val key = s"${System.identityHashCode(t.spark.sessionState)}:${t.dir}"
     builtLcp.computeIfAbsent(key, _ => {
-      val (levels, stop, _) = build(t)
-      val pairs = adjacentLcps(levels, stop)
+      // reconstruct the rank-adjacent pairs from the cached SA artifact
+      // (lcp_next(r) IS the pair (r, r+1) lcp) — same rows as the direct
+      // adjacentLcps form, but shared with the q247 inventory build
+      val sa = saWithLcp(t)
+      val a = sa.select(col("doc_id").as("da"), col("pos").as("pa"),
+        col("r").as("ra"), col("lcp_next").as("lcp"))
+      val b = sa.select(col("doc_id").as("db"), col("pos").as("pb"),
+        col("r").as("rb"))
+      val pairs = a.join(b, col("rb") === col("ra") + 1)
       pairs.select(col("da").as("doc_id"), col("pa").as("pos"), col("lcp"))
         .unionAll(pairs.select(col("db").as("doc_id"), col("pb").as("pos"),
           col("lcp")))
@@ -252,6 +283,138 @@ object SuffixArray {
       .select(col("n_docs"), col("n_tokens"), col("max_lcp"),
         col("rep_doc_id"), col("rep_pos"), col("n_dup_suffixes"),
         col("n_spans"), col("dup_tokens"))
+  }
+
+  /** q247: the FULL repeated-substring inventory — every LCP-interval node
+    * of length ≥ `minLen` (Abouelhoda, Kurtz & Ohlebusch 2004, "Replacing
+    * suffix trees with enhanced suffix arrays": the ℓ-intervals of the LCP
+    * array are exactly the internal nodes of the suffix tree, i.e. the
+    * right-maximal repeated substrings with their occurrence counts). q237
+    * reports only the longest repeat; this is the whole inventory that
+    * exact-substring dedup POLICY consumes (Lee et al. 2021 §4: which
+    * repeats, how long, how often) — one row per node: repeat length,
+    * occurrence count, the lexicographically-first occurrence, and a
+    * preview of the repeat's first tokens.
+    *
+    * Definition. Index the LCP array by i = rank+1 ∈ [2, n] with
+    * L[i] = lcp(suffix at rank i−1, suffix at rank i). An ℓ-interval is a
+    * maximal run [a, b] with L[k] ≥ ℓ for all k ∈ [a, b] that contains at
+    * least one L[k] = ℓ. It covers suffix ranks [a−1, b] — n_occ = b−a+2
+    * occurrences of a repeated substring of length exactly ℓ.
+    *
+    * Spark-first construction — NOT the textbook sequential stack walk
+    * (inherently serial): each node is recovered from any of its minima
+    * via prev/next-smaller-value queries, and those run distributed as a
+    * doubling sparse table + binary descent, the [[build]] discipline:
+    *   - P = LCP positions with L ≥ minLen (the dup-suffix frame — at
+    *     production density ≪ n, so all per-level work rides the
+    *     DUPLICATION mass, not the corpus);
+    *   - sparse table M_k(i) = min L over [i, i+2^k−1] restricted to P; a
+    *     missing join partner means the window crossed a position with
+    *     L < minLen (or the array end) — both act as BREAKERS (-1),
+    *     because every walk value v ≥ minLen outranks them, so clamping
+    *     breakers to -1 loses nothing (mirror table PM_k for the left);
+    *   - next-smaller walk from each i ∈ P: descend k = K−1..0, advance
+    *     j += 2^k whenever M_k(j) ≥ v — after k = 0, j is the first
+    *     position right of i with L < v; prev-smaller mirrors left. K =
+    *     ⌈log₂(|P|+2)⌉ bounds every in-run distance (a run is ⊆ P). All
+    *     joins are equi-joins on a long key; nothing is quadratic and no
+    *     global window exists anywhere.
+    *   - node of i = (a, b, ℓ) = (ps+1, ns−1, L[i]); duplicates from
+    *     multiple minima collapse by distinct; the example occurrence is
+    *     the suffix at rank a−1 (one more equi-join), its first
+    *     min(ℓ, previewTokens) tokens sliced from the document.
+    *
+    * The DuckDB twin ([[repeatInventorySql]]) replays the NODE SET via the
+    * provably-equivalent per-value islands form: for each distinct value v
+    * in P, maximal consecutive runs of positions with L ≥ v keeping runs
+    * whose min is v. Equivalence: a run for value v containing position i
+    * with L[i] = v extends exactly to the nearest positions with L < v on
+    * either side — the same (ps, ns) the walks compute; conversely every
+    * walk node contains one of its minima. (The islands form is O(Σ
+    * run-sizes) — fine for an oracle at sf0.01, not the 100 TB shape; the
+    * engine's O(|P| log |P|) sparse-table form is.) All arithmetic BIGINT.
+    */
+  /** Built inventories, keyed (session, corpus, minLen, previewTokens) —
+    * like the SA artifact itself, the node inventory is an INDEX product:
+    * built once per corpus snapshot, served many times (the
+    * [[graft.operators.Bucketed]] economics; q244's precedent). The
+    * cached frame is the unsorted node set; serving applies the
+    * presentation sort. */
+  private val builtInv =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def repeatInventory(t: Tables, minLen: Int = 16,
+                      previewTokens: Int = 8): DataFrame = {
+    require(minLen >= 1 && previewTokens >= 1,
+      s"minLen and previewTokens must be >= 1, got $minLen / $previewTokens")
+    val key = s"${System.identityHashCode(t.spark.sessionState)}:${t.dir}" +
+      s":$minLen:$previewTokens"
+    builtInv.computeIfAbsent(key, _ =>
+      buildInventory(t, minLen, previewTokens))
+      .orderBy(col("len").desc, col("doc_id"), col("pos"))
+  }
+
+  private def buildInventory(t: Tables, minLen: Int,
+                             previewTokens: Int): DataFrame = {
+    val spark = t.spark
+    val sa = saWithLcp(t)
+    // LCP array: position i = r+1 ∈ [2, n], value l = lcp_next(r)
+    val p = sa.select((col("r") + 1).as("i"), col("lcp_next").as("l"))
+      .where(col("l") >= minLen)
+      .localCheckpoint() // the |P| frame every level derives from
+    val pCount = p.count() // bounded driver scalar (the build() pattern)
+    if (pCount == 0L) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, String)]
+        .toDF("len", "n_occ", "doc_id", "pos", "preview")
+    }
+    // K levels cover any within-run walk distance (runs are subsets of P)
+    val maxK = 64 - java.lang.Long.numberOfLeadingZeros(pCount + 1)
+    val fwd = ArrayBuffer(p)  // M_k:  min L over [i, i+2^k-1] ∩ covered
+    val bwd = ArrayBuffer(p)  // PM_k: min L over [i-2^k+1, i] ∩ covered
+    for (k <- 0 until maxK.toInt) {
+      val shift = 1L << k
+      val f2 = fwd(k).select((col("i") - shift).as("i"), col("l").as("l2"))
+      fwd += fwd(k).join(f2, Seq("i"), "left")
+        .select(col("i"), least(col("l"), coalesce(col("l2"), lit(-1L))).as("l"))
+        .localCheckpoint()
+      val b2 = bwd(k).select((col("i") + shift).as("i"), col("l").as("l2"))
+      bwd += bwd(k).join(b2, Seq("i"), "left")
+        .select(col("i"), least(col("l"), coalesce(col("l2"), lit(-1L))).as("l"))
+        .localCheckpoint()
+    }
+    // binary descent: j advances while the whole 2^k window stays ≥ v
+    var ns = p.select(col("i"), col("l").as("v"), (col("i") + 1).as("j"))
+    var ps = p.select(col("i"), col("l").as("v"), (col("i") - 1).as("j"))
+    for (k <- (maxK.toInt - 1) to 0 by -1) {
+      val mk = fwd(k).select(col("i").as("mi"), col("l").as("ml"))
+      ns = ns.join(mk, col("mi") === col("j"), "left")
+        .select(col("i"), col("v"),
+          when(coalesce(col("ml"), lit(-1L)) >= col("v"),
+            col("j") + (1L << k)).otherwise(col("j")).as("j"))
+      val pk = bwd(k).select(col("i").as("mi"), col("l").as("ml"))
+      ps = ps.join(pk, col("mi") === col("j"), "left")
+        .select(col("i"), col("v"),
+          when(coalesce(col("ml"), lit(-1L)) >= col("v"),
+            col("j") - (1L << k)).otherwise(col("j")).as("j"))
+    }
+    val nodes = ns.select(col("i"), col("v"), col("j").as("ns"))
+      .join(ps.select(col("i"), col("j").as("ps")), Seq("i"))
+      .select(col("v").as("len"), (col("ps") + 1).as("a"),
+        (col("ns") - 1).as("b"))
+      .distinct()
+    nodes
+      .join(sa.select((col("r") + 1).as("a"), col("doc_id"), col("pos")),
+        Seq("a")) // example = suffix at rank a-1, the lexicographic first
+      .join(t.documents.select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("tks")), Seq("doc_id"))
+      .select(col("len"), (col("b") - col("a") + 2).as("n_occ"),
+        col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("tks"), (col("pos") + 1).cast("int"),
+          least(col("len"), lit(previewTokens.toLong)).cast("int")))
+          .as("preview"))
+      .localCheckpoint() // the served artifact — walks run once per corpus
   }
 
   // --------------------------------------------------------------------
@@ -338,6 +501,34 @@ object SuffixArray {
        |${spanCtes(minLen)}
        |SELECT doc_id, span_start, span_tokens FROM spans
        |ORDER BY doc_id, span_start""".stripMargin
+
+  /** The DuckDB mirror of [[repeatInventory]] — the per-value islands
+    * form of the node set (see [[repeatInventory]] scaladoc for the
+    * equivalence argument to the engine's prev/next-smaller walks). */
+  def repeatInventorySql(minLen: Int = 16, previewTokens: Int = 8): String =
+    s"""WITH $lcpCtes,
+       |sa AS (SELECT doc_id, pos, r FROM r$MaxLevels),
+       |arr AS (
+       |  SELECT s.r + 1 AS i, l.acc AS l
+       |  FROM l0 l JOIN sa s ON s.doc_id = l.da AND s.pos = l.pa),
+       |p AS (SELECT i, l FROM arr WHERE l >= $minLen),
+       |vals AS (SELECT DISTINCT l AS v FROM p),
+       |runs AS (
+       |  SELECT vals.v, p.i, p.l,
+       |    p.i - row_number() OVER (PARTITION BY vals.v ORDER BY p.i) AS grp
+       |  FROM p JOIN vals ON p.l >= vals.v),
+       |nodes AS (
+       |  SELECT v AS len, min(i) AS a, max(i) AS b
+       |  FROM runs GROUP BY v, grp HAVING min(l) = v),
+       |located AS (
+       |  SELECT n.len, n.b - n.a + 2 AS n_occ, s.doc_id, s.pos
+       |  FROM nodes n JOIN sa s ON s.r = n.a - 1)
+       |SELECT x.len, x.n_occ, x.doc_id, x.pos,
+       |  array_to_string(d.tks[CAST(x.pos + 1 AS INTEGER) :
+       |    CAST(x.pos + least(x.len, $previewTokens) AS INTEGER)], ' ')
+       |    AS preview
+       |FROM located x JOIN docs d ON d.doc_id = x.doc_id
+       |ORDER BY x.len DESC, x.doc_id, x.pos""".stripMargin
 
   /** The DuckDB mirror of [[suffixArrayStats]]. */
   def suffixArrayStatsSql(minLen: Int = 16): String =

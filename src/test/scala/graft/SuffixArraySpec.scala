@@ -136,6 +136,116 @@ class SuffixArraySpec extends SparkSpec {
     assert(row.getAs[Long]("dup_tokens") === 0L)
   }
 
+  // ── q247 repeat inventory ─────────────────────────────────────────────
+
+  /** Brute-force LCP-interval node enumeration: sort all suffixes (real
+    * tokens ordered after per-doc unique sentinels, mirroring the engine's
+    * (flag, skey) alphabet), compute adjacent LCPs, then for each LCP
+    * position find prev/next-smaller by linear scan. Returns the engine's
+    * output shape plus, separately, every occurrence for coverage checks. */
+  private def bruteNodes(docs: Seq[(Long, String)], minLen: Int,
+                         preview: Int = 8)
+      : (Seq[(Long, Long, Long, Long, String)], Seq[(Long, Long, Long)]) = {
+    val toks = docs.map { case (id, tx) =>
+      (id, tx.trim.toLowerCase.split("\\s+").toVector) }
+    def keyAt(s: (Long, Vector[String], Int), off: Int): (Int, String) = {
+      val (id, ts, p) = s
+      if (p + off == ts.length) (0, f"$id%020d")
+      else if (p + off > ts.length) (-1, "") // past sentinel: never reached
+      else (1, ts(p + off))
+    }
+    val sufs = (for ((id, ts) <- toks; p <- 0 to ts.length)
+      yield (id, ts, p)).toVector
+    val sorted = sufs.sortWith { (a, b) =>
+      var i = 0
+      var r = 0
+      while (r == 0) { // unique sentinels guarantee a difference in range
+        val (ka, kb) = (keyAt(a, i), keyAt(b, i))
+        r = Ordering[(Int, String)].compare(ka, kb)
+        i += 1
+      }
+      r < 0
+    }
+    val n = sorted.length
+    def lcp(a: (Long, Vector[String], Int), b: (Long, Vector[String], Int)): Int = {
+      var l = 0
+      while (keyAt(a, l) == keyAt(b, l)) l += 1
+      l
+    }
+    // L0(j) = lcp(sorted(j-1), sorted(j)), j in 1..n-1
+    val L0 = Array.tabulate(n)(j => if (j == 0) 0 else lcp(sorted(j - 1), sorted(j)))
+    val seen = scala.collection.mutable.Set[(Int, Int, Int)]()
+    val nodes = Seq.newBuilder[(Long, Long, Long, Long, String)]
+    val occs = Seq.newBuilder[(Long, Long, Long)] // (doc_id, pos, len)
+    for (j <- 1 until n if L0(j) >= minLen) {
+      val v = L0(j)
+      var ps = j - 1
+      while (ps >= 1 && L0(ps) >= v) ps -= 1
+      if (ps < 1) ps = 0
+      var ns = j + 1
+      while (ns < n && L0(ns) >= v) ns += 1
+      if (seen.add((ps, ns, v))) {
+        val ex = sorted(ps) // suffix at the run's first rank
+        val previewTx = ex._2.slice(ex._3, ex._3 + math.min(v, preview))
+          .mkString(" ")
+        nodes += ((v.toLong, (ns - ps).toLong, ex._1, ex._3.toLong, previewTx))
+        (ps until ns).foreach { r =>
+          occs += ((sorted(r)._1, sorted(r)._3.toLong, v.toLong))
+        }
+      }
+    }
+    (nodes.result().sortBy { case (l, _, id, p, _) => (-l, id, p) },
+      occs.result())
+  }
+
+  test("repeatInventory equals brute-force LCP-interval enumeration") {
+    val t = writeDocs(planted)
+    for (minLen <- Seq(16, 3)) {
+      val got = SuffixArray.repeatInventory(t, minLen = minLen).collect()
+        .map(r => (r.getAs[Long]("len"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
+          r.getAs[String]("preview"))).toSeq
+      val (exp, _) = bruteNodes(planted, minLen)
+      assert(got == exp, s"minLen=$minLen\ngot=$got\nexp=$exp")
+      assert(exp.nonEmpty, s"fixture must plant nodes at minLen=$minLen")
+    }
+  }
+
+  test("repeatInventory occurrence coverage equals saSpans (⊇ q238 claim)") {
+    val t = writeDocs(planted)
+    val spans = SuffixArray.saSpans(t, minLen = 16).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_tokens"))).toSeq
+    val (_, occs) = bruteNodes(planted, minLen = 16)
+    // merge [pos, pos+len) intervals per doc — must reproduce q238 exactly
+    val merged = occs.map { case (id, p, l) => (id, p, p + l) }
+      .groupBy(_._1).toSeq.flatMap { case (id, iv) =>
+        val s = iv.map { case (_, a, b) => (a, b) }.sorted
+        val out = Seq.newBuilder[(Long, Long, Long)]
+        var cs = -1L; var ce = -1L
+        s.foreach { case (a, b) =>
+          if (cs < 0) { cs = a; ce = b }
+          else if (a > ce) { out += ((id, cs, ce - cs)); cs = a; ce = b }
+          else ce = math.max(ce, b)
+        }
+        if (cs >= 0) out += ((id, cs, ce - cs))
+        out.result()
+      }.sortBy(r => (r._1, r._2))
+    assert(merged == spans.sortBy(r => (r._1, r._2)),
+      s"merged=$merged\nspans=${spans.toSeq}")
+  }
+
+  test("repeat-free corpus: empty inventory with the right schema") {
+    val docs = Seq(
+      (0L, (1 to 40).map(i => s"c$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"d$i").mkString(" ")))
+    val t = writeDocs(docs)
+    val inv = SuffixArray.repeatInventory(t, minLen = 16)
+    assert(inv.columns.toSeq ==
+      Seq("len", "n_occ", "doc_id", "pos", "preview"))
+    assert(inv.count() === 0L)
+  }
+
   test("corpus with a >=4096-token repeat fails loudly, not silently") {
     val huge = (1 to 4100).map(_ => "w").mkString(" ") // 4100 equal tokens
     val t = writeDocs(Seq((0L, huge)))
