@@ -292,7 +292,10 @@ object SparkEntry {
     "q243_memorization_risk" -> q(t => Dedup.memorizationRisk(t)),
     "q244_next_token_served" -> q(t => CorpusIndex.nextTokenServedDemo(t)),
     "q245_merge_on_read" -> q(t => graft.sources.TableIO.mergeOnReadDemo(t)),
-    "q246_backoff_lm_score" -> q(t => CorpusIndex.backoffLmScore(t)))
+    "q246_backoff_lm_score" -> q(t => CorpusIndex.backoffLmScore(t)),
+    "q247_repeat_inventory" -> q(t => SuffixArray.repeatInventory(t)),
+    "q248_kn_heldout_score" -> q(t => CorpusIndex.knHeldOutScore(t)),
+    "q249_next_token_lookup" -> q(t => CorpusIndex.nextTokenLookupDemo(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -454,6 +457,12 @@ object SparkEntry {
     "q244_next_token_served" -> CorpusIndex.nextTokenTableSql(),
     "q245_merge_on_read" -> graft.sources.TableIO.mergeOnReadDemoSql,
     "q246_backoff_lm_score" -> CorpusIndex.backoffLmScoreSql(),
+    "q247_repeat_inventory" -> SuffixArray.repeatInventorySql(),
+    "q248_kn_heldout_score" -> CorpusIndex.knHeldOutScoreSql(),
+    // the lookup serves the most frequent context from the bucketed index;
+    // the q239 oracle at topContexts=1 replays exactly that restriction
+    "q249_next_token_lookup" -> CorpusIndex.nextTokenTableSql(
+      topContexts = 1, topNext = 100),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -31,8 +31,9 @@ object CorpusIndex {
     * vocabulary-sized count frame (≪ corpus), top contexts by TakeOrdered
     * (never a global sort), and the kept-context filter is a broadcast
     * semi-join. Reference anchor: the reference's aggregation pipelines
-    * (batch_processor.py) group fact rows the same way; the n-gram table
-    * is that shape applied to the documents corpus.
+    * (airflow/dags/spark_jobs/comprehensive_analytics.py) group fact rows
+    * the same way; the n-gram table is that shape applied to the
+    * documents corpus.
     *
     * Ties: contexts by (total DESC, context ASC); next tokens by
     * (count DESC, next ASC) — both total orders, and string comparison is
@@ -162,6 +163,53 @@ object CorpusIndex {
           .as("prob"),
         col("rnk").cast("int").as("rnk"))
       .orderBy(desc("context_total"), asc("context"), asc("rnk"))
+  }
+
+  /** The point-lookup plan: given a CONTEXT, its ranked next-token
+    * distribution straight from the bucketed index — the serving tier's
+    * per-request shape. The equality filter prunes the scan to ONE bucket
+    * (`SelectedBucketsCount: 1 out of N` in the plan), the bucketed scan's
+    * hash distribution already satisfies the rank window (local sort, no
+    * exchange), and the final presentation order rides TakeOrdered — the
+    * whole lookup plans with ZERO exchanges and never scans the other
+    * buckets (pinned by PlanAuditSpec's q249 lint). `ctxTotal` arrives
+    * with the request (the totals-table read that produced the context),
+    * so the lookup touches exactly one table. */
+  def nextTokenLookup(spark: org.apache.spark.sql.SparkSession, prefix: String,
+                      ctx: String, ctxTotal: Long, topK: Int): DataFrame =
+    spark.table(s"${prefix}_counts")
+      .where(col("context") === lit(ctx))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("context").orderBy(desc("cnt"), asc("next"))))
+      .where(col("rnk") <= topK)
+      .select(
+        col("context"), col("next"), col("cnt"),
+        lit(ctxTotal).as("context_total"),
+        (col("cnt").cast("double") / lit(ctxTotal).cast("double")).as("prob"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy(col("rnk")).limit(topK) // TakeOrdered — no range exchange
+
+  /** q249: the POINT-LOOKUP entry of the served next-token index — q244
+    * answers "top contexts, ranked next tokens" from the persisted index;
+    * this answers the serving tier's other question: "given ONE context,
+    * its full ranked next-token distribution", reading exactly one bucket
+    * of the bucketed index with a zero-exchange plan ([[nextTokenLookup]]).
+    * The demo parameterization picks the corpus's most frequent context
+    * (ties by context ASC) via a bounded 1-row read of the totals table —
+    * exactly what a serving request supplies as its parameter. Results are
+    * IDENTICAL to [[nextTokenTable]] restricted to that context, so the
+    * q239 oracle with topContexts=1 replays this path and puts the
+    * index → bucket-pruned lookup round-trip under the hash gate. */
+  def nextTokenLookupDemo(t: Tables, n: Int = 3, topK: Int = 100): DataFrame = {
+    val spark = t.spark
+    val tag = ((t.dir, n).hashCode & 0x7fffffff).toHexString
+    val prefix = s"graft_ntidx_$tag"
+    val key = s"${System.identityHashCode(spark.sessionState)}:$prefix"
+    if (ntIdxBuilt.add(key) || !spark.catalog.tableExists(s"${prefix}_counts"))
+      writeNextTokenIndex(t, prefix, n)
+    val top = spark.table(s"${prefix}_totals")
+      .orderBy(desc("context_total"), asc("context")).limit(1).head()
+    nextTokenLookup(spark, prefix, top.getString(0), top.getLong(1), topK)
   }
 
   // ── q240: token-balanced shard assignment ─────────────────────────────
@@ -345,12 +393,19 @@ object CorpusIndex {
     *              = α² · c₁(w₃)/N                   else if the word was,
     *              = α²/N                            for OOV (count-1 floor),
     *
-    * with α = 0.4 (the paper's constant). Per document the score is the
-    * mean per-token S ([[graft.functions.ExactAgg.dsum]] — order-stable);
-    * the report aggregates per source: how many occurrences resolved at
-    * each order (the distribution-shift signal — a source whose text the
-    * train split has never seen backs off constantly) and the mean
-    * document score (the quality-filter statistic).
+    * with α = 0.4 (the paper's constant). Scores are carried in the LOG
+    * domain — per document the score is the mean per-token log₁₀ S, the
+    * KenLM/CCNet quality-filter convention (the r8 ADVICE finding: a raw-
+    * probability mean run through the [[graft.functions.ExactAgg.dsum]]
+    * micro-unit quantization floors every sub-5e-7 value to 0, so the
+    * α²·c₁/N and α²/N branches carried no signal once N grew past ~300k;
+    * in log₁₀ domain the same 1e-6 quantum is a uniform 1e-6 absolute
+    * log error ≈ 2.3e-6 RELATIVE probability precision at every
+    * magnitude, so low-order backoffs keep their weight at any corpus
+    * size). The report aggregates per source: how many occurrences
+    * resolved at each order (the distribution-shift signal — a source
+    * whose text the train split has never seen backs off constantly) and
+    * the mean document log-score (higher = better modeled by train).
     *
     * Scale shape: scoring happens per DISTINCT held-out trigram TYPE
     * (≪ occurrences on natural corpora — Heaps' law, q179), then one
@@ -362,8 +417,12 @@ object CorpusIndex {
     * [[writeNextTokenIndex]] artifacts and the corpus is touched once.
     *
     * All branch arithmetic is integer counts with a fixed chain of IEEE
-    * double ops, so the DuckDB twin ([[backoffLmScoreSql]]) replays it
-    * bit-for-bit. */
+    * double ops; the final log₁₀ is the one non-correctly-rounded-by-spec
+    * step (Java intrinsic vs libm may differ in the last ulp), which the
+    * micro-unit quantization absorbs — a 1-ulp input difference moves the
+    * 1e-6-unit rounding only for values within ~1e-10 units of a .5
+    * boundary. The DuckDB twin ([[backoffLmScoreSql]]) replays the
+    * identical chain. */
   def backoffLmScore(t: Tables, trainPct: Int = 80,
                      alpha: Double = 0.4): DataFrame = {
     require(trainPct >= 1 && trainPct <= 99,
@@ -387,14 +446,18 @@ object CorpusIndex {
     val c1 = train
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
-    // N = total train tokens — derived from c1, no second corpus pass; the
-    // in-plan assert on the 1-row frame makes an empty train split fail
-    // LOUDLY instead of silently scoring against null counts
-    val nTrain = c1.agg(sum("c1").as("n_train"))
-      .select(col("n_train"), assert_true(
-        col("n_train").isNotNull && col("n_train") > 0,
-        lit("train split is empty — no n-gram evidence to score against"))
-        .as("_chk"))
+    // N = total train tokens — derived from c1, no second corpus pass. The
+    // empty-train guard is folded INTO the n_train column itself (not a
+    // side assert_true column — column pruning silently removed that form,
+    // the r8 ADVICE finding): every score branch consumes n_train, so the
+    // raise_error is un-prunable and an empty train split fails LOUDLY
+    // instead of silently scoring against null counts.
+    val nTrain = c1.agg(sum("c1").as("n_train0"))
+      .select(
+        when(col("n_train0").isNotNull && col("n_train0") > 0, col("n_train0"))
+          .otherwise(raise_error(lit(
+            "train split is empty — no n-gram evidence to score against")))
+          .as("n_train"))
 
     val occ = held.where(size(TextAnalysis.tokens(col("text"))) >= 3)
       .select(col("doc_id"), col("source"),
@@ -415,20 +478,20 @@ object CorpusIndex {
       .join(c2.select(col("g2").as("b_nxt"), col("c2").as("c2nxt")), Seq("b_nxt"), "left")
       .join(c1.select(col("w").as("u_ctx"), col("c1").as("c1ctx")), Seq("u_ctx"), "left")
       .join(c1.select(col("w").as("u_nxt"), col("c1").as("c1nxt")), Seq("u_nxt"), "left")
-      .crossJoin(broadcast(nTrain)).drop("_chk")
+      .crossJoin(broadcast(nTrain))
       .withColumn("ord",
         when(col("c3").isNotNull, lit(3))
           .when(col("c2nxt").isNotNull, lit(2))
           .when(col("c1nxt").isNotNull, lit(1))
           .otherwise(lit(0)))
-      .withColumn("score",
+      .withColumn("score", log10(
         when(col("ord") === 3,
           col("c3").cast("double") / col("c2ctx").cast("double"))
           .when(col("ord") === 2,
             a * (col("c2nxt").cast("double") / col("c1ctx").cast("double")))
           .when(col("ord") === 1,
             a2 * (col("c1nxt").cast("double") / col("n_train").cast("double")))
-          .otherwise(a2 / col("n_train").cast("double")))
+          .otherwise(a2 / col("n_train").cast("double"))))
       .select("tri", "ord", "score")
     val perDoc = occ.join(scored, Seq("tri"))
       .groupBy("doc_id", "source")
@@ -438,7 +501,7 @@ object CorpusIndex {
         sum(when(col("ord") === 2, 1L).otherwise(0L)).as("n2"),
         sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("ord") === 0, 1L).otherwise(0L)).as("n0"),
-        E.davg(col("score")).as("doc_score"))
+        E.davg(col("score")).as("doc_log10"))
     perDoc.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -447,7 +510,7 @@ object CorpusIndex {
         sum("n2").as("n_bigram"),
         sum("n1").as("n_unigram"),
         sum("n0").as("n_oov"),
-        round(E.davg(col("doc_score")), 6).as("avg_doc_score"))
+        E.davg(col("doc_log10")).as("avg_doc_log10"))
       .orderBy("source")
   }
 
@@ -491,14 +554,14 @@ object CorpusIndex {
        |         WHEN cb.c2 IS NOT NULL THEN 2
        |         WHEN un.c1 IS NOT NULL THEN 1
        |         ELSE 0 END AS ord,
-       |    CASE WHEN c3.c3 IS NOT NULL
+       |    log10(CASE WHEN c3.c3 IS NOT NULL
        |           THEN CAST(c3.c3 AS DOUBLE) / CAST(cc.c2 AS DOUBLE)
        |         WHEN cb.c2 IS NOT NULL
        |           THEN $alpha * (CAST(cb.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE))
        |         WHEN un.c1 IS NOT NULL
        |           THEN ($alpha * $alpha)
        |                  * (CAST(un.c1 AS DOUBLE) / CAST(n.n_train AS DOUBLE))
-       |         ELSE ($alpha * $alpha) / CAST(n.n_train AS DOUBLE) END AS score
+       |         ELSE ($alpha * $alpha) / CAST(n.n_train AS DOUBLE) END) AS score
        |  FROM occ o
        |  LEFT JOIN c3 ON c3.tri = o.tri
        |  LEFT JOIN c2 cc ON cc.g2 = o.b_ctx
@@ -512,7 +575,7 @@ object CorpusIndex {
        |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
        |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
        |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-       |    ${O.davg("score")} AS doc_score
+       |    ${O.davg("score")} AS doc_log10
        |  FROM sc GROUP BY 1, 2)
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(n_occ) AS BIGINT) AS n_occ,
@@ -520,7 +583,226 @@ object CorpusIndex {
        |  CAST(sum(n2) AS BIGINT) AS n_bigram,
        |  CAST(sum(n1) AS BIGINT) AS n_unigram,
        |  CAST(sum(n0) AS BIGINT) AS n_oov,
-       |  round(${O.davg("doc_score")}, 6) AS avg_doc_score
+       |  ${O.davg("doc_log10")} AS avg_doc_log10
+       |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ── q248: interpolated Kneser–Ney held-out scoring ────────────────────
+
+  /** The trained KN bigram model: count/type tables (checkpointed — built
+    * once, joined per scoring batch) plus the driver-scalar totals every
+    * score needs. `denomTot` = N₁₊(··) + U where U = |train unigram
+    * types| + 1 — the add-one continuation floor's denominator (see
+    * [[knModel]]). At 100 TB these three tables are persisted artifacts
+    * (the [[writeNextTokenIndex]] economics); locally they live as
+    * localCheckpoints. */
+  final case class KnModel(c2: DataFrame, left: DataFrame, n1p: DataFrame,
+                           nTypes: Long, denomTot: Long)
+
+  /** Build the interpolated-KN bigram model from the train split (the
+    * deterministic [[Sampling.hashBucket]] `< trainPct` membership — the
+    * q48/q246 split discipline). Tables:
+    *   - c2(bigram → count), with v/w split out,
+    *   - left(v → c(v·), N₁₊(v·)),
+    *   - n1p(w → N₁₊(·w)),
+    * plus nTypes = N₁₊(··) and U = |train unigram types| + 1. q197's raw
+    * continuation probability N₁₊(·w)/N₁₊(··) is smoothed here to
+    * (N₁₊(·w)+1)/(N₁₊(··)+U) — an add-one floor over the open vocabulary,
+    * so held-out tokens the train split has NEVER seen still get positive
+    * mass (without it an OOV continuation scores exactly 0 and its log
+    * diverges; the +1/+U form keeps every probability an exact BIGINT
+    * rational). Magnitude guards fail loudly before any product could
+    * overflow int64 (the q197 contract), via bounded 1-row driver reads. */
+  def knModel(t: Tables, trainPct: Int = 80): KnModel = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99], got $trainPct")
+    val train = t.documents
+      .select(col("doc_id"), col("text"))
+      .where(Sampling.hashBucket(col("doc_id")) < trainPct)
+    val c2 = train.where(size(TextAnalysis.tokens(col("text"))) >= 2)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .select(col("bigram"), col("c2"),
+        substring_index(col("bigram"), " ", 1).as("v"),
+        substring_index(col("bigram"), " ", -1).as("w"))
+      .localCheckpoint() // the model artifact — feeds three derived tables
+    val left = c2.groupBy("v")
+      .agg(sum("c2").as("c_left"), count(lit(1)).as("n1f"))
+      .localCheckpoint()
+    val n1p = c2.groupBy("w").agg(count(lit(1)).as("n1p"))
+      .localCheckpoint()
+    val mrow = c2.agg(count(lit(1)).as("ntypes"),
+      coalesce(max("c2"), lit(0L)).as("maxc2")).head()
+    val (nTypes, maxC2) = (mrow.getLong(0), mrow.getLong(1))
+    require(nTypes > 0,
+      "train split has no bigram evidence — nothing to score against")
+    val uTypes = train
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("u")).head().getLong(0)
+    val denomTot = nTypes + uTypes + 1
+    val maxCLeft = left.agg(max("c_left")).head().getLong(0)
+    require(4L * maxC2 <= Long.MaxValue / denomTot &&
+      4L * maxCLeft <= Long.MaxValue / denomTot &&
+      3L * nTypes <= Long.MaxValue / (nTypes + 1),
+      s"knModel: counts ($maxC2/$maxCLeft bigrams, $nTypes types) would " +
+        "overflow the BIGINT rational; shard the model")
+    KnModel(c2.select("bigram", "c2"), left, n1p, nTypes, denomTot)
+  }
+
+  /** Per-document interpolated-KN log-scores for ANY docs frame (doc_id,
+    * source, text) — the scorer shared verbatim by the batch q248 rollup
+    * and the streaming twin ([[graft.streaming.LmScorer]]), so the
+    * streaming≡batch proof is by construction plus a spec.
+    *
+    * Per adjacent token pair (v, w), with D = 3/4 and T = denomTot:
+    *
+    *   context seen (c(v·) > 0, "n_kn"):
+    *     P = (max(4·c(vw)−3, 0)·T + 3·N₁₊(v·)·(N₁₊(·w)+1)) / (4·c(v·)·T)
+    *     — KN's discounted MLE + backoff-mass × smoothed continuation,
+    *     multiplied through by 4T into one exact BIGINT rational
+    *     (provably ≤ 1: the discount mass exactly covers the
+    *     continuation spread);
+    *   context unseen, w a known continuation ("n_cont"):
+    *     P = (N₁₊(·w)+1) / T;
+    *   both unseen ("n_oov"): P = 1 / T — the add-one floor.
+    *
+    * The score is log₁₀ P (the q246 convention); per doc the mean
+    * log-score over transitions via the order-stable [[graft.functions
+    * .ExactAgg]] kernels. Scoring is per DISTINCT bigram type then one
+    * fan-out join — the q246 scale shape: everything corpus-linear,
+    * every join an equi-join on the bigram/word key. */
+  def knDocScores(docs: DataFrame, m: KnModel): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val occ = docs.where(size(TextAnalysis.tokens(col("text"))) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+    val types = occ.select("bigram").distinct()
+      .withColumn("v", substring_index(col("bigram"), " ", 1))
+      .withColumn("w", substring_index(col("bigram"), " ", -1))
+    val tot = lit(m.denomTot)
+    val scored = types
+      .join(m.c2, Seq("bigram"), "left")
+      .join(m.left, Seq("v"), "left")
+      .join(m.n1p, Seq("w"), "left")
+      .withColumn("ord",
+        when(col("c_left").isNotNull, lit(2))
+          .when(col("n1p").isNotNull, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("score", log10(
+        when(col("c_left").isNotNull,
+          (greatest(coalesce(col("c2"), lit(0L)) * 4 - 3, lit(0L)) * tot +
+            lit(3L) * col("n1f") * (coalesce(col("n1p"), lit(0L)) + 1))
+            .cast("double") /
+            (lit(4L) * col("c_left") * tot).cast("double"))
+          .otherwise((coalesce(col("n1p"), lit(0L)) + 1).cast("double") /
+            tot.cast("double"))))
+      .select("bigram", "ord", "score")
+    occ.join(scored, Seq("bigram"))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_trans"),
+        sum(when(col("ord") === 2, 1L).otherwise(0L)).as("n_kn"),
+        sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n_cont"),
+        sum(when(col("ord") === 0, 1L).otherwise(0L)).as("n_oov"),
+        E.davg(col("score")).as("doc_log10"))
+  }
+
+  /** q248: interpolated Kneser–Ney held-out scoring — the close of the
+    * LM-quality loop q197 (KN model) and q246 (Stupid Backoff) opened:
+    * train the KN bigram model on the deterministic train split, score
+    * every held-out document ([[knDocScores]]), and report per source how
+    * transitions resolved (full KN / continuation-only / OOV floor — the
+    * distribution-shift cross-tab) and the mean per-doc log₁₀ score (the
+    * CCNet-style quality statistic, higher = better modeled by train).
+    * Reference anchor: the reference aggregates fact rows per dimension
+    * the same way (airflow/dags/spark_jobs/comprehensive_analytics.py);
+    * the LM scorer is the beyond-reference LLM-pipeline form. */
+  def knHeldOutScore(t: Tables, trainPct: Int = 80): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val m = knModel(t, trainPct)
+    val held = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(Sampling.hashBucket(col("doc_id")) >= trainPct)
+    knDocScores(held, m)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_trans").as("n_trans"),
+        sum("n_kn").as("n_kn"),
+        sum("n_cont").as("n_cont"),
+        sum("n_oov").as("n_oov"),
+        E.davg(col("doc_log10")).as("avg_doc_log10"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[knHeldOutScore]]: same split hash, same train count
+    * tables, T computed in-SQL from the same counts, the same one-rational
+    * CASE with the identical chain of double ops, log10, and the davg
+    * mirrors at both aggregation levels. Scoring runs per occurrence (the
+    * engine scores per type then fans out — same values, score is a
+    * function of the bigram alone). */
+  def knHeldOutScoreSql(trainPct: Int = 80): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val h = s"((${Sampling.splitHashSql("doc_id")}) % 100)"
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(trim(text), '\\s+') AS tks,
+       |         $h AS b
+       |  FROM documents),
+       |tr AS (SELECT * FROM d WHERE b < $trainPct),
+       |ho AS (SELECT * FROM d WHERE b >= $trainPct),
+       |c2 AS (
+       |  SELECT array_to_string(tks[i:i+1], ' ') AS bigram, count(*) AS c2
+       |  FROM tr, unnest(range(1, len(tks))) u(i)
+       |  WHERE len(tks) >= 2 GROUP BY 1),
+       |c2s AS (
+       |  SELECT bigram, c2,
+       |    string_split(bigram, ' ')[1] AS v,
+       |    string_split(bigram, ' ')[-1] AS w
+       |  FROM c2),
+       |lf AS (
+       |  SELECT v, CAST(sum(c2) AS BIGINT) AS c_left, count(*) AS n1f
+       |  FROM c2s GROUP BY 1),
+       |np AS (SELECT w, count(*) AS n1p FROM c2s GROUP BY 1),
+       |tt AS (
+       |  SELECT (SELECT count(*) FROM c2s)
+       |       + (SELECT count(DISTINCT u.tok)
+       |          FROM (SELECT unnest(tks) AS tok FROM tr) u) + 1 AS t),
+       |occ AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(tks[i:i+1], ' ') AS bigram,
+       |         tks[i] AS v, tks[i+1] AS w
+       |  FROM ho, unnest(range(1, len(tks))) u(i)
+       |  WHERE len(tks) >= 2),
+       |sc AS (
+       |  SELECT o.doc_id, o.source,
+       |    CASE WHEN lf.c_left IS NOT NULL THEN 2
+       |         WHEN np.n1p IS NOT NULL THEN 1
+       |         ELSE 0 END AS ord,
+       |    log10(CASE WHEN lf.c_left IS NOT NULL THEN
+       |        CAST(greatest(COALESCE(cb.c2, 0) * 4 - 3, 0) * tt.t
+       |             + 3 * lf.n1f * (COALESCE(np.n1p, 0) + 1) AS DOUBLE)
+       |        / CAST(4 * lf.c_left * tt.t AS DOUBLE)
+       |      ELSE CAST(COALESCE(np.n1p, 0) + 1 AS DOUBLE)
+       |           / CAST(tt.t AS DOUBLE) END) AS score
+       |  FROM occ o
+       |  LEFT JOIN c2s cb ON cb.bigram = o.bigram
+       |  LEFT JOIN lf ON lf.v = o.v
+       |  LEFT JOIN np ON np.w = o.w
+       |  CROSS JOIN tt),
+       |doc AS (
+       |  SELECT doc_id, source, count(*) AS n_trans,
+       |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kn,
+       |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+       |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    ${O.davg("score")} AS doc_log10
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_trans) AS BIGINT) AS n_trans,
+       |  CAST(sum(n_kn) AS BIGINT) AS n_kn,
+       |  CAST(sum(n_cont) AS BIGINT) AS n_cont,
+       |  CAST(sum(n_oov) AS BIGINT) AS n_oov,
+       |  ${O.davg("doc_log10")} AS avg_doc_log10
        |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

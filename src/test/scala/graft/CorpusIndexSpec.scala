@@ -280,9 +280,12 @@ class CorpusIndexSpec extends SparkSpec {
       .filter(_.length >= 3)
       .map { tk =>
         val ss = tk.sliding(3).map(w => score(w(0), w(1), w(2))).toSeq
+        // the engine scores in the log domain (mean log10 S per token —
+        // the KenLM convention, r8 ADVICE fix) before the dsum micro-unit
+        // quantization
         (ss.size.toLong, ss.count(_._1 == 3).toLong, ss.count(_._1 == 2).toLong,
           ss.count(_._1 == 1).toLong, ss.count(_._1 == 0).toLong,
-          ss.map(s => math.round(s._2 * 1e6)).sum / 1e6 / ss.size)
+          ss.map(s => math.round(math.log10(s._2) * 1e6)).sum / 1e6 / ss.size)
       }
     val r = got.head
     assert(r.getLong(1) == perDoc.size, "n_docs")
@@ -295,16 +298,107 @@ class CorpusIndexSpec extends SparkSpec {
     assert(perDoc.map(_._2).sum > 0 && perDoc.map(_._3).sum > 0 &&
       perDoc.map(_._4).sum > 0 && perDoc.map(_._5).sum > 0,
       s"fixture must hit all four orders: $perDoc")
-    // mirror the engine's final round(x, 6): Spark rounds the double's
-    // SHORTEST decimal form half-up (BigDecimal.valueOf), not its exact
-    // binary expansion
-    val expAvg = java.math.BigDecimal
-      .valueOf(perDoc.map(d => math.round(d._6 * 1e6)).sum / 1e6 / perDoc.size)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // the engine's avg is deliberately UNROUNDED (q176 doctrine — a final
+    // round(x, 6) on a micro-quantized average lands exactly on .5
+    // boundaries whenever sum_micro ≢ 0 mod 2·n_docs, where Spark's
+    // shortest-decimal HALF_UP and DuckDB's double-domain round diverge;
+    // q248's sf0.01 src3 hit it)
+    val expAvg = perDoc.map(d => math.round(d._6 * 1e6)).sum / 1e6 / perDoc.size
     assert(r.getDouble(7) == expAvg,
-      s"avg_doc_score ${r.getDouble(7)} vs brute $expAvg")
-    // every score is a probability scaled by at most 1: avg in (0, 1]
-    assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0)
+      s"avg_doc_log10 ${r.getDouble(7)} vs brute $expAvg")
+    // every score is a probability in (0, 1] → its log10 is ≤ 0
+    assert(r.getDouble(7) <= 0.0)
+  }
+
+  test("q246: empty train split fails loudly (guard is un-prunable)") {
+    // every doc lands on the held side of the 80/20 split → no train
+    // evidence; the raise_error folded into n_train must fire at execution
+    // (the r8 ADVICE finding: the previous assert_true side-column was
+    // removed by column pruning and the guard never evaluated)
+    val heldIds = (0L until 1000L).filter(splitHash31(_) % 100 >= 80).take(3)
+    val t = writeDocs(heldIds.map(i => (i, "aa bb cc dd ee", "ho")))
+    val ex = intercept[Throwable] {
+      CorpusIndex.backoffLmScore(t).collect()
+    }
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Nil
+      else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(ex).exists(_.contains("train split is empty")),
+      s"expected the empty-train raise_error, got: ${messages(ex)}")
+  }
+
+  // ── q248 interpolated Kneser–Ney held-out scoring ────────────────────
+
+  test("q248: KN orders and scores match a brute-force replay") {
+    val trainTexts = Seq("the cat sat", "a dog sat")
+    // held doc exercising every branch: seen bigram (full KN), seen
+    // context + unseen next, unseen context + known continuation, OOV
+    val heldText = "the cat qq sat dog pp zz"
+    val ids = 0L until 1000L
+    val trainIds = ids.filter(splitHash31(_) % 100 < 80).take(trainTexts.size)
+    val heldId = ids.filter(splitHash31(_) % 100 >= 80).head
+    val t = writeDocs(
+      trainIds.zip(trainTexts).map { case (i, tx) => (i, tx, "tr") } :+
+        ((heldId, heldText, "ho")))
+    val got = CorpusIndex.knHeldOutScore(t).collect()
+    assert(got.length == 1 && got.head.getString(0) == "ho")
+    val r = got.head
+
+    // brute force with the same exact-rational arithmetic
+    val c2 = trainTexts.flatMap(_.split(" ").sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (g, o) => g -> o.size.toLong }
+    val left = c2.groupBy(_._1.split(" ")(0))
+      .map { case (v, m) => v -> (m.values.sum, m.size.toLong) } // (c_left, n1f)
+    val n1p = c2.keys.groupBy(_.split(" ")(1)).map { case (w, g) => w -> g.size.toLong }
+    val uTypes = trainTexts.flatMap(_.split(" ")).distinct.size.toLong
+    val bigT = c2.size.toLong + uTypes + 1L
+    def score(v: String, w: String): (Int, Double) = left.get(v) match {
+      case Some((cl, n1f)) =>
+        val c = c2.getOrElse(s"$v $w", 0L)
+        val num = math.max(4 * c - 3, 0L) * bigT + 3L * n1f * (n1p.getOrElse(w, 0L) + 1L)
+        (2, math.log10(num.toDouble / (4L * cl * bigT).toDouble))
+      case None =>
+        val np = n1p.getOrElse(w, 0L)
+        (if (np > 0) 1 else 0, math.log10((np + 1L).toDouble / bigT.toDouble))
+    }
+    val ss = heldText.split(" ").sliding(2).map(a => score(a(0), a(1))).toSeq
+    assert(ss.map(_._1).count(_ == 2) > 0 && ss.map(_._1).count(_ == 1) > 0 &&
+      ss.map(_._1).count(_ == 0) > 0, s"fixture must hit all orders: $ss")
+    assert(r.getLong(1) == 1L, "n_docs")
+    assert(r.getLong(2) == ss.size.toLong, "n_trans")
+    assert(r.getLong(3) == ss.count(_._1 == 2).toLong, "n_kn")
+    assert(r.getLong(4) == ss.count(_._1 == 1).toLong, "n_cont")
+    assert(r.getLong(5) == ss.count(_._1 == 0).toLong, "n_oov")
+    val docAvg = ss.map(s => math.round(s._2 * 1e6)).sum / 1e6 / ss.size
+    // davg over the 1-doc source, UNROUNDED (q176 doctrine — see q246 test)
+    val expAvg = math.round(docAvg * 1e6) / 1e6 / 1
+    assert(r.getDouble(6) == expAvg,
+      s"avg_doc_log10 ${r.getDouble(6)} vs brute $expAvg")
+    assert(r.getDouble(6) <= 0.0, "KN probabilities are ≤ 1 → log ≤ 0")
+  }
+
+  test("q248: empty train split fails loudly at model build") {
+    val heldIds = (0L until 1000L).filter(splitHash31(_) % 100 >= 80).take(2)
+    val t = writeDocs(heldIds.map(i => (i, "aa bb cc", "ho")))
+    val e = intercept[IllegalArgumentException](CorpusIndex.knModel(t))
+    assert(e.getMessage.contains("no bigram evidence"))
+  }
+
+  test("q249: point lookup equals the direct computation's top context") {
+    val docs = Seq(
+      (0L, "a b c a b d a b c", "s"),
+      (1L, "a b c x y z a b e", "s"),
+      (2L, "x y z x y w", "s"))
+    val t = writeDocs(docs)
+    val direct = CorpusIndex.nextTokenTable(t, n = 3, topContexts = 1,
+        topNext = 100).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    val served = CorpusIndex.nextTokenLookupDemo(t, n = 3, topK = 100).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).toSeq
+    assert(served.sorted == direct.sorted, s"served=$served\ndirect=$direct")
+    assert(served.nonEmpty)
   }
 
   test("q246: fixture invariants — order counts partition occurrences") {
@@ -315,8 +409,8 @@ class CorpusIndexSpec extends SparkSpec {
       assert(r.getLong(2) ==
         r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6),
         s"orders must partition n_occ for ${r.getString(0)}")
-      assert(r.getDouble(7) > 0.0 && r.getDouble(7) <= 1.0,
-        s"avg_doc_score out of (0,1] for ${r.getString(0)}")
+      assert(r.getDouble(7) <= 0.0,
+        s"avg_doc_log10 must be ≤ 0 (log of a probability) for ${r.getString(0)}")
     }
   }
 }

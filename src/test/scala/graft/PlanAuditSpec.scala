@@ -652,7 +652,29 @@ class PlanAuditSpec extends SparkSpec {
     "q245_merge_on_read" -> 3,
     // train count tables (c3 + c2x2 + c1x2) + type-frame distinct + five
     // count joins + fan-out occurrence join + doc agg + source agg + sort
-    "q246_backoff_lm_score" -> 11)
+    "q246_backoff_lm_score" -> 11,
+    // the node inventory is a cached index product (built once per
+    // session/corpus — the sparse-table + binary-descent walks live
+    // behind the checkpoint); visible plan = presentation sort only
+    "q247_repeat_inventory" -> 1,
+    // checkpointed model tables; visible: type distinct + fan-out
+    // occurrence join + doc agg + source agg (+ sort coalesced by AQE)
+    "q248_kn_heldout_score" -> 4,
+    // the point lookup: one pruned bucket feeds the rank window and
+    // TakeOrdered — ZERO exchanges end to end (see dedicated lint below)
+    "q249_next_token_lookup" -> 0)
+
+  test("q249 point lookup: one pruned bucket, zero exchanges, TakeOrdered") {
+    val p = plan("q249_next_token_lookup")
+    // bucket pruning: the equality filter must select exactly one bucket
+    // of the bucketed index — never a full index scan
+    assert("SelectedBucketsCount: 1 out of \\d+".r.findFirstIn(p).isDefined,
+      s"lookup scans more than one bucket:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"),
+      s"point lookup must be exchange-free:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "presentation order must ride TakeOrdered, not a global sort")
+  }
 
   test("suite-wide lint: no cartesians, no stray BNLJ, exchanges within budget") {
     val exchangeRe =

@@ -4,9 +4,20 @@ package graft
   * prints per-query shuffle-exchange counts (excluding BroadcastExchange)
   * plus any cartesian/BNLJ occurrences. Not part of CI assertions. */
 class PlanLintDump extends SparkSpec {
-  ignore("dump per-query exchange counts") {
+  // opt-in: set GRAFT_PLAN_DUMP=all or a comma-separated query-name list
+  // and run `testOnly graft.PlanLintDump` — stays ignored in plain CI runs
+  private val wanted = sys.env.get("GRAFT_PLAN_DUMP")
+  private def dumpTest(name: String)(body: => Unit): Unit =
+    if (wanted.isDefined) test(name)(body) else ignore(name)(body)
+  dumpTest("dump per-query exchange counts") {
     val dir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val selected = wanted match {
+      case Some("all") | None => SparkEntry.queries
+      case Some(names) =>
+        val set = names.split(",").map(_.trim).toSet
+        SparkEntry.queries.filter { case (n, _) => set(n) }
+    }
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val s = fn(spark, dir).queryExecution.executedPlan.toString
         val ex = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
