@@ -106,13 +106,20 @@ object SkewBench {
     val (thr0, adv0) = (spark.conf.get(thr), spark.conf.get(adv))
     spark.conf.set(thr, "8MB"); spark.conf.set(adv, "8MB")
     val joinAqe = medianSecs(runs)(() => joinPlain())
+    // knob-coupling variant: threshold lowered but advisory at default —
+    // the splitter DETECTS the skewed partition yet splits it into
+    // advisory-sized chunks, so when advisory >= hot-partition bytes the
+    // "engaged" splitter is a silent no-op. Measured so the doctrine says
+    // explicitly that BOTH knobs gate the mitigation, not threshold alone.
+    spark.conf.set(thr, "8MB"); spark.conf.set(adv, adv0)
+    val joinAqeThrOnly = medianSecs(runs)(() => joinPlain())
     spark.conf.set(thr, thr0); spark.conf.set(adv, adv0)
     spark.conf.set(skewFix, "false")
     val joinNaive = medianSecs(runs)(() => joinPlain())
     spark.conf.set(skewFix, "true")
     val joinS = medianSecs(runs)(() => joinSalted())
 
-    println(s"""{"metric":"skew_bench","dir":"$dir","runs":$runs,"hot_share":$hotShare,"total_rows":$total,"agg_plain":$aggP,"agg_salted":$aggS,"join_plain_aqe":$joinAqe,"join_plain_noskewfix":$joinNaive,"join_salted":$joinS,"salt_lint":"ok"}""")
+    println(s"""{"metric":"skew_bench","dir":"$dir","runs":$runs,"hot_share":$hotShare,"total_rows":$total,"agg_plain":$aggP,"agg_salted":$aggS,"join_plain_aqe":$joinAqe,"join_plain_aqe_thr_only":$joinAqeThrOnly,"join_plain_noskewfix":$joinNaive,"join_salted":$joinS,"salt_lint":"ok"}""")
     spark.stop()
   }
 }
