@@ -295,7 +295,8 @@ object SparkEntry {
     "q246_backoff_lm_score" -> q(t => CorpusIndex.backoffLmScore(t)),
     "q247_repeat_inventory" -> q(t => SuffixArray.repeatInventory(t)),
     "q248_kn_heldout_score" -> q(t => CorpusIndex.knHeldOutScore(t)),
-    "q249_next_token_lookup" -> q(t => CorpusIndex.nextTokenLookupDemo(t)))
+    "q249_next_token_lookup" -> q(t => CorpusIndex.nextTokenLookupDemo(t)),
+    "q250_repeat_source_spread" -> q(t => SuffixArray.repeatSourceSpread(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -463,6 +464,7 @@ object SparkEntry {
     // the q239 oracle at topContexts=1 replays exactly that restriction
     "q249_next_token_lookup" -> CorpusIndex.nextTokenTableSql(
       topContexts = 1, topNext = 100),
+    "q250_repeat_source_spread" -> SuffixArray.repeatSourceSpreadSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

@@ -345,14 +345,22 @@ object SuffixArray {
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   def repeatInventory(t: Tables, minLen: Int = 16,
-                      previewTokens: Int = 8): DataFrame = {
+                      previewTokens: Int = 8): DataFrame =
+    inventoryNodes(t, minLen, previewTokens)
+      .select(col("len"), col("n_occ"), col("doc_id"), col("pos"),
+        col("preview"))
+      .orderBy(col("len").desc, col("doc_id"), col("pos"))
+
+  /** The cached node frame WITH its rank interval (a, b) — ranks [a−1, b]
+    * are the node's occurrences; [[repeatInventory]] serves the public
+    * projection, [[repeatSourceSpread]] expands the interval. */
+  private def inventoryNodes(t: Tables, minLen: Int,
+                             previewTokens: Int): DataFrame = {
     require(minLen >= 1 && previewTokens >= 1,
       s"minLen and previewTokens must be >= 1, got $minLen / $previewTokens")
     val key = s"${System.identityHashCode(t.spark.sessionState)}:${t.dir}" +
       s":$minLen:$previewTokens"
-    builtInv.computeIfAbsent(key, _ =>
-      buildInventory(t, minLen, previewTokens))
-      .orderBy(col("len").desc, col("doc_id"), col("pos"))
+    builtInv.computeIfAbsent(key, _ => buildInventory(t, minLen, previewTokens))
   }
 
   private def buildInventory(t: Tables, minLen: Int,
@@ -366,8 +374,8 @@ object SuffixArray {
     val pCount = p.count() // bounded driver scalar (the build() pattern)
     if (pCount == 0L) {
       import spark.implicits._
-      return Seq.empty[(Long, Long, Long, Long, String)]
-        .toDF("len", "n_occ", "doc_id", "pos", "preview")
+      return Seq.empty[(Long, Long, Long, Long, String, Long, Long)]
+        .toDF("len", "n_occ", "doc_id", "pos", "preview", "a", "b")
     }
     // K levels cover any within-run walk distance (runs are subsets of P)
     val maxK = 64 - java.lang.Long.numberOfLeadingZeros(pCount + 1)
@@ -413,8 +421,57 @@ object SuffixArray {
         col("doc_id"), col("pos"),
         concat_ws(" ", slice(col("tks"), (col("pos") + 1).cast("int"),
           least(col("len"), lit(previewTokens.toLong)).cast("int")))
-          .as("preview"))
+          .as("preview"),
+        col("a"), col("b"))
       .localCheckpoint() // the served artifact — walks run once per corpus
+  }
+
+  /** q250: source-spread classification of the repeat inventory — the
+    * dedup-POLICY cut over q247's nodes: a repeat occurring across MANY
+    * sources is boilerplate (headers, licenses, templates — safe and
+    * desirable to strip corpus-wide), one confined to a single source is
+    * a quote/copy cluster (a per-source dedup decision). Lee et al. 2021
+    * §6 makes exactly this distinction when deciding what ExactSubstr
+    * removes.
+    *
+    * Classes per node:
+    *   - `ubiquitous`: n_occ > occCap — occurrence count ALONE classifies
+    *     a repeat this common as boilerplate, so its (potentially
+    *     corpus-sized) rank interval is never expanded — the salt-cap
+    *     doctrine applied to interval expansion; the oracle replays the
+    *     cap;
+    *   - `cross_source`: occurrences span ≥ 2 sources;
+    *   - `within_source`: all occurrences inside one source.
+    * Expansion cost is bounded by occCap·|nodes| rows (sequence-explode of
+    * rank intervals, equi-joined to the SA artifact — never a range join).
+    * Report per class: node count, distinct-repeat token mass, occurrence
+    * token mass (len·n_occ — what removal would reclaim), longest member.
+    */
+  def repeatSourceSpread(t: Tables, minLen: Int = 16,
+                         occCap: Int = 256): DataFrame = {
+    require(occCap >= 2, s"occCap must be >= 2, got $occCap")
+    val inv = inventoryNodes(t, minLen, previewTokens = 8)
+    val sa = saWithLcp(t)
+    val src = t.documents.select(col("doc_id"), col("source"))
+    val spread = inv.where(col("n_occ") <= occCap)
+      .select(col("len"), col("a"), col("b"),
+        explode(sequence(col("a") - 1, col("b"))).as("r"))
+      .join(sa.select(col("r"), col("doc_id")), Seq("r"))
+      .join(src, Seq("doc_id"))
+      .groupBy(col("len"), col("a"), col("b"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    inv.join(spread, Seq("len", "a", "b"), "left")
+      .withColumn("spread_class",
+        when(col("n_occ") > occCap, lit("ubiquitous"))
+          .when(col("n_sources") >= 2, lit("cross_source"))
+          .otherwise(lit("within_source")))
+      .groupBy(col("spread_class"))
+      .agg(
+        count(lit(1)).as("n_repeats"),
+        sum(col("len")).as("repeat_tokens"),
+        sum(col("len") * col("n_occ")).as("occurrence_tokens"),
+        max(col("len")).as("max_len"))
+      .orderBy(col("spread_class"))
   }
 
   // --------------------------------------------------------------------
@@ -529,6 +586,46 @@ object SuffixArray {
        |    AS preview
        |FROM located x JOIN docs d ON d.doc_id = x.doc_id
        |ORDER BY x.len DESC, x.doc_id, x.pos""".stripMargin
+
+  /** The DuckDB mirror of [[repeatSourceSpread]]: the islands node form
+    * (see [[repeatInventorySql]]) with the same capped rank-interval
+    * expansion and class CASE. */
+  def repeatSourceSpreadSql(minLen: Int = 16, occCap: Int = 256): String =
+    s"""WITH $lcpCtes,
+       |sa AS (SELECT doc_id, pos, r FROM r$MaxLevels),
+       |arr AS (
+       |  SELECT s.r + 1 AS i, l.acc AS l
+       |  FROM l0 l JOIN sa s ON s.doc_id = l.da AND s.pos = l.pa),
+       |p AS (SELECT i, l FROM arr WHERE l >= $minLen),
+       |vals AS (SELECT DISTINCT l AS v FROM p),
+       |runs AS (
+       |  SELECT vals.v, p.i, p.l,
+       |    p.i - row_number() OVER (PARTITION BY vals.v ORDER BY p.i) AS grp
+       |  FROM p JOIN vals ON p.l >= vals.v),
+       |nodes AS (
+       |  SELECT v AS len, min(i) AS a, max(i) AS b
+       |  FROM runs GROUP BY v, grp HAVING min(l) = v),
+       |ex AS (
+       |  SELECT len, a, b, unnest(range(a - 1, b + 1)) AS r
+       |  FROM nodes WHERE b - a + 2 <= $occCap),
+       |small AS (
+       |  SELECT e.len, e.a, e.b, count(DISTINCT d.source) AS n_sources
+       |  FROM ex e
+       |  JOIN sa s ON s.r = e.r
+       |  JOIN documents d ON d.doc_id = s.doc_id
+       |  GROUP BY 1, 2, 3),
+       |cls AS (
+       |  SELECT n.len, n.b - n.a + 2 AS n_occ,
+       |    CASE WHEN n.b - n.a + 2 > $occCap THEN 'ubiquitous'
+       |         WHEN sm.n_sources >= 2 THEN 'cross_source'
+       |         ELSE 'within_source' END AS spread_class
+       |  FROM nodes n
+       |  LEFT JOIN small sm ON sm.len = n.len AND sm.a = n.a AND sm.b = n.b)
+       |SELECT spread_class, count(*) AS n_repeats,
+       |  CAST(sum(len) AS BIGINT) AS repeat_tokens,
+       |  CAST(sum(len * n_occ) AS BIGINT) AS occurrence_tokens,
+       |  max(len) AS max_len
+       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** The DuckDB mirror of [[suffixArrayStats]]. */
   def suffixArrayStatsSql(minLen: Int = 16): String =

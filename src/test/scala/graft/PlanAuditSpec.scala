@@ -662,7 +662,11 @@ class PlanAuditSpec extends SparkSpec {
     "q248_kn_heldout_score" -> 4,
     // the point lookup: one pruned bucket feeds the rank window and
     // TakeOrdered — ZERO exchanges end to end (see dedicated lint below)
-    "q249_next_token_lookup" -> 0)
+    "q249_next_token_lookup" -> 0,
+    // capped interval expansion (explode + 2 equi-joins over the cached
+    // node/SA artifacts) + per-node distinct-source agg + class roll-up
+    // + presentation sort
+    "q250_repeat_source_spread" -> 7)
 
   test("q249 point lookup: one pruned bucket, zero exchanges, TakeOrdered") {
     val p = plan("q249_next_token_lookup")

@@ -145,7 +145,8 @@ class SuffixArraySpec extends SparkSpec {
     * output shape plus, separately, every occurrence for coverage checks. */
   private def bruteNodes(docs: Seq[(Long, String)], minLen: Int,
                          preview: Int = 8)
-      : (Seq[(Long, Long, Long, Long, String)], Seq[(Long, Long, Long)]) = {
+      : (Seq[(Long, Long, Long, Long, String)],
+         Seq[(Int, Long, Long, Long)]) = {
     val toks = docs.map { case (id, tx) =>
       (id, tx.trim.toLowerCase.split("\\s+").toVector) }
     def keyAt(s: (Long, Vector[String], Int), off: Int): (Int, String) = {
@@ -176,7 +177,8 @@ class SuffixArraySpec extends SparkSpec {
     val L0 = Array.tabulate(n)(j => if (j == 0) 0 else lcp(sorted(j - 1), sorted(j)))
     val seen = scala.collection.mutable.Set[(Int, Int, Int)]()
     val nodes = Seq.newBuilder[(Long, Long, Long, Long, String)]
-    val occs = Seq.newBuilder[(Long, Long, Long)] // (doc_id, pos, len)
+    val occs = Seq.newBuilder[(Int, Long, Long, Long)] // (node, doc, pos, len)
+    var nodeIdx = 0
     for (j <- 1 until n if L0(j) >= minLen) {
       val v = L0(j)
       var ps = j - 1
@@ -190,12 +192,12 @@ class SuffixArraySpec extends SparkSpec {
           .mkString(" ")
         nodes += ((v.toLong, (ns - ps).toLong, ex._1, ex._3.toLong, previewTx))
         (ps until ns).foreach { r =>
-          occs += ((sorted(r)._1, sorted(r)._3.toLong, v.toLong))
+          occs += ((nodeIdx, sorted(r)._1, sorted(r)._3.toLong, v.toLong))
         }
+        nodeIdx += 1
       }
     }
-    (nodes.result().sortBy { case (l, _, id, p, _) => (-l, id, p) },
-      occs.result())
+    (nodes.result(), occs.result()) // nodes in creation order, = occ tags
   }
 
   test("repeatInventory equals brute-force LCP-interval enumeration") {
@@ -205,7 +207,8 @@ class SuffixArraySpec extends SparkSpec {
         .map(r => (r.getAs[Long]("len"), r.getAs[Long]("n_occ"),
           r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
           r.getAs[String]("preview"))).toSeq
-      val (exp, _) = bruteNodes(planted, minLen)
+      val (expRaw, _) = bruteNodes(planted, minLen)
+      val exp = expRaw.sortBy { case (l, _, id, p, _) => (-l, id, p) }
       assert(got == exp, s"minLen=$minLen\ngot=$got\nexp=$exp")
       assert(exp.nonEmpty, s"fixture must plant nodes at minLen=$minLen")
     }
@@ -218,7 +221,7 @@ class SuffixArraySpec extends SparkSpec {
         r.getAs[Long]("span_tokens"))).toSeq
     val (_, occs) = bruteNodes(planted, minLen = 16)
     // merge [pos, pos+len) intervals per doc — must reproduce q238 exactly
-    val merged = occs.map { case (id, p, l) => (id, p, p + l) }
+    val merged = occs.map { case (_, id, p, l) => (id, p, p + l) }
       .groupBy(_._1).toSeq.flatMap { case (id, iv) =>
         val s = iv.map { case (_, a, b) => (a, b) }.sorted
         val out = Seq.newBuilder[(Long, Long, Long)]
@@ -233,6 +236,49 @@ class SuffixArraySpec extends SparkSpec {
       }.sortBy(r => (r._1, r._2))
     assert(merged == spans.sortBy(r => (r._1, r._2)),
       s"merged=$merged\nspans=${spans.toSeq}")
+  }
+
+  // ── q250 repeat source spread ─────────────────────────────────────────
+
+  private def writeDocsSrc(docs: Seq[(Long, String, String)]): Tables = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sa_src").toFile.getAbsolutePath
+    docs.map { case (id, tx, src) => (id, tx, "en", src, tx.length) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$base/documents.parquet")
+    Tables(spark, base)
+  }
+
+  test("repeatSourceSpread equals brute-force classification (incl. the cap)") {
+    val srcOf = Map(0L -> "sA", 1L -> "sB", 2L -> "sC", 3L -> "sC", 4L -> "sC")
+    val t = writeDocsSrc(planted.map { case (id, tx) => (id, tx, srcOf(id)) })
+    val (nodes, occs) = bruteNodes(planted, minLen = 3)
+    val byNode = occs.groupBy(_._1)
+    for (cap <- Seq(256, 3)) {
+      val got = SuffixArray.repeatSourceSpread(t, minLen = 3, occCap = cap)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      val classed = nodes.zipWithIndex.map { case ((len, nOcc, _, _, _), idx) =>
+        val cls =
+          if (nOcc > cap) "ubiquitous"
+          else if (byNode(idx).map(o => srcOf(o._2)).distinct.size >= 2)
+            "cross_source"
+          else "within_source"
+        (cls, len, nOcc)
+      }
+      val exp = classed.groupBy(_._1).toSeq.map { case (cls, g) =>
+        (cls, g.size.toLong, g.map(_._2).sum,
+          g.map(x => x._2 * x._3).sum, g.map(_._2).max)
+      }.sortBy(_._1)
+      assert(got == exp, s"cap=$cap\ngot=$got\nexp=$exp")
+      if (cap == 3) assert(exp.exists(_._1 == "ubiquitous"),
+        "low cap must actually produce a capped (ubiquitous) class")
+    }
+    val full = SuffixArray.repeatSourceSpread(t, minLen = 3).collect()
+      .map(_.getString(0)).toSet
+    assert(full.contains("cross_source") && full.contains("within_source"),
+      s"fixture must exercise both spread classes, got $full")
   }
 
   test("repeat-free corpus: empty inventory with the right schema") {
