@@ -377,20 +377,31 @@ object SuffixArray {
       return Seq.empty[(Long, Long, Long, Long, String, Long, Long)]
         .toDF("len", "n_occ", "doc_id", "pos", "preview", "a", "b")
     }
-    // K levels cover any within-run walk distance (runs are subsets of P)
+    // K levels cover any within-run walk distance (runs are subsets of P).
+    // Levels materialize via persist+count, NOT localCheckpoint: each
+    // level is a SELF-join of the previous one, and localCheckpoint bakes
+    // the ESTIMATED size (the join-size product = the square of the
+    // child's recorded size) into the checkpoint's stats — S_{k+1} = S_k²
+    // compounds to a 2^K-digit BigInt whose driver-side multiplication in
+    // the stats visitor dominated wall time (observed: 40+ min of
+    // Toom-Cook at sf1). A materialized InMemoryRelation reports its
+    // ACTUAL cached size instead, so every level's stats stay honest and
+    // cheap. (build()'s per-level checkpoints don't hit this: its joins
+    // pair DISTINCT frames, so exponents add instead of doubling.)
     val maxK = 64 - java.lang.Long.numberOfLeadingZeros(pCount + 1)
     val fwd = ArrayBuffer(p)  // M_k:  min L over [i, i+2^k-1] ∩ covered
     val bwd = ArrayBuffer(p)  // PM_k: min L over [i-2^k+1, i] ∩ covered
+    def materialize(df: DataFrame): DataFrame = {
+      val out = df.persist(); out.count(); out
+    }
     for (k <- 0 until maxK.toInt) {
       val shift = 1L << k
       val f2 = fwd(k).select((col("i") - shift).as("i"), col("l").as("l2"))
-      fwd += fwd(k).join(f2, Seq("i"), "left")
-        .select(col("i"), least(col("l"), coalesce(col("l2"), lit(-1L))).as("l"))
-        .localCheckpoint()
+      fwd += materialize(fwd(k).join(f2, Seq("i"), "left")
+        .select(col("i"), least(col("l"), coalesce(col("l2"), lit(-1L))).as("l")))
       val b2 = bwd(k).select((col("i") + shift).as("i"), col("l").as("l2"))
-      bwd += bwd(k).join(b2, Seq("i"), "left")
-        .select(col("i"), least(col("l"), coalesce(col("l2"), lit(-1L))).as("l"))
-        .localCheckpoint()
+      bwd += materialize(bwd(k).join(b2, Seq("i"), "left")
+        .select(col("i"), least(col("l"), coalesce(col("l2"), lit(-1L))).as("l")))
     }
     // binary descent: j advances while the whole 2^k window stays ≥ v
     var ns = p.select(col("i"), col("l").as("v"), (col("i") + 1).as("j"))
@@ -412,7 +423,7 @@ object SuffixArray {
       .select(col("v").as("len"), (col("ps") + 1).as("a"),
         (col("ns") - 1).as("b"))
       .distinct()
-    nodes
+    val out = nodes
       .join(sa.select((col("r") + 1).as("a"), col("doc_id"), col("pos")),
         Seq("a")) // example = suffix at rank a-1, the lexicographic first
       .join(t.documents.select(col("doc_id"),
@@ -424,6 +435,9 @@ object SuffixArray {
           .as("preview"),
         col("a"), col("b"))
       .localCheckpoint() // the served artifact — walks run once per corpus
+    // the level scaffolding is consumed; free its cache blocks eagerly
+    (fwd.drop(1) ++ bwd.drop(1)).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** q250: source-spread classification of the repeat inventory — the
