@@ -378,23 +378,32 @@ object SuffixArray {
         .toDF("len", "n_occ", "doc_id", "pos", "preview", "a", "b")
     }
     // K levels cover any within-run walk distance (runs are subsets of P).
-    // Levels materialize via persist+count, NOT localCheckpoint: each
-    // level is a SELF-join of the previous one, and localCheckpoint bakes
-    // the ESTIMATED size (the join-size product = the square of the
-    // child's recorded size) into the checkpoint's stats — S_{k+1} = S_k²
-    // compounds to a 2^K-digit BigInt whose driver-side multiplication in
-    // the stats visitor dominated wall time (observed: 40+ min of
-    // Toom-Cook at sf1). A materialized InMemoryRelation reports its
-    // ACTUAL cached size instead, so every level's stats stay honest and
-    // cheap. (build()'s per-level checkpoints don't hit this: its joins
-    // pair DISTINCT frames, so exponents add instead of doubling.)
+    // Each level is a SELF-join of the previous one, which breaks BOTH
+    // naive materialization strategies:
+    //   - plain localCheckpoint truncates the tree but bakes the
+    //     ESTIMATED join size (child size SQUARED) into the checkpoint's
+    //     stats, so S_{k+1} = S_k² compounds to a 2^K-digit BigInt whose
+    //     driver-side multiplication in the size-only stats visitor
+    //     dominated wall time (observed: 40+ min of Toom-Cook at sf1);
+    //   - persist+count keeps honest stats but preserves full LINEAGE, so
+    //     the self-join doubles the logical TREE per level — 2^K plan
+    //     nodes, and AQE's per-action explainString walks all of them.
+    // The fix needs truncation AND non-compounding stats: checkpoint the
+    // level, then re-wrap the materialized RDD via createDataFrame — a
+    // fresh LogicalRDD leaf whose stats reset to the session default
+    // every level instead of inheriting the squared estimate. (build()'s
+    // per-level checkpoints never hit this: its joins pair DISTINCT
+    // frames, so size exponents add instead of doubling.)
     val maxK = 64 - java.lang.Long.numberOfLeadingZeros(pCount + 1)
     val fwd = ArrayBuffer(p)  // M_k:  min L over [i, i+2^k-1] ∩ covered
     val bwd = ArrayBuffer(p)  // PM_k: min L over [i-2^k+1, i] ∩ covered
     def materialize(df: DataFrame): DataFrame = {
-      val out = df.persist(); out.count(); out
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
     }
-    for (k <- 0 until maxK.toInt) {
+    var k = 0
+    var exhausted = false
+    while (k < maxK.toInt && !exhausted) {
       val shift = 1L << k
       val f2 = fwd(k).select((col("i") - shift).as("i"), col("l").as("l2"))
       fwd += materialize(fwd(k).join(f2, Seq("i"), "left")
@@ -402,11 +411,24 @@ object SuffixArray {
       val b2 = bwd(k).select((col("i") + shift).as("i"), col("l").as("l2"))
       bwd += materialize(bwd(k).join(b2, Seq("i"), "left")
         .select(col("i"), least(col("l"), coalesce(col("l2"), lit(-1L))).as("l")))
+      // adaptive stop (bounded 1-row driver read per level, the build()
+      // pattern): once every 2^{k+1} window contains a breaker
+      // (max M < minLen), no descent step at this or any higher level can
+      // advance — M is monotone non-increasing in k — and every walk
+      // distance is already coverable: a breaker-free run of length
+      // ≥ 2^{k+1} would put some window min ≥ minLen. Levels needed are
+      // therefore log₂(max RUN length), not log₂(|P|) — at copy-heavy
+      // density that halves the level count.
+      exhausted = fwd(k + 1).agg(max(col("l"))).head().getLong(0) < minLen
+      k += 1
     }
-    // binary descent: j advances while the whole 2^k window stays ≥ v
+    // binary descent: j advances while the whole 2^k window stays ≥ v.
+    // Descend from the top BUILT level (levels above the adaptive stop
+    // could never advance; see the loop note).
+    val kBuilt = fwd.length - 1
     var ns = p.select(col("i"), col("l").as("v"), (col("i") + 1).as("j"))
     var ps = p.select(col("i"), col("l").as("v"), (col("i") - 1).as("j"))
-    for (k <- (maxK.toInt - 1) to 0 by -1) {
+    for (k <- (kBuilt - 1) to 0 by -1) {
       val mk = fwd(k).select(col("i").as("mi"), col("l").as("ml"))
       ns = ns.join(mk, col("mi") === col("j"), "left")
         .select(col("i"), col("v"),
@@ -435,8 +457,6 @@ object SuffixArray {
           .as("preview"),
         col("a"), col("b"))
       .localCheckpoint() // the served artifact — walks run once per corpus
-    // the level scaffolding is consumed; free its cache blocks eagerly
-    (fwd.drop(1) ++ bwd.drop(1)).foreach(_.unpersist(blocking = false))
     out
   }
 
