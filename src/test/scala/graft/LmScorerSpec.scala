@@ -53,4 +53,26 @@ class LmScorerSpec extends SparkSpec {
         s"streaming != batch\nstream=${got.take(5).toSeq}\nbatch=${batch.take(5).toSeq}")
     } finally q.stop()
   }
+
+  test("a replayed micro-batch (foreachBatch retry) does not duplicate rows") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val m = CorpusIndex.knModel(t)
+    val held = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(Sampling.hashBucket(col("doc_id")) >= 80)
+    val out = Files.createTempDirectory("graft_lmretry").toFile.getAbsolutePath + "/out"
+    // first delivery of batch 7, then the at-least-once retry of the SAME
+    // batchId (a crash between sink write and checkpoint commit), plus a
+    // later batch 8 that must survive the retry untouched
+    LmScorer.writeScoredBatch(held, m, out, 7L)
+    val once = spark.read.parquet(out).collect()
+      .map(_.toString).sorted.toSeq
+    LmScorer.writeScoredBatch(held.limit(0), m, out, 8L) // empty later batch
+    LmScorer.writeScoredBatch(held, m, out, 7L)          // the retry
+    val after = spark.read.parquet(out).collect()
+      .map(_.toString).sorted.toSeq
+    assert(once.nonEmpty, "batch 7 must score rows at sf0.001")
+    assert(after == once,
+      s"retry changed the sink: ${after.size} rows vs ${once.size}")
+  }
 }
