@@ -207,8 +207,14 @@ object CorpusIndex {
     val key = s"${System.identityHashCode(spark.sessionState)}:$prefix"
     if (ntIdxBuilt.add(key) || !spark.catalog.tableExists(s"${prefix}_counts"))
       writeNextTokenIndex(t, prefix, n)
+    // take(1), not head(): an empty corpus (or all docs shorter than n
+    // tokens) yields an empty index, and the demo should fail loudly —
+    // mirroring knModel's empty-train guard — not with NoSuchElement
     val top = spark.table(s"${prefix}_totals")
-      .orderBy(desc("context_total"), asc("context")).limit(1).head()
+      .orderBy(desc("context_total"), asc("context")).limit(1).take(1)
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"next-token index '$prefix' is empty — no document holds >= $n " +
+          "tokens, so there is no context to look up"))
     nextTokenLookup(spark, prefix, top.getString(0), top.getLong(1), topK)
   }
 

@@ -663,10 +663,11 @@ class PlanAuditSpec extends SparkSpec {
     // the point lookup: one pruned bucket feeds the rank window and
     // TakeOrdered — ZERO exchanges end to end (see dedicated lint below)
     "q249_next_token_lookup" -> 0,
-    // capped interval expansion (explode + 2 equi-joins over the cached
-    // node/SA artifacts) + per-node distinct-source agg + class roll-up
-    // + presentation sort
-    "q250_repeat_source_spread" -> 7)
+    // capped interval expansion (explode + 2 equi-joins over the PERSISTED
+    // node/SA artifact tables — table scans carry honest stats, so two
+    // joins broadcast that previously shuffled) + per-node distinct-source
+    // agg + class roll-up + presentation sort
+    "q250_repeat_source_spread" -> 5)
 
   test("q249 point lookup: one pruned bucket, zero exchanges, TakeOrdered") {
     val p = plan("q249_next_token_lookup")
