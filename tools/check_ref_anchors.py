@@ -7,14 +7,18 @@ ranges) pointing into /root/reference, plus a handful of repo-local Python
 tools. A hallucinated anchor (r8 found `batch_processor.py`) silently
 corrupts the provenance discipline, so this script greps every *.py mention
 out of src/ and tools/*.scala and resolves it as a path suffix against BOTH
-the reference tree and the repo tree. Exit 1 with the offending citations if
-any fail to resolve.
+the reference tree and the repo tree. A bare basename (no '/') must be
+UNAMBIGUOUS — if two different files share it, the citation must carry
+enough of the directory to resolve to one, or a misdirected anchor could
+pass just because the name exists somewhere. Exit 1 with the offending
+citations if any fail to resolve.
 
 Usage: python3 tools/check_ref_anchors.py  (run from anywhere)
 """
 import os
 import re
 import sys
+from collections import defaultdict
 
 REPO = "/root/repo"
 REFERENCE = "/root/reference"
@@ -33,9 +37,10 @@ def known_files(root):
 
 
 def main():
-    known = {os.path.basename(p): True for p in known_files(REFERENCE)}
     known_rel = known_files(REFERENCE) | known_files(REPO)
-    basenames = {os.path.basename(p) for p in known_rel}
+    by_basename = defaultdict(set)
+    for p in known_rel:
+        by_basename[os.path.basename(p)].add(p)
 
     bad = []
     n_cites = 0
@@ -50,13 +55,22 @@ def main():
                         for m in CITE.finditer(line):
                             cite = m.group(0)
                             n_cites += 1
-                            # resolve: exact relative-path suffix OR basename
-                            ok = (os.path.basename(cite) in basenames and
-                                  (("/" not in cite) or any(
-                                      p.endswith(cite) for p in known_rel)))
-                            if not ok:
-                                bad.append(f"{os.path.relpath(path, REPO)}:"
-                                           f"{lineno}: {cite}")
+                            where = f"{os.path.relpath(path, REPO)}:{lineno}"
+                            if "/" in cite:
+                                # directory-qualified: must suffix-resolve
+                                if not any(p == cite or p.endswith("/" + cite)
+                                           for p in known_rel):
+                                    bad.append(f"{where}: {cite} "
+                                               "(no path-suffix match)")
+                            else:
+                                hits = by_basename.get(cite, set())
+                                if not hits:
+                                    bad.append(f"{where}: {cite} (no such file)")
+                                elif len(hits) > 1:
+                                    bad.append(
+                                        f"{where}: {cite} (ambiguous basename "
+                                        f"— qualify one of: "
+                                        f"{', '.join(sorted(hits))})")
     if bad:
         print(f"ANCHOR-SWEEP FAIL — {len(bad)} unresolved citation(s) "
               f"of {n_cites} scanned:")
