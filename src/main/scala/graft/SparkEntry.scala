@@ -296,7 +296,11 @@ object SparkEntry {
     "q247_repeat_inventory" -> q(t => SuffixArray.repeatInventory(t)),
     "q248_kn_heldout_score" -> q(t => CorpusIndex.knHeldOutScore(t)),
     "q249_next_token_lookup" -> q(t => CorpusIndex.nextTokenLookupDemo(t)),
-    "q250_repeat_source_spread" -> q(t => SuffixArray.repeatSourceSpread(t)))
+    "q250_repeat_source_spread" -> q(t => SuffixArray.repeatSourceSpread(t)),
+    "q251_mkn_heldout_score" -> q(t => CorpusIndex.mknHeldOutScore(t)),
+    "q252_cross_source_lcs" -> q(t => SuffixArray.crossSourceLcs(t)),
+    "q253_perplexity_buckets" -> q(t => CorpusIndex.perplexityBuckets(t)),
+    "q254_surprisal_report" -> q(t => CorpusIndex.surprisalReport(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -465,6 +469,10 @@ object SparkEntry {
     "q249_next_token_lookup" -> CorpusIndex.nextTokenTableSql(
       topContexts = 1, topNext = 100),
     "q250_repeat_source_spread" -> SuffixArray.repeatSourceSpreadSql(),
+    "q251_mkn_heldout_score" -> CorpusIndex.mknHeldOutScoreSql(),
+    "q252_cross_source_lcs" -> SuffixArray.crossSourceLcsSql(),
+    "q253_perplexity_buckets" -> CorpusIndex.perplexityBucketsSql(),
+    "q254_surprisal_report" -> CorpusIndex.surprisalReportSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

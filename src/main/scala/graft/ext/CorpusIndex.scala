@@ -812,6 +812,656 @@ object CorpusIndex {
        |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ── q251: trigram MODIFIED Kneser–Ney held-out scoring ────────────────
+
+  /** The trained trigram modified-KN model (Chen & Goodman 1999, "An
+    * empirical study of smoothing techniques for language modeling" §3 —
+    * the production n-gram quality-filter smoothing): count/type tables
+    * (checkpointed — built once, joined per scoring batch) plus the SIX
+    * count-of-count-estimated discounts and the unigram-floor denominator
+    * as driver scalars. Tables:
+    *   - c3(trigram → count) with its context ("u v") and backoff bigram
+    *     ("v w") split out — the [[writeNextTokenIndex]] (context, next,
+    *     cnt) artifact shape, keyed by the full gram string; at 100 TB
+    *     these ARE the persisted q239 index tables,
+    *   - ctx3(ctx → Σc, and the count-class type counts N₁/N₂/N₃₊(uv·)
+    *     the γ backoff mass reads),
+    *   - cc2(bg → N₁₊(·vw)) — the CONTINUATION bigram counts modified KN
+    *     backs off to (how many distinct u precede "v w"), derived from
+    *     the trigram table, never raw bigram frequency,
+    *   - ctx2(v → Σ over w, and its count-class type counts),
+    *   - cu(w → N₁₊ of "· w" in the continuation table).
+    * Discounts per order k and count class c ∈ {1, 2, 3+}:
+    *   Y = n₁/(n₁+2n₂), D₁ = 1−2Y·n₂/n₁, D₂ = 2−3Y·n₃/n₂,
+    *   D₃₊ = 3−4Y·n₄/n₃ (n_c = # types with count exactly c — bounded
+    * 1-row driver reads). D₂/D₃₊ are floored at 0.1: the estimator can go
+    * negative on skewed count-of-count profiles, and a zero discount on
+    * the only populated class would zero the backoff mass γ and send an
+    * unseen continuation to log(0) — the floor keeps every branch's
+    * probability strictly positive while leaving natural-corpus discounts
+    * untouched. An order whose classes 1..3 are not all populated cannot
+    * estimate at all and falls back to the fixed D = 3/4 for every class
+    * (the q248/SRILM pragma); D₁ ∈ (0,1) by construction when estimated.
+    *
+    * Magnitudes: unlike the bigram-KN one-rational form (q248), the
+    * three-level interpolation's exact-rational denominator is
+    * ctot·Q₃·cc2tot·Q₂·T with Q_k = (n₁+2n₂)·n₂·n₃ per order — past
+    * int64 at any real corpus size — so scoring runs the q246 discipline
+    * instead: counts stay BIGINT to the last step, probabilities are a
+    * FIXED chain of IEEE double ops replayed operation-for-operation by
+    * the DuckDB twin, and the 1e-6 log-domain quantization of
+    * [[graft.functions.ExactAgg.davg]] absorbs the final log₁₀ ulp. */
+  final case class MknModel(c3: DataFrame, ctx3: DataFrame, cc2: DataFrame,
+                            ctx2: DataFrame, cu: DataFrame,
+                            d13: Double, d23: Double, d33: Double,
+                            d12: Double, d22: Double, d32: Double,
+                            tBig: Long)
+
+  def mknModel(t: Tables, trainPct: Int = 80): MknModel = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99], got $trainPct")
+    val train = t.documents
+      .select(col("doc_id"), col("text"))
+      .where(Sampling.hashBucket(col("doc_id")) < trainPct)
+    val c3 = train.where(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(explode(Dedup.shingles(col("text"), 3)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+      .withColumn("ctx", substring_index(col("tri"), " ", 2))
+      .withColumn("bg", substring_index(col("tri"), " ", -2))
+      .localCheckpoint() // the model artifact — feeds four derived tables
+    val ctx3 = c3.groupBy("ctx").agg(
+      sum("c3").as("c3tot"),
+      sum(when(col("c3") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("c3") === 2, 1L).otherwise(0L)).as("f2"),
+      sum(when(col("c3") >= 3, 1L).otherwise(0L)).as("f3p"))
+      .localCheckpoint()
+    val cc2 = c3.groupBy("bg").agg(count(lit(1)).as("cc2"))
+      .localCheckpoint()
+    val ctx2 = cc2
+      .groupBy(substring_index(col("bg"), " ", 1).as("v")).agg(
+        sum("cc2").as("cc2tot"),
+        sum(when(col("cc2") === 1, 1L).otherwise(0L)).as("h1"),
+        sum(when(col("cc2") === 2, 1L).otherwise(0L)).as("h2"),
+        sum(when(col("cc2") >= 3, 1L).otherwise(0L)).as("h3p"))
+      .localCheckpoint()
+    val cu = cc2.groupBy(substring_index(col("bg"), " ", -1).as("w"))
+      .agg(count(lit(1)).as("cu")).localCheckpoint()
+    // count-of-count scalars, one bounded driver row per order
+    val r3 = c3.agg(
+      coalesce(sum(when(col("c3") === 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("c3") === 2, 1L).otherwise(0L)), lit(0L)).as("n2"),
+      coalesce(sum(when(col("c3") === 3, 1L).otherwise(0L)), lit(0L)).as("n3"),
+      coalesce(sum(when(col("c3") === 4, 1L).otherwise(0L)), lit(0L)).as("n4"),
+      count(lit(1)).as("ntypes")).head()
+    val r2 = cc2.agg(
+      coalesce(sum(when(col("cc2") === 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("cc2") === 2, 1L).otherwise(0L)), lit(0L)).as("n2"),
+      coalesce(sum(when(col("cc2") === 3, 1L).otherwise(0L)), lit(0L)).as("n3"),
+      coalesce(sum(when(col("cc2") === 4, 1L).otherwise(0L)), lit(0L)).as("n4"),
+      count(lit(1)).as("ntypes")).head()
+    require(r3.getLong(4) > 0,
+      "train split has no trigram evidence — nothing to score against")
+    // the FIXED double chain (mirrored literally by the SQL twin). An
+    // order whose count-of-count classes 1..3 are not all populated cannot
+    // estimate (Y or a divisor degenerates) — it falls back to the fixed
+    // D = 3/4 for every class, the q248/SRILM pragma (kndiscount →
+    // cndiscount when counts-of-counts are unusable). Per ORDER, not per
+    // corpus: a dense synthetic corpus can have a healthy trigram profile
+    // and a degenerate continuation profile at the same time.
+    def disc(n1: Long, n2: Long, n3: Long, n4: Long): (Double, Double, Double) =
+      if (n1 > 0 && n2 > 0 && n3 > 0) {
+        val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+        val d1 = 1.0 - 2.0 * y * n2.toDouble / n1.toDouble
+        val d2 = math.max(2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 0.1)
+        val d3 = math.max(3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 0.1)
+        (d1, d2, d3)
+      } else (0.75, 0.75, 0.75)
+    val (d13, d23, d33) = disc(r3.getLong(0), r3.getLong(1), r3.getLong(2), r3.getLong(3))
+    val (d12, d22, d32) = disc(r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))
+    val uTypes = train
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("u")).head().getLong(0)
+    val tBig = r2.getLong(4) + uTypes + 1
+    MknModel(c3.select("tri", "c3"), ctx3, cc2, ctx2, cu,
+      d13, d23, d33, d12, d22, d32, tBig)
+  }
+
+  /** Per-document trigram modified-KN log-scores for ANY docs frame
+    * (doc_id, source, text). Per trigram occurrence (u, v, w):
+    *
+    *   context "u v" seen (ord 3):
+    *     P = (c(uvw) − D₃(c))⁺/c(uv·) + γ₃(uv)·P₂
+    *     γ₃(uv) = (D₁·N₁(uv·) + D₂·N₂(uv·) + D₃₊·N₃₊(uv·)) / c(uv·)
+    *   backoff (continuation counts): "v" seen as a continuation context
+    *     (ord 2): P₂ = (N₁₊(·vw) − D₂(·))⁺/N₁₊(·v·) + γ₂(v)·P₁
+    *   unigram continuation floor (the q248 add-one open-vocabulary
+    *     smoothing): P₁ = (N₁₊(·w)+1)/T, T = |continuation types| + U;
+    *     ord 1 if w is a known continuation, else ord 0 (OOV).
+    *
+    * Every branch's probability is strictly positive (the discount floor
+    * keeps γ > 0; P₁ ≥ 1/T), and with consistent discounts Σ_w P ≤ 1.
+    * Scoring per DISTINCT trigram type then one fan-out join — the
+    * q246/q248 scale shape: corpus-linear, all equi-joins. */
+  def mknDocScores(docs: DataFrame, m: MknModel): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val occ = docs.where(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 3)).as("tri"))
+    val types = occ.select("tri").distinct()
+      .withColumn("ctx", substring_index(col("tri"), " ", 2))
+      .withColumn("bg", substring_index(col("tri"), " ", -2))
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .withColumn("w", substring_index(col("bg"), " ", -1))
+    val tD = lit(m.tBig).cast("double")
+    val scored = types
+      .join(m.c3, Seq("tri"), "left")
+      .join(m.ctx3, Seq("ctx"), "left")
+      .join(m.cc2, Seq("bg"), "left")
+      .join(m.ctx2, Seq("v"), "left")
+      .join(m.cu, Seq("w"), "left")
+      .withColumn("p1",
+        (coalesce(col("cu"), lit(0L)) + 1).cast("double") / tD)
+      .withColumn("p2",
+        when(col("cc2tot").isNotNull,
+          greatest(coalesce(col("cc2"), lit(0L)).cast("double") -
+            when(coalesce(col("cc2"), lit(0L)) === 0, lit(0.0))
+              .when(col("cc2") === 1, lit(m.d12))
+              .when(col("cc2") === 2, lit(m.d22))
+              .otherwise(lit(m.d32)), lit(0.0)) /
+            col("cc2tot").cast("double") +
+            ((lit(m.d12) * col("h1").cast("double") +
+              lit(m.d22) * col("h2").cast("double") +
+              lit(m.d32) * col("h3p").cast("double")) /
+              col("cc2tot").cast("double")) * col("p1"))
+          .otherwise(col("p1")))
+      .withColumn("p3",
+        when(col("c3tot").isNotNull,
+          greatest(coalesce(col("c3"), lit(0L)).cast("double") -
+            when(coalesce(col("c3"), lit(0L)) === 0, lit(0.0))
+              .when(col("c3") === 1, lit(m.d13))
+              .when(col("c3") === 2, lit(m.d23))
+              .otherwise(lit(m.d33)), lit(0.0)) /
+            col("c3tot").cast("double") +
+            ((lit(m.d13) * col("f1").cast("double") +
+              lit(m.d23) * col("f2").cast("double") +
+              lit(m.d33) * col("f3p").cast("double")) /
+              col("c3tot").cast("double")) * col("p2"))
+          .otherwise(col("p2")))
+      .withColumn("ord",
+        when(col("c3tot").isNotNull, lit(3))
+          .when(col("cc2tot").isNotNull, lit(2))
+          .when(col("cu").isNotNull, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("score", log10(col("p3")))
+      .select("tri", "ord", "score")
+    occ.join(scored, Seq("tri"))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_trans"),
+        sum(when(col("ord") === 3, 1L).otherwise(0L)).as("n_mkn"),
+        sum(when(col("ord") === 2, 1L).otherwise(0L)).as("n_big"),
+        sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n_cont"),
+        sum(when(col("ord") === 0, 1L).otherwise(0L)).as("n_oov"),
+        E.davg(col("score")).as("doc_log10"))
+  }
+
+  /** q251: trigram modified-Kneser–Ney held-out scoring — the production
+    * LM-quality filter the q248 bigram model approximates: discounts
+    * estimated from the train split's count-of-counts (not fixed), the
+    * middle order backed off through CONTINUATION counts, and the same
+    * per-source report shape (order-resolution cross-tab + mean per-doc
+    * log₁₀ score). Closes the LM loop q197 → q246 → q248 opened at the
+    * model the CCNet/KenLM pipelines actually run. */
+  def mknHeldOutScore(t: Tables, trainPct: Int = 80): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val m = mknModel(t, trainPct)
+    val held = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(Sampling.hashBucket(col("doc_id")) >= trainPct)
+    mknDocScores(held, m)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_trans").as("n_trans"),
+        sum("n_mkn").as("n_mkn"),
+        sum("n_big").as("n_big"),
+        sum("n_cont").as("n_cont"),
+        sum("n_oov").as("n_oov"),
+        E.davg(col("doc_log10")).as("avg_doc_log10"))
+      .orderBy("source")
+  }
+
+  // ── q254: next-token surprisal against the persisted index ───────────
+
+  /** The surprisal model: the PERSISTED q244 bucketed next-token index
+    * tables plus the one corpus scalar (total gram occurrences) the OOV
+    * floor needs. Loading is a catalog read — the corpus is never
+    * re-touched; [[writeNextTokenIndex]] runs only if the index is absent
+    * (the q244 build-once contract). */
+  final case class SurprisalModel(counts: DataFrame, totals: DataFrame,
+                                  nTotal: Long)
+
+  def surprisalModel(t: Tables, n: Int = 3): SurprisalModel = {
+    val spark = t.spark
+    val tag = ((t.dir, n).hashCode & 0x7fffffff).toHexString
+    val prefix = s"graft_ntidx_$tag"
+    val key = s"${System.identityHashCode(spark.sessionState)}:$prefix"
+    if (ntIdxBuilt.add(key) || !spark.catalog.tableExists(s"${prefix}_counts"))
+      writeNextTokenIndex(t, prefix, n)
+    val counts = spark.table(s"${prefix}_counts")
+    val totals = spark.table(s"${prefix}_totals")
+    val nTotal = totals.agg(coalesce(sum("context_total"), lit(0L)).as("nt"))
+      .head().getLong(0)
+    require(nTotal > 0,
+      s"next-token index '$prefix' is empty — nothing to score against")
+    SurprisalModel(counts, totals, nTotal)
+  }
+
+  /** Per-document next-token SURPRISAL (−log₁₀ P) for ANY docs frame
+    * (doc_id, source, text), scored against the persisted index — the
+    * "how surprised is the corpus model by this document" signal (high
+    * mean surprisal = novel or junk; near-zero = templated/duplicated).
+    * Per n-gram transition:
+    *   - index hit (ord 2):      P = cnt / context_total,
+    *   - context only (ord 1):   P = 1 / (context_total + 1) — the
+    *     add-one unseen-next floor within a seen context,
+    *   - OOV context (ord 0):    P = 1 / (N + 1), N = total index grams.
+    * Shared verbatim by the batch q254 rollup and the streaming twin
+    * ([[graft.streaming.SurprisalScorer]]) — per-doc scores are a pure
+    * function of (document, static index), so streaming ≡ batch
+    * bit-for-bit by construction plus SurprisalScorerSpec's replay.
+    * Scoring per DISTINCT (context, next) type then one fan-out join —
+    * the q246/q248 scale shape. */
+  def surprisalDocScores(docs: DataFrame, m: SurprisalModel,
+                         n: Int = 3): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val occ = docs.where(size(TextAnalysis.tokens(col("text"))) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .select(col("doc_id"), col("source"),
+        substring_index(col("gram"), " ", n - 1).as("context"),
+        substring_index(col("gram"), " ", -1).as("next"))
+    val types = occ.select("context", "next").distinct()
+      .join(m.counts, Seq("context", "next"), "left")
+      .join(m.totals, Seq("context"), "left")
+      .withColumn("ord",
+        when(col("cnt").isNotNull, lit(2))
+          .when(col("context_total").isNotNull, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("surprisal", -log10(
+        when(col("cnt").isNotNull,
+          col("cnt").cast("double") / col("context_total").cast("double"))
+          .when(col("context_total").isNotNull,
+            lit(1.0) / (col("context_total") + 1).cast("double"))
+          .otherwise(lit(1.0) / lit(m.nTotal + 1).cast("double"))))
+      .select("context", "next", "ord", "surprisal")
+    occ.join(types, Seq("context", "next"))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_trans"),
+        sum(when(col("ord") === 2, 1L).otherwise(0L)).as("n_hit"),
+        sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n_ctx"),
+        sum(when(col("ord") === 0, 1L).otherwise(0L)).as("n_oov"),
+        E.davg(col("surprisal")).as("doc_surprisal"))
+  }
+
+  /** q254: per-source surprisal report — every document scored against
+    * the persisted next-token index ([[surprisalDocScores]]), rolled up
+    * per source: transition resolution counts and the mean per-doc
+    * surprisal. Counts are counts however stored, so the DuckDB twin
+    * recomputes them from the raw corpus and the round-trip through the
+    * bucketed index lands under the hash gate (the q244 doctrine). */
+  def surprisalReport(t: Tables, n: Int = 3): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val m = surprisalModel(t, n)
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+    surprisalDocScores(docs, m, n)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_trans").as("n_trans"),
+        sum("n_hit").as("n_hit"),
+        sum("n_ctx").as("n_ctx"),
+        sum("n_oov").as("n_oov"),
+        E.davg(col("doc_surprisal")).as("avg_doc_surprisal"))
+      .orderBy("source")
+  }
+
+  /** DuckDB twin of [[surprisalReport]]: index counts recomputed from the
+    * raw corpus (identical by construction), the same branch CASE with
+    * the identical double chain, davg at both levels. */
+  def surprisalReportSql(n: Int = 3): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH tk AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(trim(text), '\\s+') AS tks
+       |  FROM documents),
+       |g AS (
+       |  SELECT array_to_string(tks[i:i+${n - 2}], ' ') AS context,
+       |         tks[i+${n - 1}] AS next
+       |  FROM tk, unnest(range(1, len(tks) - ${n - 2})) u(i)
+       |  WHERE len(tks) >= $n),
+       |c AS (SELECT context, next, count(*) AS cnt FROM g GROUP BY 1, 2),
+       |tot AS (SELECT context, CAST(sum(cnt) AS BIGINT) AS context_total
+       |        FROM c GROUP BY 1),
+       |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c),
+       |occ AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(tks[i:i+${n - 2}], ' ') AS context,
+       |         tks[i+${n - 1}] AS next
+       |  FROM tk, unnest(range(1, len(tks) - ${n - 2})) u(i)
+       |  WHERE len(tks) >= $n),
+       |sc AS (
+       |  SELECT o.doc_id, o.source,
+       |    CASE WHEN c.cnt IS NOT NULL THEN 2
+       |         WHEN t.context_total IS NOT NULL THEN 1
+       |         ELSE 0 END AS ord,
+       |    -log10(CASE WHEN c.cnt IS NOT NULL THEN
+       |        CAST(c.cnt AS DOUBLE) / CAST(t.context_total AS DOUBLE)
+       |      WHEN t.context_total IS NOT NULL THEN
+       |        1.0 / CAST(t.context_total + 1 AS DOUBLE)
+       |      ELSE 1.0 / CAST(nt.n_total + 1 AS DOUBLE) END) AS surprisal
+       |  FROM occ o
+       |  LEFT JOIN c ON c.context = o.context AND c.next = o.next
+       |  LEFT JOIN tot t ON t.context = o.context
+       |  CROSS JOIN nt),
+       |doc AS (
+       |  SELECT doc_id, source, count(*) AS n_trans,
+       |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx,
+       |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    ${O.davg("surprisal")} AS doc_surprisal
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_trans) AS BIGINT) AS n_trans,
+       |  CAST(sum(n_hit) AS BIGINT) AS n_hit,
+       |  CAST(sum(n_ctx) AS BIGINT) AS n_ctx,
+       |  CAST(sum(n_oov) AS BIGINT) AS n_oov,
+       |  ${O.davg("doc_surprisal")} AS avg_doc_surprisal
+       |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ── q253: perplexity-calibrated quality buckets ───────────────────────
+
+  /** q253: the CCNet head/middle/tail corpus partition (Wenzek et al.
+    * 2020, "CCNet: Extracting high quality monolingual datasets from web
+    * crawl data" §4.3 — the ACTUAL consumption of an LM quality score):
+    * every document that survives the q71 quality funnel is scored by the
+    * q248 interpolated-KN model ([[knDocScores]]), the corpus-wide tercile
+    * boundaries of the per-doc mean log₁₀ score are taken with
+    * `percentile_disc` (an ACTUAL data value — deterministic and replayed
+    * exactly by DuckDB's quantile_disc, the q51 discipline; never an
+    * interpolated midpoint), and each document lands in `head` (top third,
+    * best modeled), `middle`, or `tail`. Report per (bucket, source):
+    * doc count and mean score — the per-source shift view a curation run
+    * publishes before choosing which buckets to train on.
+    *
+    * Scale shape: the funnel is a narrow scan filter, scoring is the
+    * corpus-linear q248 path, the boundary frame is TWO driver-side
+    * values broadcast back, and the roll-up is one hash aggregate —
+    * nothing new shuffles beyond the scorer itself. */
+  def perplexityBuckets(t: Tables, trainPct: Int = 80): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val m = knModel(t, trainPct)
+    val passing = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(TextAnalysis.qualityPass(col("text")))
+    // feeds the boundary aggregate AND the bucket assignment — one scoring
+    // pass, materialized (doc-count-sized, freed with the frame)
+    val perDoc = knDocScores(passing, m)
+      .select(col("doc_id"), col("source"), col("doc_log10"))
+      .localCheckpoint()
+    val bounds = perDoc.agg(
+      expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
+        "(ORDER BY doc_log10)").as("p_lo"),
+      expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
+        "(ORDER BY doc_log10)").as("p_hi"))
+    perDoc.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("doc_log10") >= col("p_hi"), lit("head"))
+          .when(col("doc_log10") >= col("p_lo"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy(col("bucket"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        E.davg(col("doc_log10")).as("avg_doc_log10"))
+      .orderBy(col("bucket"), col("source"))
+  }
+
+  /** DuckDB twin of [[perplexityBuckets]]: the q248 scoring chain
+    * restricted to funnel-passing documents (the q71 flag predicates),
+    * quantile_disc boundaries, the same bucket CASE and roll-up. */
+  def perplexityBucketsSql(trainPct: Int = 80): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val h = s"((${Sampling.splitHashSql("doc_id")}) % 100)"
+    val stop = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |         string_split_regex(trim(text), '\\s+') AS tks,
+       |         $h AS b
+       |  FROM documents),
+       |tr AS (SELECT * FROM d WHERE b < $trainPct),
+       |pass AS (
+       |  SELECT * FROM d
+       |  WHERE len(tks) BETWEEN 10 AND 100000
+       |    AND CAST(length(text) AS DOUBLE) / len(tks) >= 2.0e0
+       |    AND CAST(length(text) AS DOUBLE) / len(tks) <= 12.0e0
+       |    AND CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks) >= 0.3e0
+       |    AND len(list_filter(tks, tk -> list_contains($stop, tk))) >= 1),
+       |c2 AS (
+       |  SELECT array_to_string(tks[i:i+1], ' ') AS bigram, count(*) AS c2
+       |  FROM tr, unnest(range(1, len(tks))) u(i)
+       |  WHERE len(tks) >= 2 GROUP BY 1),
+       |c2s AS (
+       |  SELECT bigram, c2,
+       |    string_split(bigram, ' ')[1] AS v,
+       |    string_split(bigram, ' ')[-1] AS w
+       |  FROM c2),
+       |lf AS (
+       |  SELECT v, CAST(sum(c2) AS BIGINT) AS c_left, count(*) AS n1f
+       |  FROM c2s GROUP BY 1),
+       |np AS (SELECT w, count(*) AS n1p FROM c2s GROUP BY 1),
+       |tt AS (
+       |  SELECT (SELECT count(*) FROM c2s)
+       |       + (SELECT count(DISTINCT u.tok)
+       |          FROM (SELECT unnest(tks) AS tok FROM tr) u) + 1 AS t),
+       |occ AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(tks[i:i+1], ' ') AS bigram,
+       |         tks[i] AS v, tks[i+1] AS w
+       |  FROM pass, unnest(range(1, len(tks))) u(i)
+       |  WHERE len(tks) >= 2),
+       |sc AS (
+       |  SELECT o.doc_id, o.source,
+       |    log10(CASE WHEN lf.c_left IS NOT NULL THEN
+       |        CAST(greatest(COALESCE(cb.c2, 0) * 4 - 3, 0) * tt.t
+       |             + 3 * lf.n1f * (COALESCE(np.n1p, 0) + 1) AS DOUBLE)
+       |        / CAST(4 * lf.c_left * tt.t AS DOUBLE)
+       |      ELSE CAST(COALESCE(np.n1p, 0) + 1 AS DOUBLE)
+       |           / CAST(tt.t AS DOUBLE) END) AS score
+       |  FROM occ o
+       |  LEFT JOIN c2s cb ON cb.bigram = o.bigram
+       |  LEFT JOIN lf ON lf.v = o.v
+       |  LEFT JOIN np ON np.w = o.w
+       |  CROSS JOIN tt),
+       |doc AS (
+       |  SELECT doc_id, source, ${O.davg("score")} AS doc_log10
+       |  FROM sc GROUP BY 1, 2),
+       |bnd AS (
+       |  SELECT quantile_disc(doc_log10, 0.3333333333333333) AS p_lo,
+       |         quantile_disc(doc_log10, 0.6666666666666666) AS p_hi
+       |  FROM doc)
+       |SELECT CASE WHEN doc_log10 >= p_hi THEN 'head'
+       |            WHEN doc_log10 >= p_lo THEN 'middle'
+       |            ELSE 'tail' END AS bucket,
+       |  source, count(*) AS n_docs,
+       |  ${O.davg("doc_log10")} AS avg_doc_log10
+       |FROM doc CROSS JOIN bnd
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of [[mknHeldOutScore]]: same split hash, same trigram /
+    * continuation count tables, the discounts computed from the same
+    * count-of-count scalars with the IDENTICAL chain of double ops, and
+    * the same nested branch CASEs (scored per occurrence — same values,
+    * the score is a function of the trigram type alone). */
+  def mknHeldOutScoreSql(trainPct: Int = 80): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val h = s"((${Sampling.splitHashSql("doc_id")}) % 100)"
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |         string_split_regex(trim(text), '\\s+') AS tks,
+       |         $h AS b
+       |  FROM documents),
+       |tr AS (SELECT * FROM d WHERE b < $trainPct),
+       |ho AS (SELECT * FROM d WHERE b >= $trainPct),
+       |c3 AS (
+       |  SELECT array_to_string(tks[i:i+2], ' ') AS tri,
+       |         array_to_string(tks[i:i+1], ' ') AS ctx,
+       |         array_to_string(tks[i+1:i+2], ' ') AS bg,
+       |         count(*) AS c3
+       |  FROM tr, unnest(range(1, len(tks) - 1)) u(i)
+       |  WHERE len(tks) >= 3 GROUP BY 1, 2, 3),
+       |ctx3 AS (
+       |  SELECT ctx, CAST(sum(c3) AS BIGINT) AS c3tot,
+       |    CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       |    CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3p
+       |  FROM c3 GROUP BY 1),
+       |cc2 AS (SELECT bg, count(*) AS cc2 FROM c3 GROUP BY 1),
+       |ctx2 AS (
+       |  SELECT string_split(bg, ' ')[1] AS v,
+       |    CAST(sum(cc2) AS BIGINT) AS cc2tot,
+       |    CAST(sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+       |    CAST(sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+       |    CAST(sum(CASE WHEN cc2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3p
+       |  FROM cc2 GROUP BY 1),
+       |cu AS (
+       |  SELECT string_split(bg, ' ')[-1] AS w, count(*) AS cu
+       |  FROM cc2 GROUP BY 1),
+       |cf3 AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM c3),
+       |cf2 AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN cc2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN cc2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM cc2),
+       |y3 AS (
+       |  SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+       |    ELSE 0.0 END AS y FROM cf3),
+       |y2 AS (
+       |  SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+       |    ELSE 0.0 END AS y FROM cf2),
+       |disc AS (
+       |  SELECT
+       |    CASE WHEN cf3.n1 > 0 AND cf3.n2 > 0 AND cf3.n3 > 0
+       |      THEN 1.0 - 2.0 * y3.y * CAST(cf3.n2 AS DOUBLE) / CAST(cf3.n1 AS DOUBLE)
+       |      ELSE 0.75 END AS d13,
+       |    CASE WHEN cf3.n1 > 0 AND cf3.n2 > 0 AND cf3.n3 > 0
+       |      THEN greatest(2.0 - 3.0 * y3.y * CAST(cf3.n3 AS DOUBLE) / CAST(cf3.n2 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d23,
+       |    CASE WHEN cf3.n1 > 0 AND cf3.n2 > 0 AND cf3.n3 > 0
+       |      THEN greatest(3.0 - 4.0 * y3.y * CAST(cf3.n4 AS DOUBLE) / CAST(cf3.n3 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d33,
+       |    CASE WHEN cf2.n1 > 0 AND cf2.n2 > 0 AND cf2.n3 > 0
+       |      THEN 1.0 - 2.0 * y2.y * CAST(cf2.n2 AS DOUBLE) / CAST(cf2.n1 AS DOUBLE)
+       |      ELSE 0.75 END AS d12,
+       |    CASE WHEN cf2.n1 > 0 AND cf2.n2 > 0 AND cf2.n3 > 0
+       |      THEN greatest(2.0 - 3.0 * y2.y * CAST(cf2.n3 AS DOUBLE) / CAST(cf2.n2 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d22,
+       |    CASE WHEN cf2.n1 > 0 AND cf2.n2 > 0 AND cf2.n3 > 0
+       |      THEN greatest(3.0 - 4.0 * y2.y * CAST(cf2.n4 AS DOUBLE) / CAST(cf2.n3 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d32
+       |  FROM cf3, cf2, y3, y2),
+       |tt AS (
+       |  SELECT (SELECT count(*) FROM cc2)
+       |       + (SELECT count(DISTINCT u.tok)
+       |          FROM (SELECT unnest(tks) AS tok FROM tr) u) + 1 AS t),
+       |occ AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(tks[i:i+2], ' ') AS tri,
+       |         array_to_string(tks[i:i+1], ' ') AS ctx,
+       |         array_to_string(tks[i+1:i+2], ' ') AS bg,
+       |         tks[i+1] AS v, tks[i+2] AS w
+       |  FROM ho, unnest(range(1, len(tks) - 1)) u(i)
+       |  WHERE len(tks) >= 3),
+       |j AS (
+       |  SELECT o.doc_id, o.source,
+       |    c3.c3 AS c3, x3.c3tot, x3.f1, x3.f2, x3.f3p,
+       |    cb.cc2 AS cc2, x2.cc2tot, x2.h1, x2.h2, x2.h3p, cu.cu,
+       |    disc.*, tt.t
+       |  FROM occ o
+       |  LEFT JOIN c3 ON c3.tri = o.tri
+       |  LEFT JOIN ctx3 x3 ON x3.ctx = o.ctx
+       |  LEFT JOIN cc2 cb ON cb.bg = o.bg
+       |  LEFT JOIN ctx2 x2 ON x2.v = o.v
+       |  LEFT JOIN cu ON cu.w = o.w
+       |  CROSS JOIN disc CROSS JOIN tt),
+       |s1 AS (
+       |  SELECT *,
+       |    CAST(COALESCE(cu, 0) + 1 AS DOUBLE) / CAST(t AS DOUBLE) AS p1
+       |  FROM j),
+       |s2 AS (
+       |  SELECT *,
+       |    CASE WHEN cc2tot IS NOT NULL THEN
+       |      greatest(CAST(COALESCE(cc2, 0) AS DOUBLE) -
+       |        (CASE WHEN COALESCE(cc2, 0) = 0 THEN 0.0
+       |              WHEN cc2 = 1 THEN d12
+       |              WHEN cc2 = 2 THEN d22
+       |              ELSE d32 END), 0.0) /
+       |        CAST(cc2tot AS DOUBLE) +
+       |        ((d12 * CAST(h1 AS DOUBLE) +
+       |          d22 * CAST(h2 AS DOUBLE) +
+       |          d32 * CAST(h3p AS DOUBLE)) /
+       |          CAST(cc2tot AS DOUBLE)) * p1
+       |    ELSE p1 END AS p2
+       |  FROM s1),
+       |s3 AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN c3tot IS NOT NULL THEN 3
+       |         WHEN cc2tot IS NOT NULL THEN 2
+       |         WHEN cu IS NOT NULL THEN 1
+       |         ELSE 0 END AS ord,
+       |    log10(CASE WHEN c3tot IS NOT NULL THEN
+       |      greatest(CAST(COALESCE(c3, 0) AS DOUBLE) -
+       |        (CASE WHEN COALESCE(c3, 0) = 0 THEN 0.0
+       |              WHEN c3 = 1 THEN d13
+       |              WHEN c3 = 2 THEN d23
+       |              ELSE d33 END), 0.0) /
+       |        CAST(c3tot AS DOUBLE) +
+       |        ((d13 * CAST(f1 AS DOUBLE) +
+       |          d23 * CAST(f2 AS DOUBLE) +
+       |          d33 * CAST(f3p AS DOUBLE)) /
+       |          CAST(c3tot AS DOUBLE)) * p2
+       |    ELSE p2 END) AS score
+       |  FROM s2),
+       |doc AS (
+       |  SELECT doc_id, source, count(*) AS n_trans,
+       |    CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_mkn,
+       |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+       |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    ${O.davg("score")} AS doc_log10
+       |  FROM s3 GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_trans) AS BIGINT) AS n_trans,
+       |  CAST(sum(n_mkn) AS BIGINT) AS n_mkn,
+       |  CAST(sum(n_big) AS BIGINT) AS n_big,
+       |  CAST(sum(n_cont) AS BIGINT) AS n_cont,
+       |  CAST(sum(n_oov) AS BIGINT) AS n_oov,
+       |  ${O.davg("doc_log10")} AS avg_doc_log10
+       |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** DuckDB twin of [[bloomSeenShingles]]: same shingling (the q34 token
     * CASE — short docs contribute their whole token string), same probe
     * positions from the hash62 + splitHash replay, same flag/truth

@@ -516,6 +516,58 @@ object SuffixArray {
       .orderBy(col("spread_class"))
   }
 
+  /** q252: longest common substring BETWEEN SOURCES — for every source
+    * pair, the longest repeat with occurrences in both, plus how many
+    * distinct repeats the pair shares: the cross-source contamination
+    * signal q62's shingle overlap approximates, here EXACT from the SA
+    * artifact (a repeat shared by two sources is an inventory node whose
+    * rank interval touches documents of both).
+    *
+    * Policy cut: ubiquitous nodes (n_occ > occCap) are EXCLUDED — by the
+    * q250 doctrine they are boilerplate (headers, licenses, templates)
+    * present everywhere, and a contamination report led by "the license
+    * header" is useless; the cap simultaneously bounds the expansion at
+    * occCap·|nodes| rows (the salt-cap discipline), so the report costs
+    * nodes, never corpus. Per pair: `lcs_len` = max shared repeat length,
+    * `n_shared` = distinct shared repeat nodes, `lcs_preview` = the
+    * example preview of the max node (argmax by the UNIQUE (len, a, b)
+    * node id, so ties break deterministically on both engines).
+    *
+    * Reference anchor: the reference's cross-dataset checks stop at
+    * exact-id overlap (airflow/dags/spark_jobs/comprehensive_analytics
+    * .py); substring-grain cross-source contamination is the beyond-
+    * reference LLM-pipeline surface (Lee et al. 2021 §6.2's train/test
+    * overlap measurement). */
+  def crossSourceLcs(t: Tables, minLen: Int = 16,
+                     occCap: Int = 256): DataFrame = {
+    require(occCap >= 2, s"occCap must be >= 2, got $occCap")
+    val inv = inventoryNodes(t, minLen, previewTokens = 8)
+    val sa = saWithLcp(t)
+    val src = t.documents.select(col("doc_id"), col("source"))
+    // node → the distinct sources its (capped) occurrences live in
+    val ns = inv.where(col("n_occ") <= occCap)
+      .select(col("len"), col("a"), col("b"), col("preview"),
+        explode(sequence(col("a") - 1, col("b"))).as("r"))
+      .join(sa.select(col("r"), col("doc_id")), Seq("r"))
+      .join(src, Seq("doc_id"))
+      .select(col("len"), col("a"), col("b"), col("preview"), col("source"))
+      .distinct()
+    // unordered source pairs within a node: |sources|² ≤ min(occCap, S)²
+    // rows per node — bounded by the same cap that bounded the expansion
+    val pairs = ns
+      .join(ns.select(col("len"), col("a"), col("b"),
+        col("source").as("src_b")), Seq("len", "a", "b"))
+      .where(col("source") < col("src_b"))
+    pairs
+      .groupBy(col("source").as("src_a"), col("src_b"))
+      .agg(
+        max(col("len")).as("lcs_len"),
+        count(lit(1)).as("n_shared"),
+        max(struct(col("len"), col("a"), col("b"), col("preview")))
+          .getField("preview").as("lcs_preview"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // --------------------------------------------------------------------
   // DuckDB mirrors: the same construction, doubling unrolled to exactly
   // MaxLevels CTEs and lifting unrolled MaxLevels..0 (see object scaladoc
@@ -668,6 +720,52 @@ object SuffixArray {
        |  CAST(sum(len * n_occ) AS BIGINT) AS occurrence_tokens,
        |  max(len) AS max_len
        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The DuckDB mirror of [[crossSourceLcs]]: the islands node form (see
+    * [[repeatInventorySql]]) with the same capped expansion, the same
+    * pair construction, and the same (len, a, b)-keyed argmax preview. */
+  def crossSourceLcsSql(minLen: Int = 16, occCap: Int = 256): String =
+    s"""WITH $lcpCtes,
+       |sa AS (SELECT doc_id, pos, r FROM r$MaxLevels),
+       |arr AS (
+       |  SELECT s.r + 1 AS i, l.acc AS l
+       |  FROM l0 l JOIN sa s ON s.doc_id = l.da AND s.pos = l.pa),
+       |p AS (SELECT i, l FROM arr WHERE l >= $minLen),
+       |vals AS (SELECT DISTINCT l AS v FROM p),
+       |runs AS (
+       |  SELECT vals.v, p.i, p.l,
+       |    p.i - row_number() OVER (PARTITION BY vals.v ORDER BY p.i) AS grp
+       |  FROM p JOIN vals ON p.l >= vals.v),
+       |nodes AS (
+       |  SELECT v AS len, min(i) AS a, max(i) AS b
+       |  FROM runs GROUP BY v, grp HAVING min(l) = v),
+       |prev AS (
+       |  SELECT n.len, n.a, n.b,
+       |    array_to_string(d.tks[CAST(s.pos + 1 AS INTEGER) :
+       |      CAST(s.pos + least(n.len, 8) AS INTEGER)], ' ') AS preview
+       |  FROM nodes n
+       |  JOIN sa s ON s.r = n.a - 1
+       |  JOIN docs d ON d.doc_id = s.doc_id),
+       |ex AS (
+       |  SELECT len, a, b, unnest(range(a - 1, b + 1)) AS r
+       |  FROM nodes WHERE b - a + 2 <= $occCap),
+       |ns AS (
+       |  SELECT DISTINCT e.len, e.a, e.b, dd.source
+       |  FROM ex e
+       |  JOIN sa s ON s.r = e.r
+       |  JOIN documents dd ON dd.doc_id = s.doc_id),
+       |pr AS (
+       |  SELECT x.len, x.a, x.b, x.source AS src_a, y.source AS src_b
+       |  FROM ns x JOIN ns y
+       |    ON y.len = x.len AND y.a = x.a AND y.b = x.b
+       |   AND x.source < y.source)
+       |SELECT pr.src_a, pr.src_b,
+       |  max(pr.len) AS lcs_len,
+       |  count(*) AS n_shared,
+       |  struct_extract(max(struct_pack(len := pr.len, a := pr.a, b := pr.b,
+       |    preview := v.preview)), 'preview') AS lcs_preview
+       |FROM pr JOIN prev v ON v.len = pr.len AND v.a = pr.a AND v.b = pr.b
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** The DuckDB mirror of [[suffixArrayStats]]. */
   def suffixArrayStatsSql(minLen: Int = 16): String =

@@ -17,7 +17,7 @@ object TextAnalysis {
     * produce empty tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private[ext] val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** q111: hashed linear quality classifier — BATCH MODEL INFERENCE inside
     * the engine, the fastText/CCNet-filter shape every pretraining corpus

@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   * their own structural invariants, plus the q242 cross-tab identities. */
 class CorpusIndexSpec extends SparkSpec {
 
+  private def bits(d: Double): Long = java.lang.Double.doubleToLongBits(d)
+
   private def writeDocs(docs: Seq[(Long, String, String)]): Tables = {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_ci").toFile.getAbsolutePath
@@ -375,6 +377,179 @@ class CorpusIndexSpec extends SparkSpec {
     assert(r.getDouble(6) == expAvg,
       s"avg_doc_log10 ${r.getDouble(6)} vs brute $expAvg")
     assert(r.getDouble(6) <= 0.0, "KN probabilities are ≤ 1 → log ≤ 0")
+  }
+
+  // ── q251 trigram modified Kneser–Ney held-out scoring ────────────────
+
+  test("q251: MKN orders and scores match a brute-force replay") {
+    // train engineered so count-of-count classes 1..3 are populated at
+    // BOTH orders (estimated discounts, not the degenerate-profile 0.75
+    // fallback): trigram counts 3/2/1 via sentence repeats, continuation
+    // classes via "cat sat" (3 predecessors) and "dog ran" (2)
+    val trainTexts = Seq(
+      "red cat sat down now", "red cat sat down now", "red cat sat down now",
+      "blue cat sat up here", "gray cat sat up here",
+      "one two three four", "five six seven eight",
+      "pink dog ran far away", "teal dog ran off soon")
+    // held doc hitting every branch: seen trigram (ord 3 with c>0), seen
+    // context + unseen next (ord 3, (c−D)⁺ = 0), unseen context + known
+    // continuation context (ord 2), known continuation word only (ord 1),
+    // full OOV (ord 0)
+    val heldText = "red cat sat qq cat sat qq zz sat qq zz yy"
+    val ids = 0L until 2000L
+    val trainIds = ids.filter(splitHash31(_) % 100 < 80).take(trainTexts.size)
+    val heldId = ids.filter(splitHash31(_) % 100 >= 80).head
+    val t = writeDocs(
+      trainIds.zip(trainTexts).map { case (i, tx) => (i, tx, "tr") } :+
+        ((heldId, heldText, "ho")))
+    val got = CorpusIndex.mknHeldOutScore(t).collect()
+    assert(got.length == 1 && got.head.getString(0) == "ho")
+    val r = got.head
+
+    // brute force with the same fixed double chain
+    def tris(s: String): Seq[(String, String, String)] =
+      s.split(" ").toSeq.sliding(3).map(a => (a(0), a(1), a(2))).toSeq
+    val c3 = trainTexts.flatMap(tris).groupBy(identity)
+      .map { case (k, o) => k -> o.size.toLong }
+    val ctx3 = c3.toSeq.groupBy { case ((u, v, _), _) => (u, v) }
+      .map { case (k, m) =>
+        val cs = m.map(_._2)
+        k -> (cs.sum, cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+          cs.count(_ >= 3L).toLong)
+      }
+    val cc2 = c3.keys.toSeq.map { case (u, v, w) => ((v, w), u) }.distinct
+      .groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    val ctx2 = cc2.toSeq.groupBy(_._1._1).map { case (v, m) =>
+      val cs = m.map(_._2)
+      v -> (cs.sum, cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+        cs.count(_ >= 3L).toLong)
+    }
+    val cu = cc2.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    def cofc(cs: Iterable[Long]): (Long, Long, Long, Long) =
+      (cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+        cs.count(_ == 3L).toLong, cs.count(_ == 4L).toLong)
+    val (t1, t2, t3, t4) = cofc(c3.values)
+    val (b1, b2, b3, b4) = cofc(cc2.values)
+    assert(t1 > 0 && t2 > 0 && t3 > 0 && b1 > 0 && b2 > 0 && b3 > 0,
+      s"fixture must estimate, not fall back: $t1/$t2/$t3 $b1/$b2/$b3")
+    def disc(n1: Long, n2: Long, n3: Long, n4: Long): (Double, Double, Double) = {
+      val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+      (1.0 - 2.0 * y * n2.toDouble / n1.toDouble,
+        math.max(2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 0.1),
+        math.max(3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 0.1))
+    }
+    val (d13, d23, d33) = disc(t1, t2, t3, t4)
+    val (d12, d22, d32) = disc(b1, b2, b3, b4)
+    val uTypes = trainTexts.flatMap(_.split(" ")).distinct.size.toLong
+    val bigT = cc2.size.toLong + uTypes + 1L
+    def score(u: String, v: String, w: String): (Int, Double) = {
+      val p1 = (cu.getOrElse(w, 0L) + 1L).toDouble / bigT.toDouble
+      val p2 = ctx2.get(v) match {
+        case Some((cctot, h1, h2, h3p)) =>
+          val cc = cc2.getOrElse((v, w), 0L)
+          val dc = if (cc == 0L) 0.0 else if (cc == 1L) d12
+            else if (cc == 2L) d22 else d32
+          math.max(cc.toDouble - dc, 0.0) / cctot.toDouble +
+            ((d12 * h1.toDouble + d22 * h2.toDouble + d32 * h3p.toDouble) /
+              cctot.toDouble) * p1
+        case None => p1
+      }
+      ctx3.get((u, v)) match {
+        case Some((ctot, f1, f2, f3p)) =>
+          val c = c3.getOrElse((u, v, w), 0L)
+          val dc = if (c == 0L) 0.0 else if (c == 1L) d13
+            else if (c == 2L) d23 else d33
+          (3, math.log10(math.max(c.toDouble - dc, 0.0) / ctot.toDouble +
+            ((d13 * f1.toDouble + d23 * f2.toDouble + d33 * f3p.toDouble) /
+              ctot.toDouble) * p2))
+        case None =>
+          val ord = if (ctx2.contains(v)) 2 else if (cu.contains(w)) 1 else 0
+          (ord, math.log10(p2))
+      }
+    }
+    val ss = tris(heldText).map { case (u, v, w) => score(u, v, w) }
+    assert(ss.map(_._1).count(_ == 3) == 3 && ss.map(_._1).count(_ == 2) == 2 &&
+      ss.map(_._1).count(_ == 1) == 1 && ss.map(_._1).count(_ == 0) == 4,
+      s"fixture must hit all orders as designed: $ss")
+    assert(r.getLong(1) == 1L, "n_docs")
+    assert(r.getLong(2) == ss.size.toLong, "n_trans")
+    assert(r.getLong(3) == 3L, "n_mkn")
+    assert(r.getLong(4) == 2L, "n_big")
+    assert(r.getLong(5) == 1L, "n_cont")
+    assert(r.getLong(6) == 4L, "n_oov")
+    val docAvg = ss.map(s => math.round(s._2 * 1e6)).sum / 1e6 / ss.size
+    val expAvg = math.round(docAvg * 1e6) / 1e6 / 1
+    assert(r.getDouble(7) == expAvg,
+      s"avg_doc_log10 ${r.getDouble(7)} vs brute $expAvg")
+    assert(r.getDouble(7) < 0.0, "MKN probabilities are < 1 → log < 0")
+  }
+
+  test("q251: degenerate count-of-count profile falls back per order") {
+    // two short train docs: every trigram count 1, every continuation
+    // count 1 — classes 2/3 empty at both orders → both orders must use
+    // the fixed 0.75 fallback instead of dividing by zero
+    val trainTexts = Seq("aa bb cc dd", "ee ff gg hh")
+    val heldText = "aa bb cc qq"
+    val ids = 0L until 2000L
+    val trainIds = ids.filter(splitHash31(_) % 100 < 80).take(trainTexts.size)
+    val heldId = ids.filter(splitHash31(_) % 100 >= 80).head
+    val t = writeDocs(
+      trainIds.zip(trainTexts).map { case (i, tx) => (i, tx, "tr") } :+
+        ((heldId, heldText, "ho")))
+    val m = CorpusIndex.mknModel(t)
+    assert(m.d13 == 0.75 && m.d23 == 0.75 && m.d33 == 0.75 &&
+      m.d12 == 0.75 && m.d22 == 0.75 && m.d32 == 0.75)
+    val r = CorpusIndex.mknHeldOutScore(t).collect()
+    assert(r.length == 1 && r.head.getLong(2) == 2L) // 2 transitions scored
+    assert(r.head.getDouble(7) < 0.0)
+  }
+
+  // ── q253 perplexity-calibrated quality buckets ────────────────────────
+
+  test("q253: buckets match a brute-force percentile partition") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val got = CorpusIndex.perplexityBuckets(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        bits(r.getDouble(3)))).toSeq
+    // brute force: engine scorer output, boundaries re-derived by hand
+    val m = CorpusIndex.knModel(t)
+    val passing = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(TextAnalysis.qualityPass(col("text")))
+    val perDoc = CorpusIndex.knDocScores(passing, m)
+      .select("doc_id", "source", "doc_log10").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(perDoc.size >= 30, "fixture must pass enough docs to bucket")
+    val vals = perDoc.map(_._3).sorted
+    // percentile_disc = smallest value with cume_dist >= q → the
+    // ceil(q·n)-th order statistic (1-based)
+    def pdisc(q: Double): Double =
+      vals(math.ceil(q * vals.size).toInt - 1)
+    val lo = pdisc(0.3333333333333333)
+    val hi = pdisc(0.6666666666666666)
+    val exp = perDoc
+      .map { case (_, src, s) =>
+        val b = if (s >= hi) "head" else if (s >= lo) "middle" else "tail"
+        (b, src, s)
+      }
+      .groupBy(r => (r._1, r._2)).toSeq
+      .map { case ((b, src), g) =>
+        // Spark round() is HALF_UP (away from zero) — math.round is
+        // floor(x+0.5), which differs on negative .5 micro-boundaries
+        def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        val avg = g.map(r => micro(r._3)).sum / 1e6 / g.size
+        (b, src, g.size.toLong, bits(avg))
+      }
+      .sortBy(r => (r._1, r._2))
+    assert(got == exp, s"got=${got.take(6)}…\nexp=${exp.take(6)}…")
+    val byBucket = got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"all three buckets must be populated: $byBucket")
+    // tercile balance: each bucket within one doc of n/3 is not guaranteed
+    // (ties share a boundary value), but no bucket may be empty or hold
+    // more than half the corpus on this fixture
+    byBucket.values.foreach(n => assert(n > 0 && n <= perDoc.size / 2 + 1))
   }
 
   test("q248: empty train split fails loudly at model build") {

@@ -295,6 +295,7 @@ class PlanAuditSpec extends SparkSpec {
     "q109_cumulative_quantiles",    // day<=day state merge + quantile targets
     "q113_zorder_layout",           // 1-row per-dimension (min,max) bounds frame
     "q124_bm25_search",             // 1-row corpus (N, total_dl) stats frame
+    "q253_perplexity_buckets",      // 1-row (p_lo, p_hi) tercile bounds frame
     "q139_join_cardinality_kmv",    // 1-row sketch-sample x 1-row truth frame
     "q140_key_skew_profile",        // 1-row scalar profile frame
     "q141_hard_negatives",          // broadcast query-vector frame (label !=)
@@ -667,7 +668,21 @@ class PlanAuditSpec extends SparkSpec {
     // node/SA artifact tables — table scans carry honest stats, so two
     // joins broadcast that previously shuffled) + per-node distinct-source
     // agg + class roll-up + presentation sort
-    "q250_repeat_source_spread" -> 5)
+    "q250_repeat_source_spread" -> 5,
+    // checkpointed model tables (the q248 shape, one order deeper):
+    // type distinct + fan-out occurrence join + doc agg + source agg
+    "q251_mkn_heldout_score" -> 4,
+    // capped interval expansion over the persisted node/SA tables +
+    // per-node distinct-source set + pair self-join + pair roll-up + sort
+    "q252_cross_source_lcs" -> 6,
+    // per-doc scores are checkpointed before bucketing (one scoring pass
+    // feeds boundaries AND assignment); visible: the single-partition
+    // percentile_disc aggregate + (bucket, source) roll-up + sort
+    "q253_perplexity_buckets" -> 3,
+    // type distinct + index joins (bucketed counts/totals broadcast at
+    // fixture size) + fan-out occurrence join + doc agg + source agg,
+    // presentation sort coalesced by AQE
+    "q254_surprisal_report" -> 4)
 
   test("q249 point lookup: one pruned bucket, zero exchanges, TakeOrdered") {
     val p = plan("q249_next_token_lookup")

@@ -146,7 +146,8 @@ class SuffixArraySpec extends SparkSpec {
   private def bruteNodes(docs: Seq[(Long, String)], minLen: Int,
                          preview: Int = 8)
       : (Seq[(Long, Long, Long, Long, String)],
-         Seq[(Int, Long, Long, Long)]) = {
+         Seq[(Int, Long, Long, Long)],
+         Seq[(Int, Int, Int)]) = {
     val toks = docs.map { case (id, tx) =>
       (id, tx.trim.toLowerCase.split("\\s+").toVector) }
     def keyAt(s: (Long, Vector[String], Int), off: Int): (Int, String) = {
@@ -178,6 +179,7 @@ class SuffixArraySpec extends SparkSpec {
     val seen = scala.collection.mutable.Set[(Int, Int, Int)]()
     val nodes = Seq.newBuilder[(Long, Long, Long, Long, String)]
     val occs = Seq.newBuilder[(Int, Long, Long, Long)] // (node, doc, pos, len)
+    val ivls = Seq.newBuilder[(Int, Int, Int)] // (node, ps, ns) rank interval
     var nodeIdx = 0
     for (j <- 1 until n if L0(j) >= minLen) {
       val v = L0(j)
@@ -191,13 +193,14 @@ class SuffixArraySpec extends SparkSpec {
         val previewTx = ex._2.slice(ex._3, ex._3 + math.min(v, preview))
           .mkString(" ")
         nodes += ((v.toLong, (ns - ps).toLong, ex._1, ex._3.toLong, previewTx))
+        ivls += ((nodeIdx, ps, ns))
         (ps until ns).foreach { r =>
           occs += ((nodeIdx, sorted(r)._1, sorted(r)._3.toLong, v.toLong))
         }
         nodeIdx += 1
       }
     }
-    (nodes.result(), occs.result()) // nodes in creation order, = occ tags
+    (nodes.result(), occs.result(), ivls.result()) // creation order = occ tags
   }
 
   test("repeatInventory equals brute-force LCP-interval enumeration") {
@@ -207,7 +210,7 @@ class SuffixArraySpec extends SparkSpec {
         .map(r => (r.getAs[Long]("len"), r.getAs[Long]("n_occ"),
           r.getAs[Long]("doc_id"), r.getAs[Long]("pos"),
           r.getAs[String]("preview"))).toSeq
-      val (expRaw, _) = bruteNodes(planted, minLen)
+      val (expRaw, _, _) = bruteNodes(planted, minLen)
       val exp = expRaw.sortBy { case (l, _, id, p, _) => (-l, id, p) }
       assert(got == exp, s"minLen=$minLen\ngot=$got\nexp=$exp")
       assert(exp.nonEmpty, s"fixture must plant nodes at minLen=$minLen")
@@ -219,7 +222,7 @@ class SuffixArraySpec extends SparkSpec {
     val spans = SuffixArray.saSpans(t, minLen = 16).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
         r.getAs[Long]("span_tokens"))).toSeq
-    val (_, occs) = bruteNodes(planted, minLen = 16)
+    val (_, occs, _) = bruteNodes(planted, minLen = 16)
     // merge [pos, pos+len) intervals per doc — must reproduce q238 exactly
     val merged = occs.map { case (_, id, p, l) => (id, p, p + l) }
       .groupBy(_._1).toSeq.flatMap { case (id, iv) =>
@@ -252,7 +255,7 @@ class SuffixArraySpec extends SparkSpec {
   test("repeatSourceSpread equals brute-force classification (incl. the cap)") {
     val srcOf = Map(0L -> "sA", 1L -> "sB", 2L -> "sC", 3L -> "sC", 4L -> "sC")
     val t = writeDocsSrc(planted.map { case (id, tx) => (id, tx, srcOf(id)) })
-    val (nodes, occs) = bruteNodes(planted, minLen = 3)
+    val (nodes, occs, _) = bruteNodes(planted, minLen = 3)
     val byNode = occs.groupBy(_._1)
     for (cap <- Seq(256, 3)) {
       val got = SuffixArray.repeatSourceSpread(t, minLen = 3, occCap = cap)
@@ -279,6 +282,43 @@ class SuffixArraySpec extends SparkSpec {
       .map(_.getString(0)).toSet
     assert(full.contains("cross_source") && full.contains("within_source"),
       s"fixture must exercise both spread classes, got $full")
+  }
+
+  // ── q252 cross-source longest common substring ────────────────────────
+
+  test("crossSourceLcs equals brute-force pair enumeration (incl. the cap)") {
+    val srcOf = Map(0L -> "sA", 1L -> "sB", 2L -> "sC", 3L -> "sC", 4L -> "sC")
+    val t = writeDocsSrc(planted.map { case (id, tx) => (id, tx, srcOf(id)) })
+    val (nodes, occs, ivls) = bruteNodes(planted, minLen = 3)
+    val byNode = occs.groupBy(_._1)
+    val ivlOf = ivls.map { case (i, ps, ns) => i -> ((ps, ns)) }.toMap
+    for (cap <- Seq(256, 3)) {
+      val got = SuffixArray.crossSourceLcs(t, minLen = 3, occCap = cap)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+      val rows = nodes.zipWithIndex.flatMap {
+        case ((len, nOcc, _, _, preview), idx) =>
+          if (nOcc > cap) Seq.empty
+          else {
+            val srcs = byNode(idx).map(o => srcOf(o._2)).distinct.sorted
+            for (i <- srcs.indices; j <- (i + 1) until srcs.size)
+              yield (srcs(i), srcs(j), len, idx, preview)
+          }
+      }
+      val exp = rows.groupBy(r => (r._1, r._2)).toSeq.map { case ((a, b), g) =>
+        // argmax by the unique (len, rank-interval) node id — the engine's
+        // (len, a, b) tie-break under the monotone j→i index shift
+        val best = g.maxBy(r => (r._3, ivlOf(r._4)._1, ivlOf(r._4)._2))
+        (a, b, g.map(_._3).max, g.size.toLong, best._5)
+      }.sortBy(r => (r._1, r._2))
+      assert(got == exp, s"cap=$cap\ngot=$got\nexp=$exp")
+      if (cap == 256) {
+        assert(exp.nonEmpty, "fixture must share repeats across sources")
+        assert(nodes.exists(_._2 > 3),
+          "fixture must hold a node the low cap excludes")
+      }
+    }
   }
 
   test("repeat-free corpus: empty inventory with the right schema") {
