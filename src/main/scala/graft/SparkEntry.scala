@@ -300,7 +300,8 @@ object SparkEntry {
     "q251_mkn_heldout_score" -> q(t => CorpusIndex.mknHeldOutScore(t)),
     "q252_cross_source_lcs" -> q(t => SuffixArray.crossSourceLcs(t)),
     "q253_perplexity_buckets" -> q(t => CorpusIndex.perplexityBuckets(t)),
-    "q254_surprisal_report" -> q(t => CorpusIndex.surprisalReport(t)))
+    "q254_surprisal_report" -> q(t => CorpusIndex.surprisalReport(t)),
+    "q255_scorer_agreement" -> q(t => CorpusIndex.scorerAgreement(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -473,6 +474,7 @@ object SparkEntry {
     "q252_cross_source_lcs" -> SuffixArray.crossSourceLcsSql(),
     "q253_perplexity_buckets" -> CorpusIndex.perplexityBucketsSql(),
     "q254_surprisal_report" -> CorpusIndex.surprisalReportSql(),
+    "q255_scorer_agreement" -> CorpusIndex.scorerAgreementSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

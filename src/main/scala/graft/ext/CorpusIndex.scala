@@ -431,6 +431,24 @@ object CorpusIndex {
     * identical chain. */
   def backoffLmScore(t: Tables, trainPct: Int = 80,
                      alpha: Double = 0.4): DataFrame = {
+    val E = graft.functions.ExactAgg
+    backoffPerDoc(t, trainPct, alpha).groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_occ").as("n_occ"),
+        sum("n3").as("n_trigram"),
+        sum("n2").as("n_bigram"),
+        sum("n1").as("n_unigram"),
+        sum("n0").as("n_oov"),
+        E.davg(col("doc_log10")).as("avg_doc_log10"))
+      .orderBy("source")
+  }
+
+  /** The per-document half of [[backoffLmScore]] — (doc_id, source, order
+    * counts, doc_log10) for every held-out doc; shared by the q246 rollup
+    * and the q255 scorer-agreement cube. */
+  private[graft] def backoffPerDoc(t: Tables, trainPct: Int = 80,
+                                 alpha: Double = 0.4): DataFrame = {
     require(trainPct >= 1 && trainPct <= 99,
       s"trainPct must be in [1, 99], got $trainPct")
     val E = graft.functions.ExactAgg
@@ -508,16 +526,7 @@ object CorpusIndex {
         sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("ord") === 0, 1L).otherwise(0L)).as("n0"),
         E.davg(col("score")).as("doc_log10"))
-    perDoc.groupBy("source")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum("n_occ").as("n_occ"),
-        sum("n3").as("n_trigram"),
-        sum("n2").as("n_bigram"),
-        sum("n1").as("n_unigram"),
-        sum("n0").as("n_oov"),
-        E.davg(col("doc_log10")).as("avg_doc_log10"))
-      .orderBy("source")
+    perDoc
   }
 
   /** DuckDB twin of [[backoffLmScore]]: same split hash, same train count
@@ -525,28 +534,38 @@ object CorpusIndex {
     * and the dsum/davg mirrors for both aggregation levels. Scoring runs
     * per occurrence (the engine scores per type then fans out — same
     * values, score is a function of the type alone). */
-  def backoffLmScoreSql(trainPct: Int = 80, alpha: Double = 0.4): String = {
-    val O = graft.functions.ExactAgg.Sql
+  /** The shared WITH prologue every held-out scorer twin opens with:
+    * tokenized docs + the deterministic split. */
+  private def splitCtes(trainPct: Int): String = {
     val h = s"((${Sampling.splitHashSql("doc_id")}) % 100)"
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, source,
        |         string_split_regex(trim(text), '\\s+') AS tks,
        |         $h AS b
        |  FROM documents),
        |tr AS (SELECT * FROM d WHERE b < $trainPct),
-       |ho AS (SELECT * FROM d WHERE b >= $trainPct),
-       |c3 AS (
+       |ho AS (SELECT * FROM d WHERE b >= $trainPct)""".stripMargin
+  }
+
+  /** The per-doc Stupid-Backoff CTE chain ending at `${p}doc(doc_id,
+    * source, order counts, doc_log10)` — every CTE name carries prefix
+    * `p` so several scorer chains can coexist in one WITH (q255); with
+    * p = "" this is exactly the q246 oracle's chain. Assumes the
+    * [[splitCtes]] `tr`/`ho` CTEs are in scope. */
+  private def backoffDocCtes(alpha: Double, p: String): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""${p}c3 AS (
        |  SELECT array_to_string(tks[i:i+2], ' ') AS tri, count(*) AS c3
        |  FROM tr, unnest(range(1, len(tks) - 1)) u(i)
        |  WHERE len(tks) >= 3 GROUP BY 1),
-       |c2 AS (
+       |${p}c2 AS (
        |  SELECT array_to_string(tks[i:i+1], ' ') AS g2, count(*) AS c2
        |  FROM tr, unnest(range(1, len(tks))) u(i)
        |  WHERE len(tks) >= 2 GROUP BY 1),
-       |u1 AS (SELECT unnest(tks) AS w FROM tr),
-       |c1 AS (SELECT w, count(*) AS c1 FROM u1 GROUP BY 1),
-       |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_train FROM c1),
-       |occ AS (
+       |${p}u1 AS (SELECT unnest(tks) AS w FROM tr),
+       |${p}c1 AS (SELECT w, count(*) AS c1 FROM ${p}u1 GROUP BY 1),
+       |${p}n AS (SELECT CAST(sum(c1) AS BIGINT) AS n_train FROM ${p}c1),
+       |${p}occ AS (
        |  SELECT doc_id, source,
        |         array_to_string(tks[i:i+2], ' ') AS tri,
        |         array_to_string(tks[i:i+1], ' ') AS b_ctx,
@@ -554,7 +573,7 @@ object CorpusIndex {
        |         tks[i+1] AS u_ctx, tks[i+2] AS u_nxt
        |  FROM ho, unnest(range(1, len(tks) - 1)) u(i)
        |  WHERE len(tks) >= 3),
-       |sc AS (
+       |${p}sc AS (
        |  SELECT o.doc_id, o.source,
        |    CASE WHEN c3.c3 IS NOT NULL THEN 3
        |         WHEN cb.c2 IS NOT NULL THEN 2
@@ -568,21 +587,27 @@ object CorpusIndex {
        |           THEN ($alpha * $alpha)
        |                  * (CAST(un.c1 AS DOUBLE) / CAST(n.n_train AS DOUBLE))
        |         ELSE ($alpha * $alpha) / CAST(n.n_train AS DOUBLE) END) AS score
-       |  FROM occ o
-       |  LEFT JOIN c3 ON c3.tri = o.tri
-       |  LEFT JOIN c2 cc ON cc.g2 = o.b_ctx
-       |  LEFT JOIN c2 cb ON cb.g2 = o.b_nxt
-       |  LEFT JOIN c1 uc ON uc.w = o.u_ctx
-       |  LEFT JOIN c1 un ON un.w = o.u_nxt
-       |  CROSS JOIN n),
-       |doc AS (
+       |  FROM ${p}occ o
+       |  LEFT JOIN ${p}c3 c3 ON c3.tri = o.tri
+       |  LEFT JOIN ${p}c2 cc ON cc.g2 = o.b_ctx
+       |  LEFT JOIN ${p}c2 cb ON cb.g2 = o.b_nxt
+       |  LEFT JOIN ${p}c1 uc ON uc.w = o.u_ctx
+       |  LEFT JOIN ${p}c1 un ON un.w = o.u_nxt
+       |  CROSS JOIN ${p}n n),
+       |${p}doc AS (
        |  SELECT doc_id, source, count(*) AS n_occ,
        |    CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
        |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
        |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
        |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
        |    ${O.davg("score")} AS doc_log10
-       |  FROM sc GROUP BY 1, 2)
+       |  FROM ${p}sc GROUP BY 1, 2)""".stripMargin
+  }
+
+  def backoffLmScoreSql(trainPct: Int = 80, alpha: Double = 0.4): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH ${splitCtes(trainPct)},
+       |${backoffDocCtes(alpha, "")}
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(n_occ) AS BIGINT) AS n_occ,
        |  CAST(sum(n3) AS BIGINT) AS n_trigram,
@@ -747,40 +772,35 @@ object CorpusIndex {
     * mirrors at both aggregation levels. Scoring runs per occurrence (the
     * engine scores per type then fans out — same values, score is a
     * function of the bigram alone). */
-  def knHeldOutScoreSql(trainPct: Int = 80): String = {
+  /** The per-doc interpolated-KN CTE chain ending at `${p}doc` — the
+    * [[backoffDocCtes]] prefix convention; with p = "" exactly the q248
+    * oracle's chain. */
+  private def knDocCtes(p: String): String = {
     val O = graft.functions.ExactAgg.Sql
-    val h = s"((${Sampling.splitHashSql("doc_id")}) % 100)"
-    s"""WITH d AS (
-       |  SELECT doc_id, source,
-       |         string_split_regex(trim(text), '\\s+') AS tks,
-       |         $h AS b
-       |  FROM documents),
-       |tr AS (SELECT * FROM d WHERE b < $trainPct),
-       |ho AS (SELECT * FROM d WHERE b >= $trainPct),
-       |c2 AS (
+    s"""${p}c2 AS (
        |  SELECT array_to_string(tks[i:i+1], ' ') AS bigram, count(*) AS c2
        |  FROM tr, unnest(range(1, len(tks))) u(i)
        |  WHERE len(tks) >= 2 GROUP BY 1),
-       |c2s AS (
+       |${p}c2s AS (
        |  SELECT bigram, c2,
        |    string_split(bigram, ' ')[1] AS v,
        |    string_split(bigram, ' ')[-1] AS w
-       |  FROM c2),
-       |lf AS (
+       |  FROM ${p}c2),
+       |${p}lf AS (
        |  SELECT v, CAST(sum(c2) AS BIGINT) AS c_left, count(*) AS n1f
-       |  FROM c2s GROUP BY 1),
-       |np AS (SELECT w, count(*) AS n1p FROM c2s GROUP BY 1),
-       |tt AS (
-       |  SELECT (SELECT count(*) FROM c2s)
+       |  FROM ${p}c2s GROUP BY 1),
+       |${p}np AS (SELECT w, count(*) AS n1p FROM ${p}c2s GROUP BY 1),
+       |${p}tt AS (
+       |  SELECT (SELECT count(*) FROM ${p}c2s)
        |       + (SELECT count(DISTINCT u.tok)
        |          FROM (SELECT unnest(tks) AS tok FROM tr) u) + 1 AS t),
-       |occ AS (
+       |${p}occ AS (
        |  SELECT doc_id, source,
        |         array_to_string(tks[i:i+1], ' ') AS bigram,
        |         tks[i] AS v, tks[i+1] AS w
        |  FROM ho, unnest(range(1, len(tks))) u(i)
        |  WHERE len(tks) >= 2),
-       |sc AS (
+       |${p}sc AS (
        |  SELECT o.doc_id, o.source,
        |    CASE WHEN lf.c_left IS NOT NULL THEN 2
        |         WHEN np.n1p IS NOT NULL THEN 1
@@ -791,18 +811,24 @@ object CorpusIndex {
        |        / CAST(4 * lf.c_left * tt.t AS DOUBLE)
        |      ELSE CAST(COALESCE(np.n1p, 0) + 1 AS DOUBLE)
        |           / CAST(tt.t AS DOUBLE) END) AS score
-       |  FROM occ o
-       |  LEFT JOIN c2s cb ON cb.bigram = o.bigram
-       |  LEFT JOIN lf ON lf.v = o.v
-       |  LEFT JOIN np ON np.w = o.w
-       |  CROSS JOIN tt),
-       |doc AS (
+       |  FROM ${p}occ o
+       |  LEFT JOIN ${p}c2s cb ON cb.bigram = o.bigram
+       |  LEFT JOIN ${p}lf lf ON lf.v = o.v
+       |  LEFT JOIN ${p}np np ON np.w = o.w
+       |  CROSS JOIN ${p}tt tt),
+       |${p}doc AS (
        |  SELECT doc_id, source, count(*) AS n_trans,
        |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kn,
        |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
        |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        |    ${O.davg("score")} AS doc_log10
-       |  FROM sc GROUP BY 1, 2)
+       |  FROM ${p}sc GROUP BY 1, 2)""".stripMargin
+  }
+
+  def knHeldOutScoreSql(trainPct: Int = 80): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH ${splitCtes(trainPct)},
+       |${knDocCtes("")}
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(n_trans) AS BIGINT) AS n_trans,
        |  CAST(sum(n_kn) AS BIGINT) AS n_kn,
@@ -1305,63 +1331,58 @@ object CorpusIndex {
     * count-of-count scalars with the IDENTICAL chain of double ops, and
     * the same nested branch CASEs (scored per occurrence — same values,
     * the score is a function of the trigram type alone). */
-  def mknHeldOutScoreSql(trainPct: Int = 80): String = {
+  /** The per-doc modified-KN CTE chain ending at `${p}doc` — the
+    * [[backoffDocCtes]] prefix convention; with p = "" exactly the q251
+    * oracle's chain. */
+  private def mknDocCtes(p: String): String = {
     val O = graft.functions.ExactAgg.Sql
-    val h = s"((${Sampling.splitHashSql("doc_id")}) % 100)"
-    s"""WITH d AS (
-       |  SELECT doc_id, source,
-       |         string_split_regex(trim(text), '\\s+') AS tks,
-       |         $h AS b
-       |  FROM documents),
-       |tr AS (SELECT * FROM d WHERE b < $trainPct),
-       |ho AS (SELECT * FROM d WHERE b >= $trainPct),
-       |c3 AS (
+    s"""${p}c3 AS (
        |  SELECT array_to_string(tks[i:i+2], ' ') AS tri,
        |         array_to_string(tks[i:i+1], ' ') AS ctx,
        |         array_to_string(tks[i+1:i+2], ' ') AS bg,
        |         count(*) AS c3
        |  FROM tr, unnest(range(1, len(tks) - 1)) u(i)
        |  WHERE len(tks) >= 3 GROUP BY 1, 2, 3),
-       |ctx3 AS (
+       |${p}ctx3 AS (
        |  SELECT ctx, CAST(sum(c3) AS BIGINT) AS c3tot,
        |    CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
        |    CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
        |    CAST(sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3p
-       |  FROM c3 GROUP BY 1),
-       |cc2 AS (SELECT bg, count(*) AS cc2 FROM c3 GROUP BY 1),
-       |ctx2 AS (
+       |  FROM ${p}c3 GROUP BY 1),
+       |${p}cc2 AS (SELECT bg, count(*) AS cc2 FROM ${p}c3 GROUP BY 1),
+       |${p}ctx2 AS (
        |  SELECT string_split(bg, ' ')[1] AS v,
        |    CAST(sum(cc2) AS BIGINT) AS cc2tot,
        |    CAST(sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
        |    CAST(sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
        |    CAST(sum(CASE WHEN cc2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3p
-       |  FROM cc2 GROUP BY 1),
-       |cu AS (
+       |  FROM ${p}cc2 GROUP BY 1),
+       |${p}cu AS (
        |  SELECT string_split(bg, ' ')[-1] AS w, count(*) AS cu
-       |  FROM cc2 GROUP BY 1),
-       |cf3 AS (
+       |  FROM ${p}cc2 GROUP BY 1),
+       |${p}cf3 AS (
        |  SELECT
        |    CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
        |    CAST(sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
        |    CAST(sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
        |    CAST(sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
-       |  FROM c3),
-       |cf2 AS (
+       |  FROM ${p}c3),
+       |${p}cf2 AS (
        |  SELECT
        |    CAST(sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
        |    CAST(sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
        |    CAST(sum(CASE WHEN cc2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
        |    CAST(sum(CASE WHEN cc2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
-       |  FROM cc2),
-       |y3 AS (
+       |  FROM ${p}cc2),
+       |${p}y3 AS (
        |  SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
        |    / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
-       |    ELSE 0.0 END AS y FROM cf3),
-       |y2 AS (
+       |    ELSE 0.0 END AS y FROM ${p}cf3),
+       |${p}y2 AS (
        |  SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
        |    / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
-       |    ELSE 0.0 END AS y FROM cf2),
-       |disc AS (
+       |    ELSE 0.0 END AS y FROM ${p}cf2),
+       |${p}disc AS (
        |  SELECT
        |    CASE WHEN cf3.n1 > 0 AND cf3.n2 > 0 AND cf3.n3 > 0
        |      THEN 1.0 - 2.0 * y3.y * CAST(cf3.n2 AS DOUBLE) / CAST(cf3.n1 AS DOUBLE)
@@ -1381,12 +1402,12 @@ object CorpusIndex {
        |    CASE WHEN cf2.n1 > 0 AND cf2.n2 > 0 AND cf2.n3 > 0
        |      THEN greatest(3.0 - 4.0 * y2.y * CAST(cf2.n4 AS DOUBLE) / CAST(cf2.n3 AS DOUBLE), 0.1)
        |      ELSE 0.75 END AS d32
-       |  FROM cf3, cf2, y3, y2),
-       |tt AS (
-       |  SELECT (SELECT count(*) FROM cc2)
+       |  FROM ${p}cf3 cf3, ${p}cf2 cf2, ${p}y3 y3, ${p}y2 y2),
+       |${p}tt AS (
+       |  SELECT (SELECT count(*) FROM ${p}cc2)
        |       + (SELECT count(DISTINCT u.tok)
        |          FROM (SELECT unnest(tks) AS tok FROM tr) u) + 1 AS t),
-       |occ AS (
+       |${p}occ AS (
        |  SELECT doc_id, source,
        |         array_to_string(tks[i:i+2], ' ') AS tri,
        |         array_to_string(tks[i:i+1], ' ') AS ctx,
@@ -1394,23 +1415,23 @@ object CorpusIndex {
        |         tks[i+1] AS v, tks[i+2] AS w
        |  FROM ho, unnest(range(1, len(tks) - 1)) u(i)
        |  WHERE len(tks) >= 3),
-       |j AS (
+       |${p}j AS (
        |  SELECT o.doc_id, o.source,
        |    c3.c3 AS c3, x3.c3tot, x3.f1, x3.f2, x3.f3p,
        |    cb.cc2 AS cc2, x2.cc2tot, x2.h1, x2.h2, x2.h3p, cu.cu,
        |    disc.*, tt.t
-       |  FROM occ o
-       |  LEFT JOIN c3 ON c3.tri = o.tri
-       |  LEFT JOIN ctx3 x3 ON x3.ctx = o.ctx
-       |  LEFT JOIN cc2 cb ON cb.bg = o.bg
-       |  LEFT JOIN ctx2 x2 ON x2.v = o.v
-       |  LEFT JOIN cu ON cu.w = o.w
-       |  CROSS JOIN disc CROSS JOIN tt),
-       |s1 AS (
+       |  FROM ${p}occ o
+       |  LEFT JOIN ${p}c3 c3 ON c3.tri = o.tri
+       |  LEFT JOIN ${p}ctx3 x3 ON x3.ctx = o.ctx
+       |  LEFT JOIN ${p}cc2 cb ON cb.bg = o.bg
+       |  LEFT JOIN ${p}ctx2 x2 ON x2.v = o.v
+       |  LEFT JOIN ${p}cu cu ON cu.w = o.w
+       |  CROSS JOIN ${p}disc disc CROSS JOIN ${p}tt tt),
+       |${p}s1 AS (
        |  SELECT *,
        |    CAST(COALESCE(cu, 0) + 1 AS DOUBLE) / CAST(t AS DOUBLE) AS p1
-       |  FROM j),
-       |s2 AS (
+       |  FROM ${p}j),
+       |${p}s2 AS (
        |  SELECT *,
        |    CASE WHEN cc2tot IS NOT NULL THEN
        |      greatest(CAST(COALESCE(cc2, 0) AS DOUBLE) -
@@ -1424,8 +1445,8 @@ object CorpusIndex {
        |          d32 * CAST(h3p AS DOUBLE)) /
        |          CAST(cc2tot AS DOUBLE)) * p1
        |    ELSE p1 END AS p2
-       |  FROM s1),
-       |s3 AS (
+       |  FROM ${p}s1),
+       |${p}s3 AS (
        |  SELECT doc_id, source,
        |    CASE WHEN c3tot IS NOT NULL THEN 3
        |         WHEN cc2tot IS NOT NULL THEN 2
@@ -1443,15 +1464,21 @@ object CorpusIndex {
        |          d33 * CAST(f3p AS DOUBLE)) /
        |          CAST(c3tot AS DOUBLE)) * p2
        |    ELSE p2 END) AS score
-       |  FROM s2),
-       |doc AS (
+       |  FROM ${p}s2),
+       |${p}doc AS (
        |  SELECT doc_id, source, count(*) AS n_trans,
        |    CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_mkn,
        |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
        |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
        |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        |    ${O.davg("score")} AS doc_log10
-       |  FROM s3 GROUP BY 1, 2)
+       |  FROM ${p}s3 GROUP BY 1, 2)""".stripMargin
+  }
+
+  def mknHeldOutScoreSql(trainPct: Int = 80): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH ${splitCtes(trainPct)},
+       |${mknDocCtes("")}
        |SELECT source, count(*) AS n_docs,
        |  CAST(sum(n_trans) AS BIGINT) AS n_trans,
        |  CAST(sum(n_mkn) AS BIGINT) AS n_mkn,
@@ -1461,6 +1488,104 @@ object CorpusIndex {
        |  ${O.davg("doc_log10")} AS avg_doc_log10
        |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ── q255: scorer-agreement cube ───────────────────────────────────────
+
+  /** q255: the LM-scorer AGREEMENT cube — do the cheap and expensive
+    * quality scorers agree on which third of the corpus to keep? Every
+    * held-out document is scored by all three LM-quality scorers this
+    * engine ships (q246 Stupid Backoff — model-free; q248 interpolated
+    * bigram KN; q251 trigram modified KN — the production-grade one),
+    * each scorer's head/middle/tail terciles are cut on the SAME joined
+    * doc set with `percentile_disc` (the q253 boundary discipline), and
+    * the 3×3×3 contingency cube is reported: one row per bucket triple
+    * with its doc count. Mass on the diagonal = the cheap scorer is a
+    * faithful proxy; off-diagonal corners = documents a backoff scorer
+    * would keep but modified-KN would drop (or vice versa) — exactly the
+    * audit a pipeline runs before swapping a cheaper filter in. The q242
+    * dup-signal agreement cross-tab, applied to the scorer family.
+    *
+    * Scale shape: three corpus-linear scorer passes (each the established
+    * q246/q248/q251 plan), one doc-keyed 3-way equi-join, a 6-value
+    * boundary frame broadcast back, one roll-up to ≤ 27 rows. */
+  def scorerAgreement(t: Tables, trainPct: Int = 80): DataFrame = {
+    val held = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(Sampling.hashBucket(col("doc_id")) >= trainPct)
+    val bo = backoffPerDoc(t, trainPct)
+      .select(col("doc_id"), col("doc_log10").as("bo_score"))
+    val kn = knDocScores(held, knModel(t, trainPct))
+      .select(col("doc_id"), col("doc_log10").as("kn_score"))
+    val mk = mknDocScores(held, mknModel(t, trainPct))
+      .select(col("doc_id"), col("doc_log10").as("mkn_score"))
+    // inner joins land on the docs every scorer defines (≥ 3 tokens —
+    // backoff/MKN score trigrams); one materialization feeds the
+    // boundary aggregate AND the bucket assignment
+    val j = bo.join(kn, Seq("doc_id")).join(mk, Seq("doc_id"))
+      .localCheckpoint()
+    val bounds = j.agg(
+      expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
+        "(ORDER BY bo_score)").as("bo_lo"),
+      expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
+        "(ORDER BY bo_score)").as("bo_hi"),
+      expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
+        "(ORDER BY kn_score)").as("kn_lo"),
+      expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
+        "(ORDER BY kn_score)").as("kn_hi"),
+      expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
+        "(ORDER BY mkn_score)").as("mkn_lo"),
+      expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
+        "(ORDER BY mkn_score)").as("mkn_hi"))
+    def bucket(s: String, lo: String, hi: String) =
+      when(col(s) >= col(hi), lit("head"))
+        .when(col(s) >= col(lo), lit("middle"))
+        .otherwise(lit("tail"))
+    j.crossJoin(broadcast(bounds))
+      .select(
+        bucket("bo_score", "bo_lo", "bo_hi").as("bo_bucket"),
+        bucket("kn_score", "kn_lo", "kn_hi").as("kn_bucket"),
+        bucket("mkn_score", "mkn_lo", "mkn_hi").as("mkn_bucket"))
+      .groupBy("bo_bucket", "kn_bucket", "mkn_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bo_bucket", "kn_bucket", "mkn_bucket")
+  }
+
+  /** DuckDB twin of [[scorerAgreement]]: the three per-doc scorer chains
+    * — [[backoffDocCtes]] / [[knDocCtes]] / [[mknDocCtes]], the EXACT
+    * strings the q246/q248/q251 oracles run, coexisting under prefixes —
+    * joined on doc_id, quantile_disc boundaries, the same bucket CASEs. */
+  def scorerAgreementSql(trainPct: Int = 80, alpha: Double = 0.4): String =
+    s"""WITH ${splitCtes(trainPct)},
+       |${backoffDocCtes(alpha, "b")},
+       |${knDocCtes("k")},
+       |${mknDocCtes("m")},
+       |jd AS (
+       |  SELECT b.doc_id, b.doc_log10 AS bo_score,
+       |         k.doc_log10 AS kn_score, m.doc_log10 AS mkn_score
+       |  FROM bdoc b
+       |  JOIN kdoc k ON k.doc_id = b.doc_id
+       |  JOIN mdoc m ON m.doc_id = b.doc_id),
+       |bnd AS (
+       |  SELECT quantile_disc(bo_score, 0.3333333333333333) AS bo_lo,
+       |         quantile_disc(bo_score, 0.6666666666666666) AS bo_hi,
+       |         quantile_disc(kn_score, 0.3333333333333333) AS kn_lo,
+       |         quantile_disc(kn_score, 0.6666666666666666) AS kn_hi,
+       |         quantile_disc(mkn_score, 0.3333333333333333) AS mkn_lo,
+       |         quantile_disc(mkn_score, 0.6666666666666666) AS mkn_hi
+       |  FROM jd)
+       |SELECT
+       |  CASE WHEN bo_score >= bo_hi THEN 'head'
+       |       WHEN bo_score >= bo_lo THEN 'middle'
+       |       ELSE 'tail' END AS bo_bucket,
+       |  CASE WHEN kn_score >= kn_hi THEN 'head'
+       |       WHEN kn_score >= kn_lo THEN 'middle'
+       |       ELSE 'tail' END AS kn_bucket,
+       |  CASE WHEN mkn_score >= mkn_hi THEN 'head'
+       |       WHEN mkn_score >= mkn_lo THEN 'middle'
+       |       ELSE 'tail' END AS mkn_bucket,
+       |  count(*) AS n_docs
+       |FROM jd CROSS JOIN bnd
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** DuckDB twin of [[bloomSeenShingles]]: same shingling (the q34 token
     * CASE — short docs contribute their whole token string), same probe

@@ -552,6 +552,47 @@ class CorpusIndexSpec extends SparkSpec {
     byBucket.values.foreach(n => assert(n > 0 && n <= perDoc.size / 2 + 1))
   }
 
+  // ── q255 scorer-agreement cube ────────────────────────────────────────
+
+  test("q255: agreement cube matches a brute-force tercile cross-tab") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val got = CorpusIndex.scorerAgreement(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    // brute force: the engine's own per-doc scorers, joined and
+    // tercile-cut by hand with the percentile_disc order statistic
+    val held = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(graft.ext.Sampling.hashBucket(col("doc_id")) >= 80)
+    def perDoc(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("doc_id", "doc_log10").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bo = perDoc(CorpusIndex.backoffPerDoc(t))
+    val kn = perDoc(CorpusIndex.knDocScores(held, CorpusIndex.knModel(t)))
+    val mk = perDoc(CorpusIndex.mknDocScores(held, CorpusIndex.mknModel(t)))
+    val ids = bo.keySet & kn.keySet & mk.keySet
+    assert(ids.size >= 30, s"joined doc set too small: ${ids.size}")
+    def cuts(m: Map[Long, Double]): (Double, Double) = {
+      val v = ids.toSeq.map(m).sorted
+      def pd(q: Double) = v(math.ceil(q * v.size).toInt - 1)
+      (pd(0.3333333333333333), pd(0.6666666666666666))
+    }
+    val (bl, bh) = cuts(bo); val (kl, kh) = cuts(kn); val (ml, mh) = cuts(mk)
+    def b(s: Double, lo: Double, hi: Double) =
+      if (s >= hi) "head" else if (s >= lo) "middle" else "tail"
+    val exp = ids.toSeq
+      .map(id => (b(bo(id), bl, bh), b(kn(id), kl, kh), b(mk(id), ml, mh)))
+      .groupBy(identity).toSeq
+      .map { case ((x, y, z), g) => (x, y, z, g.size.toLong) }
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got == exp, s"got=$got\nexp=$exp")
+    assert(got.map(_._4).sum == ids.size.toLong, "cube must partition docs")
+    // the scorers genuinely differ on this fixture — some off-diagonal
+    // mass must exist, else the cube audits nothing
+    assert(got.exists { case (x, y, z, _) => x != y || y != z },
+      "fixture must show scorer disagreement")
+  }
+
   test("q248: empty train split fails loudly at model build") {
     val heldIds = (0L until 1000L).filter(splitHash31(_) % 100 >= 80).take(2)
     val t = writeDocs(heldIds.map(i => (i, "aa bb cc", "ho")))

@@ -296,6 +296,7 @@ class PlanAuditSpec extends SparkSpec {
     "q113_zorder_layout",           // 1-row per-dimension (min,max) bounds frame
     "q124_bm25_search",             // 1-row corpus (N, total_dl) stats frame
     "q253_perplexity_buckets",      // 1-row (p_lo, p_hi) tercile bounds frame
+    "q255_scorer_agreement",        // 1-row 6-percentile bounds frame
     "q139_join_cardinality_kmv",    // 1-row sketch-sample x 1-row truth frame
     "q140_key_skew_profile",        // 1-row scalar profile frame
     "q141_hard_negatives",          // broadcast query-vector frame (label !=)
@@ -682,7 +683,11 @@ class PlanAuditSpec extends SparkSpec {
     // type distinct + index joins (bucketed counts/totals broadcast at
     // fixture size) + fan-out occurrence join + doc agg + source agg,
     // presentation sort coalesced by AQE
-    "q254_surprisal_report" -> 4)
+    "q254_surprisal_report" -> 4,
+    // three scorer per-doc frames checkpointed before the cube (each the
+    // established q246/q248/q251 plan); visible: the single-partition
+    // 6-percentile boundary aggregate + cube roll-up + sort
+    "q255_scorer_agreement" -> 3)
 
   test("q249 point lookup: one pruned bucket, zero exchanges, TakeOrdered") {
     val p = plan("q249_next_token_lookup")
