@@ -301,7 +301,10 @@ object SparkEntry {
     "q252_cross_source_lcs" -> q(t => SuffixArray.crossSourceLcs(t)),
     "q253_perplexity_buckets" -> q(t => CorpusIndex.perplexityBuckets(t)),
     "q254_surprisal_report" -> q(t => CorpusIndex.surprisalReport(t)),
-    "q255_scorer_agreement" -> q(t => CorpusIndex.scorerAgreement(t)))
+    "q255_scorer_agreement" -> q(t => CorpusIndex.scorerAgreement(t)),
+    "q256_contamination_matrix" -> q(t => SuffixArray.contaminationMatrixServed(t)),
+    "q257_quality_novelty_grid" -> q(t => CorpusIndex.qualityNoveltyGrid(t)),
+    "q258_mkn4_heldout_score" -> q(t => CorpusIndex.mkn4HeldOutScore(t)))
 
   private val dailySummarySql: String =
     s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
@@ -475,6 +478,9 @@ object SparkEntry {
     "q253_perplexity_buckets" -> CorpusIndex.perplexityBucketsSql(),
     "q254_surprisal_report" -> CorpusIndex.surprisalReportSql(),
     "q255_scorer_agreement" -> CorpusIndex.scorerAgreementSql(),
+    "q256_contamination_matrix" -> SuffixArray.contaminationMatrixServedSql(),
+    "q257_quality_novelty_grid" -> CorpusIndex.qualityNoveltyGridSql(),
+    "q258_mkn4_heldout_score" -> CorpusIndex.mkn4HeldOutScoreSql(),
     "q33_minhash_signatures" -> SketchOracleSql.minhashSignatures,
     "q34_minhash_dup_pairs" -> SketchOracleSql.minhashDupPairs,
     "q35_simhash" -> SketchOracleSql.simhash,

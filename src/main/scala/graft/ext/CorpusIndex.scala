@@ -96,10 +96,20 @@ object CorpusIndex {
        |FROM r WHERE rnk <= $topNext
        |ORDER BY context_total DESC, context, rnk""".stripMargin
 
-  /** Session-scoped build-once guard for [[nextTokenServedDemo]]'s index
-    * tables (the q127 / [[graft.operators.Bucketed]] pattern). */
-  private val ntIdxBuilt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Ensure the q244 bucketed next-token index exists for (corpus, n) and
+    * return its table prefix — the [[graft.sources.ArtifactTables]] guard
+    * (strong tag + recorded source identity) around
+    * [[writeNextTokenIndex]]. */
+  private def ntIndexPrefix(t: Tables, n: Int): String = {
+    import graft.sources.ArtifactTables
+    val ident = Seq(t.dir, "ntidx", s"n=$n")
+    val prefix = s"graft_ntidx_${ArtifactTables.tag(ident: _*)}"
+    ArtifactTables.ensure(t.spark, prefix,
+      Seq(s"${prefix}_counts", s"${prefix}_totals"), ident.mkString("|")) {
+      writeNextTokenIndex(t, prefix, n)
+    }
+    prefix
+  }
 
   /** Persist the FULL next-token table as bucketed index tables — the
     * cross-session serve artifact behind [[nextTokenServedDemo]]: counts
@@ -144,11 +154,7 @@ object CorpusIndex {
   def nextTokenServedDemo(t: Tables, n: Int = 3, topContexts: Int = 20,
                           topNext: Int = 3): DataFrame = {
     val spark = t.spark
-    val tag = ((t.dir, n).hashCode & 0x7fffffff).toHexString
-    val prefix = s"graft_ntidx_$tag"
-    val key = s"${System.identityHashCode(spark.sessionState)}:$prefix"
-    if (ntIdxBuilt.add(key) || !spark.catalog.tableExists(s"${prefix}_counts"))
-      writeNextTokenIndex(t, prefix, n)
+    val prefix = ntIndexPrefix(t, n)
     val top = spark.table(s"${prefix}_totals")
       .orderBy(desc("context_total"), asc("context"))
       .limit(topContexts)
@@ -202,11 +208,7 @@ object CorpusIndex {
     * index → bucket-pruned lookup round-trip under the hash gate. */
   def nextTokenLookupDemo(t: Tables, n: Int = 3, topK: Int = 100): DataFrame = {
     val spark = t.spark
-    val tag = ((t.dir, n).hashCode & 0x7fffffff).toHexString
-    val prefix = s"graft_ntidx_$tag"
-    val key = s"${System.identityHashCode(spark.sessionState)}:$prefix"
-    if (ntIdxBuilt.add(key) || !spark.catalog.tableExists(s"${prefix}_counts"))
-      writeNextTokenIndex(t, prefix, n)
+    val prefix = ntIndexPrefix(t, n)
     // take(1), not head(): an empty corpus (or all docs shorter than n
     // tokens) yields an empty index, and the demo should fail loudly —
     // mirroring knModel's empty-train guard — not with NoSuchElement
@@ -620,13 +622,15 @@ object CorpusIndex {
 
   // ── q248: interpolated Kneser–Ney held-out scoring ────────────────────
 
-  /** The trained KN bigram model: count/type tables (checkpointed — built
-    * once, joined per scoring batch) plus the driver-scalar totals every
-    * score needs. `denomTot` = N₁₊(··) + U where U = |train unigram
-    * types| + 1 — the add-one continuation floor's denominator (see
-    * [[knModel]]). At 100 TB these three tables are persisted artifacts
-    * (the [[writeNextTokenIndex]] economics); locally they live as
-    * localCheckpoints. */
+  /** The trained KN bigram model: count/type tables — PERSISTED catalog
+    * artifacts keyed by (corpus, trainPct), the [[writeNextTokenIndex]] /
+    * [[graft.sources.ArtifactTables]] economics: built once per corpus
+    * snapshot, read by every consumer (q248, q253, q255, the streaming
+    * [[graft.streaming.LmScorer]]) across invocations AND across JVMs —
+    * plus the driver-scalar totals every score needs, read back from the
+    * 1-row `_meta` table so serving never re-touches the corpus.
+    * `denomTot` = N₁₊(··) + U where U = |train unigram types| + 1 — the
+    * add-one continuation floor's denominator (see [[knModel]]). */
   final case class KnModel(c2: DataFrame, left: DataFrame, n1p: DataFrame,
                            nTypes: Long, denomTot: Long)
 
@@ -647,37 +651,60 @@ object CorpusIndex {
   def knModel(t: Tables, trainPct: Int = 80): KnModel = {
     require(trainPct >= 1 && trainPct <= 99,
       s"trainPct must be in [1, 99], got $trainPct")
-    val train = t.documents
-      .select(col("doc_id"), col("text"))
-      .where(Sampling.hashBucket(col("doc_id")) < trainPct)
-    val c2 = train.where(size(TextAnalysis.tokens(col("text"))) >= 2)
-      .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("c2"))
-      .select(col("bigram"), col("c2"),
-        substring_index(col("bigram"), " ", 1).as("v"),
-        substring_index(col("bigram"), " ", -1).as("w"))
-      .localCheckpoint() // the model artifact — feeds three derived tables
-    val left = c2.groupBy("v")
-      .agg(sum("c2").as("c_left"), count(lit(1)).as("n1f"))
-      .localCheckpoint()
-    val n1p = c2.groupBy("w").agg(count(lit(1)).as("n1p"))
-      .localCheckpoint()
-    val mrow = c2.agg(count(lit(1)).as("ntypes"),
-      coalesce(max("c2"), lit(0L)).as("maxc2")).head()
-    val (nTypes, maxC2) = (mrow.getLong(0), mrow.getLong(1))
-    require(nTypes > 0,
-      "train split has no bigram evidence — nothing to score against")
-    val uTypes = train
-      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-      .agg(countDistinct(col("tok")).as("u")).head().getLong(0)
-    val denomTot = nTypes + uTypes + 1
-    val maxCLeft = left.agg(max("c_left")).head().getLong(0)
-    require(4L * maxC2 <= Long.MaxValue / denomTot &&
-      4L * maxCLeft <= Long.MaxValue / denomTot &&
-      3L * nTypes <= Long.MaxValue / (nTypes + 1),
-      s"knModel: counts ($maxC2/$maxCLeft bigrams, $nTypes types) would " +
-        "overflow the BIGINT rational; shard the model")
-    KnModel(c2.select("bigram", "c2"), left, n1p, nTypes, denomTot)
+    import graft.sources.ArtifactTables
+    val spark = t.spark
+    val ident = Seq(t.dir, "kn", s"trainPct=$trainPct")
+    val prefix = s"graft_kn_${ArtifactTables.tag(ident: _*)}"
+    val names = Seq(s"${prefix}_c2", s"${prefix}_left", s"${prefix}_n1p",
+      s"${prefix}_meta")
+    ArtifactTables.ensure(spark, prefix, names, ident.mkString("|")) {
+      val train = t.documents
+        .select(col("doc_id"), col("text"))
+        .where(Sampling.hashBucket(col("doc_id")) < trainPct)
+      // the base count table — one corpus pass; derived tables and the
+      // magnitude guards read it BACK from the catalog, never the corpus
+      train.where(size(TextAnalysis.tokens(col("text"))) >= 2)
+        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("c2"))
+        .select(col("bigram"), col("c2"),
+          substring_index(col("bigram"), " ", 1).as("v"),
+          substring_index(col("bigram"), " ", -1).as("w"))
+        .write.format("parquet").option("compression", "zstd")
+        .bucketBy(8, "bigram").saveAsTable(names.head)
+      val c2 = spark.table(names.head)
+      c2.groupBy("v")
+        .agg(sum("c2").as("c_left"), count(lit(1)).as("n1f"))
+        .write.format("parquet").option("compression", "zstd")
+        .bucketBy(8, "v").saveAsTable(names(1))
+      c2.groupBy("w").agg(count(lit(1)).as("n1p"))
+        .write.format("parquet").option("compression", "zstd")
+        .bucketBy(8, "w").saveAsTable(names(2))
+      val mrow = c2.agg(count(lit(1)).as("ntypes"),
+        coalesce(max("c2"), lit(0L)).as("maxc2")).head()
+      val (nTypes, maxC2) = (mrow.getLong(0), mrow.getLong(1))
+      require(nTypes > 0,
+        "train split has no bigram evidence — nothing to score against")
+      val uTypes = train
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).as("u")).head().getLong(0)
+      val denomTot = nTypes + uTypes + 1
+      val maxCLeft = spark.table(names(1))
+        .agg(max("c_left")).head().getLong(0)
+      require(4L * maxC2 <= Long.MaxValue / denomTot &&
+        4L * maxCLeft <= Long.MaxValue / denomTot &&
+        3L * nTypes <= Long.MaxValue / (nTypes + 1),
+        s"knModel: counts ($maxC2/$maxCLeft bigrams, $nTypes types) would " +
+          "overflow the BIGINT rational; shard the model")
+      // the driver scalars, persisted so a serving JVM reads 1 row
+      spark.range(1)
+        .select(lit(nTypes).as("ntypes"), lit(denomTot).as("denom_tot"))
+        .write.format("parquet").option("compression", "zstd")
+        .saveAsTable(names(3))
+    }
+    val meta = spark.table(names(3)).head()
+    KnModel(spark.table(names.head).select("bigram", "c2"),
+      spark.table(names(1)), spark.table(names(2)),
+      meta.getAs[Long]("ntypes"), meta.getAs[Long]("denom_tot"))
   }
 
   /** Per-document interpolated-KN log-scores for ANY docs frame (doc_id,
@@ -842,10 +869,13 @@ object CorpusIndex {
 
   /** The trained trigram modified-KN model (Chen & Goodman 1999, "An
     * empirical study of smoothing techniques for language modeling" §3 —
-    * the production n-gram quality-filter smoothing): count/type tables
-    * (checkpointed — built once, joined per scoring batch) plus the SIX
-    * count-of-count-estimated discounts and the unigram-floor denominator
-    * as driver scalars. Tables:
+    * the production n-gram quality-filter smoothing): count/type tables —
+    * PERSISTED catalog artifacts keyed by (corpus, trainPct), the
+    * [[graft.sources.ArtifactTables]] economics shared with [[knModel]]:
+    * built once per corpus snapshot, read by q251/q255 and any serving
+    * JVM — plus the SIX count-of-count-estimated discounts and the
+    * unigram-floor denominator as driver scalars read back from the
+    * 1-row `_meta` table. Tables:
     *   - c3(trigram → count) with its context ("u v") and backoff bigram
     *     ("v w") split out — the [[writeNextTokenIndex]] (context, next,
     *     cnt) artifact shape, keyed by the full gram string; at 100 TB
@@ -883,35 +913,86 @@ object CorpusIndex {
                             d12: Double, d22: Double, d32: Double,
                             tBig: Long)
 
+  /** The FIXED Chen–Goodman discount chain shared by [[mknModel]] and
+    * [[mkn4Model]] (mirrored literally by the SQL twins). An order whose
+    * count-of-count classes 1..3 are not all populated cannot estimate
+    * (Y or a divisor degenerates) — it falls back to the fixed D = 3/4
+    * for every class, the q248/SRILM pragma (kndiscount → cndiscount
+    * when counts-of-counts are unusable). Per ORDER, not per corpus: a
+    * dense synthetic corpus can have a healthy trigram profile and a
+    * degenerate continuation profile at the same time. D₂/D₃₊ floored at
+    * 0.1 (see [[MknModel]] scaladoc). */
+  private def mknDiscounts(n1: Long, n2: Long, n3: Long,
+                           n4: Long): (Double, Double, Double) =
+    if (n1 > 0 && n2 > 0 && n3 > 0) {
+      val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+      val d1 = 1.0 - 2.0 * y * n2.toDouble / n1.toDouble
+      val d2 = math.max(2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 0.1)
+      val d3 = math.max(3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 0.1)
+      (d1, d2, d3)
+    } else (0.75, 0.75, 0.75)
+
   def mknModel(t: Tables, trainPct: Int = 80): MknModel = {
     require(trainPct >= 1 && trainPct <= 99,
       s"trainPct must be in [1, 99], got $trainPct")
+    import graft.sources.ArtifactTables
+    val spark = t.spark
+    val ident = Seq(t.dir, "mkn", s"trainPct=$trainPct")
+    val prefix = s"graft_mkn_${ArtifactTables.tag(ident: _*)}"
+    val names = Seq(s"${prefix}_c3", s"${prefix}_ctx3", s"${prefix}_cc2",
+      s"${prefix}_ctx2", s"${prefix}_cu", s"${prefix}_meta")
+    ArtifactTables.ensure(spark, prefix, names, ident.mkString("|")) {
+      mknBuild(t, trainPct, names)
+    }
+    val meta = spark.table(names(5)).head()
+    MknModel(spark.table(names.head).select("tri", "c3"),
+      spark.table(names(1)), spark.table(names(2)),
+      spark.table(names(3)), spark.table(names(4)),
+      meta.getAs[Double]("d13"), meta.getAs[Double]("d23"),
+      meta.getAs[Double]("d33"), meta.getAs[Double]("d12"),
+      meta.getAs[Double]("d22"), meta.getAs[Double]("d32"),
+      meta.getAs[Long]("t_big"))
+  }
+
+  /** The build side of [[mknModel]]: one corpus pass writes the trigram
+    * table; every derived table and count-of-count scalar reads it BACK
+    * from the catalog. The discounts land in the 1-row `_meta` table so a
+    * serving JVM reconstructs the model with bounded reads. */
+  private def mknBuild(t: Tables, trainPct: Int, names: Seq[String]): Unit = {
+    val spark = t.spark
     val train = t.documents
       .select(col("doc_id"), col("text"))
       .where(Sampling.hashBucket(col("doc_id")) < trainPct)
-    val c3 = train.where(size(TextAnalysis.tokens(col("text"))) >= 3)
+    train.where(size(TextAnalysis.tokens(col("text"))) >= 3)
       .select(explode(Dedup.shingles(col("text"), 3)).as("tri"))
       .groupBy("tri").agg(count(lit(1)).as("c3"))
       .withColumn("ctx", substring_index(col("tri"), " ", 2))
       .withColumn("bg", substring_index(col("tri"), " ", -2))
-      .localCheckpoint() // the model artifact — feeds four derived tables
-    val ctx3 = c3.groupBy("ctx").agg(
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "tri").saveAsTable(names.head)
+    val c3 = spark.table(names.head)
+    c3.groupBy("ctx").agg(
       sum("c3").as("c3tot"),
       sum(when(col("c3") === 1, 1L).otherwise(0L)).as("f1"),
       sum(when(col("c3") === 2, 1L).otherwise(0L)).as("f2"),
       sum(when(col("c3") >= 3, 1L).otherwise(0L)).as("f3p"))
-      .localCheckpoint()
-    val cc2 = c3.groupBy("bg").agg(count(lit(1)).as("cc2"))
-      .localCheckpoint()
-    val ctx2 = cc2
-      .groupBy(substring_index(col("bg"), " ", 1).as("v")).agg(
-        sum("cc2").as("cc2tot"),
-        sum(when(col("cc2") === 1, 1L).otherwise(0L)).as("h1"),
-        sum(when(col("cc2") === 2, 1L).otherwise(0L)).as("h2"),
-        sum(when(col("cc2") >= 3, 1L).otherwise(0L)).as("h3p"))
-      .localCheckpoint()
-    val cu = cc2.groupBy(substring_index(col("bg"), " ", -1).as("w"))
-      .agg(count(lit(1)).as("cu")).localCheckpoint()
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "ctx").saveAsTable(names(1))
+    c3.groupBy("bg").agg(count(lit(1)).as("cc2"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "bg").saveAsTable(names(2))
+    val cc2 = spark.table(names(2))
+    cc2.groupBy(substring_index(col("bg"), " ", 1).as("v")).agg(
+      sum("cc2").as("cc2tot"),
+      sum(when(col("cc2") === 1, 1L).otherwise(0L)).as("h1"),
+      sum(when(col("cc2") === 2, 1L).otherwise(0L)).as("h2"),
+      sum(when(col("cc2") >= 3, 1L).otherwise(0L)).as("h3p"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "v").saveAsTable(names(3))
+    cc2.groupBy(substring_index(col("bg"), " ", -1).as("w"))
+      .agg(count(lit(1)).as("cu"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "w").saveAsTable(names(4))
     // count-of-count scalars, one bounded driver row per order
     val r3 = c3.agg(
       coalesce(sum(when(col("c3") === 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
@@ -927,29 +1008,18 @@ object CorpusIndex {
       count(lit(1)).as("ntypes")).head()
     require(r3.getLong(4) > 0,
       "train split has no trigram evidence — nothing to score against")
-    // the FIXED double chain (mirrored literally by the SQL twin). An
-    // order whose count-of-count classes 1..3 are not all populated cannot
-    // estimate (Y or a divisor degenerates) — it falls back to the fixed
-    // D = 3/4 for every class, the q248/SRILM pragma (kndiscount →
-    // cndiscount when counts-of-counts are unusable). Per ORDER, not per
-    // corpus: a dense synthetic corpus can have a healthy trigram profile
-    // and a degenerate continuation profile at the same time.
-    def disc(n1: Long, n2: Long, n3: Long, n4: Long): (Double, Double, Double) =
-      if (n1 > 0 && n2 > 0 && n3 > 0) {
-        val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
-        val d1 = 1.0 - 2.0 * y * n2.toDouble / n1.toDouble
-        val d2 = math.max(2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 0.1)
-        val d3 = math.max(3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 0.1)
-        (d1, d2, d3)
-      } else (0.75, 0.75, 0.75)
-    val (d13, d23, d33) = disc(r3.getLong(0), r3.getLong(1), r3.getLong(2), r3.getLong(3))
-    val (d12, d22, d32) = disc(r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))
+    val (d13, d23, d33) = mknDiscounts(r3.getLong(0), r3.getLong(1), r3.getLong(2), r3.getLong(3))
+    val (d12, d22, d32) = mknDiscounts(r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))
     val uTypes = train
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("u")).head().getLong(0)
     val tBig = r2.getLong(4) + uTypes + 1
-    MknModel(c3.select("tri", "c3"), ctx3, cc2, ctx2, cu,
-      d13, d23, d33, d12, d22, d32, tBig)
+    spark.range(1).select(
+      lit(d13).as("d13"), lit(d23).as("d23"), lit(d33).as("d33"),
+      lit(d12).as("d12"), lit(d22).as("d22"), lit(d32).as("d32"),
+      lit(tBig).as("t_big"))
+      .write.format("parquet").option("compression", "zstd")
+      .saveAsTable(names(5))
   }
 
   /** Per-document trigram modified-KN log-scores for ANY docs frame
@@ -1057,6 +1127,264 @@ object CorpusIndex {
       .orderBy("source")
   }
 
+  // ── q258: 4-gram modified Kneser–Ney held-out scoring ────────────────
+
+  /** The trained 4-gram modified-KN model — [[MknModel]]'s machinery
+    * extended one order (Chen & Goodman 1999 §3; the per-order
+    * count-of-count discount estimation and the continuation-count
+    * backoff recursion apply verbatim at every order). Tables (all
+    * PERSISTED catalog artifacts keyed by (corpus, trainPct), the
+    * [[graft.sources.ArtifactTables]] economics — the 4-gram tables are
+    * born persisted, per the r10 roadmap sequencing):
+    *   - c4(quad → count) with its context ("u v w") and backoff trigram
+    *     ("v w x") split out,
+    *   - ctx4(ctx → Σc₄ and count-class type counts N₁/N₂/N₃₊(uvw·)),
+    *   - cc3(tg → N₁₊(·vwx)) — CONTINUATION trigram counts (how many
+    *     distinct u precede "v w x"), derived from the 4-gram table with
+    *     its own context/backoff splits,
+    *   - ctx3c(ctx3 → Σ and count classes over cc3),
+    *   - cc2(bg → continuation bigram counts derived from cc3 — the
+    *     recursive adjusted-count convention q251 established: each
+    *     lower order counts distinct predecessors in the next-higher
+    *     CONTINUATION table),
+    *   - ctx2c(v → Σ and count classes over cc2), cu(w → N₁₊ of "· w").
+    * Nine discounts (three per estimated order, [[mknDiscounts]] — the
+    * same fixed IEEE chain and degenerate-profile D = ¾ fallback) and
+    * the unigram-floor denominator T land in the 1-row `_meta` table. */
+  final case class Mkn4Model(c4: DataFrame, ctx4: DataFrame,
+                             cc3: DataFrame, ctx3c: DataFrame,
+                             cc2: DataFrame, ctx2c: DataFrame,
+                             cu: DataFrame,
+                             d14: Double, d24: Double, d34: Double,
+                             d13: Double, d23: Double, d33: Double,
+                             d12: Double, d22: Double, d32: Double,
+                             tBig: Long)
+
+  def mkn4Model(t: Tables, trainPct: Int = 80): Mkn4Model = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99], got $trainPct")
+    import graft.sources.ArtifactTables
+    val spark = t.spark
+    val ident = Seq(t.dir, "mkn4", s"trainPct=$trainPct")
+    val prefix = s"graft_mkn4_${ArtifactTables.tag(ident: _*)}"
+    val names = Seq(s"${prefix}_c4", s"${prefix}_ctx4", s"${prefix}_cc3",
+      s"${prefix}_ctx3c", s"${prefix}_cc2", s"${prefix}_ctx2c",
+      s"${prefix}_cu", s"${prefix}_meta")
+    ArtifactTables.ensure(spark, prefix, names, ident.mkString("|")) {
+      mkn4Build(t, trainPct, names)
+    }
+    val meta = spark.table(names(7)).head()
+    Mkn4Model(spark.table(names.head).select("quad", "c4"),
+      spark.table(names(1)), spark.table(names(2)).select("tg", "cc3"),
+      spark.table(names(3)), spark.table(names(4)),
+      spark.table(names(5)), spark.table(names(6)),
+      meta.getAs[Double]("d14"), meta.getAs[Double]("d24"),
+      meta.getAs[Double]("d34"), meta.getAs[Double]("d13"),
+      meta.getAs[Double]("d23"), meta.getAs[Double]("d33"),
+      meta.getAs[Double]("d12"), meta.getAs[Double]("d22"),
+      meta.getAs[Double]("d32"), meta.getAs[Long]("t_big"))
+  }
+
+  /** The build side of [[mkn4Model]] — the [[mknBuild]] shape one order
+    * up: one corpus pass writes the 4-gram table; every derived table
+    * and count-of-count scalar reads the catalog. */
+  private def mkn4Build(t: Tables, trainPct: Int, names: Seq[String]): Unit = {
+    val spark = t.spark
+    val train = t.documents
+      .select(col("doc_id"), col("text"))
+      .where(Sampling.hashBucket(col("doc_id")) < trainPct)
+    train.where(size(TextAnalysis.tokens(col("text"))) >= 4)
+      .select(explode(Dedup.shingles(col("text"), 4)).as("quad"))
+      .groupBy("quad").agg(count(lit(1)).as("c4"))
+      .withColumn("ctx", substring_index(col("quad"), " ", 3))
+      .withColumn("tg", substring_index(col("quad"), " ", -3))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "quad").saveAsTable(names.head)
+    val c4 = spark.table(names.head)
+    c4.groupBy("ctx").agg(
+      sum("c4").as("c4tot"),
+      sum(when(col("c4") === 1, 1L).otherwise(0L)).as("g1"),
+      sum(when(col("c4") === 2, 1L).otherwise(0L)).as("g2"),
+      sum(when(col("c4") >= 3, 1L).otherwise(0L)).as("g3p"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "ctx").saveAsTable(names(1))
+    c4.groupBy("tg").agg(count(lit(1)).as("cc3"))
+      .withColumn("ctx3", substring_index(col("tg"), " ", 2))
+      .withColumn("bg", substring_index(col("tg"), " ", -2))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "tg").saveAsTable(names(2))
+    val cc3 = spark.table(names(2))
+    cc3.groupBy("ctx3").agg(
+      sum("cc3").as("cc3tot"),
+      sum(when(col("cc3") === 1, 1L).otherwise(0L)).as("f1"),
+      sum(when(col("cc3") === 2, 1L).otherwise(0L)).as("f2"),
+      sum(when(col("cc3") >= 3, 1L).otherwise(0L)).as("f3p"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "ctx3").saveAsTable(names(3))
+    cc3.groupBy("bg").agg(count(lit(1)).as("cc2"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "bg").saveAsTable(names(4))
+    val cc2 = spark.table(names(4))
+    cc2.groupBy(substring_index(col("bg"), " ", 1).as("v")).agg(
+      sum("cc2").as("cc2tot"),
+      sum(when(col("cc2") === 1, 1L).otherwise(0L)).as("h1"),
+      sum(when(col("cc2") === 2, 1L).otherwise(0L)).as("h2"),
+      sum(when(col("cc2") >= 3, 1L).otherwise(0L)).as("h3p"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "v").saveAsTable(names(5))
+    cc2.groupBy(substring_index(col("bg"), " ", -1).as("w"))
+      .agg(count(lit(1)).as("cu"))
+      .write.format("parquet").option("compression", "zstd")
+      .bucketBy(8, "w").saveAsTable(names(6))
+    def coc(df: DataFrame, c: String) = df.agg(
+      coalesce(sum(when(col(c) === 1, 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col(c) === 2, 1L).otherwise(0L)), lit(0L)).as("n2"),
+      coalesce(sum(when(col(c) === 3, 1L).otherwise(0L)), lit(0L)).as("n3"),
+      coalesce(sum(when(col(c) === 4, 1L).otherwise(0L)), lit(0L)).as("n4"),
+      count(lit(1)).as("ntypes")).head()
+    val r4 = coc(c4, "c4")
+    val r3 = coc(cc3, "cc3")
+    val r2 = coc(cc2, "cc2")
+    require(r4.getLong(4) > 0,
+      "train split has no 4-gram evidence — nothing to score against")
+    val (d14, d24, d34) = mknDiscounts(r4.getLong(0), r4.getLong(1), r4.getLong(2), r4.getLong(3))
+    val (d13, d23, d33) = mknDiscounts(r3.getLong(0), r3.getLong(1), r3.getLong(2), r3.getLong(3))
+    val (d12, d22, d32) = mknDiscounts(r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))
+    val uTypes = train
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("u")).head().getLong(0)
+    val tBig = r2.getLong(4) + uTypes + 1
+    spark.range(1).select(
+      lit(d14).as("d14"), lit(d24).as("d24"), lit(d34).as("d34"),
+      lit(d13).as("d13"), lit(d23).as("d23"), lit(d33).as("d33"),
+      lit(d12).as("d12"), lit(d22).as("d22"), lit(d32).as("d32"),
+      lit(tBig).as("t_big"))
+      .write.format("parquet").option("compression", "zstd")
+      .saveAsTable(names(7))
+  }
+
+  /** Per-document 4-gram modified-KN log-scores for ANY docs frame
+    * (doc_id, source, text) — [[mknDocScores]]'s recursion one order up.
+    * Per 4-gram occurrence (u, v, w, x):
+    *   P₁ = (N₁₊(·x)+1)/T (the open-vocabulary floor),
+    *   P₂ = (N₁₊(·wx) − D₂)⁺/N₁₊(·w·) + γ₂(w)·P₁ when "w" is a seen
+    *        continuation context, else P₁,
+    *   P₃ = (N₁₊(·vwx) − D₃)⁺/N₁₊(·vw·) + γ₃(vw)·P₂ when "v w" is seen,
+    *        else P₂,
+    *   P₄ = (c(uvwx) − D₄)⁺/c(uvw·) + γ₄(uvw)·P₃ when "u v w" is seen,
+    *        else P₃;
+    * ord records the deepest seen level (4/3/2/1/0). Scoring per
+    * DISTINCT 4-gram type then one fan-out join — the q246/q248/q251
+    * scale shape: corpus-linear, all equi-joins against persisted
+    * bucketed tables. */
+  def mkn4DocScores(docs: DataFrame, m: Mkn4Model): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val occ = docs.where(size(TextAnalysis.tokens(col("text"))) >= 4)
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 4)).as("quad"))
+    val types = occ.select("quad").distinct()
+      .withColumn("ctx", substring_index(col("quad"), " ", 3))
+      .withColumn("tg", substring_index(col("quad"), " ", -3))
+      .withColumn("ctx3", substring_index(col("tg"), " ", 2))
+      .withColumn("bg", substring_index(col("tg"), " ", -2))
+      .withColumn("v", substring_index(col("bg"), " ", 1))
+      .withColumn("w", substring_index(col("bg"), " ", -1))
+    val tD = lit(m.tBig).cast("double")
+    val scored = types
+      .join(m.c4, Seq("quad"), "left")
+      .join(m.ctx4, Seq("ctx"), "left")
+      .join(m.cc3, Seq("tg"), "left")
+      .join(m.ctx3c, Seq("ctx3"), "left")
+      .join(m.cc2, Seq("bg"), "left")
+      .join(m.ctx2c, Seq("v"), "left")
+      .join(m.cu, Seq("w"), "left")
+      .withColumn("p1",
+        (coalesce(col("cu"), lit(0L)) + 1).cast("double") / tD)
+      .withColumn("p2",
+        when(col("cc2tot").isNotNull,
+          greatest(coalesce(col("cc2"), lit(0L)).cast("double") -
+            when(coalesce(col("cc2"), lit(0L)) === 0, lit(0.0))
+              .when(col("cc2") === 1, lit(m.d12))
+              .when(col("cc2") === 2, lit(m.d22))
+              .otherwise(lit(m.d32)), lit(0.0)) /
+            col("cc2tot").cast("double") +
+            ((lit(m.d12) * col("h1").cast("double") +
+              lit(m.d22) * col("h2").cast("double") +
+              lit(m.d32) * col("h3p").cast("double")) /
+              col("cc2tot").cast("double")) * col("p1"))
+          .otherwise(col("p1")))
+      .withColumn("p3",
+        when(col("cc3tot").isNotNull,
+          greatest(coalesce(col("cc3"), lit(0L)).cast("double") -
+            when(coalesce(col("cc3"), lit(0L)) === 0, lit(0.0))
+              .when(col("cc3") === 1, lit(m.d13))
+              .when(col("cc3") === 2, lit(m.d23))
+              .otherwise(lit(m.d33)), lit(0.0)) /
+            col("cc3tot").cast("double") +
+            ((lit(m.d13) * col("f1").cast("double") +
+              lit(m.d23) * col("f2").cast("double") +
+              lit(m.d33) * col("f3p").cast("double")) /
+              col("cc3tot").cast("double")) * col("p2"))
+          .otherwise(col("p2")))
+      .withColumn("p4",
+        when(col("c4tot").isNotNull,
+          greatest(coalesce(col("c4"), lit(0L)).cast("double") -
+            when(coalesce(col("c4"), lit(0L)) === 0, lit(0.0))
+              .when(col("c4") === 1, lit(m.d14))
+              .when(col("c4") === 2, lit(m.d24))
+              .otherwise(lit(m.d34)), lit(0.0)) /
+            col("c4tot").cast("double") +
+            ((lit(m.d14) * col("g1").cast("double") +
+              lit(m.d24) * col("g2").cast("double") +
+              lit(m.d34) * col("g3p").cast("double")) /
+              col("c4tot").cast("double")) * col("p3"))
+          .otherwise(col("p3")))
+      .withColumn("ord",
+        when(col("c4tot").isNotNull, lit(4))
+          .when(col("cc3tot").isNotNull, lit(3))
+          .when(col("cc2tot").isNotNull, lit(2))
+          .when(col("cu").isNotNull, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("score", log10(col("p4")))
+      .select("quad", "ord", "score")
+    occ.join(scored, Seq("quad"))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_trans"),
+        sum(when(col("ord") === 4, 1L).otherwise(0L)).as("n_mkn4"),
+        sum(when(col("ord") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("ord") === 2, 1L).otherwise(0L)).as("n_big"),
+        sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n_cont"),
+        sum(when(col("ord") === 0, 1L).otherwise(0L)).as("n_oov"),
+        E.davg(col("score")).as("doc_log10"))
+  }
+
+  /** q258: 4-gram modified-Kneser–Ney held-out scoring — the q251
+    * machinery extended one order (the r10 roadmap item): a longer
+    * context sharpens the quality filter where 4-gram evidence exists
+    * and the continuation-count backoff chain degrades gracefully where
+    * it does not; the per-source order-resolution cross-tab now shows
+    * how much of the held-out corpus each context depth covers. */
+  def mkn4HeldOutScore(t: Tables, trainPct: Int = 80): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val m = mkn4Model(t, trainPct)
+    val held = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(Sampling.hashBucket(col("doc_id")) >= trainPct)
+    mkn4DocScores(held, m)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_trans").as("n_trans"),
+        sum("n_mkn4").as("n_mkn4"),
+        sum("n_tri").as("n_tri"),
+        sum("n_big").as("n_big"),
+        sum("n_cont").as("n_cont"),
+        sum("n_oov").as("n_oov"),
+        E.davg(col("doc_log10")).as("avg_doc_log10"))
+      .orderBy("source")
+  }
+
   // ── q254: next-token surprisal against the persisted index ───────────
 
   /** The surprisal model: the PERSISTED q244 bucketed next-token index
@@ -1069,11 +1397,7 @@ object CorpusIndex {
 
   def surprisalModel(t: Tables, n: Int = 3): SurprisalModel = {
     val spark = t.spark
-    val tag = ((t.dir, n).hashCode & 0x7fffffff).toHexString
-    val prefix = s"graft_ntidx_$tag"
-    val key = s"${System.identityHashCode(spark.sessionState)}:$prefix"
-    if (ntIdxBuilt.add(key) || !spark.catalog.tableExists(s"${prefix}_counts"))
-      writeNextTokenIndex(t, prefix, n)
+    val prefix = ntIndexPrefix(t, n)
     val counts = spark.table(s"${prefix}_counts")
     val totals = spark.table(s"${prefix}_totals")
     val nTotal = totals.agg(coalesce(sum("context_total"), lit(0L)).as("nt"))
@@ -1214,38 +1538,41 @@ object CorpusIndex {
     * crawl data" §4.3 — the ACTUAL consumption of an LM quality score):
     * every document that survives the q71 quality funnel is scored by the
     * q248 interpolated-KN model ([[knDocScores]]), the corpus-wide tercile
-    * boundaries of the per-doc mean log₁₀ score are taken with
-    * `percentile_disc` (an ACTUAL data value — deterministic and replayed
-    * exactly by DuckDB's quantile_disc, the q51 discipline; never an
-    * interpolated midpoint), and each document lands in `head` (top third,
-    * best modeled), `middle`, or `tail`. Report per (bucket, source):
-    * doc count and mean score — the per-source shift view a curation run
-    * publishes before choosing which buckets to train on.
+    * boundaries of the per-doc mean log₁₀ score are taken as the
+    * `percentile_disc` VALUES (ACTUAL data values — deterministic and
+    * replayed exactly by DuckDB's quantile_disc, the q51 discipline;
+    * never an interpolated midpoint) via the bounded-memory disc
+    * selection ([[graft.operators.Analytics.gridQuantileDiscs]] — the
+    * q107/q170 grid machinery refined to exact order statistics, O(grid)
+    * counters instead of a single reducer buffering every doc score),
+    * and each document lands in `head` (top third, best modeled),
+    * `middle`, or `tail`. Report per (bucket, source): doc count and
+    * mean score — the per-source shift view a curation run publishes
+    * before choosing which buckets to train on.
     *
     * Scale shape: the funnel is a narrow scan filter, scoring is the
-    * corpus-linear q248 path, the boundary frame is TWO driver-side
-    * values broadcast back, and the roll-up is one hash aggregate —
-    * nothing new shuffles beyond the scorer itself. */
+    * corpus-linear q248 path, the boundaries are TWO driver scalars
+    * broadcast back as literals, and the roll-up is one hash aggregate —
+    * nothing new shuffles beyond the scorer itself, and no stage buffers
+    * more than O(grid) per task at any corpus size. */
   def perplexityBuckets(t: Tables, trainPct: Int = 80): DataFrame = {
     val E = graft.functions.ExactAgg
     val m = knModel(t, trainPct)
     val passing = t.documents
       .select(col("doc_id"), col("source"), col("text"))
       .where(TextAnalysis.qualityPass(col("text")))
-    // feeds the boundary aggregate AND the bucket assignment — one scoring
+    // feeds the boundary selection AND the bucket assignment — one scoring
     // pass, materialized (doc-count-sized, freed with the frame)
     val perDoc = knDocScores(passing, m)
       .select(col("doc_id"), col("source"), col("doc_log10"))
       .localCheckpoint()
-    val bounds = perDoc.agg(
-      expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
-        "(ORDER BY doc_log10)").as("p_lo"),
-      expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
-        "(ORDER BY doc_log10)").as("p_hi"))
-    perDoc.crossJoin(broadcast(bounds))
+    val bounds = graft.operators.Analytics.gridQuantileDiscs(
+      perDoc, "doc_log10", Seq(0.3333333333333333, 0.6666666666666666))
+    val (pLo, pHi) = (bounds.head, bounds(1))
+    perDoc
       .withColumn("bucket",
-        when(col("doc_log10") >= col("p_hi"), lit("head"))
-          .when(col("doc_log10") >= col("p_lo"), lit("middle"))
+        when(col("doc_log10") >= lit(pHi), lit("head"))
+          .when(col("doc_log10") >= lit(pLo), lit("middle"))
           .otherwise(lit("tail")))
       .groupBy(col("bucket"), col("source"))
       .agg(
@@ -1489,6 +1816,225 @@ object CorpusIndex {
        |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The per-doc 4-gram modified-KN CTE chain ending at `${p}doc` — the
+    * [[mknDocCtes]] recursion one order up, same prefix convention; the
+    * discount CASEs, the continuation-count derivations and the nested
+    * branch CASEs mirror [[mkn4DocScores]]/[[mkn4Build]] operation for
+    * operation (the q251 fixed-IEEE-chain oracle discipline). */
+  private def mkn4DocCtes(p: String): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""${p}c4 AS (
+       |  SELECT array_to_string(tks[i:i+3], ' ') AS quad,
+       |         array_to_string(tks[i:i+2], ' ') AS ctx,
+       |         array_to_string(tks[i+1:i+3], ' ') AS tg,
+       |         count(*) AS c4
+       |  FROM tr, unnest(range(1, len(tks) - 2)) u(i)
+       |  WHERE len(tks) >= 4 GROUP BY 1, 2, 3),
+       |${p}ctx4 AS (
+       |  SELECT ctx, CAST(sum(c4) AS BIGINT) AS c4tot,
+       |    CAST(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+       |    CAST(sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+       |    CAST(sum(CASE WHEN c4 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3p
+       |  FROM ${p}c4 GROUP BY 1),
+       |${p}cc3 AS (SELECT tg, count(*) AS cc3 FROM ${p}c4 GROUP BY 1),
+       |${p}cc3s AS (
+       |  SELECT tg, cc3,
+       |    array_to_string((string_split(tg, ' '))[1:2], ' ') AS ctx3,
+       |    array_to_string((string_split(tg, ' '))[2:3], ' ') AS bg
+       |  FROM ${p}cc3),
+       |${p}ctx3c AS (
+       |  SELECT ctx3, CAST(sum(cc3) AS BIGINT) AS cc3tot,
+       |    CAST(sum(CASE WHEN cc3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+       |    CAST(sum(CASE WHEN cc3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+       |    CAST(sum(CASE WHEN cc3 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS f3p
+       |  FROM ${p}cc3s GROUP BY 1),
+       |${p}cc2x AS (SELECT bg, count(*) AS cc2 FROM ${p}cc3s GROUP BY 1),
+       |${p}cc2s AS (
+       |  SELECT bg, cc2,
+       |    string_split(bg, ' ')[1] AS v,
+       |    string_split(bg, ' ')[-1] AS w
+       |  FROM ${p}cc2x),
+       |${p}ctx2c AS (
+       |  SELECT v, CAST(sum(cc2) AS BIGINT) AS cc2tot,
+       |    CAST(sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+       |    CAST(sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+       |    CAST(sum(CASE WHEN cc2 >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3p
+       |  FROM ${p}cc2s GROUP BY 1),
+       |${p}cuc AS (
+       |  SELECT w, count(*) AS cu FROM ${p}cc2s GROUP BY 1),
+       |${p}cg4 AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN c4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN c4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN c4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN c4 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM ${p}c4),
+       |${p}cg3 AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN cc3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN cc3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN cc3 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN cc3 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM ${p}cc3),
+       |${p}cg2 AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN cc2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN cc2 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN cc2 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       |    CAST(sum(CASE WHEN cc2 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |  FROM ${p}cc2x),
+       |${p}y4 AS (
+       |  SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+       |    ELSE 0.0 END AS y FROM ${p}cg4),
+       |${p}y3 AS (
+       |  SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+       |    ELSE 0.0 END AS y FROM ${p}cg3),
+       |${p}y2 AS (
+       |  SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
+       |    / (CAST(n1 AS DOUBLE) + 2.0 * CAST(n2 AS DOUBLE))
+       |    ELSE 0.0 END AS y FROM ${p}cg2),
+       |${p}disc AS (
+       |  SELECT
+       |    CASE WHEN cg4.n1 > 0 AND cg4.n2 > 0 AND cg4.n3 > 0
+       |      THEN 1.0 - 2.0 * y4.y * CAST(cg4.n2 AS DOUBLE) / CAST(cg4.n1 AS DOUBLE)
+       |      ELSE 0.75 END AS d14,
+       |    CASE WHEN cg4.n1 > 0 AND cg4.n2 > 0 AND cg4.n3 > 0
+       |      THEN greatest(2.0 - 3.0 * y4.y * CAST(cg4.n3 AS DOUBLE) / CAST(cg4.n2 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d24,
+       |    CASE WHEN cg4.n1 > 0 AND cg4.n2 > 0 AND cg4.n3 > 0
+       |      THEN greatest(3.0 - 4.0 * y4.y * CAST(cg4.n4 AS DOUBLE) / CAST(cg4.n3 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d34,
+       |    CASE WHEN cg3.n1 > 0 AND cg3.n2 > 0 AND cg3.n3 > 0
+       |      THEN 1.0 - 2.0 * y3.y * CAST(cg3.n2 AS DOUBLE) / CAST(cg3.n1 AS DOUBLE)
+       |      ELSE 0.75 END AS d13,
+       |    CASE WHEN cg3.n1 > 0 AND cg3.n2 > 0 AND cg3.n3 > 0
+       |      THEN greatest(2.0 - 3.0 * y3.y * CAST(cg3.n3 AS DOUBLE) / CAST(cg3.n2 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d23,
+       |    CASE WHEN cg3.n1 > 0 AND cg3.n2 > 0 AND cg3.n3 > 0
+       |      THEN greatest(3.0 - 4.0 * y3.y * CAST(cg3.n4 AS DOUBLE) / CAST(cg3.n3 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d33,
+       |    CASE WHEN cg2.n1 > 0 AND cg2.n2 > 0 AND cg2.n3 > 0
+       |      THEN 1.0 - 2.0 * y2.y * CAST(cg2.n2 AS DOUBLE) / CAST(cg2.n1 AS DOUBLE)
+       |      ELSE 0.75 END AS d12,
+       |    CASE WHEN cg2.n1 > 0 AND cg2.n2 > 0 AND cg2.n3 > 0
+       |      THEN greatest(2.0 - 3.0 * y2.y * CAST(cg2.n3 AS DOUBLE) / CAST(cg2.n2 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d22,
+       |    CASE WHEN cg2.n1 > 0 AND cg2.n2 > 0 AND cg2.n3 > 0
+       |      THEN greatest(3.0 - 4.0 * y2.y * CAST(cg2.n4 AS DOUBLE) / CAST(cg2.n3 AS DOUBLE), 0.1)
+       |      ELSE 0.75 END AS d32
+       |  FROM ${p}cg4 cg4, ${p}cg3 cg3, ${p}cg2 cg2,
+       |       ${p}y4 y4, ${p}y3 y3, ${p}y2 y2),
+       |${p}tt AS (
+       |  SELECT (SELECT count(*) FROM ${p}cc2x)
+       |       + (SELECT count(DISTINCT u.tok)
+       |          FROM (SELECT unnest(tks) AS tok FROM tr) u) + 1 AS t),
+       |${p}occ AS (
+       |  SELECT doc_id, source,
+       |         array_to_string(tks[i:i+3], ' ') AS quad,
+       |         array_to_string(tks[i:i+2], ' ') AS ctx,
+       |         array_to_string(tks[i+1:i+3], ' ') AS tg,
+       |         array_to_string(tks[i+1:i+2], ' ') AS ctx3,
+       |         array_to_string(tks[i+2:i+3], ' ') AS bg,
+       |         tks[i+2] AS v, tks[i+3] AS w
+       |  FROM ho, unnest(range(1, len(tks) - 2)) u(i)
+       |  WHERE len(tks) >= 4),
+       |${p}j AS (
+       |  SELECT o.doc_id, o.source,
+       |    c4.c4 AS c4, x4.c4tot, x4.g1, x4.g2, x4.g3p,
+       |    c3.cc3 AS cc3, x3.cc3tot, x3.f1, x3.f2, x3.f3p,
+       |    cb.cc2 AS cc2, x2.cc2tot, x2.h1, x2.h2, x2.h3p, cu.cu,
+       |    disc.*, tt.t
+       |  FROM ${p}occ o
+       |  LEFT JOIN ${p}c4 c4 ON c4.quad = o.quad
+       |  LEFT JOIN ${p}ctx4 x4 ON x4.ctx = o.ctx
+       |  LEFT JOIN ${p}cc3 c3 ON c3.tg = o.tg
+       |  LEFT JOIN ${p}ctx3c x3 ON x3.ctx3 = o.ctx3
+       |  LEFT JOIN ${p}cc2x cb ON cb.bg = o.bg
+       |  LEFT JOIN ${p}ctx2c x2 ON x2.v = o.v
+       |  LEFT JOIN ${p}cuc cu ON cu.w = o.w
+       |  CROSS JOIN ${p}disc disc CROSS JOIN ${p}tt tt),
+       |${p}s1 AS (
+       |  SELECT *,
+       |    CAST(COALESCE(cu, 0) + 1 AS DOUBLE) / CAST(t AS DOUBLE) AS p1
+       |  FROM ${p}j),
+       |${p}s2 AS (
+       |  SELECT *,
+       |    CASE WHEN cc2tot IS NOT NULL THEN
+       |      greatest(CAST(COALESCE(cc2, 0) AS DOUBLE) -
+       |        (CASE WHEN COALESCE(cc2, 0) = 0 THEN 0.0
+       |              WHEN cc2 = 1 THEN d12
+       |              WHEN cc2 = 2 THEN d22
+       |              ELSE d32 END), 0.0) /
+       |        CAST(cc2tot AS DOUBLE) +
+       |        ((d12 * CAST(h1 AS DOUBLE) +
+       |          d22 * CAST(h2 AS DOUBLE) +
+       |          d32 * CAST(h3p AS DOUBLE)) /
+       |          CAST(cc2tot AS DOUBLE)) * p1
+       |    ELSE p1 END AS p2
+       |  FROM ${p}s1),
+       |${p}s3 AS (
+       |  SELECT *,
+       |    CASE WHEN cc3tot IS NOT NULL THEN
+       |      greatest(CAST(COALESCE(cc3, 0) AS DOUBLE) -
+       |        (CASE WHEN COALESCE(cc3, 0) = 0 THEN 0.0
+       |              WHEN cc3 = 1 THEN d13
+       |              WHEN cc3 = 2 THEN d23
+       |              ELSE d33 END), 0.0) /
+       |        CAST(cc3tot AS DOUBLE) +
+       |        ((d13 * CAST(f1 AS DOUBLE) +
+       |          d23 * CAST(f2 AS DOUBLE) +
+       |          d33 * CAST(f3p AS DOUBLE)) /
+       |          CAST(cc3tot AS DOUBLE)) * p2
+       |    ELSE p2 END AS p3
+       |  FROM ${p}s2),
+       |${p}s4 AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN c4tot IS NOT NULL THEN 4
+       |         WHEN cc3tot IS NOT NULL THEN 3
+       |         WHEN cc2tot IS NOT NULL THEN 2
+       |         WHEN cu IS NOT NULL THEN 1
+       |         ELSE 0 END AS ord,
+       |    log10(CASE WHEN c4tot IS NOT NULL THEN
+       |      greatest(CAST(COALESCE(c4, 0) AS DOUBLE) -
+       |        (CASE WHEN COALESCE(c4, 0) = 0 THEN 0.0
+       |              WHEN c4 = 1 THEN d14
+       |              WHEN c4 = 2 THEN d24
+       |              ELSE d34 END), 0.0) /
+       |        CAST(c4tot AS DOUBLE) +
+       |        ((d14 * CAST(g1 AS DOUBLE) +
+       |          d24 * CAST(g2 AS DOUBLE) +
+       |          d34 * CAST(g3p AS DOUBLE)) /
+       |          CAST(c4tot AS DOUBLE)) * p3
+       |    ELSE p3 END) AS score
+       |  FROM ${p}s3),
+       |${p}doc AS (
+       |  SELECT doc_id, source, count(*) AS n_trans,
+       |    CAST(sum(CASE WHEN ord = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_mkn4,
+       |    CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+       |    CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       |    CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cont,
+       |    CAST(sum(CASE WHEN ord = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |    ${O.davg("score")} AS doc_log10
+       |  FROM ${p}s4 GROUP BY 1, 2)""".stripMargin
+  }
+
+  def mkn4HeldOutScoreSql(trainPct: Int = 80): String = {
+    val O = graft.functions.ExactAgg.Sql
+    s"""WITH ${splitCtes(trainPct)},
+       |${mkn4DocCtes("")}
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_trans) AS BIGINT) AS n_trans,
+       |  CAST(sum(n_mkn4) AS BIGINT) AS n_mkn4,
+       |  CAST(sum(n_tri) AS BIGINT) AS n_tri,
+       |  CAST(sum(n_big) AS BIGINT) AS n_big,
+       |  CAST(sum(n_cont) AS BIGINT) AS n_cont,
+       |  CAST(sum(n_oov) AS BIGINT) AS n_oov,
+       |  ${O.davg("doc_log10")} AS avg_doc_log10
+       |FROM doc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ── q255: scorer-agreement cube ───────────────────────────────────────
 
   /** q255: the LM-scorer AGREEMENT cube — do the cheap and expensive
@@ -1497,7 +2043,10 @@ object CorpusIndex {
     * engine ships (q246 Stupid Backoff — model-free; q248 interpolated
     * bigram KN; q251 trigram modified KN — the production-grade one),
     * each scorer's head/middle/tail terciles are cut on the SAME joined
-    * doc set with `percentile_disc` (the q253 boundary discipline), and
+    * doc set at the `percentile_disc` values (the q253 boundary
+    * discipline — computed scale-safe via [[graft.operators.Analytics
+    * .gridQuantileDiscs]], six driver scalars instead of one all-values
+    * aggregation buffer), and
     * the 3×3×3 contingency cube is reported: one row per bucket triple
     * with its doc count. Mass on the diagonal = the cheap scorer is a
     * faithful proxy; off-diagonal corners = documents a backoff scorer
@@ -1506,8 +2055,9 @@ object CorpusIndex {
     * dup-signal agreement cross-tab, applied to the scorer family.
     *
     * Scale shape: three corpus-linear scorer passes (each the established
-    * q246/q248/q251 plan), one doc-keyed 3-way equi-join, a 6-value
-    * boundary frame broadcast back, one roll-up to ≤ 27 rows. */
+    * q246/q248/q251 plan), one doc-keyed 3-way equi-join, six
+    * grid-selected boundary scalars folded back as literals, one roll-up
+    * to ≤ 27 rows. */
   def scorerAgreement(t: Tables, trainPct: Int = 80): DataFrame = {
     val held = t.documents
       .select(col("doc_id"), col("source"), col("text"))
@@ -1523,28 +2073,17 @@ object CorpusIndex {
     // boundary aggregate AND the bucket assignment
     val j = bo.join(kn, Seq("doc_id")).join(mk, Seq("doc_id"))
       .localCheckpoint()
-    val bounds = j.agg(
-      expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
-        "(ORDER BY bo_score)").as("bo_lo"),
-      expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
-        "(ORDER BY bo_score)").as("bo_hi"),
-      expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
-        "(ORDER BY kn_score)").as("kn_lo"),
-      expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
-        "(ORDER BY kn_score)").as("kn_hi"),
-      expr("percentile_disc(0.3333333333333333) WITHIN GROUP " +
-        "(ORDER BY mkn_score)").as("mkn_lo"),
-      expr("percentile_disc(0.6666666666666666) WITHIN GROUP " +
-        "(ORDER BY mkn_score)").as("mkn_hi"))
-    def bucket(s: String, lo: String, hi: String) =
-      when(col(s) >= col(hi), lit("head"))
-        .when(col(s) >= col(lo), lit("middle"))
+    val terciles = Seq(0.3333333333333333, 0.6666666666666666)
+    def cuts(c: String): Seq[Double] =
+      graft.operators.Analytics.gridQuantileDiscs(j, c, terciles)
+    def bucket(s: String, lohi: Seq[Double]) =
+      when(col(s) >= lit(lohi(1)), lit("head"))
+        .when(col(s) >= lit(lohi.head), lit("middle"))
         .otherwise(lit("tail"))
-    j.crossJoin(broadcast(bounds))
-      .select(
-        bucket("bo_score", "bo_lo", "bo_hi").as("bo_bucket"),
-        bucket("kn_score", "kn_lo", "kn_hi").as("kn_bucket"),
-        bucket("mkn_score", "mkn_lo", "mkn_hi").as("mkn_bucket"))
+    j.select(
+        bucket("bo_score", cuts("bo_score")).as("bo_bucket"),
+        bucket("kn_score", cuts("kn_score")).as("kn_bucket"),
+        bucket("mkn_score", cuts("mkn_score")).as("mkn_bucket"))
       .groupBy("bo_bucket", "kn_bucket", "mkn_bucket")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bo_bucket", "kn_bucket", "mkn_bucket")
@@ -1586,6 +2125,189 @@ object CorpusIndex {
        |  count(*) AS n_docs
        |FROM jd CROSS JOIN bnd
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ── q257: quality × novelty crawl-triage grid ─────────────────────────
+
+  /** q257: the 2-D crawl-triage grid — q253's perplexity QUALITY terciles
+    * crossed with q254's surprisal-vs-served-index NOVELTY terciles on
+    * the same funnel-passing documents: each doc lands in a 3×3 cell and
+    * the cell determines the dataset-build action. Triage policy (a
+    * deterministic CASE, replayed by the oracle): the quality TAIL is
+    * `drop`ped wholesale (badly modeled by the corpus LM — the CCNet
+    * cut, whatever its novelty: junk that is also novel is still junk);
+    * surviving docs in the novelty HEAD are `reprocess` (well-modeled
+    * content whose transitions the SERVED index finds most surprising —
+    * the crawl-frontier signal: content the index has not absorbed, worth
+    * a recrawl/priority pass); everything else is `keep`. Report per
+    * cell: doc count and both mean scores.
+    *
+    * This is the composition the r10 roadmap called for — quality alone
+    * (q253) cannot distinguish "well-modeled because valuable" from
+    * "well-modeled because already memorized"; novelty alone (q254)
+    * cannot distinguish "novel because new" from "novel because garbage".
+    * The grid separates all four corners.
+    *
+    * Scale shape: one KN scoring pass + one surprisal scoring pass (both
+    * corpus-linear, the index/model sides read persisted artifacts), a
+    * doc-keyed equi-join materialized once, four boundary scalars from
+    * the bounded-memory [[graft.operators.Analytics.gridQuantileDiscs]]
+    * selection (the q253 r11 discipline — never a single-buffer
+    * percentile), one ≤9-cell roll-up. */
+  def qualityNoveltyGrid(t: Tables, trainPct: Int = 80,
+                         n: Int = 3): DataFrame = {
+    val E = graft.functions.ExactAgg
+    val m = knModel(t, trainPct)
+    val sm = surprisalModel(t, n)
+    val passing = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(TextAnalysis.qualityPass(col("text")))
+    val quality = knDocScores(passing, m)
+      .select(col("doc_id"), col("doc_log10"))
+    val novelty = surprisalDocScores(passing, sm, n)
+      .select(col("doc_id"), col("doc_surprisal"))
+    // one materialization feeds both boundary selections AND the grid
+    val j = quality.join(novelty, Seq("doc_id")).localCheckpoint()
+    val ts = Seq(0.3333333333333333, 0.6666666666666666)
+    val qb = graft.operators.Analytics.gridQuantileDiscs(j, "doc_log10", ts)
+    val sb = graft.operators.Analytics.gridQuantileDiscs(j, "doc_surprisal", ts)
+    def bucket(c: String, lohi: Seq[Double]) =
+      when(col(c) >= lit(lohi(1)), lit("head"))
+        .when(col(c) >= lit(lohi.head), lit("middle"))
+        .otherwise(lit("tail"))
+    j.select(
+        bucket("doc_log10", qb).as("quality_bucket"),
+        bucket("doc_surprisal", sb).as("novelty_bucket"),
+        col("doc_log10"), col("doc_surprisal"))
+      .withColumn("triage",
+        when(col("quality_bucket") === "tail", lit("drop"))
+          .when(col("novelty_bucket") === "head", lit("reprocess"))
+          .otherwise(lit("keep")))
+      .groupBy("quality_bucket", "novelty_bucket", "triage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        E.davg(col("doc_log10")).as("avg_doc_log10"),
+        E.davg(col("doc_surprisal")).as("avg_doc_surprisal"))
+      .orderBy("quality_bucket", "novelty_bucket")
+  }
+
+  /** DuckDB twin of [[qualityNoveltyGrid]]: q253's funnel + KN scoring
+    * chain and q254's surprisal chain (index counts recomputed from the
+    * raw corpus, occurrences restricted to the funnel-passing docs)
+    * joined on doc_id, quantile_disc boundaries, the same bucket and
+    * triage CASEs. */
+  def qualityNoveltyGridSql(trainPct: Int = 80, n: Int = 3): String = {
+    val O = graft.functions.ExactAgg.Sql
+    val h = s"((${Sampling.splitHashSql("doc_id")}) % 100)"
+    val stop = TextAnalysis.stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |         string_split_regex(trim(text), '\\s+') AS tks,
+       |         $h AS b
+       |  FROM documents),
+       |tr AS (SELECT * FROM d WHERE b < $trainPct),
+       |pass AS (
+       |  SELECT * FROM d
+       |  WHERE len(tks) BETWEEN 10 AND 100000
+       |    AND CAST(length(text) AS DOUBLE) / len(tks) >= 2.0e0
+       |    AND CAST(length(text) AS DOUBLE) / len(tks) <= 12.0e0
+       |    AND CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks) >= 0.3e0
+       |    AND len(list_filter(tks, tk -> list_contains($stop, tk))) >= 1),
+       |c2 AS (
+       |  SELECT array_to_string(tks[i:i+1], ' ') AS bigram, count(*) AS c2
+       |  FROM tr, unnest(range(1, len(tks))) u(i)
+       |  WHERE len(tks) >= 2 GROUP BY 1),
+       |c2s AS (
+       |  SELECT bigram, c2,
+       |    string_split(bigram, ' ')[1] AS v,
+       |    string_split(bigram, ' ')[-1] AS w
+       |  FROM c2),
+       |lf AS (
+       |  SELECT v, CAST(sum(c2) AS BIGINT) AS c_left, count(*) AS n1f
+       |  FROM c2s GROUP BY 1),
+       |np AS (SELECT w, count(*) AS n1p FROM c2s GROUP BY 1),
+       |tt AS (
+       |  SELECT (SELECT count(*) FROM c2s)
+       |       + (SELECT count(DISTINCT u.tok)
+       |          FROM (SELECT unnest(tks) AS tok FROM tr) u) + 1 AS t),
+       |kocc AS (
+       |  SELECT doc_id,
+       |         array_to_string(tks[i:i+1], ' ') AS bigram,
+       |         tks[i] AS v, tks[i+1] AS w
+       |  FROM pass, unnest(range(1, len(tks))) u(i)
+       |  WHERE len(tks) >= 2),
+       |ksc AS (
+       |  SELECT o.doc_id,
+       |    log10(CASE WHEN lf.c_left IS NOT NULL THEN
+       |        CAST(greatest(COALESCE(cb.c2, 0) * 4 - 3, 0) * tt.t
+       |             + 3 * lf.n1f * (COALESCE(np.n1p, 0) + 1) AS DOUBLE)
+       |        / CAST(4 * lf.c_left * tt.t AS DOUBLE)
+       |      ELSE CAST(COALESCE(np.n1p, 0) + 1 AS DOUBLE)
+       |           / CAST(tt.t AS DOUBLE) END) AS score
+       |  FROM kocc o
+       |  LEFT JOIN c2s cb ON cb.bigram = o.bigram
+       |  LEFT JOIN lf ON lf.v = o.v
+       |  LEFT JOIN np ON np.w = o.w
+       |  CROSS JOIN tt),
+       |kdoc AS (
+       |  SELECT doc_id, ${O.davg("score")} AS doc_log10
+       |  FROM ksc GROUP BY 1),
+       |sg AS (
+       |  SELECT array_to_string(tks[i:i+${n - 2}], ' ') AS context,
+       |         tks[i+${n - 1}] AS next
+       |  FROM d, unnest(range(1, len(tks) - ${n - 2})) u(i)
+       |  WHERE len(tks) >= $n),
+       |scnt AS (SELECT context, next, count(*) AS cnt FROM sg GROUP BY 1, 2),
+       |stot AS (SELECT context, CAST(sum(cnt) AS BIGINT) AS context_total
+       |         FROM scnt GROUP BY 1),
+       |snt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM scnt),
+       |socc AS (
+       |  SELECT doc_id,
+       |         array_to_string(tks[i:i+${n - 2}], ' ') AS context,
+       |         tks[i+${n - 1}] AS next
+       |  FROM pass, unnest(range(1, len(tks) - ${n - 2})) u(i)
+       |  WHERE len(tks) >= $n),
+       |ssc AS (
+       |  SELECT o.doc_id,
+       |    -log10(CASE WHEN c.cnt IS NOT NULL THEN
+       |        CAST(c.cnt AS DOUBLE) / CAST(t.context_total AS DOUBLE)
+       |      WHEN t.context_total IS NOT NULL THEN
+       |        1.0 / CAST(t.context_total + 1 AS DOUBLE)
+       |      ELSE 1.0 / CAST(nt.n_total + 1 AS DOUBLE) END) AS surprisal
+       |  FROM socc o
+       |  LEFT JOIN scnt c ON c.context = o.context AND c.next = o.next
+       |  LEFT JOIN stot t ON t.context = o.context
+       |  CROSS JOIN snt nt),
+       |sdoc AS (
+       |  SELECT doc_id, ${O.davg("surprisal")} AS doc_surprisal
+       |  FROM ssc GROUP BY 1),
+       |jd AS (
+       |  SELECT k.doc_id, k.doc_log10, s.doc_surprisal
+       |  FROM kdoc k JOIN sdoc s ON s.doc_id = k.doc_id),
+       |bnd AS (
+       |  SELECT quantile_disc(doc_log10, 0.3333333333333333) AS q_lo,
+       |         quantile_disc(doc_log10, 0.6666666666666666) AS q_hi,
+       |         quantile_disc(doc_surprisal, 0.3333333333333333) AS s_lo,
+       |         quantile_disc(doc_surprisal, 0.6666666666666666) AS s_hi
+       |  FROM jd),
+       |lab AS (
+       |  SELECT
+       |    CASE WHEN doc_log10 >= q_hi THEN 'head'
+       |         WHEN doc_log10 >= q_lo THEN 'middle'
+       |         ELSE 'tail' END AS quality_bucket,
+       |    CASE WHEN doc_surprisal >= s_hi THEN 'head'
+       |         WHEN doc_surprisal >= s_lo THEN 'middle'
+       |         ELSE 'tail' END AS novelty_bucket,
+       |    doc_log10, doc_surprisal
+       |  FROM jd CROSS JOIN bnd)
+       |SELECT quality_bucket, novelty_bucket,
+       |  CASE WHEN quality_bucket = 'tail' THEN 'drop'
+       |       WHEN novelty_bucket = 'head' THEN 'reprocess'
+       |       ELSE 'keep' END AS triage,
+       |  count(*) AS n_docs,
+       |  ${O.davg("doc_log10")} AS avg_doc_log10,
+       |  ${O.davg("doc_surprisal")} AS avg_doc_surprisal
+       |FROM lab GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+  }
 
   /** DuckDB twin of [[bloomSeenShingles]]: same shingling (the q34 token
     * CASE — short docs contribute their whole token string), same probe

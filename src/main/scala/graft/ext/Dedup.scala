@@ -160,49 +160,60 @@ object Dedup {
     * Self-join on (band, bucket, salt) yields candidates; token-shingle
     * Jaccard rejects false positives. `minJaccard` is the acceptance
     * threshold; `cap` bounds degenerate buckets via [[saltedBuckets]]. */
-  /** Session-scoped write-once LSH artifacts, the [[graft.operators
-    * .Bucketed]] pattern: in production the salted bucket table, candidate
-    * list and candidate shingle sets are PERSISTED index tables
-    * ([[writeLshIndex]] is the cross-session form) — rebuilt when the
-    * corpus changes, read by every query between rebuilds. The
-    * per-(session, dir, mode) checkpoint cache is the single-JVM analog:
-    * first touch pays the build, steady-state invocations measure the
-    * query. Contract: a fixture dir is write-once within a session (all
-    * specs use fresh temp dirs). */
-  private val lshArtifacts =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Boolean, Int), (DataFrame, DataFrame, DataFrame)]()
-
+  /** The persisted LSH candidate index — salted bucket table, candidate
+    * pair list and candidate shingle sets as catalog tables (the
+    * [[graft.sources.ArtifactTables]] discipline, the same move that took
+    * the SA family off in-memory checkpoints; [[writeLshIndex]] is the
+    * serving-path sibling): rebuilt on a session's first touch or when
+    * the corpus identity changes, read by every query between rebuilds,
+    * and pinning NO checkpoint blocks in a long-lived JVM — the on-disk
+    * index IS the cache. Derived tables are built from reading back the
+    * earlier ones, so the corpus is scanned once per rebuild. Contract: a
+    * fixture dir is write-once within a session (all specs use fresh temp
+    * dirs). */
   private def lshCandidateArtifacts(t: Tables, portable: Boolean,
                                     cap: Int): (DataFrame, DataFrame, DataFrame) = {
-    val key = (System.identityHashCode(t.spark.sessionState), t.dir, portable, cap)
-    lshArtifacts.computeIfAbsent(key, _ => {
-      val b = saltedBuckets(
+    import graft.sources.ArtifactTables
+    val spark = t.spark
+    val ident = Seq(t.dir, s"portable=$portable", s"cap=$cap")
+    val prefix = s"graft_lshcand_${ArtifactTables.tag(ident: _*)}"
+    val names = Seq(s"${prefix}_buckets", s"${prefix}_cands",
+      s"${prefix}_shingles")
+    ArtifactTables.ensure(spark, prefix, names, ident.mkString("|")) {
+      // the signature pass feeds the size aggregate AND the salted join —
+      // checkpointed for the build only, freed with the frame
+      saltedBuckets(
         lshBuckets(t, portable = portable).localCheckpoint(),
         Seq("band_id", "bucket"), "doc_id", cap)
-        .localCheckpoint()
-      val candidates = b
-        .as("l")
+        .write.format("parquet").option("compression", "zstd")
+        .bucketBy(8, "band_id", "bucket")
+        .saveAsTable(names.head)
+      val b = spark.table(names.head)
+      b.as("l")
         .join(b.as("r"), Seq("band_id", "bucket", "salt"))
         .filter(col("l.doc_id") < col("r.doc_id"))
         .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
         .distinct()
-        .localCheckpoint()
+        .write.format("parquet").option("compression", "zstd")
+        .saveAsTable(names(1))
       // shingle sets only for docs that appear in candidate pairs — the
       // verify side would otherwise build shingles over the whole corpus
       // for a handful of pairs; the native WordShingles expression replaces
       // the interpreted-HOF builder (same strings, asserted in tests)
-      graft.functions.ShingleExpression.register(t.spark)
-      val candIds = candidates
+      graft.functions.ShingleExpression.register(spark)
+      val candIds = spark.table(names(1))
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .distinct()
-      val docs = t.documents
+      t.documents
         .join(candIds, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), array_distinct(
           graft.functions.ShingleExpression.wordShingles(
             TextAnalysis.tokens(col("text")))).as("sh"))
-        .localCheckpoint()
-      (b, candidates, docs)
-    })
+        .write.format("parquet").option("compression", "zstd")
+        .bucketBy(8, "doc_id")
+        .saveAsTable(names(2))
+    }
+    (spark.table(names.head), spark.table(names(1)), spark.table(names(2)))
   }
 
   private[ext] def minhashDupPairsUnsorted(t: Tables, minJaccard: Double = 0.5,

@@ -170,36 +170,22 @@ object SuffixArray {
       col("acc").as("lcp"))
   }
 
-  /** Session-scoped build-once guard for the persisted SA-family artifact
-    * tables (the [[CorpusIndex.writeNextTokenIndex]] / q244 discipline):
-    * the first touch of an artifact in a session (re)builds its catalog
-    * table — guarding against a stale on-disk table from an earlier JVM
-    * whose corpus may have changed — and every later read hits the table.
-    * The set holds only key STRINGS (bounded bytes); the artifacts
-    * themselves live ON DISK as catalog tables, so a long-lived JVM
-    * serving many corpora/parameterizations pins no checkpoint blocks —
-    * the on-disk index IS the cache. */
-  private val builtTables =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
-  /** Build-once-per-session, serve-from-catalog-table: returns
-    * `spark.table(name)`, (re)building it from `body` on the session's
-    * first touch or if absent. Serialized per table name so concurrent
-    * first readers cannot race the write. */
-  private def artifactTable(spark: SparkSession, name: String)
+  /** Build-once-per-session, serve-from-catalog-table for the persisted
+    * SA-family artifact tables — the shared [[graft.sources
+    * .ArtifactTables]] discipline (first touch in a session rebuilds,
+    * every later read hits the table, nothing pinned in memory). The
+    * corpus dir is recorded as the artifact's source identity and
+    * re-verified on serve. */
+  private def artifactTable(t: Tables, name: String)
                            (body: => DataFrame): DataFrame =
-    name.intern.synchronized {
-      val key = s"${System.identityHashCode(spark.sessionState)}:$name"
-      if (builtTables.add(key) || !spark.catalog.tableExists(name)) {
-        graft.sources.TableIO.dropTableAndLocation(spark, name)
-        body.write.format("parquet").option("compression", "zstd")
-          .saveAsTable(name)
-      }
-      spark.table(name)
-    }
+    graft.sources.ArtifactTables.artifactTable(t.spark, name, t.dir)(body)
 
+  /** 64-bit collision-resistant corpus tag ([[graft.sources
+    * .ArtifactTables.tag]] — ADVICE r10 retired the 31-bit
+    * `String.hashCode` form, which could collide across two dirs touched
+    * in one session). */
   private def corpusTag(t: Tables): String =
-    (t.dir.hashCode & 0x7fffffff).toHexString
+    graft.sources.ArtifactTables.tag(t.dir)
 
   /** The SA+LCP index artifact: (doc_id, pos, r, lcp_next) — suffix ranks
     * with each suffix's exact LCP against its rank SUCCESSOR (0 for the
@@ -208,7 +194,7 @@ object SuffixArray {
     * (q237/q238 spans, the q247 repeat inventory) reads instead of
     * re-running the prefix-doubling build, exactly the 100 TB shape. */
   private def saWithLcp(t: Tables): DataFrame =
-    artifactTable(t.spark, s"graft_sa_${corpusTag(t)}") {
+    artifactTable(t, s"graft_sa_${corpusTag(t)}") {
       val (levels, stop, _) = build(t)
       val pairs = adjacentLcps(levels, stop)
       levels(stop)
@@ -224,7 +210,7 @@ object SuffixArray {
     * downstream filter. Derived from the SA artifact and persisted the
     * same way; q237/q238 and any later caller share the table. */
   private def lcpMax(t: Tables): DataFrame =
-    artifactTable(t.spark, s"graft_lcpmax_${corpusTag(t)}") {
+    artifactTable(t, s"graft_lcpmax_${corpusTag(t)}") {
       // reconstruct the rank-adjacent pairs from the SA artifact
       // (lcp_next(r) IS the pair (r, r+1) lcp) — same rows as the direct
       // adjacentLcps form, but shared with the q247 inventory build
@@ -366,7 +352,7 @@ object SuffixArray {
                              previewTokens: Int): DataFrame = {
     require(minLen >= 1 && previewTokens >= 1,
       s"minLen and previewTokens must be >= 1, got $minLen / $previewTokens")
-    artifactTable(t.spark,
+    artifactTable(t,
       s"graft_inv_${corpusTag(t)}_${minLen}_$previewTokens") {
       buildInventory(t, minLen, previewTokens)
     }
@@ -534,10 +520,11 @@ object SuffixArray {
     * node id, so ties break deterministically on both engines).
     *
     * Reference anchor: the reference's cross-dataset checks stop at
-    * exact-id overlap (airflow/dags/spark_jobs/comprehensive_analytics
-    * .py); substring-grain cross-source contamination is the beyond-
-    * reference LLM-pipeline surface (Lee et al. 2021 §6.2's train/test
-    * overlap measurement). */
+    * exact-id overlap
+    * (airflow/dags/spark_jobs/comprehensive_analytics.py);
+    * substring-grain cross-source contamination is the beyond-reference
+    * LLM-pipeline surface (Lee et al. 2021 §6.2's train/test overlap
+    * measurement). */
   def crossSourceLcs(t: Tables, minLen: Int = 16,
                      occCap: Int = 256): DataFrame = {
     require(occCap >= 2, s"occCap must be >= 2, got $occCap")
@@ -567,6 +554,45 @@ object SuffixArray {
           .getField("preview").as("lcs_preview"))
       .orderBy(col("src_a"), col("src_b"))
   }
+
+  /** q256: the cross-source contamination matrix SERVED from a persisted
+    * catalog artifact — the split-leakage gate a dataset build runs
+    * BEFORE cutting train/eval splits: the full q252 per-source-pair
+    * LCS/shared-node matrix is materialized once per corpus snapshot
+    * ([[artifactTable]], the q244 serve economics — the SA walks and the
+    * pair expansion run at build time, never per gating request), and
+    * the serving query reads the matrix table, flags every pair whose
+    * longest shared non-boilerplate repeat reaches `gateLen` tokens
+    * (`gate` = 1: putting these two sources on opposite sides of a split
+    * leaks that span — block it or dedup first), and returns the matrix
+    * with the verdict. Serve cost is the |sources|²-bounded table scan +
+    * one presentation sort — corpus size never appears.
+    *
+    * Values are IDENTICAL to [[crossSourceLcs]] plus a deterministic
+    * CASE, so the q252 oracle (wrapped with the gate column) replays the
+    * build → persist → serve round-trip under the hash gate. */
+  def contaminationMatrixServed(t: Tables, minLen: Int = 16,
+                                occCap: Int = 256,
+                                gateLen: Int = 32): DataFrame = {
+    val matrix = artifactTable(t,
+      s"graft_xsrc_${corpusTag(t)}_${minLen}_$occCap") {
+      crossSourceLcs(t, minLen, occCap)
+    }
+    matrix
+      .withColumn("gate", (col("lcs_len") >= gateLen).cast("int"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** DuckDB twin of [[contaminationMatrixServed]]: the q252 chain with
+    * the same gate CASE folded over its output. */
+  def contaminationMatrixServedSql(minLen: Int = 16, occCap: Int = 256,
+                                   gateLen: Int = 32): String =
+    s"""SELECT src_a, src_b, lcs_len, n_shared, lcs_preview,
+       |  CAST(CASE WHEN lcs_len >= $gateLen THEN 1 ELSE 0 END AS INTEGER)
+       |    AS gate
+       |FROM (
+       |${crossSourceLcsSql(minLen, occCap)}
+       |) ORDER BY src_a, src_b""".stripMargin
 
   // --------------------------------------------------------------------
   // DuckDB mirrors: the same construction, doubling unrolled to exactly

@@ -1024,6 +1024,89 @@ object Analytics {
         (1 until buckets).map(i => element_at(col("es"), i).as(s"e$i"))): _*)
   }
 
+  /** Exact discrete quantiles with O(grid)-bounded memory: the
+    * `percentile_disc` VALUE — the ceil(q·n)-th order statistic, an
+    * actual data value, the q51/q253 boundary discipline — computed
+    * without ever buffering the column in one aggregation buffer.
+    *
+    * A global `percentile_disc` aggregate holds every value of the frame
+    * in a single reducer's buffer — multi-GB at 10⁹ rows, the exact
+    * failure mode [[gridQuantileEdges]] (q107/q170) exists for. This is
+    * the grid machinery REFINED TO A DISC SELECTION: each pass histograms
+    * the current value interval into `grid` equi-width cells carrying
+    * (count, actual min, actual max) — a ≤`grid`-row distributed hash
+    * aggregate, collected as a bounded driver read — and descends into
+    * the cell containing the target rank. Equal values always land in the
+    * same cell (the cell index is a deterministic function of the value),
+    * so duplicate runs never split. The descent terminates when the cell
+    * holds one distinct value (its min == max IS the answer) or ≤ `cap`
+    * rows, where one TakeOrdered pass (`orderBy.limit(rank).agg(max)` —
+    * per-partition heaps of ≤ rank ≤ cap entries, never a global sort)
+    * selects the exact order statistic. Each pass shrinks the interval
+    * ×grid against actual data bounds, so the level count is
+    * log_grid(range/ulp) ≤ ~64 worst case and 1–2 in practice.
+    *
+    * Returns one driver double per requested fraction — the bounded-
+    * 1-row-read pattern (knModel's scalars); callers broadcast them back
+    * as literals. Rank = ceil(q·n) formed from the same double literal
+    * `percentile_disc` reads, so the result is bit-identical to Spark's
+    * `percentile_disc` and to DuckDB's `quantile_disc` oracle twin
+    * (equality property-checked in GridQuantileDiscSpec). Callers should
+    * pass a MATERIALIZED frame (the q170 localCheckpoint discipline):
+    * every pass re-reads it. */
+  def gridQuantileDiscs(df: DataFrame, valueCol: String, qs: Seq[Double],
+                        grid: Int = 1024, cap: Int = 1 << 16): Seq[Double] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"fractions must be in (0, 1], got $qs")
+    require(grid >= 2 && cap >= 1, s"need grid >= 2 and cap >= 1")
+    val base = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+    val first = base.agg(count(lit(1)).as("n"),
+      min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    val n = first.getLong(0)
+    require(n > 0, s"gridQuantileDiscs($valueCol): no rows to select from")
+    val (gMn, gMx) = (first.getDouble(1), first.getDouble(2))
+    def cellOf(mn: Double, mx: Double): Column =
+      least(floor((col("v") - lit(mn)) / (lit(mx) - lit(mn)) *
+        lit(grid.toDouble)).cast("int"), lit(grid - 1))
+    qs.map { q =>
+      // smallest rank whose cume_dist >= q, with q·n the same double
+      // product percentile_disc forms internally
+      var rank = math.ceil(q * n.toDouble).toLong
+      var cur = base
+      var cnt = n
+      var mn = gMn
+      var mx = gMx
+      var answer: Option[Double] = if (mn == mx) Some(mn) else None
+      var level = 0
+      while (answer.isEmpty && cnt > cap) {
+        require(level < 64, // log_grid(double range/ulp) bound — unreachable
+          s"gridQuantileDiscs: no convergence after $level levels")
+        val cell = cellOf(mn, mx)
+        val hist = cur.groupBy(cell.as("bin"))
+          .agg(count(lit(1)).as("c"),
+            min(col("v")).as("cmn"), max(col("v")).as("cmx"))
+          .orderBy(col("bin")).collect()
+        var cum = 0L
+        var i = 0
+        while (cum + hist(i).getLong(1) < rank) { cum += hist(i).getLong(1); i += 1 }
+        val h = hist(i)
+        rank -= cum
+        cnt = h.getLong(1)
+        if (h.getDouble(2) == h.getDouble(3)) answer = Some(h.getDouble(2))
+        else {
+          cur = cur.where(cell === lit(h.getInt(0)))
+          mn = h.getDouble(2)
+          mx = h.getDouble(3)
+          level += 1
+        }
+      }
+      answer.getOrElse(
+        cur.orderBy(col("v")).limit(rank.toInt)
+          .agg(max(col("v"))).head().getDouble(0))
+    }
+  }
+
   /** q107: equi-depth histogram on APPROXIMATE edges — the production
     * default of [[equiDepthHistogram]]'s shape. Same output contract
     * (bucket, n_orders, min/max price); edges come from

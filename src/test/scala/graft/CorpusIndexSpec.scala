@@ -593,6 +593,199 @@ class CorpusIndexSpec extends SparkSpec {
       "fixture must show scorer disagreement")
   }
 
+  // ── q257 quality × novelty triage grid ────────────────────────────────
+
+  test("q257: grid matches a brute-force 2-D tercile cross-tab + triage") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val got = CorpusIndex.qualityNoveltyGrid(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), bits(r.getDouble(4)), bits(r.getDouble(5)))).toSeq
+    // brute force: the engine's own per-doc scorers, joined and cut by
+    // hand with the percentile_disc order statistic
+    val passing = t.documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .where(TextAnalysis.qualityPass(col("text")))
+    val kn = CorpusIndex.knDocScores(passing, CorpusIndex.knModel(t))
+      .select("doc_id", "doc_log10").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sp = CorpusIndex.surprisalDocScores(passing, CorpusIndex.surprisalModel(t))
+      .select("doc_id", "doc_surprisal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ids = (kn.keySet & sp.keySet).toSeq
+    assert(ids.size >= 30, s"joined doc set too small: ${ids.size}")
+    def cuts(m: Map[Long, Double]): (Double, Double) = {
+      val v = ids.map(m).sorted
+      def pd(q: Double) = v(math.ceil(q * v.size).toInt - 1)
+      (pd(0.3333333333333333), pd(0.6666666666666666))
+    }
+    val (ql, qh) = cuts(kn)
+    val (sl, sh) = cuts(sp)
+    def b(x: Double, lo: Double, hi: Double) =
+      if (x >= hi) "head" else if (x >= lo) "middle" else "tail"
+    def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val exp = ids
+      .map { id =>
+        val qb = b(kn(id), ql, qh)
+        val nb = b(sp(id), sl, sh)
+        val triage = if (qb == "tail") "drop"
+          else if (nb == "head") "reprocess" else "keep"
+        (qb, nb, triage, kn(id), sp(id))
+      }
+      .groupBy(r => (r._1, r._2, r._3)).toSeq
+      .map { case ((qb, nb, tr), g) =>
+        (qb, nb, tr, g.size.toLong,
+          bits(g.map(r => micro(r._4)).sum / 1e6 / g.size),
+          bits(g.map(r => micro(r._5)).sum / 1e6 / g.size))
+      }
+      .sortBy(r => (r._1, r._2))
+    assert(got == exp, s"got=${got.mkString("\n")}\nexp=${exp.mkString("\n")}")
+    assert(got.map(_._4).sum == ids.size.toLong, "grid must partition docs")
+    // every triage verdict must appear (else the policy audits nothing):
+    // quality tail exists (drop), and some non-tail doc in the novelty
+    // head (reprocess)
+    assert(got.map(_._3).distinct.sorted == Seq("drop", "keep", "reprocess"),
+      s"fixture must populate all three triage classes: ${got.map(_._3)}")
+  }
+
+  // ── q258 4-gram modified Kneser–Ney held-out scoring ──────────────────
+
+  test("q258: 4-gram MKN orders and scores match a brute-force replay") {
+    // train engineered so count-of-count classes 1..3 are populated at
+    // ALL THREE estimated orders (no degenerate fallback): 4-gram counts
+    // 3/2/1 via sentence repeats; continuation-trigram classes via
+    // "cat sat down" (3 distinct predecessors) and "dog ran far" (2);
+    // continuation-bigram classes via "ss tt" (3 distinct tg prefixes)
+    // and "qq rr" (2)
+    val trainTexts = Seq(
+      "red cat sat down now", "red cat sat down now", "red cat sat down now",
+      "blue dog ran far off", "blue dog ran far off",
+      "b1 cat sat down", "b2 cat sat down",
+      "c1 dog ran far",
+      "x1 p1 qq rr", "x1 p2 qq rr",
+      "y1 m1 ss tt", "y1 m2 ss tt", "y1 m3 ss tt")
+    // five 4-token held docs, one per resolution branch
+    val heldTexts = Seq(
+      "red cat sat down", // ord 4: context "red cat sat" seen
+      "qq cat sat down",  // ord 3: ctx4 unseen, ctx3 "cat sat" seen
+      "qq zz sat down",   // ord 2: ctx3 unseen, v "sat" a seen cont. ctx
+      "qq zz yy down",    // ord 1: v unseen, w "down" a known continuation
+      "qq zz yy vv")      // ord 0: full OOV
+    val ids = 0L until 4000L
+    val trainIds = ids.filter(splitHash31(_) % 100 < 80).take(trainTexts.size)
+    val heldIds = ids.filter(splitHash31(_) % 100 >= 80).take(heldTexts.size)
+    val t = writeDocs(
+      trainIds.zip(trainTexts).map { case (i, tx) => (i, tx, "tr") } ++
+        heldIds.zip(heldTexts).map { case (i, tx) => (i, tx, "ho") })
+    val got = CorpusIndex.mkn4HeldOutScore(t).collect()
+    assert(got.length == 1 && got.head.getString(0) == "ho")
+    val r = got.head
+
+    // brute force with the same fixed double chain, one order up from
+    // the q251 replay
+    def quads(s: String): Seq[(String, String, String, String)] =
+      s.split(" ").toSeq.sliding(4).filter(_.size == 4)
+        .map(a => (a(0), a(1), a(2), a(3))).toSeq
+    val c4 = trainTexts.flatMap(quads).groupBy(identity)
+      .map { case (k, o) => k -> o.size.toLong }
+    val ctx4 = c4.toSeq.groupBy { case ((u, v, w, _), _) => (u, v, w) }
+      .map { case (k, m) =>
+        val cs = m.map(_._2)
+        k -> (cs.sum, cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+          cs.count(_ >= 3L).toLong)
+      }
+    val cc3 = c4.keys.toSeq.map { case (u, v, w, x) => ((v, w, x), u) }
+      .distinct.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    val ctx3c = cc3.toSeq.groupBy { case ((v, w, _), _) => (v, w) }
+      .map { case (k, m) =>
+        val cs = m.map(_._2)
+        k -> (cs.sum, cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+          cs.count(_ >= 3L).toLong)
+      }
+    val cc2 = cc3.keys.toSeq.map { case (v, w, x) => ((w, x), v) }
+      .distinct.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    val ctx2c = cc2.toSeq.groupBy(_._1._1).map { case (v, m) =>
+      val cs = m.map(_._2)
+      v -> (cs.sum, cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+        cs.count(_ >= 3L).toLong)
+    }
+    val cu = cc2.keys.groupBy(_._2).map { case (w, g) => w -> g.size.toLong }
+    def cofc(cs: Iterable[Long]): (Long, Long, Long, Long) =
+      (cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+        cs.count(_ == 3L).toLong, cs.count(_ == 4L).toLong)
+    val (q1, q2, q3, q4) = cofc(c4.values)
+    val (t1, t2, t3, t4) = cofc(cc3.values)
+    val (b1, b2, b3, b4) = cofc(cc2.values)
+    assert(q1 > 0 && q2 > 0 && q3 > 0 && t1 > 0 && t2 > 0 && t3 > 0 &&
+      b1 > 0 && b2 > 0 && b3 > 0,
+      s"fixture must estimate at all orders: $q1/$q2/$q3 $t1/$t2/$t3 $b1/$b2/$b3")
+    def disc(n1: Long, n2: Long, n3: Long, n4: Long): (Double, Double, Double) = {
+      val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+      (1.0 - 2.0 * y * n2.toDouble / n1.toDouble,
+        math.max(2.0 - 3.0 * y * n3.toDouble / n2.toDouble, 0.1),
+        math.max(3.0 - 4.0 * y * n4.toDouble / n3.toDouble, 0.1))
+    }
+    val (d14, d24, d34) = disc(q1, q2, q3, q4)
+    val (d13, d23, d33) = disc(t1, t2, t3, t4)
+    val (d12, d22, d32) = disc(b1, b2, b3, b4)
+    val uTypes = trainTexts.flatMap(_.split(" ")).distinct.size.toLong
+    val bigT = cc2.size.toLong + uTypes + 1L
+    def score(u: String, v: String, w: String, x: String): (Int, Double) = {
+      val p1 = (cu.getOrElse(x, 0L) + 1L).toDouble / bigT.toDouble
+      val p2 = ctx2c.get(w) match {
+        case Some((cctot, h1, h2, h3p)) =>
+          val cc = cc2.getOrElse((w, x), 0L)
+          val dc = if (cc == 0L) 0.0 else if (cc == 1L) d12
+            else if (cc == 2L) d22 else d32
+          math.max(cc.toDouble - dc, 0.0) / cctot.toDouble +
+            ((d12 * h1.toDouble + d22 * h2.toDouble + d32 * h3p.toDouble) /
+              cctot.toDouble) * p1
+        case None => p1
+      }
+      val p3 = ctx3c.get((v, w)) match {
+        case Some((ctot, f1, f2, f3p)) =>
+          val c = cc3.getOrElse((v, w, x), 0L)
+          val dc = if (c == 0L) 0.0 else if (c == 1L) d13
+            else if (c == 2L) d23 else d33
+          math.max(c.toDouble - dc, 0.0) / ctot.toDouble +
+            ((d13 * f1.toDouble + d23 * f2.toDouble + d33 * f3p.toDouble) /
+              ctot.toDouble) * p2
+        case None => p2
+      }
+      ctx4.get((u, v, w)) match {
+        case Some((ctot, g1, g2, g3p)) =>
+          val c = c4.getOrElse((u, v, w, x), 0L)
+          val dc = if (c == 0L) 0.0 else if (c == 1L) d14
+            else if (c == 2L) d24 else d34
+          (4, math.log10(math.max(c.toDouble - dc, 0.0) / ctot.toDouble +
+            ((d14 * g1.toDouble + d24 * g2.toDouble + d34 * g3p.toDouble) /
+              ctot.toDouble) * p3))
+        case None =>
+          val ord = if (ctx3c.contains((v, w))) 3
+            else if (ctx2c.contains(w)) 2
+            else if (cu.contains(x)) 1 else 0
+          (ord, math.log10(p3))
+      }
+    }
+    val ss = heldTexts.flatMap(tx => quads(tx))
+      .map { case (u, v, w, x) => score(u, v, w, x) }
+    assert((0 to 4).forall(k => ss.map(_._1).count(_ == k) == 1),
+      s"each resolution branch exactly once: ${ss.map(_._1)}")
+    assert(r.getLong(1) == 5L && r.getLong(2) == 5L)      // n_docs, n_trans
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1L &&     // n_mkn4, n_tri
+      r.getLong(5) == 1L && r.getLong(6) == 1L &&          // n_big, n_cont
+      r.getLong(7) == 1L)                                  // n_oov
+    // each held doc has ONE transition → doc_log10 = its quantized score;
+    // avg over docs then re-quantizes (the ExactAgg davg contract)
+    def micro(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val docAvgs = ss.map(s => micro(s._2) / 1e6 / 1)
+    val expAvg = docAvgs.map(micro).sum / 1e6 / docAvgs.size
+    assert(r.getDouble(8) == expAvg,
+      s"avg_doc_log10 ${r.getDouble(8)} vs brute $expAvg")
+    assert(r.getDouble(8) < 0.0, "MKN probabilities are < 1 → log < 0")
+  }
+
   test("q248: empty train split fails loudly at model build") {
     val heldIds = (0L until 1000L).filter(splitHash31(_) % 100 >= 80).take(2)
     val t = writeDocs(heldIds.map(i => (i, "aa bb cc", "ho")))

@@ -63,16 +63,22 @@ class LmScorerSpec extends SparkSpec {
     val out = Files.createTempDirectory("graft_lmretry").toFile.getAbsolutePath + "/out"
     // first delivery of batch 7, then the at-least-once retry of the SAME
     // batchId (a crash between sink write and checkpoint commit), plus a
-    // later batch 8 that must survive the retry untouched
+    // NON-EMPTY later batch 8 whose rows must survive the retry — an
+    // empty batch 8 could not distinguish dynamic partition overwrite
+    // from a full-directory wipe (ADVICE r10)
     LmScorer.writeScoredBatch(held, m, out, 7L)
     val once = spark.read.parquet(out).collect()
       .map(_.toString).sorted.toSeq
-    LmScorer.writeScoredBatch(held.limit(0), m, out, 8L) // empty later batch
+    LmScorer.writeScoredBatch(held.limit(1), m, out, 8L)
+    val withB8 = spark.read.parquet(out).collect()
+      .map(_.toString).sorted.toSeq
+    assert(once.nonEmpty, "batch 7 must score rows at sf0.001")
+    assert(withB8.size > once.size, "batch 8 must add its own rows")
     LmScorer.writeScoredBatch(held, m, out, 7L)          // the retry
     val after = spark.read.parquet(out).collect()
       .map(_.toString).sorted.toSeq
-    assert(once.nonEmpty, "batch 7 must score rows at sf0.001")
-    assert(after == once,
-      s"retry changed the sink: ${after.size} rows vs ${once.size}")
+    assert(after == withB8,
+      s"retry wiped batch 8 or duplicated batch 7: ${after.size} rows " +
+        s"vs ${withB8.size}")
   }
 }

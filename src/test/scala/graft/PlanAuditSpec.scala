@@ -295,8 +295,6 @@ class PlanAuditSpec extends SparkSpec {
     "q109_cumulative_quantiles",    // day<=day state merge + quantile targets
     "q113_zorder_layout",           // 1-row per-dimension (min,max) bounds frame
     "q124_bm25_search",             // 1-row corpus (N, total_dl) stats frame
-    "q253_perplexity_buckets",      // 1-row (p_lo, p_hi) tercile bounds frame
-    "q255_scorer_agreement",        // 1-row 6-percentile bounds frame
     "q139_join_cardinality_kmv",    // 1-row sketch-sample x 1-row truth frame
     "q140_key_skew_profile",        // 1-row scalar profile frame
     "q141_hard_negatives",          // broadcast query-vector frame (label !=)
@@ -488,7 +486,10 @@ class PlanAuditSpec extends SparkSpec {
     "q164_audience_overlap" -> 2, "q165_event_paths" -> 2,
     "q166_anova" -> 4,
     "q167_seasonal_decompose" -> 4, "q168_attribution" -> 4,
-    "q169_dedup_eval" -> 5,
+    // dropped 5 -> 3 when the LSH candidate artifacts became persisted
+    // catalog tables (r11): the candidate build's exchanges moved into
+    // the one-time index build jobs, out of this serve-path plan
+    "q169_dedup_eval" -> 3,
     // checkpoint-truncated score frame; grid mm/hist/cum/edge chain +
     // left-join report + output sort
     "q170_perplexity_filter" -> 8,
@@ -677,17 +678,31 @@ class PlanAuditSpec extends SparkSpec {
     // per-node distinct-source set + pair self-join + pair roll-up + sort
     "q252_cross_source_lcs" -> 6,
     // per-doc scores are checkpointed before bucketing (one scoring pass
-    // feeds boundaries AND assignment); visible: the single-partition
-    // percentile_disc aggregate + (bucket, source) roll-up + sort
-    "q253_perplexity_buckets" -> 3,
+    // feeds boundaries AND assignment); the tercile boundaries are driver
+    // scalars from the bounded-memory gridQuantileDiscs jobs (not in this
+    // plan); visible: the (bucket, source) roll-up + presentation sort
+    "q253_perplexity_buckets" -> 2,
     // type distinct + index joins (bucketed counts/totals broadcast at
     // fixture size) + fan-out occurrence join + doc agg + source agg,
     // presentation sort coalesced by AQE
     "q254_surprisal_report" -> 4,
     // three scorer per-doc frames checkpointed before the cube (each the
-    // established q246/q248/q251 plan); visible: the single-partition
-    // 6-percentile boundary aggregate + cube roll-up + sort
-    "q255_scorer_agreement" -> 3)
+    // established q246/q248/q251 plan); the six tercile boundaries are
+    // gridQuantileDiscs driver scalars (not in this plan); visible: the
+    // cube roll-up + presentation sort
+    "q255_scorer_agreement" -> 2,
+    // serve path reads the persisted matrix artifact (the SA walks and
+    // pair expansion ran in the build jobs): table scan + presentation
+    // sort only — corpus size never appears in this plan
+    "q256_contamination_matrix" -> 1,
+    // joined per-doc score frame checkpointed before the grid (KN +
+    // surprisal passes each the established plan); boundaries are
+    // gridQuantileDiscs driver scalars; visible: cell roll-up + sort
+    "q257_quality_novelty_grid" -> 2,
+    // type distinct + seven persisted-table joins + fan-out occurrence
+    // join + doc agg + source agg, presentation sort coalesced by AQE —
+    // the q251 shape one order up
+    "q258_mkn4_heldout_score" -> 4)
 
   test("q249 point lookup: one pruned bucket, zero exchanges, TakeOrdered") {
     val p = plan("q249_next_token_lookup")

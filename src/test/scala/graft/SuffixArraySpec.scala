@@ -321,6 +321,42 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  // ── q256 served cross-source contamination matrix ─────────────────────
+
+  test("contaminationMatrixServed == crossSourceLcs + gate, from the artifact") {
+    val srcOf = Map(0L -> "sA", 1L -> "sB", 2L -> "sC", 3L -> "sC", 4L -> "sC")
+    val t = writeDocsSrc(planted.map { case (id, tx) => (id, tx, srcOf(id)) })
+    val direct = SuffixArray.crossSourceLcs(t, minLen = 3, occCap = 256)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(direct.nonEmpty, "fixture must share repeats across sources")
+    // a gate length between the min and max shared-LCS keeps both
+    // verdicts populated when the fixture has distinct lengths
+    val gateLen = (direct.map(_._3).min + direct.map(_._3).max) / 2 + 1
+    val served = SuffixArray.contaminationMatrixServed(
+        t, minLen = 3, occCap = 256, gateLen = gateLen.toInt).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getInt(5))).toSeq
+    val exp = direct.map { case (a, b, len, n, prev) =>
+      (a, b, len, n, prev, if (len >= gateLen) 1 else 0)
+    }
+    assert(served == exp, s"served=$served\nexp=$exp")
+    if (direct.map(_._3).distinct.size > 1)
+      assert(served.map(_._6).distinct.sorted == Seq(0, 1),
+        "distinct lengths must split the gate verdicts")
+    // the matrix is a persisted catalog artifact, not a per-request walk
+    assert(t.spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_xsrc_")),
+      "the contamination matrix must live as a catalog table")
+    // second serve returns identical rows (reads the table, no rebuild)
+    val again = SuffixArray.contaminationMatrixServed(
+        t, minLen = 3, occCap = 256, gateLen = gateLen.toInt).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getInt(5))).toSeq
+    assert(again == exp)
+  }
+
   test("repeat-free corpus: empty inventory with the right schema") {
     val docs = Seq(
       (0L, (1 to 40).map(i => s"c$i").mkString(" ")),

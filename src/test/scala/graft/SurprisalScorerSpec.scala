@@ -56,11 +56,19 @@ class SurprisalScorerSpec extends SparkSpec {
     val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
     val out = Files.createTempDirectory("graft_surp_retry").toFile
       .getAbsolutePath + "/out"
+    // batch 3, then a NON-EMPTY later batch 4 whose rows must survive the
+    // batch-3 retry (a static overwrite would wipe it — ADVICE r10), then
+    // the at-least-once retry of batch 3
     SurprisalScorer.writeScoredBatch(docs, m, out, 3L)
     val once = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    SurprisalScorer.writeScoredBatch(docs.limit(1), m, out, 4L)
+    val withB4 = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(once.nonEmpty && withB4.size > once.size,
+      "batch 4 must add its own rows")
     SurprisalScorer.writeScoredBatch(docs, m, out, 3L) // the retry
     val after = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
-    assert(once.nonEmpty && after == once,
-      s"retry changed the sink: ${after.size} rows vs ${once.size}")
+    assert(after == withB4,
+      s"retry wiped batch 4 or duplicated batch 3: ${after.size} rows " +
+        s"vs ${withB4.size}")
   }
 }

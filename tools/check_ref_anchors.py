@@ -51,7 +51,20 @@ def main():
                     continue
                 path = os.path.join(dirpath, n)
                 with open(path, encoding="utf-8") as f:
-                    for lineno, line in enumerate(f, 1):
+                    lines = f.read().split("\n")
+                    # a citation wrapped across scaladoc lines
+                    # (`...analytics` / `* .py`) never matches a per-line
+                    # scan (ADVICE r10) — fuse a continuation junction
+                    # when the next line's content starts with a path
+                    # FRAGMENT ('.'- or '/'-led, so ordinary word wraps
+                    # cannot false-fuse into phantom citations)
+                    fused = []
+                    for i, line in enumerate(lines):
+                        nxt = re.match(r"^\s*\*\s?([./][A-Za-z0-9_/.-]*)",
+                                       lines[i + 1]) if i + 1 < len(lines) \
+                            else None
+                        fused.append(line + nxt.group(1) if nxt else line)
+                    for lineno, line in enumerate(fused, 1):
                         for m in CITE.finditer(line):
                             cite = m.group(0)
                             n_cites += 1
