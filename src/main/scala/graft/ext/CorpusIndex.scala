@@ -20,6 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object CorpusIndex {
 
+  /** One-tokenization n-gram occurrence stream — the shared scan shape of
+    * every scorer/index pass in this file: tokenize `text` ONCE into an
+    * array column, filter on its size, and expand k-grams with the native
+    * [[graft.functions.WordShingles]] loop (byte-identical to the
+    * composable [[Dedup.shingles]] form — pinned in its scaladoc and
+    * asserted in tests). The previous per-site form
+    * `where(size(tokens(text)) >= k).select(explode(Dedup.shingles(text, k)))`
+    * regex-tokenized each row TWICE (filter + shingle both re-split) and
+    * built shingles through `transform(sequence(...))` — Catalyst HOFs are
+    * CodegenFallback and walk an interpreted expression tree per produced
+    * gram (the repo's own codegen note). On the scorer family every corpus
+    * pass paid that; measured at sf0.1 the swap cuts the q246 family's
+    * scan stages roughly in half. `minTokens = 0` keeps the short-doc
+    * whole-string shingle (the q241 unfiltered shape). */
+  private def gramExplode(docs: DataFrame, k: Int, gramCol: String,
+                          minTokens: Int, keep: String*): DataFrame = {
+    graft.functions.ShingleExpression.register(docs.sparkSession)
+    val tks = docs.select(
+      keep.map(col) :+ TextAnalysis.tokens(col("text")).as("_graft_tks"): _*)
+    val filtered =
+      if (minTokens > 0) tks.where(size(col("_graft_tks")) >= minTokens)
+      else tks
+    filtered.select(
+      keep.map(col) :+ explode(
+        graft.functions.ShingleExpression.wordShingles(col("_graft_tks"), k))
+        .as(gramCol): _*)
+  }
+
   // ── q239: n-gram next-token table ────────────────────────────────────
 
   /** q239: n-gram next-token distribution table — the infini-gram /
@@ -42,9 +70,7 @@ object CorpusIndex {
   def nextTokenTable(t: Tables, n: Int = 3, topContexts: Int = 20,
                      topNext: Int = 3): DataFrame = {
     require(n >= 2, s"next-token table needs n >= 2, got $n")
-    val grams = t.documents
-      .where(size(TextAnalysis.tokens(col("text"))) >= n)
-      .select(explode(Dedup.shingles(col("text"), n)).as("gram"))
+    val grams = gramExplode(t.documents, n, "gram", minTokens = n)
     val counts = grams
       .groupBy(
         substring_index(col("gram"), " ", n - 1).as("context"),
@@ -120,9 +146,7 @@ object CorpusIndex {
     * touching the counts table. */
   def writeNextTokenIndex(t: Tables, prefix: String, n: Int = 3,
                           nBuckets: Int = 8): Unit = {
-    val counts = t.documents
-      .where(size(TextAnalysis.tokens(col("text"))) >= n)
-      .select(explode(Dedup.shingles(col("text"), n)).as("gram"))
+    val counts = gramExplode(t.documents, n, "gram", minTokens = n)
       .groupBy(
         substring_index(col("gram"), " ", n - 1).as("context"),
         substring_index(col("gram"), " ", -1).as("next"))
@@ -342,8 +366,7 @@ object CorpusIndex {
     require(k >= 1 && mBits >= 2)
     PortableHash.registerHash62(t.spark)
     val storedSet = (0 until nStoredSources).map("src" + _)
-    val sh = t.documents
-      .select(col("source"), explode(Dedup.shingles(col("text"))).as("s"))
+    val sh = gramExplode(t.documents, 3, "s", minTokens = 0, "source")
     val stored = sh.where(col("source").isin(storedSet: _*))
       .select("s").distinct().localCheckpoint() // shingled once, probed twice
     val incoming = sh.where(!col("source").isin(storedSet: _*))
@@ -459,15 +482,13 @@ object CorpusIndex {
     val train = docs.where(col("b") < trainPct)
     val held  = docs.where(col("b") >= trainPct)
 
-    val c3 = train.where(size(TextAnalysis.tokens(col("text"))) >= 3)
-      .select(explode(Dedup.shingles(col("text"), 3)).as("tri"))
+    val c3 = gramExplode(train, 3, "tri", minTokens = 3)
       .groupBy("tri").agg(count(lit(1)).as("c3"))
     // c2/c1 each feed two joins; they are deliberately NOT checkpointed —
     // recomputing the count frame per consumer keeps every stage pipelined
     // and measured ~2× faster than materializing (the q138
     // localCheckpoint-block lesson)
-    val c2 = train.where(size(TextAnalysis.tokens(col("text"))) >= 2)
-      .select(explode(Dedup.shingles(col("text"), 2)).as("g2"))
+    val c2 = gramExplode(train, 2, "g2", minTokens = 2)
       .groupBy("g2").agg(count(lit(1)).as("c2"))
     val c1 = train
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
@@ -485,9 +506,7 @@ object CorpusIndex {
             "train split is empty — no n-gram evidence to score against")))
           .as("n_train"))
 
-    val occ = held.where(size(TextAnalysis.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), col("source"),
-        explode(Dedup.shingles(col("text"), 3)).as("tri"))
+    val occ = gramExplode(held, 3, "tri", minTokens = 3, "doc_id", "source")
     // score once per trigram TYPE; a seen trigram's context bigram / a seen
     // bigram's context word are guaranteed present in train (subset grams
     // of the same train occurrence), so the used denominators are non-null
@@ -663,8 +682,7 @@ object CorpusIndex {
         .where(Sampling.hashBucket(col("doc_id")) < trainPct)
       // the base count table — one corpus pass; derived tables and the
       // magnitude guards read it BACK from the catalog, never the corpus
-      train.where(size(TextAnalysis.tokens(col("text"))) >= 2)
-        .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+      gramExplode(train, 2, "bigram", minTokens = 2)
         .groupBy("bigram").agg(count(lit(1)).as("c2"))
         .select(col("bigram"), col("c2"),
           substring_index(col("bigram"), " ", 1).as("v"),
@@ -731,9 +749,7 @@ object CorpusIndex {
     * every join an equi-join on the bigram/word key. */
   def knDocScores(docs: DataFrame, m: KnModel): DataFrame = {
     val E = graft.functions.ExactAgg
-    val occ = docs.where(size(TextAnalysis.tokens(col("text"))) >= 2)
-      .select(col("doc_id"), col("source"),
-        explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+    val occ = gramExplode(docs, 2, "bigram", minTokens = 2, "doc_id", "source")
     val types = occ.select("bigram").distinct()
       .withColumn("v", substring_index(col("bigram"), " ", 1))
       .withColumn("w", substring_index(col("bigram"), " ", -1))
@@ -963,8 +979,7 @@ object CorpusIndex {
     val train = t.documents
       .select(col("doc_id"), col("text"))
       .where(Sampling.hashBucket(col("doc_id")) < trainPct)
-    train.where(size(TextAnalysis.tokens(col("text"))) >= 3)
-      .select(explode(Dedup.shingles(col("text"), 3)).as("tri"))
+    gramExplode(train, 3, "tri", minTokens = 3)
       .groupBy("tri").agg(count(lit(1)).as("c3"))
       .withColumn("ctx", substring_index(col("tri"), " ", 2))
       .withColumn("bg", substring_index(col("tri"), " ", -2))
@@ -1040,9 +1055,7 @@ object CorpusIndex {
     * q246/q248 scale shape: corpus-linear, all equi-joins. */
   def mknDocScores(docs: DataFrame, m: MknModel): DataFrame = {
     val E = graft.functions.ExactAgg
-    val occ = docs.where(size(TextAnalysis.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), col("source"),
-        explode(Dedup.shingles(col("text"), 3)).as("tri"))
+    val occ = gramExplode(docs, 3, "tri", minTokens = 3, "doc_id", "source")
     val types = occ.select("tri").distinct()
       .withColumn("ctx", substring_index(col("tri"), " ", 2))
       .withColumn("bg", substring_index(col("tri"), " ", -2))
@@ -1193,8 +1206,7 @@ object CorpusIndex {
     val train = t.documents
       .select(col("doc_id"), col("text"))
       .where(Sampling.hashBucket(col("doc_id")) < trainPct)
-    train.where(size(TextAnalysis.tokens(col("text"))) >= 4)
-      .select(explode(Dedup.shingles(col("text"), 4)).as("quad"))
+    gramExplode(train, 4, "quad", minTokens = 4)
       .groupBy("quad").agg(count(lit(1)).as("c4"))
       .withColumn("ctx", substring_index(col("quad"), " ", 3))
       .withColumn("tg", substring_index(col("quad"), " ", -3))
@@ -1279,9 +1291,7 @@ object CorpusIndex {
     * bucketed tables. */
   def mkn4DocScores(docs: DataFrame, m: Mkn4Model): DataFrame = {
     val E = graft.functions.ExactAgg
-    val occ = docs.where(size(TextAnalysis.tokens(col("text"))) >= 4)
-      .select(col("doc_id"), col("source"),
-        explode(Dedup.shingles(col("text"), 4)).as("quad"))
+    val occ = gramExplode(docs, 4, "quad", minTokens = 4, "doc_id", "source")
     val types = occ.select("quad").distinct()
       .withColumn("ctx", substring_index(col("quad"), " ", 3))
       .withColumn("tg", substring_index(col("quad"), " ", -3))
@@ -1425,9 +1435,7 @@ object CorpusIndex {
   def surprisalDocScores(docs: DataFrame, m: SurprisalModel,
                          n: Int = 3): DataFrame = {
     val E = graft.functions.ExactAgg
-    val occ = docs.where(size(TextAnalysis.tokens(col("text"))) >= n)
-      .select(col("doc_id"), col("source"),
-        explode(Dedup.shingles(col("text"), n)).as("gram"))
+    val occ = gramExplode(docs, n, "gram", minTokens = n, "doc_id", "source")
       .select(col("doc_id"), col("source"),
         substring_index(col("gram"), " ", n - 1).as("context"),
         substring_index(col("gram"), " ", -1).as("next"))
