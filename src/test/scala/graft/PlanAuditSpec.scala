@@ -501,9 +501,12 @@ class PlanAuditSpec extends SparkSpec {
     // line-df groupBy + the flag join (both sides keyed by line) + the
     // per-source report aggregate pair + output sort
     "q173_line_dedup" -> 5,
-    // candidate/set frames are localCheckpoint-truncated; the verify join
-    // plan pays one output sort
-    "q174_containment_pairs" -> 1,
+    // fused rare-count form (r11): doc-size agg + df agg off the posting
+    // checkpoint, posting self-join + pair-count agg, hot-set agg, and
+    // the output sort — the old budget of 1 was an artifact of the
+    // verify-join plan being localCheckpoint-truncated, not of fewer
+    // shuffles actually happening
+    "q174_containment_pairs" -> 6,
     // final-assignment window keyed by vec_id + per-cluster report
     // aggregate pair (rounds hide behind per-round checkpoints)
     "q175_kmeans" -> 3,
