@@ -325,13 +325,17 @@ object Similarity {
         when(col("maxabs") === lit(0.0), transform(col("vec"), _ => lit(0L)))
           .otherwise(transform(col("vec"), x => floor(x * lit(127.0) / col("maxabs")))))
       .withColumn("qnorm",
-        sqrt(aggregate(col("q"), lit(0L), (a, x) => a + x * x).cast("double")))
+        sqrt(graft.functions.VectorExpressions.dotLong(col("q"), col("q"))
+          .cast("double")))
       .drop("maxabs")
 
-  /** Quantized-cosine score column over (qq, qqnorm) × (q, qnorm). */
+  /** Quantized-cosine score column over (qq, qqnorm) × (q, qnorm) — the
+    * integer dot runs through the native [[graft.functions.LongDot]] loop
+    * (exact, order-free; the interpreted HOF form walked a tree per
+    * element on every scan row). */
   private def qCosine: Column =
     round(
-      aggregate(zip_with(col("qq"), col("q"), (x, y) => x * y), lit(0L), (a, x) => a + x)
+      graft.functions.VectorExpressions.dotLong(col("qq"), col("q"))
         .cast("double") / (col("qqnorm") * col("qnorm")), 6)
 
   def quantizedTopK(t: Tables, nQueries: Int = 8, k: Int = 5): DataFrame = {
@@ -347,11 +351,7 @@ object Similarity {
     // never ride the top-k shuffle
     val scored = quant
       .join(broadcast(queries.drop("qvec")), col("vec_id") =!= col("query_id"))
-      .select(
-        col("query_id"), col("vec_id"),
-        round(
-          aggregate(zip_with(col("qq"), col("q"), (x, y) => x * y), lit(0L), (a, x) => a + x)
-            .cast("double") / (col("qqnorm") * col("qnorm")), 6).as("qcosine"))
+      .select(col("query_id"), col("vec_id"), qCosine.as("qcosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("qcosine").desc, col("vec_id"))
     val topk = scored
       .withColumn("rank", row_number().over(w))

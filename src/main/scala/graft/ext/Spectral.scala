@@ -138,9 +138,12 @@ object Spectral {
   }
 
   /** Squared Euclidean distance between two equal-length long arrays —
-    * exact integer arithmetic, order-free (commutative adds). */
+    * exact integer arithmetic, order-free (commutative adds). Native
+    * codegen'd loop ([[graft.functions.LongSqDist]]); the composable
+    * `aggregate(zip_with(...))` form walked an interpreted HOF tree per
+    * element on every assignment row (callers register the function). */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    graft.functions.VectorExpressions.sqDistLong(a, b)
 
   /** q175: k-means clustering report — Lloyd's algorithm over the
     * embedding corpus, run entirely in 1e6-scale fixed-point BIGINTs (the
@@ -186,6 +189,7 @@ object Spectral {
     * runner-up centroid the simplified-silhouette eval (q231) needs. */
   private[graft] def kmeansAssignTop(t: Tables, k: Int, iters: Int,
       topRanks: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val qv = t.embeddings
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -435,6 +439,7 @@ object Spectral {
     * argmax - k rounds, zero shuffles of full text, nothing quadratic.
     * The selected frame stays k rows. */
   def kcenterCoreset(t: Tables, k: Int = 8): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val qv = t.embeddings
       .select(col("vec_id"),
         transform(col("embedding"),
@@ -566,6 +571,7 @@ object Spectral {
     * truth) is the only corpus×Q work — the q37 eval-queries pattern. */
   def pqTopK(t: Tables, m: Int = 4, k: Int = 16, iters: Int = 2,
              nQueries: Int = 4, topK: Int = 10): DataFrame = {
+    graft.functions.VectorExpressions.register(t.spark)
     val qv = t.embeddings
       .select(col("vec_id"),
         transform(col("embedding"),

@@ -95,23 +95,150 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Native integer dot product Σ a(i)·b(i) over two long-array columns —
+  * one codegen'd loop, replacing the interpreted
+  * `aggregate(zip_with(a, b, *), 0L, +)` HOF chain in the quantized-ANN
+  * kernels. Integer adds are exact and order-free, so results are
+  * bit-identical to the composable form. NULL on length mismatch or null
+  * element (zip_with's null-pad poisons the HOF fold the same way). */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"dot_long expects array<bigint> inputs, got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xs, ys) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = xs.numElements()
+    if (ys.numElements() != n) return null
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getLong(i) * ys.getLong(i); i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Native squared Euclidean distance Σ (a(i)−b(i))² over two long-array
+  * columns — the [[LongDot]] treatment of the PQ/k-means/k-center
+  * assignment kernel (`aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)),
+  * 0L, +)`). Exact integer arithmetic, bit-identical, NULL contract as
+  * [[LongDot]]. */
+case class LongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sqdist_long expects array<bigint> inputs, got ${l.catalogString} and ${r.catalogString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xs, ys) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = xs.numElements()
+    if (ys.numElements() != n) return null
+    var acc = 0L; var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val d = xs.getLong(i) - ys.getLong(i)
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Registration + Column-API access for the vector expressions. */
 object VectorExpressions {
 
   private val fnName = "graft_cosine_similarity"
+  private val dotLongName = "graft_dot_long"
+  private val sqDistLongName = "graft_sqdist_long"
 
-  /** Idempotently register the expression in the session's function
-    * registry (temp function — session-scoped, like the reference's
+  /** Idempotently register the expressions in the session's function
+    * registry (temp functions — session-scoped, like the reference's
     * engine-internal functions). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName,
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      dotLongName,
+      exprs => LongDot(exprs(0), exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      sqDistLongName,
+      exprs => LongSqDist(exprs(0), exprs(1)),
+      "scala_udf")
+  }
 
   /** Cosine similarity column over two float/double array columns. The
     * session must have called [[register]] (Tables does). */
   def cosineSim(a: Column, b: Column): Column = call_function(fnName, a, b)
+
+  /** Integer dot product over two long-array columns ([[LongDot]]). */
+  def dotLong(a: Column, b: Column): Column = call_function(dotLongName, a, b)
+
+  /** Integer squared Euclidean distance over two long-array columns
+    * ([[LongSqDist]]). */
+  def sqDistLong(a: Column, b: Column): Column = call_function(sqDistLongName, a, b)
 
   /** Marker so callers can assert registration happened. */
   def isRegistered(spark: org.apache.spark.sql.SparkSession): Boolean =
