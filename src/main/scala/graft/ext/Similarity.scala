@@ -584,7 +584,8 @@ object Similarity {
     * Output: (doc_a, doc_b, n_shared_terms, cosine). */
   def sparseCosinePairs(t: Tables, maxDfFrac: Double = 0.25,
                         tau: Double = 0.5, cap: Int = 256): DataFrame = {
-    import graft.functions.ExactAgg
+    import graft.functions.{ExactAgg, SparseDotExpression}
+    SparseDotExpression.register(t.spark)
     val tf = t.documents
       .select(col("doc_id"),
         explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
@@ -598,11 +599,37 @@ object Similarity {
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("df"), col("n_docs"),
         (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
-      .localCheckpoint() // weight frame feeds norms, candidates, and BOTH
-                         // sides of the dot join — materialize once
+      .localCheckpoint() // weight frame feeds the cents vectors and the
+                         // rare-posting candidate stream — materialize once
 
-    val norms = w.groupBy(col("doc_id"))
-      .agg(sqrt(ExactAgg.dsumProd(col("w"), col("w"))).as("norm"))
+    // Per-doc key-sorted cents vectors: the pair-scoring payload. Terms
+    // are dictionary-encoded to dense longs (row_number over the
+    // vocabulary in term order — a deterministic BIJECTION, so long-key
+    // equality ≡ term equality with no hash-collision contract; the
+    // window runs on the vocabulary-sized term frame, ≪ corpus). Cents
+    // quantization is ExactAgg.cents — the SAME expression dsumProd
+    // applies — so the native merge-walk dot below reproduces
+    // dsumProd(w_a, w_b) bit-for-bit (SparseDotCents scaladoc). Norms
+    // fall out of the self-dot of the same vectors (identical kernel,
+    // identical recombine), saving the separate norm aggregation pass.
+    val tid = df.select(col("term"))
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(col("term"))).cast("long"))
+    val vecs = w
+      .join(broadcast(tid), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("tid"), ExactAgg.cents(col("w")).as("c")))).as("vec"))
+      .select(col("doc_id"),
+        transform(col("vec"), x => x.getField("tid")).as("ks"),
+        transform(col("vec"), x => x.getField("c")).as("cs"))
+      .localCheckpoint() // read by the norm projection and both pair sides
+    def recombine(d: Column): Column =
+      (d.getField("hi").cast("double") * lit(67108864.0) +
+        d.getField("lo").cast("double")) / lit(10000.0)
+    val norms = vecs.select(col("doc_id"),
+      sqrt(recombine(SparseDotExpression.sparseDotCents(
+        col("ks"), col("cs"), col("ks"), col("cs")))).as("norm"))
     val rare = w.filter(col("df") <= col("n_docs") * lit(maxDfFrac))
       .select(col("doc_id"), col("term"))
     val salted = Dedup.saltedBuckets(rare, Seq("term"), "doc_id", cap)
@@ -612,13 +639,22 @@ object Similarity {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Pair scoring: attach the two bounded vectors and merge-walk them in
+    // ONE native expression per pair. The previous join-shaped form
+    // expanded |cand| × |terms/doc| string-keyed rows through a second
+    // shuffle join and a pair-keyed hash aggregate — measured as the q138
+    // sf1 GC wall (~240M intermediate rows on the 10× fixture). A pair
+    // sharing zero terms cannot appear (every candidate shares the rare
+    // term that proposed it), so the inner-join/aggregate semantics are
+    // preserved exactly.
     val dots = cand
-      .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
-      .join(w.as("wb"),
-        col("doc_b") === col("wb.doc_id") && col("wa.term") === col("wb.term"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(ExactAgg.dsumProd(col("wa.w"), col("wb.w")).as("dot"),
-        count(lit(1)).as("n_shared"))
+      .join(vecs.as("va"), col("doc_a") === col("va.doc_id"))
+      .join(vecs.as("vb"), col("doc_b") === col("vb.doc_id"))
+      .withColumn("d", SparseDotExpression.sparseDotCents(
+        col("va.ks"), col("va.cs"), col("vb.ks"), col("vb.cs")))
+      .select(col("doc_a"), col("doc_b"),
+        recombine(col("d")).as("dot"),
+        col("d").getField("n_shared").as("n_shared"))
     dots
       .join(norms.as("na"), col("doc_a") === col("na.doc_id"))
       .join(norms.as("nb"), col("doc_b") === col("nb.doc_id"))

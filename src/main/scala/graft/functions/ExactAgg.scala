@@ -49,6 +49,12 @@ object ExactAgg {
     * products up to ~1e14 would overflow a long sum past ~90k rows). */
   private def centsLong(c: Column): Column = round(c * lit(100), 0).cast("long")
 
+  /** Public form of [[centsLong]] — for callers that pre-materialize cents
+    * vectors and run the hi/lo split-product kernel through a native
+    * expression (q138's pair dot): the cents MUST come from this exact
+    * expression so the quantization is bit-identical to [[dsumProd]]. */
+  def cents(c: Column): Column = centsLong(c)
+
   /** Order-independent sum of NON-NEGATIVE long products without decimal
     * per-row cost: split each product p into hi = p >> 26 and lo = p & (2^26
     * - 1) and sum both as plain longs (fully codegen'd; overflow-safe to

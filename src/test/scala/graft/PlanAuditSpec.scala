@@ -440,9 +440,11 @@ class PlanAuditSpec extends SparkSpec {
     // final merge — the pair unpack and sort ride the one-row result
     "q136_embedding_covariance" -> 1,
     "q137_fuzzy_join" -> 3,
-    // +2 vs the uncapped form: the posting-size agg + salted re-join that
-    // bound per-term pair work (the sf1-cliff fix) — a cost worth paying
-    "q138_sparse_cosine_pairs" -> 6,
+    // r11 vector form: cand distinct + pair/vec joins + output sort; the
+    // dot no longer pays the pair×term expansion join or its pair-keyed
+    // aggregate (6 -> 4; the salted candidate machinery rides the w/vecs
+    // checkpoints)
+    "q138_sparse_cosine_pairs" -> 4,
     "q139_join_cardinality_kmv" -> 7,
     "q140_key_skew_profile" -> 2,
     "q141_hard_negatives" -> 2,

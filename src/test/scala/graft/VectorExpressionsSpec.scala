@@ -96,4 +96,85 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(tNative < tHof * 1.5, f"native much slower: $tNative%.3f vs $tHof%.3f")
     emb.unpersist()
   }
+
+  test("LongDot / LongSqDist are bit-identical to the HOF folds") {
+    VectorExpressions.register(spark)
+    val qv = sf().embeddings.limit(100)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000L, 0).cast("long")).as("qv"))
+    val pairs = qv.crossJoin(
+      qv.select(col("vec_id").as("vid2"), col("qv").as("qv2")))
+    val hofDot = aggregate(
+      zip_with(col("qv"), col("qv2"), (x, y) => x * y), lit(0L), _ + _)
+    val hofSq = aggregate(
+      zip_with(col("qv"), col("qv2"), (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val both = pairs.select(
+      VectorExpressions.dotLong(col("qv"), col("qv2")).as("nd"), hofDot.as("hd"),
+      VectorExpressions.sqDistLong(col("qv"), col("qv2")).as("ns"), hofSq.as("hs"))
+    assert(both.filter(col("nd") =!= col("hd") || col("ns") =!= col("hs")).count() == 0)
+    assert(both.count() >= 10000)
+    // null / length-mismatch contract mirrors the zip_with null-pad fold
+    val r = pairs.limit(1).select(
+      VectorExpressions.dotLong(col("qv"), slice(col("qv2"), 1, 3)).isNull.as("mism"),
+      VectorExpressions.sqDistLong(lit(null).cast("array<long>"), col("qv2")).isNull.as("nul"))
+      .head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("SparseDotCents merge walk reproduces the dsumProd join form (q138 internals)") {
+    import graft.functions.{ExactAgg, SparseDotExpression}
+    SparseDotExpression.register(spark)
+    val t = sf("sf0.001")
+    // the q138 weight frame, verbatim
+    val tf = t.documents
+      .select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = t.documents.select(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfq, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * col("n_docs") / col("df")).as("w"))
+    val pairs = w.select(col("doc_id")).distinct().limit(40)
+      .crossJoin(w.select(col("doc_id").as("doc_b")).distinct().limit(40))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    // old join-shaped dot
+    val joinDots = pairs
+      .join(w.as("wa"), col("doc_a") === col("wa.doc_id"))
+      .join(w.as("wb"),
+        col("doc_b") === col("wb.doc_id") && col("wa.term") === col("wb.term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(ExactAgg.dsumProd(col("wa.w"), col("wb.w")).as("dot"),
+        count(lit(1)).as("n_shared"))
+    // new vector merge-walk dot (terms dictionary-encoded to dense longs)
+    val tid = dfq.select(col("term")).withColumn("tid",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("term"))).cast("long"))
+    val vecs = w.join(broadcast(tid), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("tid"), ExactAgg.cents(col("w")).as("c")))).as("vec"))
+      .select(col("doc_id"),
+        transform(col("vec"), x => x.getField("tid")).as("ks"),
+        transform(col("vec"), x => x.getField("c")).as("cs"))
+    val walkDots = pairs
+      .join(vecs.as("va"), col("doc_a") === col("va.doc_id"))
+      .join(vecs.as("vb"), col("doc_b") === col("vb.doc_id"))
+      .withColumn("d", SparseDotExpression.sparseDotCents(
+        col("va.ks"), col("va.cs"), col("vb.ks"), col("vb.cs")))
+      .select(col("doc_a"), col("doc_b"),
+        ((col("d.hi").cast("double") * lit(67108864.0) +
+          col("d.lo").cast("double")) / lit(10000.0)).as("dot"),
+        col("d.n_shared").as("n_shared"))
+      .filter(col("n_shared") > 0) // join form drops zero-overlap pairs
+    val joined = joinDots.as("j").join(walkDots.as("k"), Seq("doc_a", "doc_b"), "full")
+    assert(joined.filter(
+      col("j.dot").isNull || col("k.dot").isNull ||
+        col("j.dot") =!= col("k.dot") ||
+        col("j.n_shared") =!= col("k.n_shared")).count() == 0) // bitwise
+    assert(joinDots.count() > 100)
+  }
 }
