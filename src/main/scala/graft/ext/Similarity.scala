@@ -806,14 +806,34 @@ object Similarity {
         least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+    // Pair scoring via the q138 dictionary-encoded merge-walk kernel
+    // (SparseDotCents): cents = ExactAgg.cents(wn·100), the exact
+    // quantization dsumProd(wn·100, wn·100) applied, so dot4 is
+    // reproduced bit-for-bit without the pair × terms/doc expansion join
+    // and its pair-keyed aggregate. Every candidate shares the indexed
+    // term that proposed it, so no zero-overlap pair can appear.
+    graft.functions.SparseDotExpression.register(t.spark)
+    val tid = wn.select(col("term")).distinct()
+      .withColumn("tid", row_number()
+        .over(Window.orderBy(col("term"))).cast("long"))
+    val vecs = wn
+      .join(broadcast(tid), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("tid"),
+        ExactAgg.cents(col("wn") * lit(100)).as("c")))).as("vec"))
+      .select(col("doc_id"),
+        transform(col("vec"), x => x.getField("tid")).as("ks"),
+        transform(col("vec"), x => x.getField("c")).as("cs"))
+      .localCheckpoint() // read by both pair sides
     val dots = cand
-      .join(wn.as("wa"), col("doc_a") === col("wa.doc_id"))
-      .join(wn.as("wb"),
-        col("doc_b") === col("wb.doc_id") && col("wa.term") === col("wb.term"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(ExactAgg.dsumProd(col("wa.wn") * lit(100), col("wb.wn") * lit(100))
-        .as("dot4"),
-        count(lit(1)).as("n_shared"))
+      .join(vecs.as("va"), col("doc_a") === col("va.doc_id"))
+      .join(vecs.as("vb"), col("doc_b") === col("vb.doc_id"))
+      .withColumn("d", graft.functions.SparseDotExpression.sparseDotCents(
+        col("va.ks"), col("va.cs"), col("vb.ks"), col("vb.cs")))
+      .select(col("doc_a"), col("doc_b"),
+        ((col("d.hi").cast("double") * lit(67108864.0) +
+          col("d.lo").cast("double")) / lit(10000.0)).as("dot4"),
+        col("d.n_shared").as("n_shared"))
     dots
       .select(col("doc_a"), col("doc_b"),
         col("n_shared").cast("int").as("n_shared_terms"),
