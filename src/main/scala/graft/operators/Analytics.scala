@@ -444,30 +444,37 @@ object Analytics {
     * the join, so the join input is already reduced; Catalyst plans SMJ on
     * the 3-key or broadcasts the smaller aggregate under AQE. */
   def pickupDropoffJoin(t: Tables): DataFrame = {
-    val fact = t.lineitem.select(
-      col("l_partkey"),
-      year(col("l_shipdate")).as("year"),
-      month(col("l_shipdate")).as("month"),
-      col("l_quantity"),
-      col("l_extendedprice"),
-      col("l_returnflag"))
-    val pickups = fact
+    // One-pass conditional aggregation (r11): the original two-aggregate
+    // self-join scanned the fact twice and shuffled it twice before a
+    // sort-merge join on the full grouping key; the "dropoffs" side is a
+    // row-filtered aggregate of the SAME groups, so conditional sums over
+    // one pass produce identical values (dsum/sum skip the NULLs the
+    // when() leaves, exactly the filtered subset; groups with no 'R' row
+    // yield NULL → the same coalesce(0) the left join applied). One scan,
+    // one exchange, no join — the guide §2.4 shared-exchange shape.
+    t.lineitem
+      .select(
+        col("l_partkey"),
+        year(col("l_shipdate")).as("year"),
+        month(col("l_shipdate")).as("month"),
+        col("l_quantity"),
+        col("l_extendedprice"),
+        col("l_returnflag"))
       .groupBy(col("l_partkey"), col("year"), col("month"))
-      .agg(count(lit(1)).as("n_ship"), dsum(col("l_quantity")).as("qty_ship"))
-    val dropoffs = fact
-      .filter(col("l_returnflag") === "R")
-      .groupBy(col("l_partkey"), col("year"), col("month"))
-      .agg(count(lit(1)).as("n_return"), dsum(col("l_extendedprice")).as("price_return"))
-    pickups
-      .join(dropoffs, Seq("l_partkey", "year", "month"), "left")
+      .agg(
+        count(lit(1)).as("n_ship"),
+        dsum(col("l_quantity")).as("qty_ship"),
+        sum(when(col("l_returnflag") === "R", 1L)).as("n_return_n"),
+        dsum(when(col("l_returnflag") === "R", col("l_extendedprice")))
+          .as("price_return_n"))
       .select(
         col("l_partkey"),
         col("year"),
         col("month"),
         col("n_ship"),
         col("qty_ship"),
-        coalesce(col("n_return"), lit(0L)).as("n_return"),
-        coalesce(col("price_return"), lit(0.0)).as("price_return"))
+        coalesce(col("n_return_n"), lit(0L)).as("n_return"),
+        coalesce(col("price_return_n"), lit(0.0)).as("price_return"))
       .orderBy(col("l_partkey"), col("year"), col("month"))
   }
 

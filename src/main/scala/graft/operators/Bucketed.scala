@@ -85,8 +85,11 @@ object Bucketed {
         Seq("o_orderkey"), nb, Seq("o_orderkey"))
     }
     buildOnce(t, lTbl) {
+      // l_linenumber/l_shipdate ride along for q23's order-grained scan —
+      // parquet column pruning keeps q44's read width unchanged
       TableIO.saveBucketed(t.spark, lTbl,
-        t.lineitem.select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+        t.lineitem.select("l_orderkey", "l_linenumber", "l_shipdate",
+          "l_quantity", "l_extendedprice", "l_discount"),
         Seq("l_orderkey"), nb, Seq("l_orderkey"))
     }
     (oTbl, lTbl)

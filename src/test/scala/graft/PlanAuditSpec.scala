@@ -350,7 +350,10 @@ class PlanAuditSpec extends SparkSpec {
     "q04_count_distinct" -> 3, "q05_conditional_agg" -> 2,
     "q06_hourly_series" -> 3, "q07_multilevel_agg" -> 3, "q08_corr" -> 2,
     "q09_collect_set" -> 2, "q10_global_stats" -> 1,
-    "q11_join_dim_broadcast" -> 3, "q12_join_multikey" -> 3,
+    "q11_join_dim_broadcast" -> 3,
+    // r11 one-pass conditional agg: scan + group exchange + sort (was two
+    // aggregates of the same fact joined on the full grouping key)
+    "q12_join_multikey" -> 2,
     "q13_join_expr" -> 2, "q14_self_agg_join" -> 2,
     "q15_double_dim_join" -> 2, "q16_window_lag" -> 3,
     "q17_window_rolling" -> 3, "q18_ntile" -> 2, "q19_window_over_agg" -> 3,
