@@ -1439,13 +1439,17 @@ object TextAnalysis {
     * distinct never materializes per prefix); the final roll-up is on the
     * maxN·3-row frame. Nothing is ever joined per-document. */
   def ngramNovelty(t: Tables, maxN: Int = 3): DataFrame = {
+    graft.functions.ShingleExpression.register(t.spark)
     val grams = (1 to maxN).map { n =>
-      // sequence(1, len-n+1) DESCENDS when len < n — guard to empty.
+      // gram strings via the native WordShingles loop (byte-identical to
+      // the slice+array_join chain — its documented contract); the outer
+      // transform only wraps each string in a struct. The size guard also
+      // drops WordShingles' short-doc whole-string shingle, preserving
+      // the original "len < n contributes nothing at order n" semantics.
       when(size(col("tks")) >= n,
         transform(
-          sequence(lit(1), size(col("tks")) - lit(n - 1)),
-          i => struct(lit(n).as("n"),
-            array_join(slice(col("tks"), i, lit(n)), " ").as("gram"))))
+          graft.functions.ShingleExpression.wordShingles(col("tks"), n),
+          g => struct(lit(n).as("n"), g.as("gram"))))
         .otherwise(array().cast("array<struct<n:int,gram:string>>"))
     }.reduce(concat(_, _))
     t.documents
